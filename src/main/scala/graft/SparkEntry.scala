@@ -1,13 +1,35 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.filters.{FilterCompiler, FilterSpec, FilterVerbs, PayloadFilter}
+import graft.operators._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    *
+    * End-to-end exercise of the reference's consume path in batch form
+    * (SURVEY §3.1): JSON payload filter (AND spec) → metadata projection →
+    * per-partition-key checkpoint sequence (`max(sequenceNumber)` per key,
+    * the `SaveCheckpoint` analog of `KinesisThreadJobs.cs:404-408`).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val spec = FilterSpec(Seq(
+      PayloadFilter("k", FilterVerbs.GreaterThanOrEqual, "1")))
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(FilterCompiler.compile(spec, col("props")))
+      .groupBy(col("user_id").as("partition_key"))
+      .agg(max(col("event_id")).as("checkpoint_sequence"),
+        count(lit(1)).as("delivered"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    FilterQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    FilterQueries.oracles
 }

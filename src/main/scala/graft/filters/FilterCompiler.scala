@@ -1,0 +1,104 @@
+package graft.filters
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Compiles a [[FilterSpec]] into a Catalyst `Column` predicate tree.
+  *
+  * This is the Spark-native re-expression of the reference's query core,
+  * `ApplyPayloadFilters` (`Decisions.Kinesis/KinesisThreadJobs.cs:731-814`).
+  * Instead of a per-record interpreter loop, the spec compiles once into a
+  * declarative predicate that Catalyst pushes down to the scan and runs
+  * inside whole-stage codegen — at 100 TB the filter evaluates columnar,
+  * with no per-row JSON re-parse overhead beyond the extraction itself.
+  *
+  * Semantics reproduced deliberately (SURVEY §2.3):
+  *   - P4: JSON-path extraction via `get_json_object(col, "$." + property)`
+  *     — returns a string, matching `JObject.SelectToken(...).ToString()`
+  *     (`KinesisThreadJobs.cs:736,743`).
+  *   - P5/S1: ALL comparisons are string comparisons, even
+  *     Greater/Less Than — `string.Compare(..., Ordinal)`
+  *     (`KinesisThreadJobs.cs:778-801`): `"9" > "1000"` is TRUE.
+  *     Spark's UTF8String binary ordering matches ordinal for ASCII.
+  *   - P6: AND = all match, OR = any matches; empty list ⇒ `!useOr`
+  *     (`KinesisThreadJobs.cs:807-813`).
+  *   - P7: missing property ⇒ non-match for that filter (AND rejects the
+  *     record, OR skips the filter; `KinesisThreadJobs.cs:736-741`). Under
+  *     Spark 3-valued logic `null <op> x` is null ⇒ treated as non-match in
+  *     both branches, which is exactly the reference behavior; we still wrap
+  *     in `coalesce(pred, false)` so the composed column is a real boolean.
+  *   - P8: a record whose body fails to parse as JSON BYPASSES the filters
+  *     and is delivered (`KinesisThreadJobs.cs:694-714`, catch falls through
+  *     to dispatch). A naive `from_json(...).isNotNull` filter would drop it.
+  *   - P9: unknown verb ⇒ error at compile time
+  *     (`KinesisThreadJobs.cs:802-804` logs + rejects per-record; we fail
+  *     fast instead, which is strictly safer).
+  */
+object FilterCompiler {
+  import FilterVerbs._
+
+  /** True iff the column parses as a JSON document.
+    *
+    * `get_json_object(c, "$")` returns the (re-serialized) document for any
+    * valid JSON input and null for malformed input — a codegen'd validity
+    * probe with no UDF. (A JSON scalar `null` body also yields null here;
+    * the reference's `JObject.Parse` would likewise throw on a bare `null`
+    * body and pass the record through, so the two agree.)
+    */
+  def isValidJson(c: Column): Column = get_json_object(c, "$").isNotNull
+
+  /** P4: extract `property` (dot path, arbitrary depth) as a string. */
+  def extract(jsonCol: Column, property: String): Column =
+    get_json_object(jsonCol, "$." + property)
+
+  /** P5: one verb applied to an already-extracted string value. */
+  def verbPredicate(extracted: Column, verb: String, value: String): Column = {
+    val ci = verb.endsWith(CaseInsensitiveSuffix)
+    val baseVerb = if (ci) verb.dropRight(CaseInsensitiveSuffix.length) else verb
+    // Case-insensitive variants lower both sides
+    // (`KinesisThreadJobs.cs:748-801` uses OrdinalIgnoreCase / IndexOf CI).
+    val l = if (ci) lower(extracted) else extracted
+    val v = if (ci) value.toLowerCase(java.util.Locale.ROOT) else value
+    baseVerb match {
+      case Equals             => l === lit(v)
+      case NotEquals          => l =!= lit(v)
+      case Contains           => l.contains(lit(v))
+      case StartsWith         => l.startsWith(v)
+      case EndsWith           => l.endsWith(v)
+      case GreaterThan        => l > lit(v)  // string compare — finding S1
+      case LessThan           => l < lit(v)
+      case GreaterThanOrEqual => l >= lit(v)
+      case LessThanOrEqual    => l <= lit(v)
+      case other =>
+        throw new IllegalArgumentException(s"Unknown filter verb '$other'")
+    }
+  }
+
+  /** One filter compiled against the JSON body column; null-safe boolean. */
+  def filterPredicate(jsonCol: Column, f: PayloadFilter): Column =
+    coalesce(verbPredicate(extract(jsonCol, f.property), f.verb, f.value),
+      lit(false))
+
+  /** P5+P6: the composed verdict over a parsed payload (no P8 wrapping). */
+  def matchPredicate(spec: FilterSpec, jsonCol: Column): Column =
+    if (spec.filters.isEmpty) lit(!spec.useOr) // TJ:813 — AND ∅=true, OR ∅=false
+    else {
+      val preds = spec.filters.map(filterPredicate(jsonCol, _))
+      if (spec.useOr) preds.reduce(_ || _) else preds.reduce(_ && _)
+    }
+
+  /** Full delivery predicate including P8 parse-failure pass-through:
+    * malformed JSON ⇒ delivered regardless of filters.
+    *
+    * An EMPTY filter list delivers everything regardless of `useOr`: the
+    * reference only invokes `ApplyPayloadFilters` when
+    * `PayloadFilters?.Length > 0` (`KinesisThreadJobs.cs:694`), so the
+    * vacuous-OR=false rule of `matchPredicate` never applies to delivery.
+    */
+  def compile(spec: FilterSpec, jsonCol: Column): Column = {
+    FilterValidation.requireValid(spec)
+    if (spec.filters.isEmpty) lit(true)
+    else when(isValidJson(jsonCol), matchPredicate(spec, jsonCol))
+      .otherwise(lit(true))
+  }
+}

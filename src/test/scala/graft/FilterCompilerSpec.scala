@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.filters._
+
+/** Unit coverage of the filter compiler against the reference semantics
+  * (`Decisions.Kinesis/KinesisThreadJobs.cs:731-814`): all 18 verbs,
+  * AND/OR composition, missing property, parse pass-through, unknown verb.
+  */
+class FilterCompilerSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private def verdicts(bodies: Seq[String], spec: FilterSpec): Seq[Boolean] = {
+    val df = bodies.toDF("body")
+    df.select(FilterCompiler.compile(spec, col("body")).as("v"))
+      .collect().map(_.getBoolean(0)).toSeq
+  }
+
+  private def one(body: String, f: PayloadFilter, useOr: Boolean = false) =
+    verdicts(Seq(body), FilterSpec(Seq(f), useOr)).head
+
+  val doc = """{"user":{"type":"Admin"},"n":"42","s":"Hello"}"""
+
+  test("Equals / Not Equals, case-sensitive and insensitive") {
+    assert(one(doc, PayloadFilter("user.type", "Equals", "Admin")))
+    assert(!one(doc, PayloadFilter("user.type", "Equals", "admin")))
+    assert(one(doc, PayloadFilter("user.type", "Equals (Case Insensitive)", "ADMIN")))
+    assert(one(doc, PayloadFilter("user.type", "Not Equals", "admin")))
+    assert(!one(doc, PayloadFilter("user.type", "Not Equals (Case Insensitive)", "admin")))
+  }
+
+  test("Contains / Starts With / Ends With") {
+    assert(one(doc, PayloadFilter("s", "Contains", "ell")))
+    assert(!one(doc, PayloadFilter("s", "Contains", "ELL")))
+    assert(one(doc, PayloadFilter("s", "Contains (Case Insensitive)", "ELL")))
+    assert(one(doc, PayloadFilter("s", "Starts With", "He")))
+    assert(one(doc, PayloadFilter("s", "Starts With (Case Insensitive)", "hE")))
+    assert(one(doc, PayloadFilter("s", "Ends With", "llo")))
+    assert(one(doc, PayloadFilter("s", "Ends With (Case Insensitive)", "LLO")))
+  }
+
+  test("ordering verbs are STRING comparisons (finding S1)") {
+    // "9" > "1000" ordinal-string-wise — the reference's actual behavior
+    // (KinesisThreadJobs.cs:778-801), despite README claiming numeric.
+    val d = """{"v":"9"}"""
+    assert(one(d, PayloadFilter("v", "Greater Than", "1000")))
+    assert(!one(d, PayloadFilter("v", "Less Than", "1000")))
+    assert(one(d, PayloadFilter("v", "Greater Than or Equal", "9")))
+    assert(one(d, PayloadFilter("v", "Less Than or Equal", "9")))
+    assert(one(doc, PayloadFilter("s", "Greater Than (Case Insensitive)", "GOODBYE")))
+    assert(one(doc, PayloadFilter("s", "Less Than (Case Insensitive)", "hellp")))
+    assert(one(doc, PayloadFilter("s", "Greater Than or Equal (Case Insensitive)", "HELLO")))
+    assert(one(doc, PayloadFilter("s", "Less Than or Equal (Case Insensitive)", "HELLO")))
+  }
+
+  test("numeric JSON values compare as their string form") {
+    val d = """{"k": 87}"""
+    assert(one(d, PayloadFilter("k", "Equals", "87")))
+    assert(one(d, PayloadFilter("k", "Greater Than", "50"))) // "87" > "50"
+    assert(!one(d, PayloadFilter("k", "Greater Than", "9"))) // "87" < "9"
+  }
+
+  test("AND: all must match; first fail rejects (TJ:809-810)") {
+    val spec = FilterSpec(Seq(
+      PayloadFilter("s", "Starts With", "He"),
+      PayloadFilter("n", "Equals", "42")))
+    assert(verdicts(Seq(doc), spec) == Seq(true))
+    val spec2 = FilterSpec(Seq(
+      PayloadFilter("s", "Starts With", "He"),
+      PayloadFilter("n", "Equals", "43")))
+    assert(verdicts(Seq(doc), spec2) == Seq(false))
+  }
+
+  test("OR: any match accepts (TJ:807-808)") {
+    val spec = FilterSpec(Seq(
+      PayloadFilter("s", "Equals", "nope"),
+      PayloadFilter("n", "Equals", "42")), useOr = true)
+    assert(verdicts(Seq(doc), spec) == Seq(true))
+    val spec2 = FilterSpec(Seq(
+      PayloadFilter("s", "Equals", "nope"),
+      PayloadFilter("n", "Equals", "43")), useOr = true)
+    assert(verdicts(Seq(doc), spec2) == Seq(false))
+  }
+
+  test("missing property: AND rejects, OR skips (TJ:736-741)") {
+    assert(!one(doc, PayloadFilter("missing", "Equals", "x")))
+    // Not Equals on a missing property is ALSO a reject under AND — the
+    // reference returns false before the verb is even evaluated.
+    assert(!one(doc, PayloadFilter("missing", "Not Equals", "x")))
+    val orSpec = FilterSpec(Seq(
+      PayloadFilter("missing", "Equals", "x"),
+      PayloadFilter("n", "Equals", "42")), useOr = true)
+    assert(verdicts(Seq(doc), orSpec) == Seq(true))
+    val orMiss = FilterSpec(Seq(
+      PayloadFilter("missing", "Equals", "x")), useOr = true)
+    assert(verdicts(Seq(doc), orMiss) == Seq(false))
+  }
+
+  test("parse failure passes the record through (P8, TJ:694-714)") {
+    val bad = """{"k": 87"""
+    val spec = FilterSpec(Seq(PayloadFilter("k", "Equals", "nomatch")))
+    assert(verdicts(Seq(bad), spec) == Seq(true))   // delivered despite filter
+    assert(verdicts(Seq(doc), spec) == Seq(false))  // valid JSON is filtered
+  }
+
+  test("empty filter list delivers everything regardless of useOr (TJ:694)") {
+    assert(verdicts(Seq(doc), FilterSpec(Nil, useOr = false)) == Seq(true))
+    assert(verdicts(Seq(doc), FilterSpec(Nil, useOr = true)) == Seq(true))
+  }
+
+  test("vacuous matchPredicate follows TJ:813: AND ∅=true, OR ∅=false") {
+    val df = Seq(doc).toDF("body")
+    val and = df.select(FilterCompiler
+      .matchPredicate(FilterSpec(Nil, useOr = false), col("body")).as("v"))
+      .head().getBoolean(0)
+    val or = df.select(FilterCompiler
+      .matchPredicate(FilterSpec(Nil, useOr = true), col("body")).as("v"))
+      .head().getBoolean(0)
+    assert(and && !or)
+  }
+
+  test("unknown verb fails at compile time (P9, TJ:802-804)") {
+    val spec = FilterSpec(Seq(PayloadFilter("s", "Approximately", "x")))
+    intercept[IllegalArgumentException] {
+      FilterCompiler.compile(spec, col("body"))
+    }
+  }
+
+  test("validation rejects empty property/verb/value (P10, MQ:459-470)") {
+    assert(FilterValidation.validate(FilterSpec(Seq(
+      PayloadFilter("", "Equals", "x")))).nonEmpty)
+    assert(FilterValidation.validate(FilterSpec(Seq(
+      PayloadFilter("p", "", "x")))).nonEmpty)
+    assert(FilterValidation.validate(FilterSpec(Seq(
+      PayloadFilter("p", "Equals", "")))).nonEmpty)
+    assert(FilterValidation.validate(FilterSpec(Seq(
+      PayloadFilter("p", "Equals", "x")))).isEmpty)
+  }
+
+  test("nested JSON path with arbitrary depth") {
+    val deep = """{"a":{"b":{"c":"leaf"}}}"""
+    assert(one(deep, PayloadFilter("a.b.c", "Equals", "leaf")))
+  }
+}
