@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Retry/backoff policy — the engine twin of the reference's retry
+  * combinator (`Decisions.Kinesis/KinesisThreadJobs.cs:35-118`).
+  *
+  * delay(attempt) = min(base · 2^attempt + jitter, 32) seconds, jitter ∈
+  * [0,1) (`KinesisThreadJobs.cs:107-117`, cap `:226`). Retryable errors:
+  * provisioned-throughput/limit-exceeded and Kinesis 5xx only
+  * (`KinesisThreadJobs.cs:60-88`).
+  */
+object Backoff {
+  val MaxDelaySeconds = 32.0
+
+  /** Deterministic core of the backoff formula (jitter excluded — it is
+    * `Random.NextDouble` in the reference, SURVEY §7 risk 6; the oracle
+    * checks the deterministic part, property tests bound the jittered one).
+    */
+  def delaySeconds(baseSeconds: Double, attempt: Int, jitter: Double = 0.0): Double =
+    math.min(baseSeconds * math.pow(2.0, attempt.toDouble) + jitter,
+      MaxDelaySeconds)
+
+  /** Columnar form: schedule for an `attempt` column — codegen'd, no UDF. */
+  def delayCol(baseSeconds: Column, attempt: Column): Column =
+    least(baseSeconds * pow(lit(2.0), attempt), lit(MaxDelaySeconds))
+
+  /** Error classification (`KinesisThreadJobs.cs:60-88`): retry on
+    * throughput/limit exceedances and server-side (5xx) Kinesis errors;
+    * everything else is terminal. The engine applies this to connector
+    * calls; Spark task retries (`spark.task.maxFailures`) cover executor
+    * faults.
+    */
+  def isRetryable(e: Throwable): Boolean = e match {
+    case r: RetryableException => r.statusCode >= 500 || r.throttled
+    case _ => false
+  }
+
+  /** Marker for connector-layer errors carrying an HTTP status. */
+  class RetryableException(msg: String, val statusCode: Int,
+      val throttled: Boolean = false) extends RuntimeException(msg)
+
+  /** Synchronous retry combinator for connector/driver-side calls (never
+    * on the executor hot path). Mirrors `ExecuteWithRetryAsync`.
+    */
+  def withRetry[T](maxRetries: Int, baseSeconds: Double,
+      sleep: Long => Unit = Thread.sleep)(op: () => T): T = {
+    var attempt = 0
+    while (true) {
+      try return op()
+      catch {
+        case e: Throwable if isRetryable(e) && attempt < maxRetries =>
+          val d = delaySeconds(baseSeconds, attempt, math.random())
+          sleep((d * 1000).toLong)
+          attempt += 1
+        case e: Throwable => throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
