@@ -26,10 +26,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    FilterQueries.queries ++ StreamAnalogs.queries
+    FilterQueries.queries ++ StreamAnalogs.queries ++ Relational.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    FilterQueries.oracles ++ StreamAnalogs.oracles
+    FilterQueries.oracles ++ StreamAnalogs.oracles ++ Relational.oracles
 }

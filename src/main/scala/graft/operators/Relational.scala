@@ -1,0 +1,423 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Beyond-reference relational surface (SURVEY §2.4, §2.5, §2.8): joins,
+  * aggregations, window functions, sorts/top-k, set operations, scalar
+  * function library. The reference has none of these (verified against its
+  * full file inventory); they are required by the north star and built as a
+  * thin, tested layer over Spark built-ins so Catalyst owns the physical
+  * strategy.
+  *
+  * Scale design notes (100 TB):
+  *   - dimension tables (region/nation/supplier/customer at their relative
+  *     sizes) are broadcast explicitly — no shuffle of the fact table for
+  *     dim joins;
+  *   - aggregations are expressed as groupBy/agg so map-side partial
+  *     aggregation happens before the exchange;
+  *   - window top-N uses rank-within-partition, never a global sort of the
+  *     fact table;
+  *   - double-typed aggregates are rounded at the OUTPUT ONLY (2 decimals)
+  *     so the oracle comparison is stable across summation orders.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def r2(c: org.apache.spark.sql.Column) = round(c, 2)
+
+  val queries: Map[String, Q] = Map(
+    // ---- aggregation (TPC-H Q1 shape): map-side partial agg, 4-group out
+    "r_pricing_summary" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_price"),
+          r2(avg(col("l_quantity"))).as("avg_qty"),
+          r2(avg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    // ---- 3-way join + agg + top-10 (TPC-H Q3 shape); customer is the
+    // small side → broadcast, no fact shuffle for the dim filter
+    "r_shipping_priority" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    // ---- 6-way star join (TPC-H Q5 shape); all dims broadcast
+    "r_local_supplier_volume" -> { (s, d) =>
+      val joined = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      joined.groupBy(col("n_name"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    // ---- semi join: orders having a heavy lineitem (EXISTS)
+    "r_join_semi" -> { (s, d) =>
+      val heavy = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+      Tables.orders(s, d)
+        .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey")).orderBy("o_orderkey")
+    },
+    // ---- anti join: customers with no URGENT orders (NOT EXISTS)
+    "r_join_anti" -> { (s, d) =>
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      Tables.customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")).orderBy("c_custkey")
+    },
+    // ---- window: rank within partition (no arithmetic → exact)
+    "r_window_rank" -> { (s, d) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"),
+          rank().over(w).as("bal_rank"),
+          dense_rank().over(w).as("bal_dense_rank"))
+        .filter(col("bal_rank") <= 3)
+        .orderBy("c_nationkey", "bal_rank", "c_custkey")
+    },
+    // ---- window: lag over a fully-tiebroken order
+    "r_window_lag" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          r2(lag(col("o_totalprice"), 1).over(w)).as("prev_price"),
+          r2(lead(col("o_totalprice"), 1).over(w)).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    // ---- window: running sum with deterministic accumulation order
+    "r_window_running" -> { (s, d) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1995-06-01").cast("timestamp"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          r2(sum(col("l_quantity")).over(w)).as("running_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+    // ---- global top-k: orderBy+limit (Spark plans TakeOrderedAndProject —
+    // per-partition heaps, no full sort at scale)
+    "r_topk" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(20)
+    },
+    // ---- set ops
+    "r_union" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        .union(c.filter(col("c_acctbal") > 9000).select(col("c_custkey")))
+        .distinct().orderBy("c_custkey")
+    },
+    "r_intersect" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderpriority") === "5-LOW")
+          .select(col("o_custkey")))
+        .orderBy("o_custkey")
+    },
+    "r_except" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        .except(o.filter(col("o_orderpriority") === "5-LOW")
+          .select(col("o_custkey")))
+        .orderBy("o_custkey")
+    },
+    // ---- rollup / cube (SURVEY §2.5 engine extensions)
+    "r_rollup" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          r2(sum(col("c_acctbal"))).as("total_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+    "r_cube" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+    "r_grouping_sets" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST,
+          |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+    // ---- distinct + exact count-distinct
+    "r_distinct" -> { (s, d) =>
+      Tables.customer(s, d).select(col("c_mktsegment")).distinct()
+        .orderBy("c_mktsegment")
+    },
+    "r_count_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")
+    },
+    // ---- scalar function library (§2.8): strings
+    "r_scalar_string" -> { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        regexp_replace(col("p_brand"), "#", "-").as("brand_dash"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded_key"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey")
+    },
+    // ---- scalars: dates
+    "r_scalar_date" -> { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"))
+        .orderBy("o_orderkey")
+    },
+    // ---- scalars: math (exact or correctly-rounded ops only)
+    "r_scalar_math" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+          ceil(col("l_quantity") / 7).as("bucket"),
+          floor(col("l_extendedprice") / 1000).as("price_k"),
+          r2(sqrt(col("l_quantity"))).as("sqrt_qty"),
+          pmod(col("l_partkey"), lit(13)).as("part_mod"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    // ---- conditional expressions
+    "r_case_when" -> { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("price_band"))
+        .groupBy("price_band").agg(count(lit(1)).as("n"))
+        .orderBy("price_band")
+    },
+    // ---- typed JSON extension (SURVEY §1.2: typed access path)
+    "r_json_typed" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"), max(col("k")).as("k_max"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "r_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_discount), 2) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "r_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_orderpriority,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "r_local_supplier_volume" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "r_join_semi" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "r_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "r_window_rank" ->
+      """SELECT c_nationkey, c_custkey, bal_rank, bal_dense_rank FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |    rank() OVER w AS bal_rank,
+        |    dense_rank() OVER w AS bal_dense_rank
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey
+        |               ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE bal_rank <= 3
+        |ORDER BY c_nationkey, bal_rank, c_custkey""".stripMargin,
+    "r_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "r_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_quantity) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_qty
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-06-01'
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "r_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
+    "r_union" ->
+      """SELECT DISTINCT c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |ORDER BY c_custkey""".stripMargin,
+    "r_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY o_custkey""".stripMargin,
+    "r_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY o_custkey""".stripMargin,
+    "r_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |       round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer, nation, region
+        |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "r_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
+    "r_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "r_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "r_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "r_scalar_string" ->
+      """SELECT p_partkey, upper(p_name) AS uname, length(p_name) AS name_len,
+        |       substr(p_type, 1, 5) AS type_prefix,
+        |       replace(p_brand, '#', '-') AS brand_dash,
+        |       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+        |       concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "r_scalar_date" ->
+      """SELECT o_orderkey,
+        |       CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+        |       CAST(extract(month FROM o_orderdate) AS INT) AS mo,
+        |       CAST(extract(day FROM o_orderdate) AS INT) AS dom,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+        |         AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "r_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       abs(l_discount - 0.05) AS disc_dev,
+        |       ceil(l_quantity / 7) AS bucket,
+        |       floor(l_extendedprice / 1000) AS price_k,
+        |       round(sqrt(l_quantity), 2) AS sqrt_qty,
+        |       l_partkey % 13 AS part_mod
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "r_case_when" ->
+      """SELECT price_band, count(*) AS n FROM (
+        |  SELECT CASE WHEN o_totalprice > 300000 THEN 'high'
+        |              WHEN o_totalprice > 100000 THEN 'mid'
+        |              ELSE 'low' END AS price_band
+        |  FROM orders)
+        |GROUP BY price_band ORDER BY price_band""".stripMargin,
+    "r_json_typed" ->
+      """SELECT event_type,
+        |       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
+        |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

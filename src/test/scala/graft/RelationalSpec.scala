@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke-level regression on the relational surface at sf0.001 — semantic
+  * invariants the DuckDB oracle can't express (plan shape, broadcast).
+  * Full value-level correctness is the driver's oracle gate.
+  */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("every registered query executes and most return rows at sf0.001") {
+    val counts = SparkEntry.queries.keys.map(n => n -> run(n).count()).toMap
+    // f_missing_and is empty BY DESIGN (missing property under AND rejects
+    // all); everything else must produce rows.
+    val expectedEmpty = Set("f_missing_and")
+    val unexpectedlyEmpty = counts.filter { case (n, c) =>
+      c == 0 && !expectedEmpty.contains(n) }
+    assert(unexpectedlyEmpty.isEmpty, s"empty results: $unexpectedlyEmpty")
+    assert(counts("f_missing_and") == 0)
+  }
+
+  test("every query name has either an oracle or is documented rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // For now every query is oracle-backed; widen this allowlist only for
+    // genuinely non-SQL-expressible ops (approx sketches, ANN, streaming).
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("star joins broadcast their dimension sides") {
+    val plan = run("r_local_supplier_volume").queryExecution.executedPlan
+      .toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins")
+    assert(!plan.contains("SortMergeJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "fact-to-fact may sort-merge, dims must broadcast")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val plan = run("r_topk").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("parquet filter pushdown reaches the scan for events queries") {
+    val df = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"),
+      scan.take(800))
+  }
+}
