@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.filters.{FilterCompiler, FilterSpec, FilterVerbs, PayloadFilter}
 import graft.operators._
+import graft.pipeline._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -26,10 +27,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    FilterQueries.queries ++ StreamAnalogs.queries ++ Relational.queries
+    FilterQueries.queries ++ StreamAnalogs.queries ++ Relational.queries ++
+      Dedup.queries ++ Similarity.queries ++ Fingerprints.queries ++
+      TextAnalysis.queries ++ Multimodal.queries ++ EventWindows.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    FilterQueries.oracles ++ StreamAnalogs.oracles ++ Relational.oracles
+    FilterQueries.oracles ++ StreamAnalogs.oracles ++ Relational.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ Fingerprints.oracles ++
+      TextAnalysis.oracles ++ Multimodal.oracles ++ EventWindows.oracles
 }

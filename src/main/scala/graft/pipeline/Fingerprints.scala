@@ -1,0 +1,159 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate near-dup machinery: MinHash+LSH banding and SimHash — the
+  * operators that replace the quadratic Jaccard join at 100 TB (north star;
+  * no reference analog).
+  *
+  * Everything is deterministic: hash seeds are literals, no RNG state, so
+  * task retries and the resume path see identical results. Approximate ⇒ no
+  * SQL oracle; PipelineSpec asserts recall against the exact
+  * [[Dedup.jaccardPairs]] ground truth.
+  */
+object Fingerprints {
+  type Q = (SparkSession, String) => DataFrame
+
+  val MinHashFunctions = 32 // k
+  val Bands = 8             // b; rows per band r = k/b = 4
+  val RowsPerBand: Int = MinHashFunctions / Bands
+
+  /** SimHash over 64-bit token hashes: per bit position, sum +1/-1 votes
+    * weighted by presence; sign → bit. Implemented as a typed
+    * `Aggregator[Long, Array[Int], Long]` — single-shuffle groupBy, mutable
+    * fixed-size buffer, no per-row allocation.
+    */
+  object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    override def zero: Array[Int] = new Array[Int](64)
+    override def reduce(b: Array[Int], h: Long): Array[Int] = {
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) b(i) += 1 else b(i) -= 1
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Int]): Long = {
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (b(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+    override def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** (doc_id, simhash) for every document — over trigram SHINGLES, not
+    * single tokens: the fixture (and much crawl data) draws from a small
+    * shared vocabulary, so token-level simhashes collapse together;
+    * shingles are near-unique per doc and keep unrelated hamming ≈ 32.
+    */
+  def simhashes(docs: DataFrame)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    docs
+      .select(col("doc_id"),
+        explode(Dedup.shingles(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(SimHashAgg.toColumn.name("simhash"))
+      .toDF("doc_id", "simhash")
+  }
+
+  /** MinHash signatures: k seeded xxhash64 minima over distinct trigram
+    * shingles. explode(seeds) → per-(doc, seed) min → pivot back to an
+    * array. Two key-local shuffles, signature size constant per doc.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val seeds = array((0 until MinHashFunctions).map(lit): _*)
+    docs
+      .select(col("doc_id"),
+        explode(Dedup.shingles(col("text"))).as("s"))
+      .select(col("doc_id"), explode(seeds).as("seed"),
+        col("s"))
+      .select(col("doc_id"), col("seed"),
+        xxhash64(col("seed"), col("s")).as("h"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(col("h")).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("seed"), col("mh"))))
+        .as("pairs"))
+      .select(col("doc_id"),
+        expr("transform(pairs, p -> p.mh)").as("sig"))
+  }
+
+  /** LSH banding: equal band slice ⇒ candidate pair. Estimated similarity =
+    * fraction of matching signature positions; keep pairs ≥ threshold.
+    */
+  def minhashCandidates(signatures: DataFrame, threshold: Double): DataFrame = {
+    val banded = signatures.select(col("doc_id"), col("sig"),
+      explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",",
+            slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)))
+            .as("bkey"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .dropDuplicates("da", "db")
+      .select(col("da"), col("db"),
+        (aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x)
+          .cast("double") / MinHashFunctions).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // MinHash-LSH near-dup candidates (est. Jaccard ≥ 0.5). Approximate —
+    // rows-only driver check; recall vs exact Jaccard in PipelineSpec.
+    "d_minhash_lsh" -> { (s, d) =>
+      minhashCandidates(minhashSignatures(Tables.documents(s, d)), 0.5)
+        .select(col("da"), col("db"),
+          round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("da", "db")
+    },
+    // SimHash near-dup pairs: 8×8-bit band blocking (pigeonhole: hamming
+    // ≤ 7 ⇒ ≥1 identical band), popcount(xor) ≤ 7 verify.
+    "d_simhash" -> { (s, d) =>
+      implicit val sp: SparkSession = s
+      val sh = simhashes(Tables.documents(s, d))
+      val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 8).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("simhash"), b * 8)
+              .bitwiseAND(lit(0xFFL)).as("bkey"))): _*)).as("bb"))
+        .select(col("doc_id"), col("simhash"),
+          col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+            .as("hamming"))
+        .dropDuplicates("da", "db")
+        .filter(col("hamming") <= 7)
+        .orderBy("da", "db")
+    })
+
+  // Approximate operators — deliberately no SQL oracle (driver records
+  // rows-only checks); accuracy is asserted against exact ground truth in
+  // PipelineSpec instead.
+  val oracles: Map[String, String] = Map.empty
+}

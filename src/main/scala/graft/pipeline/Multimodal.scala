@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing (north star): media as opaque `binary`
+  * columns with typed metadata, decode/feature-extract as a partition-wise
+  * typed transform, frame sampling as a generator.
+  *
+  * The real decode (image/audio codecs) is STUBBED — the container has no
+  * media libraries — behind [[FakeDecoder.decode]], a deterministic fake
+  * keyed on byte length. Everything around the stub is real and tested:
+  * the binary envelope schema, the `Dataset[MediaRecord] → mapPartitions`
+  * batch shape (the Scala twin of a Python `mapInPandas` decode), the
+  * metadata struct, and the frame-sampling explode. Swapping
+  * `FakeDecoder.decode` for a codec call is the only change needed at
+  * deployment.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Binary media envelope: payload + modality + source id. */
+  final case class MediaRecord(doc_id: Long, kind: String, media: Array[Byte])
+
+  /** Extracted (fake) media metadata. */
+  final case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int)
+
+  /** ??? in spirit: a stand-in for the codec. Deterministic in the payload
+    * so oracle SQL can replicate it from `length(text)`.
+    */
+  object FakeDecoder {
+    def decode(r: MediaRecord): MediaMeta = {
+      val n = r.media.length.toLong
+      MediaMeta(r.doc_id, r.kind, n,
+        width = ((n % 64) * 10 + 16).toInt,
+        height = ((n / 64 % 48) * 10 + 16).toInt,
+        n_frames = (n % 50 + 1).toInt)
+    }
+  }
+
+  /** documents → binary media envelope (text bytes play the payload;
+    * modality assigned round-robin like a mixed crawl).
+    */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("media"))
+
+  /** Partition-wise decode: the batch shape a real codec UDF needs — one
+    * iterator in, one iterator out, no per-row task overhead, pipelined
+    * with the scan.
+    */
+  def decodeMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).as[MediaRecord]
+      .mapPartitions(_.map(FakeDecoder.decode))
+      .toDF()
+  }
+
+  val queries: Map[String, Q] = Map(
+    // decode → typed metadata (stubbed codec, real plumbing)
+    "m_decode_meta" -> { (s, d) =>
+      decodeMeta(s, d)
+        .select(col("doc_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"))
+        .orderBy("doc_id")
+    },
+    // per-modality feature aggregate over decoded metadata
+    "m_kind_stats" -> { (s, d) =>
+      decodeMeta(s, d)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          max(col("width")).as("max_w"),
+          min(col("height")).as("min_h"),
+          round(avg(col("n_bytes")), 2).as("avg_bytes"))
+        .orderBy("kind")
+    },
+    // frame sampling: every 5th frame of each fake video
+    "m_frame_sample" -> { (s, d) =>
+      decodeMeta(s, d)
+        .filter(col("kind") === "video")
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(5)))
+            .as("frame_idx"))
+        .orderBy("doc_id", "frame_idx")
+    })
+
+  // Oracle replicates the deterministic fake from length(text) (docs are
+  // ASCII, so octet length == char length).
+  private val meta =
+    """SELECT doc_id,
+      |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |  length(text) AS n_bytes,
+      |  CAST((length(text) % 64) * 10 + 16 AS INT) AS width,
+      |  CAST((length(text) // 64 % 48) * 10 + 16 AS INT) AS height,
+      |  CAST(length(text) % 50 + 1 AS INT) AS n_frames
+      |FROM documents""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "m_decode_meta" ->
+      s"""SELECT doc_id, kind, n_bytes, width, height FROM ($meta)
+         |ORDER BY doc_id""".stripMargin,
+    "m_kind_stats" ->
+      s"""SELECT kind, count(*) AS n, max(width) AS max_w,
+         |       min(height) AS min_h, round(avg(n_bytes), 2) AS avg_bytes
+         |FROM ($meta) GROUP BY kind ORDER BY kind""".stripMargin,
+    "m_frame_sample" ->
+      s"""SELECT doc_id, unnest(range(0, n_frames, 5)) AS frame_idx
+         |FROM ($meta) WHERE kind = 'video'
+         |ORDER BY doc_id, frame_idx""".stripMargin)
+}

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` fixture (north star).
+  *
+  * Two tiers:
+  *   - brute-force top-k: broadcast the (small) query batch against the
+  *     corpus scan — exact, oracle-checked; one pass over the corpus, no
+  *     corpus shuffle. This is how small query batches run even at 100 TB.
+  *   - LSH-bucketed top-k: random-hyperplane signatures (deterministic,
+  *     seed-derived planes), multi-table OR-amplification; candidates come
+  *     from an equi-join on (table, bucket) — corpus cost is linear in
+  *     matching buckets, not |corpus|×|queries|. Approximate → no SQL
+  *     oracle; recall vs the brute-force tier is asserted in PipelineSpec.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic pseudo-random hyperplane component for (table, bit,
+    * dim) — integer-hash → uniform in [-1, 1). Same value on every executor
+    * with no RNG state (Date/Random are nondeterministic across retries).
+    */
+  private def planeComponent(table: Int, bit: Int, dim: Int): Double = {
+    var h = table * 1000003L + bit * 8191L + dim * 131L + 0x9E3779B97F4A7C15L
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
+    h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+    h ^= h >>> 33
+    (h.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** 8-bit signature per (vector, table): sign bits of dot(v, plane). Built
+    * from literal plane arrays — fully codegen'd, nothing random at runtime.
+    */
+  def lshSignature(v: Column, table: Int, bits: Int, dims: Int): Column = {
+    val bitCols = (0 until bits).map { b =>
+      val plane = array((0 until dims).map(i =>
+        lit(planeComponent(table, b, i))): _*)
+      when(VectorOps.dot(v, plane) > 0, 1 << b).otherwise(0)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  private def topK(sims: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("c").desc, col("nid"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact brute-force cosine top-10 for 5 query vectors: broadcast the
+    // query batch; single corpus scan, no shuffle of the corpus.
+    "s_ann_bruteforce" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          VectorOps.cosine(col("qv"), col("v")).as("c"))
+        .transform(topK(_, 10))
+    },
+    // LSH-bucketed approximate top-10: 8 tables × 4-bit signatures
+    // (θ(cos≈0.4)/π ≈ 0.37 ⇒ per-table collision ≈ 0.63⁴ ≈ 0.16; 8-table
+    // OR-amplification ≈ 0.75 recall). Candidates = bucket-equality join,
+    // then exact cosine re-rank.
+    "s_ann_lsh" -> { (s, d) =>
+      val dims = 64
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      val tables = 8
+      val sigs = e.select(col("vec_id"), col("v"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"),
+            lshSignature(col("v"), t, 4, dims).as("sig"))): _*)).as("ts"))
+        .select(col("vec_id"), col("v"),
+          col("ts.t").as("t"), col("ts.sig").as("sig"))
+      val q = sigs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("t").as("qt"), col("sig").as("qsig"))
+      val candidates = sigs
+        .join(broadcast(q),
+          col("t") === col("qt") && col("sig") === col("qsig") &&
+            col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"), col("qv"), col("v"))
+        .dropDuplicates("qid", "nid")
+      candidates
+        .select(col("qid"), col("nid"),
+          VectorOps.cosine(col("qv"), col("v")).as("c"))
+        .transform(topK(_, 10))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "s_ann_bruteforce" ->
+      """SELECT qid, nid, rank FROM (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |         row_number() OVER (
+        |           PARTITION BY a.vec_id
+        |           ORDER BY list_cosine_similarity(a.embedding, b.embedding)
+        |             DESC, b.vec_id) AS rank
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id)
+        |WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin)
+    // s_ann_lsh: approximate — no SQL oracle; recall asserted in
+    // PipelineSpec against s_ann_bruteforce.
+}

@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over `documents` (north star): token counting,
+  * quality scoring, language-ID. All pure column expressions — codegen'd,
+  * shuffle-free per-row transforms; only the final ORDER BY (for the oracle)
+  * costs anything, and that disappears under aggregation at scale.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(c: Column) = split(c, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(toks(text))
+
+  /** BPE-ish subword estimate: Σ ceil(len(token)/4) — the standard
+    * chars/4 heuristic applied per token so short tokens still count 1.
+    */
+  def subwordEstimate(text: Column): Column =
+    aggregate(toks(text), lit(0L),
+      (acc, t) => acc + ceil(length(t) / 4.0).cast("long"))
+
+  /** Stopword ratio against a small built-in list. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+  def stopwordRatio(text: Column): Column = {
+    val sw = array(Stopwords.map(lit): _*)
+    size(filter(toks(text), t => array_contains(sw, t))).cast("double") /
+      size(toks(text))
+  }
+
+  /** Language-ID by marker-token voting: score(lang) = #distinct marker
+    * tokens present; argmax wins, ties (incl. all-zero) → "und". A real
+    * deployment swaps the marker lists for char-n-gram profiles; the
+    * mechanism (membership counting + deterministic argmax) is identical.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("la", "el", "los"),
+    "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "les", "des"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val distinctToks = array_distinct(toks(text))
+    LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(distinctToks,
+        t => array_contains(array(markers.map(lit): _*), t)))
+    }
+  }
+
+  def predictedLang(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // deterministic argmax: first language (in declaration order) hitting
+    // the max; all-zero → "und"
+    val folded = scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight means earlier langs overwrite later ones on ties
+    folded
+  }
+
+  val queries: Map[String, Q] = Map(
+    // token counting: whitespace + BPE-ish subword estimate
+    "t_token_count" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(toks(col("text")))).as("n_distinct"),
+        subwordEstimate(col("text")).as("n_subwords"),
+        length(col("text")).as("n_chars_text"))
+        .orderBy("doc_id")
+    },
+    // quality scoring: length/stopword/type-token-ratio mix
+    "t_quality_score" -> { (s, d) =>
+      val n = tokenCount(col("text")).cast("double")
+      val ttr = size(array_distinct(toks(col("text")))) / n
+      val stop = stopwordRatio(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        round(ttr, 4).as("type_token_ratio"),
+        round(stop, 4).as("stopword_ratio"),
+        round(lit(0.4) * ttr + lit(0.3) * (lit(1.0) - stop) +
+          lit(0.3) * least(n / 100.0, lit(1.0)), 4).as("quality"))
+        .orderBy("doc_id")
+    },
+    // language-ID by marker voting, compared against the labeled column
+    "t_lang_id" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang").as("labeled"),
+        predictedLang(col("text")).as("predicted"))
+        .orderBy("doc_id")
+    },
+    // content fingerprint via the custom codegen'd RollingHash Expression
+    // (rows-only: DuckDB has no matching 64-bit wraparound primitive;
+    // interpreted-vs-codegen-vs-reference equality is in PipelineSpec)
+    "t_rolling_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        graft.functions.RollingHash.rolling_hash(col("text")).as("fp"))
+        .orderBy("doc_id")
+    })
+
+  private val oracleToks = "string_split(text, ' ')"
+
+  val oracles: Map[String, String] = Map(
+    "t_token_count" ->
+      s"""SELECT doc_id,
+         |  len($oracleToks) AS n_tokens,
+         |  len(list_distinct($oracleToks)) AS n_distinct,
+         |  list_sum(list_transform($oracleToks,
+         |    t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS n_subwords,
+         |  length(text) AS n_chars_text
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_quality_score" ->
+      s"""SELECT doc_id,
+         |  round(ttr, 4) AS type_token_ratio,
+         |  round(stop, 4) AS stopword_ratio,
+         |  round(0.4 * ttr + 0.3 * (1.0 - stop) +
+         |        0.3 * least(n / 100.0, 1.0), 4) AS quality
+         |FROM (
+         |  SELECT doc_id,
+         |    len($oracleToks) * 1.0 AS n,
+         |    len(list_distinct($oracleToks)) / (len($oracleToks) * 1.0)
+         |      AS ttr,
+         |    len(list_filter($oracleToks,
+         |      t -> list_contains(['the','a','of','and','to'], t))) /
+         |      (len($oracleToks) * 1.0) AS stop
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "t_lang_id" ->
+      s"""SELECT doc_id, lang AS labeled,
+         |  CASE
+         |    WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+         |    WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+         |    WHEN de >= fr AND de > 0 THEN 'de'
+         |    WHEN fr > 0 THEN 'fr'
+         |    ELSE 'und' END AS predicted
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(list_distinct($oracleToks),
+         |      t -> list_contains(['the','a','of'], t))) AS en,
+         |    len(list_filter(list_distinct($oracleToks),
+         |      t -> list_contains(['la','el','los'], t))) AS es,
+         |    len(list_filter(list_distinct($oracleToks),
+         |      t -> list_contains(['der','die','das'], t))) AS de,
+         |    len(list_filter(list_distinct($oracleToks),
+         |      t -> list_contains(['le','les','des'], t))) AS fr
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.RollingHash
+import graft.pipeline.{Dedup, Fingerprints}
+
+/** Accuracy/consistency coverage for the operators the DuckDB oracle can't
+  * check: MinHash-LSH and SimHash recall against exact Jaccard ground
+  * truth, LSH-ANN recall against brute force, and the custom RollingHash
+  * expression (interpreted == codegen == reference impl).
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val exactPairs: Set[(Long, Long)] =
+    pairs(Dedup.jaccardPairs(Tables.documents(spark, sf), 0.8))
+
+  test("fixture sanity: exact near-dup ground truth is non-trivial") {
+    assert(exactPairs.size >= 10, s"only ${exactPairs.size} exact pairs")
+  }
+
+  test("minhash-LSH recalls ≥90% of exact Jaccard≥0.8 pairs") {
+    val cand = pairs(SparkEntry.queries("d_minhash_lsh")(spark, sf))
+    val recall = exactPairs.count(cand.contains).toDouble / exactPairs.size
+    assert(recall >= 0.9, s"recall $recall over ${exactPairs.size} pairs")
+  }
+
+  test("minhash estimate tracks exact jaccard within 0.25") {
+    val est = SparkEntry.queries("d_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val exact = Dedup.jaccardPairs(Tables.documents(spark, sf), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val deviations = exact.collect {
+      case (k, j) if est.contains(k) => math.abs(est(k) - j) }
+    assert(deviations.nonEmpty && deviations.max <= 0.25,
+      s"max deviation ${if (deviations.nonEmpty) deviations.max else -1}")
+  }
+
+  test("simhash finds near-dup pairs and they overlap ground truth") {
+    val sh = SparkEntry.queries("d_simhash")(spark, sf)
+    val shPairs = pairs(sh)
+    assert(shPairs.nonEmpty, "simhash found no pairs")
+    val overlap = shPairs.count(exactPairs.contains).toDouble
+    // simhash (token-set based) and trigram jaccard measure different
+    // similarity — require meaningful, not total, agreement
+    assert(overlap / exactPairs.size >= 0.5,
+      s"simhash recall ${overlap / exactPairs.size}")
+  }
+
+  test("LSH-ANN recalls ≥50% of brute-force top-10") {
+    def topSet(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = topSet("s_ann_bruteforce")
+    val lsh = topSet("s_ann_lsh")
+    val recall = bf.count(lsh.contains).toDouble / bf.size
+    assert(recall >= 0.5, s"ANN recall $recall")
+  }
+
+  test("RollingHash: codegen, interpreted, and reference agree") {
+    import spark.implicits._
+    val samples = Seq("", "a", "hello world", "πßé unicode", "x" * 10000)
+    val df = samples.toDF("s")
+    val viaExpr = df.select(RollingHash.rolling_hash(col("s"))).collect()
+      .map(_.getLong(0))
+    assert(viaExpr.toSeq == samples.map(RollingHash.hashString))
+    // null passes through
+    val n = Seq[String](null).toDF("s")
+      .select(RollingHash.rolling_hash(col("s"))).head()
+    assert(n.isNullAt(0))
+    // type error is caught at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("i").select(RollingHash.rolling_hash(col("i"))).collect()
+    }
+  }
+
+  test("multimodal decode keeps partition count (mapPartitions shape)") {
+    val meta = graft.pipeline.Multimodal.decodeMeta(spark, sf)
+    assert(meta.rdd.getNumPartitions ==
+      graft.pipeline.Multimodal.mediaTable(spark, sf).rdd.getNumPartitions)
+    assert(meta.columns.toSeq ==
+      Seq("doc_id", "kind", "n_bytes", "width", "height", "n_frames"))
+  }
+}

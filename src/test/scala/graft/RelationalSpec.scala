@@ -25,9 +25,12 @@ class RelationalSpec extends AnyFunSuite {
 
   test("every query name has either an oracle or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // For now every query is oracle-backed; widen this allowlist only for
-    // genuinely non-SQL-expressible ops (approx sketches, ANN, streaming).
-    assert(missing.isEmpty, s"queries without oracle: $missing")
+    // Rows-only allowlist: genuinely non-SQL-expressible ops — approximate
+    // sketches (seeded-hash dependent) and the custom hash Expression.
+    // Their accuracy is asserted in PipelineSpec instead.
+    val rowsOnly = Set("d_minhash_lsh", "d_simhash", "s_ann_lsh",
+      "t_rolling_fingerprint")
+    assert(missing == rowsOnly, s"queries without oracle: $missing")
   }
 
   test("star joins broadcast their dimension sides") {
