@@ -1,0 +1,174 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.config.QueueConfig
+import graft.filters.FilterCompiler
+import graft.model.KinesisRecord
+import graft.state.CheckpointStore
+
+/** The streaming runtime — Spark-native re-expression of the reference's
+  * consume path (SURVEY §3.1, `KinesisMessageQueueImpl` + thread-per-shard
+  * `KinesisThreadJobs`):
+  *
+  *   reference                         → engine
+  *   ─────────────────────────────────────────────────────────────────
+  *   thread manager + shard tasks      → Structured Streaming micro-batch
+  *     (TJ:221-288, Task per shard)      execution (driver schedules,
+  *                                       executors own partitions)
+  *   lease arbitration (CP:18-95)      → driver partition ownership (no
+  *                                       cross-node race by construction);
+  *                                       [[CheckpointStore]] keeps the
+  *                                       queue-visible sequence table
+  *   checkpoint-after-batch (TJ:404-8) → foreachBatch: handler first,
+  *                                       offset commit after ⇒ the same
+  *                                       at-least-once contract (ST1, ST8)
+  *   payload filters (TJ:694-714)      → [[FilterCompiler.compile]] on the
+  *                                       decoded body, BEFORE dispatch
+  *   pacing (TJ:425-432)               → Trigger.ProcessingTime
+  *   graceful shutdown (TJ:824-859)    → query.stop() + status flags
+  *
+  * Sources implement [[RecordSource]]; a real Kinesis connector
+  * (`spark.readStream.format("kinesis")` with the §2.9 options) drops in
+  * behind the same trait — poll vs EFO (S1/S2) is a connector option, not
+  * an engine concern.
+  */
+trait RecordSource {
+  /** A streaming Dataset in the fixed record-envelope schema (§1.1). */
+  def stream(spark: SparkSession): Dataset[KinesisRecord]
+}
+
+/** File-backed source for local runs: replays a directory of parquet files
+  * shaped like the envelope. Order within a partitionKey follows
+  * sequenceNumber, as per-shard order does on Kinesis (ST7).
+  */
+final class FileRecordSource(path: String) extends RecordSource {
+  override def stream(spark: SparkSession): Dataset[KinesisRecord] = {
+    import spark.implicits._
+    spark.readStream.schema(KinesisRecord.schema).parquet(path)
+      .as[KinesisRecord]
+  }
+}
+
+/** Where delivered records go — the `ProcessMessage` handler boundary
+  * (K2, `KinesisThreadJobs.cs:711-718`). Return false / throw ⇒ the batch
+  * fails ⇒ Spark re-runs it from the last committed offset (E3 semantics).
+  */
+trait MessageHandler extends Serializable {
+  def process(messageId: String, messageBody: Array[Byte],
+      messageText: String, partitionKey: String): Boolean
+}
+
+final class QueueRuntime(
+    spark: SparkSession,
+    queue: QueueConfig,
+    store: CheckpointStore = new CheckpointStore(),
+    queueId: String = "q1") {
+
+  QueueConfig.requireValid(queue)
+
+  @volatile private var query: Option[StreamingQuery] = None
+  private val delivered = new AtomicLong(0)
+  private val filtered = new AtomicLong(0)
+
+  def deliveredCount: Long = delivered.get()
+  def filteredCount: Long = filtered.get()
+
+  /** The record pipeline as a pure DataFrame transform (unit-testable in
+    * batch, identical in streaming): decode → filter → project.
+    */
+  def pipeline(records: DataFrame): DataFrame = {
+    val text = records.withColumn("messageText",
+      col("data").cast("string")) // P1: UTF-8 decode projection
+    val pred = FilterCompiler.compile(queue.filters, col("messageText"))
+    text.filter(pred)
+      .select(
+        col("sequenceNumber").as("messageId"), // TJ:689
+        col("data").as("messageBody"),
+        col("messageText"),
+        col("partitionKey"),
+        col("approximateArrivalTimestamp"),
+        coalesce(col("encryptionType"), lit("None")) // P3, U:173
+          .as("encryptionType"))
+  }
+
+  /** Start consuming. Handler runs per record, per partitionKey in
+    * sequence order (ST7); checkpoint sequence is saved after each
+    * partition's batch slice succeeds (ST1), exactly like
+    * `SaveCheckpoint(records.Last())`.
+    */
+  def start(source: RecordSource, handler: MessageHandler,
+      checkpointLocation: String): StreamingQuery = {
+    val streamName = queue.streamName
+    val qid = queueId
+    val st = store
+    val q = pipeline(source.stream(spark).toDF())
+      .writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(Trigger.ProcessingTime(
+        s"${queue.shardBatchWaitTime} seconds")) // ST9 pacing
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Per-shard ordered, serial processing (ST7): group a batch by
+        // partitionKey on the executors, process each key's records in
+        // sequence order, record the last sequence per key.
+        import batch.sparkSession.implicits._
+        val results = batch
+          .select(col("messageId"), col("messageBody"), col("messageText"),
+            col("partitionKey"))
+          .as[(String, Array[Byte], String, String)]
+          .groupByKey(_._4)
+          .mapGroups { (key, it) =>
+            var last: String = null
+            var n = 0L
+            // Kinesis sequence numbers are decimal strings that grow in
+            // numeric value; order numerically via (length, lexicographic)
+            it.toSeq.sortBy(r => (r._1.length, r._1)).foreach { r =>
+              if (!handler.process(r._1, r._2, r._3, r._4))
+                throw new RuntimeException( // K2 failure ⇒ batch retry
+                  s"Failed to process message: ${r._1}")
+              last = r._1; n += 1
+            }
+            (key, last, n)
+          }.collect()
+        // handler succeeded for the whole batch ⇒ advance the
+        // queue-visible checkpoints (commit-after-process = at-least-once)
+        results.foreach { case (key, last, n) =>
+          if (last != null) st.saveCheckpoint(streamName, qid, key, last)
+          delivered.addAndGet(n)
+        }
+      }
+      .start()
+    query = Some(q)
+    q
+  }
+
+  /** Producer (K1, `KinesisMessageQueueImpl.cs:99-126`): partition key =
+    * message id; append to the stream-backing path.
+    */
+  def push(targetPath: String, id: String, message: Array[Byte]): Unit = {
+    import spark.implicits._
+    Seq(KinesisRecord(message, id, id,
+      new java.sql.Timestamp(System.currentTimeMillis()), "None"))
+      .toDS().write.mode("append").parquet(targetPath)
+  }
+
+  /** Connection test (K3): can we read one record from the source path? */
+  def testConnection(path: String): String =
+    try {
+      val n = spark.read.schema(KinesisRecord.schema).parquet(path)
+        .limit(1).count()
+      s"Connection successful. Stream readable (sampled $n record(s))."
+    } catch {
+      case e: Exception => s"Connection failed: ${e.getMessage}"
+    }
+
+  /** Graceful shutdown (ST13): stop the query, release queue leases. */
+  def stop(): Unit = {
+    query.foreach(_.stop())
+    query = None
+  }
+}
