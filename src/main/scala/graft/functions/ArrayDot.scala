@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Dot product of two `array<double>` columns as a native Catalyst
+  * expression with whole-stage codegen.
+  *
+  * The composable form (`aggregate(zip_with(a, b, _*_), 0d, _+_)`)
+  * allocates an intermediate array per row and evaluates a lambda per
+  * element; on an all-pairs similarity join that dominated the benchmark
+  * (58 s of a 124 s total at sf0.1). This expression loops over the two
+  * `ArrayData` buffers with primitive reads — no allocation, stays fused
+  * in the generated stage. Null if either side is null; requires equal
+  * lengths (similarity over a homogeneous embedding column).
+  */
+case class ArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"array_dot expects (array<double>, array<double>), got " +
+          s"(${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ArrayDot = copy(left = newLeft, right = newRight)
+}
+
+object ArrayDot {
+  def array_dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(ArrayDot(Bridge.expression(a), Bridge.expression(b)))
+  }
+}

@@ -42,8 +42,12 @@ object Dedup {
     * blocking (shared-shingle equi-join → per-pair intersection counts).
     */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // block on the 64-bit shingle hash, not the ~30-char string: same
+    // join/groupBy semantics (collision odds ~1e-10 at this cardinality),
+    // 4× narrower shuffle rows
     val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s_str"))
+      .select(col("doc_id"), xxhash64(col("s_str")).as("s"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -88,11 +92,14 @@ object Dedup {
     // Embedding cosine near-dup pairs: brute-force on the checkable scale;
     // the LSH-bucketed variant in Similarity is the 100 TB path.
     "d_embedding_dup" -> { (s, d) =>
+      // normalize each side once (linear), so each of the O(n²) pairs is a
+      // single codegen'd primitive dot product
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"),
+          VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-          VectorOps.cosine(col("a.v"), col("b.v")).as("c"))
+          VectorOps.dot(col("a.v"), col("b.v")).as("c"))
         .filter(col("c") > 0.47)
         .select(col("va"), col("vb"))
         .orderBy("va", "vb")

@@ -71,26 +71,57 @@ object Fingerprints {
       .toDF("doc_id", "simhash")
   }
 
-  /** MinHash signatures: k seeded xxhash64 minima over distinct trigram
-    * shingles. explode(seeds) → per-(doc, seed) min → pivot back to an
-    * array. Two key-local shuffles, signature size constant per doc.
+  /** Single-pass MinHash: one base xxhash64 per shingle, k per-seed
+    * variants derived by mixing INSIDE the aggregation buffer (an
+    * avalanche finalizer per seed — no k-way row explosion; the previous
+    * explode(seeds) formulation materialized 19 M rows at sf0.1 and cost
+    * 5.6 s of bench). One shuffle, constant 32-long buffer per doc.
     */
+  object MinHashAgg extends Aggregator[Long, Array[Long], Seq[Long]] {
+    @inline private def mix(h0: Long, seed: Int): Long = {
+      var h = h0 ^ (seed.toLong * 0x9E3779B97F4A7C15L)
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
+      h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+      h ^ (h >>> 33)
+    }
+    override def zero: Array[Long] = Array.fill(MinHashFunctions)(Long.MaxValue)
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      var i = 0
+      while (i < MinHashFunctions) {
+        val v = mix(h, i)
+        if (v < b(i)) b(i) = v
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < MinHashFunctions) {
+        if (b(i) < a(i)) a(i) = b(i)
+        i += 1
+      }
+      a
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** (doc_id, sig: array<long>) MinHash signatures via [[MinHashAgg]]. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val seeds = array((0 until MinHashFunctions).map(lit): _*)
+    val s = docs.sparkSession
+    import s.implicits._
     docs
       .select(col("doc_id"),
         explode(Dedup.shingles(col("text"))).as("s"))
-      .select(col("doc_id"), explode(seeds).as("seed"),
-        col("s"))
-      .select(col("doc_id"), col("seed"),
-        xxhash64(col("seed"), col("s")).as("h"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(col("h")).as("mh"))
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("seed"), col("mh"))))
-        .as("pairs"))
-      .select(col("doc_id"),
-        expr("transform(pairs, p -> p.mh)").as("sig"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(MinHashAgg.toColumn.name("sig"))
+      .toDF("doc_id", "sig")
   }
 
   /** LSH banding: equal band slice ⇒ candidate pair. Estimated similarity =

@@ -59,12 +59,13 @@ object Similarity {
     // query batch; single corpus scan, no shuffle of the corpus.
     "s_ann_bruteforce" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"),
+          VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       e.join(broadcast(q), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"),
-          VectorOps.cosine(col("qv"), col("v")).as("c"))
+          VectorOps.dot(col("qv"), col("v")).as("c"))
         .transform(topK(_, 10))
     },
     // LSH-bucketed approximate top-10: 8 tables × 4-bit signatures

@@ -14,12 +14,21 @@ object VectorOps {
     */
   def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
+  /** Primitive-loop dot product (codegen'd [[graft.functions.ArrayDot]]) —
+    * the hot path of every pairwise similarity join.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayDot.array_dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity between two double-array columns. */
+  /** Cosine similarity between two double-array columns. On pairwise
+    * joins prefer [[normalized]] + [[dot]]: normalize each side ONCE
+    * (linear cost), then each pair is a single dot product.
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Unit-normalized copy of a double-array column. */
+  def normalized(a: Column): Column =
+    transform(a, x => x / norm(a))
 }
