@@ -28,7 +28,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     FilterQueries.queries ++ StreamAnalogs.queries ++ Relational.queries ++
-      Dedup.queries ++ Similarity.queries ++ Fingerprints.queries ++
+      Dedup.queries ++ Similarity.queries ++ Fingerprints.allQueries ++
       TextAnalysis.queries ++ Multimodal.queries ++ EventWindows.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

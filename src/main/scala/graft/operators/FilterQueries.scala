@@ -144,6 +144,22 @@ object FilterQueries {
           col("props")))
         .select(col("event_id")).orderBy("event_id")
     },
+    // ---- JSON array paths: SelectToken supports indexing ("items[0].id")
+    // and so does get_json_object — same verb machinery, deeper paths ----
+    "f_array_path" -> { (s, d) =>
+      val body = concat(lit("{\"ids\":[\""), col("event_type"),
+        lit("\",\"backup\"],\"ks\":["),
+        FilterCompiler.extract(col("props"), "k"), lit(",5]}"))
+      val spec = FilterSpec(Seq(
+        PayloadFilter("ids[0]", FilterVerbs.Equals, "purchase")))
+      Tables.events(s, d)
+        .withColumn("body", body)
+        .filter(FilterCompiler.compile(spec, col("body")))
+        .select(col("event_id"),
+          FilterCompiler.extract(col("body"), "ks[0]").as("k0"),
+          FilterCompiler.extract(col("body"), "ids[1]").as("backup"))
+        .orderBy("event_id")
+    },
     // ---- metadata/data projections (P1-P3, KinesisUtils.cs:146-183) ----
     "f_projection" -> { (s, d) =>
       Tables.events(s, d).select(
@@ -223,6 +239,17 @@ object FilterQueries {
         |ORDER BY event_id""".stripMargin,
     "f_empty_spec" ->
       "SELECT event_id FROM events ORDER BY event_id",
+    "f_array_path" ->
+      """SELECT event_id,
+        |       json_extract_string(body, '$.ks[0]') AS k0,
+        |       json_extract_string(body, '$.ids[1]') AS backup
+        |FROM (
+        |  SELECT event_id,
+        |    concat('{"ids":["', event_type, '","backup"],"ks":[',
+        |           json_extract_string(props, '$.k'), ',5]}') AS body
+        |  FROM events)
+        |WHERE json_extract_string(body, '$.ids[0]') = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     "f_projection" ->
       """SELECT CAST(event_id AS VARCHAR) AS sequence_number,
         |       CAST(user_id AS VARCHAR) AS partition_key,

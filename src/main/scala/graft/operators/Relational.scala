@@ -250,6 +250,45 @@ object Relational {
         .groupBy("price_band").agg(count(lit(1)).as("n"))
         .orderBy("price_band")
     },
+    // ---- typed JSON via from_json (SURVEY §1.2: schema-on-read → typed
+    // struct in one parse, the many-field alternative to get_json_object)
+    "r_from_json" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(avg(col("k")).cast("double").as("k_avg_raw"))
+        .select(col("event_type"), round(col("k_avg_raw"), 4).as("k_avg"))
+        .orderBy("event_type")
+    },
+    // ---- salting demo: same join answer as the plain formulation, but
+    // the build side is replicated across 8 salt buckets so one hot key
+    // spreads over 8 reducers (the manual fallback when AQE skew-join
+    // can't help, e.g. a single pathological key)
+    "r_join_salted" -> { (s, d) =>
+      val salts = 8
+      val li = Tables.lineitem(s, d)
+        .withColumn("salt", pmod(col("l_linenumber"), lit(salts)))
+      val ord = Tables.orders(s, d)
+        .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+      li.join(ord,
+          col("l_orderkey") === col("o_orderkey") &&
+            li("salt") === ord("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy("o_orderpriority")
+    },
+    // ---- approximate distinct (HLL++). No oracle: sketch estimates are
+    // implementation-specific; RelationalSpec asserts error within the default 5% rsd vs exact.
+    "r_approx_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
     // ---- typed JSON extension (SURVEY §1.2: typed access path)
     "r_json_typed" -> { (s, d) =>
       Tables.events(s, d)
@@ -414,6 +453,16 @@ object Relational {
         |              ELSE 'low' END AS price_band
         |  FROM orders)
         |GROUP BY price_band ORDER BY price_band""".stripMargin,
+    "r_from_json" ->
+      """SELECT event_type,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4)
+        |    AS k_avg
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "r_join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "r_json_typed" ->
       """SELECT event_type,
         |       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,

@@ -183,6 +183,42 @@ object Fingerprints {
         .orderBy("da", "db")
     })
 
+  /** Embedding near-dup via hyperplane-LSH bucketing — the 100 TB path
+    * replacing the O(n²) [[Dedup]] "d_embedding_dup": candidates from
+    * (table, bucket) equi-joins, exact dot verify. Added to the map below.
+    */
+  def embeddingDupLsh(s: org.apache.spark.sql.SparkSession, d: String)
+      : DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
+    // the fixture's near-dups sit at cosine ≈ 0.47-0.51 (θ/π ≈ 0.34), so
+    // signatures must be SHORT: 4 bits ⇒ ~0.19 per-table collision, 12
+    // tables ⇒ ~0.92 expected recall
+    val tables = 12
+    val sigs = e.select(col("vec_id"), col("v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          Similarity.lshSignature(col("v"), t, 4, 64).as("sig"))): _*))
+        .as("ts"))
+      .select(col("vec_id"), col("v"),
+        col("ts.t").as("t"), col("ts.sig").as("sig"))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        col("a.v").as("xa"), col("b.v").as("xb"))
+      .dropDuplicates("va", "vb")
+      .filter(graft.functions.ArrayDot.array_dot(col("xa"), col("xb"))
+        > 0.47)
+      .select(col("va"), col("vb"))
+      .orderBy("va", "vb")
+  }
+
+  val allQueries: Map[String, Q] = queries + ("d_embedding_dup_lsh" ->
+    ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      embeddingDupLsh(s, d)))
+
   // Approximate operators — deliberately no SQL oracle (driver records
   // rows-only checks); accuracy is asserted against exact ground truth in
   // PipelineSpec instead.

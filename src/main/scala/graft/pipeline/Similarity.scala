@@ -54,7 +54,7 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  val queries: Map[String, Q] = Map(
+  private lazy val exactAndLsh: Map[String, Q] = Map(
     // Exact brute-force cosine top-10 for 5 query vectors: broadcast the
     // query batch; single corpus scan, no shuffle of the corpus.
     "s_ann_bruteforce" -> { (s, d) =>
@@ -95,6 +95,58 @@ object Similarity {
       candidates
         .select(col("qid"), col("nid"),
           VectorOps.cosine(col("qv"), col("v")).as("c"))
+        .transform(topK(_, 10))
+    })
+
+  /** (vector → nearest-centroid cell) assignment for IVF: broadcast the
+    * centroid batch, argmax cosine per vector. One corpus scan.
+    */
+  private def assignCells(vectors: DataFrame, centroids: DataFrame,
+      out: String): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    vectors.join(broadcast(centroids))
+      .select(col("vec_id"), col("v"),
+        col("cid"), VectorOps.dot(col("v"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid").as(out))
+  }
+
+  lazy val queries: Map[String, Q] = exactAndLsh ++ Map(
+    // IVF-style ANN: 16 deterministic centroids (a corpus sample), each
+    // vector assigned to its nearest cell; queries probe their top-4
+    // cells and re-rank exactly within candidates. Corpus cost at scale:
+    // one assignment scan + equi-join on cell id — no all-pairs product.
+    "s_ann_ivf" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
+      // deterministic "training": every (n/16)-th vector is a centroid
+      val n = e.count()
+      val step = math.max(n / 16, 1)
+      val cents = e.filter(col("vec_id") % step === 0)
+        .limit(16)
+        .select((col("vec_id") / step).cast("int").as("cid"),
+          col("v").as("cv"))
+      val assigned = assignCells(e, cents, "cell")
+      val queries = e.filter(col("vec_id") < 5)
+      // probe top-4 cells per query
+      val wq = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cid"))
+      val probes = queries.join(broadcast(cents))
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("cid"), VectorOps.dot(col("v"), col("cv")).as("csim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("csim").desc,
+            col("cid"))))
+        .filter(col("rn") <= 4)
+        .select(col("qid"), col("qv"), col("cid").as("cell"))
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          VectorOps.dot(col("qv"), col("v")).as("c"))
+        .dropDuplicates("qid", "nid")
         .transform(topK(_, 10))
     })
 

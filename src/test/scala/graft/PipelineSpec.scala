@@ -56,14 +56,33 @@ class PipelineSpec extends AnyFunSuite {
       s"simhash recall ${overlap / exactPairs.size}")
   }
 
+  private def topSet(name: String) =
+    SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
   test("LSH-ANN recalls ≥50% of brute-force top-10") {
-    def topSet(name: String) =
-      SparkEntry.queries(name)(spark, sf).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
     val bf = topSet("s_ann_bruteforce")
-    val lsh = topSet("s_ann_lsh")
-    val recall = bf.count(lsh.contains).toDouble / bf.size
+    val recall = bf.count(topSet("s_ann_lsh").contains).toDouble / bf.size
     assert(recall >= 0.5, s"ANN recall $recall")
+  }
+
+  test("IVF-ANN recalls ≥50% of brute-force top-10") {
+    val bf = topSet("s_ann_bruteforce")
+    val recall = bf.count(topSet("s_ann_ivf").contains).toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
+  test("embedding-LSH near-dup recalls ≥50% of exact pairs") {
+    val exact = SparkEntry.queries("d_embedding_dup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("d_embedding_dup_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"emb-LSH recall $recall over ${exact.size}")
+    // precision is 1.0 by construction: every candidate is re-verified
+    // with the same exact dot>threshold predicate
+    assert((lsh -- exact).isEmpty, "LSH produced a non-exact pair")
   }
 
   test("RollingHash: codegen, interpreted, and reference agree") {

@@ -29,8 +29,20 @@ class RelationalSpec extends AnyFunSuite {
     // sketches (seeded-hash dependent) and the custom hash Expression.
     // Their accuracy is asserted in PipelineSpec instead.
     val rowsOnly = Set("d_minhash_lsh", "d_simhash", "s_ann_lsh",
-      "t_rolling_fingerprint")
+      "t_rolling_fingerprint", "s_ann_ivf", "d_embedding_dup_lsh",
+      "r_approx_distinct")
     assert(missing == rowsOnly, s"queries without oracle: $missing")
+  }
+
+  test("approx_count_distinct tracks exact within 5% (the default HLL rsd)") {
+    val approx = run("r_approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = run("r_count_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val err = math.abs(approx(k) - ex).toDouble / ex
+      assert(err <= 0.05, s"$k: approx ${approx(k)} vs exact $ex")
+    }
   }
 
   test("star joins broadcast their dimension sides") {
