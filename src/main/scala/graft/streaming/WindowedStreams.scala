@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked event-time aggregation over the record envelope — the
+  * streaming side of SURVEY §2.6 ST14 (an engine extension: the reference
+  * never uses its timestamp beyond metadata pass-through).
+  *
+  * The same expressions run in batch (EventWindows queries, DuckDB-
+  * oracled) and here under `readStream`; StreamingWindowSpec pins that the
+  * two agree on the closed windows.
+  */
+object WindowedStreams {
+  /** Tumbling per-type counts with a watermark: late data beyond
+    * `lateness` is dropped, windows close and emit in append mode.
+    */
+  def tumblingCounts(records: DataFrame, window_ : String,
+      lateness: String): DataFrame =
+    records
+      .withWatermark("approximateArrivalTimestamp", lateness)
+      .groupBy(
+        window(col("approximateArrivalTimestamp"), window_).as("w"),
+        col("partitionKey"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("partitionKey"),
+        col("n"))
+
+  /** Streaming dedup on the sequence number within the watermark horizon —
+    * the streaming twin of ST8's `dropDuplicates` batch analog: a
+    * redelivered record inside the horizon is suppressed with bounded
+    * state (the store evicts keys older than the watermark).
+    */
+  def dedupWithinWatermark(records: DataFrame, lateness: String): DataFrame =
+    records
+      .withWatermark("approximateArrivalTimestamp", lateness)
+      .dropDuplicatesWithinWatermark("sequenceNumber")
+}
