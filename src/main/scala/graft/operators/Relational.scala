@@ -250,6 +250,32 @@ object Relational {
         .groupBy("price_band").agg(count(lit(1)).as("n"))
         .orderBy("price_band")
     },
+    // ---- as-of join (operator Spark lacks; composed union+window, one
+    // key shuffle — see AsOfJoin). For each purchase, the user's most
+    // recent click at-or-before it. Oracle: DuckDB's native ASOF JOIN.
+    "r_join_asof" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOfJoin.asOf(purchases, clicks, "user_id", "ts",
+        Seq("event_id" -> "click_event"))
+        .select(col("event_id").as("purchase_event"), col("click_event"))
+        .orderBy("purchase_event")
+    },
+    // ---- range join: lineitems shipped within 90 days of their order
+    // date — equi-key (orderkey) carries the join, the range is a
+    // post-join filter, so no inequality-join explosion
+    "r_join_range" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_shipped_90d"))
+        .orderBy("o_orderpriority")
+    },
     // ---- typed JSON via from_json (SURVEY §1.2: schema-on-read → typed
     // struct in one parse, the many-field alternative to get_json_object)
     "r_from_json" -> { (s, d) =>
@@ -453,6 +479,20 @@ object Relational {
         |              ELSE 'low' END AS price_band
         |  FROM orders)
         |GROUP BY price_band ORDER BY price_band""".stripMargin,
+    "r_join_asof" ->
+      """SELECT p.event_id AS purchase_event, c.event_id AS click_event
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+        |                WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_event""".stripMargin,
+    "r_join_range" ->
+      """SELECT o_orderpriority, count(*) AS n_shipped_90d
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= o_orderdate
+        |  AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "r_from_json" ->
       """SELECT event_type,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4)

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ArrayDot, GraftExtensions, GraftFunctions, RollingHash}
+import graft.operators.AsOfJoin
+
+/** SQL registration of native expressions + the composed as-of join. */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+
+  test("registered SQL functions match the Column API") {
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_rolling_hash('hello world') AS h, " +
+        "graft_array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head()
+    assert(viaSql.getLong(0) == RollingHash.hashString("hello world"))
+    assert(viaSql.getDouble(1) == 11.0)
+  }
+
+  test("withExtensions sessions get the functions at build time") {
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val h = s2.sql("SELECT graft_rolling_hash('abc') AS h").head().getLong(0)
+      assert(h == RollingHash.hashString("abc"))
+    } finally () // shared-context session; do not stop the underlying SC
+  }
+
+  test("as-of join picks the latest right row at-or-before, per key") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val left = Seq( // (key, time, label)
+      ("a", ts(100), "L1"), ("a", ts(200), "L2"), ("b", ts(150), "L3"),
+      ("c", ts(10), "L4")) // key with no right rows at all
+      .toDF("k", "t", "label")
+    val right = Seq(
+      ("a", ts(50), 1L), ("a", ts(100), 2L),  // equality: 2 matches L1
+      ("a", ts(150), 3L), ("a", ts(250), 4L), // 250 is AFTER L2 → ignored
+      ("b", ts(160), 5L))                     // after L3 → b unmatched
+      .toDF("k", "t", "rid")
+    val out = AsOfJoin.asOf(left, right, "k", "t", Seq("rid" -> "match"))
+      .select("label", "match").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out == Map("L1" -> 2L, "L2" -> 3L, "L3" -> -1L, "L4" -> -1L))
+  }
+
+  test("as-of join rejects colliding output names") {
+    import spark.implicits._
+    val df = Seq(("a", new java.sql.Timestamp(0L), 1L)).toDF("k", "t", "x")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(df, df, "k", "t", Seq("x" -> "x"))
+    }
+  }
+}
