@@ -192,6 +192,18 @@ object Relational {
           |ORDER BY o_orderstatus ASC NULLS FIRST,
           |         o_orderpriority ASC NULLS FIRST""".stripMargin)
     },
+    // ---- exact interpolated percentiles (linear, same definition as
+    // DuckDB quantile_cont); percentile_approx is the sketch variant at
+    // scale but has no cross-engine oracle
+    "r_percentiles" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"))
+        .orderBy("l_returnflag")
+    },
     // ---- distinct + exact count-distinct
     "r_distinct" -> { (s, d) =>
       Tables.customer(s, d).select(col("c_mktsegment")).distinct()
@@ -444,6 +456,16 @@ object Relational {
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
     "r_distinct" ->
       "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "r_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 2)
+        |    AS p25,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 2)
+        |    AS p50,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 2)
+        |    AS p90
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "r_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps

@@ -80,6 +80,22 @@ object Multimodal {
           round(avg(col("n_bytes")), 2).as("avg_bytes"))
         .orderBy("kind")
     },
+    // resize: target box 224x224 preserving aspect ratio (integer math so
+    // the oracle can replicate; the real resample lives behind the same
+    // stub boundary as decode)
+    "m_resize" -> { (s, d) =>
+      decodeMeta(s, d)
+        .filter(col("kind") === "image")
+        .select(col("doc_id"), col("width"), col("height"),
+          least(lit(224) * lit(1000) / col("width"),
+            lit(224) * lit(1000) / col("height")).as("scale_k"))
+        .select(col("doc_id"),
+          floor(col("width") * col("scale_k") / 1000).cast("int")
+            .as("out_w"),
+          floor(col("height") * col("scale_k") / 1000).cast("int")
+            .as("out_h"))
+        .orderBy("doc_id")
+    },
     // frame sampling: every 5th frame of each fake video
     "m_frame_sample" -> { (s, d) =>
       decodeMeta(s, d)
@@ -112,5 +128,14 @@ object Multimodal {
     "m_frame_sample" ->
       s"""SELECT doc_id, unnest(range(0, n_frames, 5)) AS frame_idx
          |FROM ($meta) WHERE kind = 'video'
-         |ORDER BY doc_id, frame_idx""".stripMargin)
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "m_resize" ->
+      s"""SELECT doc_id,
+         |  CAST(floor(width * scale_k / 1000) AS INT) AS out_w,
+         |  CAST(floor(height * scale_k / 1000) AS INT) AS out_h
+         |FROM (
+         |  SELECT doc_id, width, height,
+         |    least(224 * 1000 / width, 224 * 1000 / height) AS scale_k
+         |  FROM ($meta) WHERE kind = 'image')
+         |ORDER BY doc_id""".stripMargin)
 }

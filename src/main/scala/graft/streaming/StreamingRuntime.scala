@@ -54,6 +54,18 @@ final class FileRecordSource(path: String) extends RecordSource {
   }
 }
 
+/** JSON-lines variant of the file source — one envelope object per line
+  * (`data` base64 as JSON binary convention). Same trait, different wire
+  * format; demonstrates the source surface is format-agnostic.
+  */
+final class JsonRecordSource(path: String) extends RecordSource {
+  override def stream(spark: SparkSession): Dataset[KinesisRecord] = {
+    import spark.implicits._
+    spark.readStream.schema(KinesisRecord.schema).json(path)
+      .as[KinesisRecord]
+  }
+}
+
 /** Where delivered records go — the `ProcessMessage` handler boundary
   * (K2, `KinesisThreadJobs.cs:711-718`). Return false / throw ⇒ the batch
   * fails ⇒ Spark re-runs it from the last committed offset (E3 semantics).
