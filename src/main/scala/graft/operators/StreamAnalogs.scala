@@ -59,15 +59,15 @@ object StreamAnalogs {
         .select(col("user_id"), col("event_id").as("lease_event"))
         .orderBy("user_id")
     },
-    // ST10: batch size cap — first MaxRecordsPerRequest=100 records per
-    // shard (`KinesisThreadJobs.cs:351-355`, default `KinesisMessageQueue
-    // .cs:153`).
+    // ST10: batch size cap — first MaxRecordsPerRequest records per shard
+    // (`KinesisThreadJobs.cs:351-355`, default `KinesisMessageQueue
+    // .cs:153`). Runs on the engine's custom bounded-heap TopKPerKey
+    // operator (graft.plans) — no per-partition sort, O(keys·k) memory —
+    // while the DuckDB oracle pins it to the window formulation.
     "batch_cap_50" -> { (s, d) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-      Tables.events(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 50)
-        .select(col("user_id"), col("event_id"))
+      graft.plans.TopKPerKey.topKPerKey(
+        Tables.events(s, d).select(col("user_id"), col("event_id")),
+        keys = Seq("user_id"), order = Seq(("event_id", false)), k = 50)
         .orderBy("user_id", "event_id")
     },
     // ST8: at-least-once duplicate handling — redelivered records (here:

@@ -1,0 +1,129 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Per-key top-K as a CUSTOM whole operator — logical node, planner
+  * strategy, physical exec (SURVEY §7 preference tier (c), demonstrated on
+  * the one shape where composition is measurably wasteful).
+  *
+  * The composable formulation (`row_number().over(partitionBy(key)
+  * .orderBy(ord)) <= k`) must SORT every partition fully before discarding
+  * all but k rows per key. This operator instead keeps a bounded k-row
+  * heap per key: memory O(keys·k) instead of sort buffers over the whole
+  * partition, no sort spill, and rows stream through once. At 100 TB
+  * (per-shard batch caps, per-user top-N) the difference is a full
+  * sort-exchange stage versus a streaming pass.
+  *
+  * Physical contract: `requiredChildDistribution = ClusteredDistribution
+  * (keys)` — Catalyst inserts the hash exchange only if the child isn't
+  * already partitioned by the key (e.g. already bucketed ⇒ zero shuffle).
+  */
+case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKey =
+    copy(child = c)
+}
+
+object TopKPerKey {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+  import org.apache.spark.sql.graftshim.Bridge
+
+  /** API: smallest `k` rows per key under `order`; `(name, true)` orders
+    * that column descending (largest-first). Attributes are resolved
+    * against the analyzed child plan (Column objects would reach the
+    * custom node as lazy unresolved ColumnNode wrappers the analyzer
+    * doesn't traverse). Registers the strategy on the session on first
+    * use.
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[String],
+      order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    Bridge.addStrategy(spark, TopKPerKeyStrategy)
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String) = analyzed.output
+      .find(_.name.equalsIgnoreCase(n))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '$n' not in ${analyzed.output.map(_.name)}"))
+    val sortOrders = order.map { case (n, desc) =>
+      SortOrder(attr(n), if (desc) Descending else Ascending) }
+    Bridge.ofRows(spark,
+      TopKPerKey(keys.map(attr), sortOrders, k, analyzed))
+  }
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val schema = child.output
+    val ordExprs = order
+    val keyExprs = keys
+    val kk = k
+    child.execute().mapPartitions { rows =>
+      // key → bounded max-heap of the k smallest under `order`
+      val ordering = new LazilyGeneratedOrdering(ordExprs, schema)
+      val heapOrd = ordering.reverse // max-heap: evict the largest
+      val keyProj = UnsafeProjection.create(keyExprs, schema)
+      val heaps = new java.util.HashMap[UnsafeRow,
+        java.util.PriorityQueue[UnsafeRow]]()
+      rows.foreach { r =>
+        val key = keyProj(r)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](kk + 1,
+            (a: UnsafeRow, b: UnsafeRow) => heapOrd.compare(a, b))
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size() < kk) {
+          heap.add(r.asInstanceOf[UnsafeRow].copy())
+        } else if (ordering.compare(r, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(r.asInstanceOf[UnsafeRow].copy())
+        }
+      }
+      val out = Seq.newBuilder[InternalRow]
+      heaps.values().forEach { h =>
+        // drain in `order` (heap is reverse-ordered)
+        val buf = new scala.collection.mutable.ArrayBuffer[UnsafeRow](h.size)
+        while (!h.isEmpty) buf += h.poll()
+        out ++= buf.reverseIterator
+      }
+      out.result().iterator
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Session extensions registering the strategy; combine with
+  * `graft.functions.GraftExtensions` or list both under
+  * `spark.sql.extensions`.
+  */
+class TopKExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+}

@@ -14,6 +14,32 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Materialize a DataFrame from a logical plan (`Dataset.ofRows` is
+    * private[sql]).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.classic.Dataset.ofRows(classic, plan)
+  }
+
+  /** Logical plan of a DataFrame. */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
+
+  /** Add a planner strategy to a live session (public `experimental`
+    * surface, reached through the classic session type).
+    */
+  def addStrategy(spark: org.apache.spark.sql.SparkSession,
+      s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraStrategies.contains(s))
+      classic.experimental.extraStrategies =
+        classic.experimental.extraStrategies :+ s
+  }
+
   /** Register catalyst function builders on a live session's registry
     * (`sessionState` is private[sql] in Spark 4).
     */
