@@ -192,6 +192,48 @@ object Relational {
           |ORDER BY o_orderstatus ASC NULLS FIRST,
           |         o_orderpriority ASC NULLS FIRST""".stripMargin)
     },
+    // ---- pivot: wide-format counts per (returnflag × linestatus)
+    "r_pivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("l_returnflag")
+    },
+    // ---- statistical aggregates (sample stddev/variance, correlation)
+    "r_stats" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 2).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_discount")), 4)
+            .as("corr_qty_disc"))
+        .orderBy("l_returnflag")
+    },
+    // ---- ordered collect: deterministic string-joined per-group list
+    // (array-typed outputs hash differently across engines; concat_ws is
+    // the portable form)
+    "r_array_agg" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(concat_ws(",",
+          array_sort(collect_set(col("o_orderstatus")))).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+    // ---- edit-distance near-name histogram (levenshtein in both engines)
+    "r_levenshtein" -> { (s, d) =>
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+      p.as("a").join(p.as("b"), col("a.p_partkey") < col("b.p_partkey"))
+        .select(levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+        .filter(col("dist") <= 3)
+        .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy("dist")
+    },
     // ---- exact interpolated percentiles (linear, same definition as
     // DuckDB quantile_cont); percentile_approx is the sketch variant at
     // scale but has no cross-engine oracle
@@ -456,6 +498,33 @@ object Relational {
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
     "r_distinct" ->
       "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "r_pivot" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE l_linestatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE l_linestatus = 'P') AS n_p
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "r_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 2) AS sd_qty,
+        |  round(var_samp(l_quantity), 2) AS var_qty,
+        |  round(corr(l_quantity, l_discount), 4) AS corr_qty_disc
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "r_array_agg" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+        |    AS statuses,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "r_levenshtein" ->
+      """SELECT dist, count(*) AS n_pairs FROM (
+        |  SELECT levenshtein(a.p_name, b.p_name) AS dist
+        |  FROM part a, part b WHERE a.p_partkey < b.p_partkey)
+        |WHERE dist <= 3
+        |GROUP BY dist ORDER BY dist""".stripMargin,
     "r_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 2)
