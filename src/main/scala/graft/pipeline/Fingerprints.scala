@@ -203,12 +203,17 @@ object Fingerprints {
         .as("ts"))
       .select(col("vec_id"), col("v"),
         col("ts.t").as("t"), col("ts.sig").as("sig"))
-    sigs.as("a").join(sigs.as("b"),
+    // candidates carry ID PAIRS ONLY through the bucket join + distinct
+    // (shuffling 64-double vectors per candidate cost 23 s at sf0.1);
+    // vectors are re-fetched with two cheap joins for the exact verify
+    val candidates = sigs.as("a").join(sigs.as("b"),
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        col("a.v").as("xa"), col("b.v").as("xb"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       .dropDuplicates("va", "vb")
+    candidates
+      .join(e.select(col("vec_id").as("va"), col("v").as("xa")), "va")
+      .join(e.select(col("vec_id").as("vb"), col("v").as("xb")), "vb")
       .filter(graft.functions.ArrayDot.array_dot(col("xa"), col("xb"))
         > 0.47)
       .select(col("va"), col("vb"))
