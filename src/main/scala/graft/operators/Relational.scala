@@ -233,9 +233,14 @@ object Relational {
     // pattern for any low-cardinality pairwise metric).
     "r_levenshtein" -> { (s, d) =>
       val names = Tables.part(s, d)
+        .filter(col("p_name").isNotNull)
         .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
-      val same = names.select(lit(0).as("dist"),
-        (col("cnt") * (col("cnt") - 1) / 2).cast("long").as("w"))
+      // cnt > 1 guard: an all-unique column must yield NO dist=0 group
+      // (matching the all-pairs formulation); integer div keeps the
+      // C(n,2) weight exact beyond 2^53
+      val same = names.filter(col("cnt") > 1)
+        .select(lit(0).as("dist"),
+          expr("cnt * (cnt - 1) div 2").as("w"))
       val cross = names.as("a").join(names.as("b"),
           col("a.p_name") < col("b.p_name"))
         .select(levenshtein(col("a.p_name"), col("b.p_name")).as("dist"),
@@ -532,10 +537,11 @@ object Relational {
         |ORDER BY o_orderpriority""".stripMargin,
     "r_levenshtein" ->
       """WITH names AS (
-        |  SELECT p_name, count(*) AS cnt FROM part GROUP BY p_name)
+        |  SELECT p_name, count(*) AS cnt FROM part
+        |  WHERE p_name IS NOT NULL GROUP BY p_name)
         |SELECT dist, CAST(sum(w) AS BIGINT) AS n_pairs FROM (
-        |  SELECT 0 AS dist, CAST(cnt * (cnt - 1) / 2 AS BIGINT) AS w
-        |  FROM names
+        |  SELECT 0 AS dist, cnt * (cnt - 1) // 2 AS w
+        |  FROM names WHERE cnt > 1
         |  UNION ALL
         |  SELECT levenshtein(a.p_name, b.p_name) AS dist,
         |         CAST(a.cnt * b.cnt AS BIGINT) AS w

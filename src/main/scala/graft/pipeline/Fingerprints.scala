@@ -217,6 +217,9 @@ object Fingerprints {
       .filter(graft.functions.ArrayDot.array_dot(col("xa"), col("xb"))
         > 0.47)
       .select(col("va"), col("vb"))
+      // the re-fetch joins fan out if vec_id is ever non-unique in the
+      // source; re-collapse to the at-most-one-row-per-pair guarantee
+      .dropDuplicates("va", "vb")
       .orderBy("va", "vb")
   }
 
