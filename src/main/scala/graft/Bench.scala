@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every `SparkEntry.queries` entry against
+  * `SPARK_GRAFT_SF_DIR` and emits ONE JSON line with per-query seconds.
+  *
+  * The JSON is also written to `bench.json` (or `SPARK_GRAFT_BENCH_OUT`) so
+  * the driver doesn't have to fish the line out of sbt log noise.
+  *
+  * A short uncounted warm-up absorbs JVM JIT/classload cost; without it the
+  * first query measured eats ~20 s of one-time overhead (observed on
+  * `f_array_path` in round 1: 22 s cold vs 1.3 s warm steady-state).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,15 +23,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Uncounted warm-up: touch each table + one codegen-heavy query so JIT,
+    // codegen-compiler, and parquet footer caches are hot before timing.
+    for (q <- Seq("f_eq", "r_case_when", "t_token_count"))
+      try { SparkEntry.queries(q)(spark, sfDir).count() }
+      catch { case _: Throwable => () }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
   }
 }

@@ -580,8 +580,8 @@ object Relational {
     "r_scalar_math" ->
       """SELECT l_orderkey, l_linenumber,
         |       abs(l_discount - 0.05) AS disc_dev,
-        |       ceil(l_quantity / 7) AS bucket,
-        |       floor(l_extendedprice / 1000) AS price_k,
+        |       CAST(ceil(l_quantity / 7) AS BIGINT) AS bucket,
+        |       CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
         |       round(sqrt(l_quantity), 2) AS sqrt_qty,
         |       l_partkey % 13 AS part_mod
         |FROM lineitem WHERE l_orderkey <= 100
@@ -619,7 +619,8 @@ object Relational {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "r_json_typed" ->
       """SELECT event_type,
-        |       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+        |            AS BIGINT) AS k_sum,
         |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
         |       count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)

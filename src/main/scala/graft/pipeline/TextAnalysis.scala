@@ -110,11 +110,12 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t_token_count" ->
       s"""SELECT doc_id,
-         |  len($oracleToks) AS n_tokens,
-         |  len(list_distinct($oracleToks)) AS n_distinct,
-         |  list_sum(list_transform($oracleToks,
-         |    t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS n_subwords,
-         |  length(text) AS n_chars_text
+         |  CAST(len($oracleToks) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct($oracleToks)) AS INT) AS n_distinct,
+         |  CAST(list_sum(list_transform($oracleToks,
+         |    t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT)
+         |    AS n_subwords,
+         |  CAST(length(text) AS INT) AS n_chars_text
          |FROM documents ORDER BY doc_id""".stripMargin,
     "t_quality_score" ->
       s"""SELECT doc_id,
