@@ -22,6 +22,49 @@ object Fingerprints {
   val Bands = 8             // b; rows per band r = k/b = 4
   val RowsPerBand: Int = MinHashFunctions / Bands
 
+  /** Skew guard for every LSH band join: buckets larger than this switch
+    * from all-pairs to a star join (see [[cappedPairs]]). 1000² /2 pairs
+    * is the largest per-bucket fan-out we accept on an executor.
+    */
+  val DefaultBucketCap = 1000
+
+  /** Candidate id-pairs from banded/bucketed rows, with a per-bucket skew
+    * cap — the piece that keeps LSH linear when a bucket degenerates.
+    *
+    * A self-equi-join on bucket keys is quadratic in the bucket size: one
+    * hot key (a boilerplate-heavy crawl slice, a run of near-identical
+    * docs) turns a linear candidate step into an O(n²) straggler at
+    * 100 TB. Buckets with ≤ `cap` members do the normal all-pairs join;
+    * larger buckets emit only (representative = min id, member) pairs —
+    * linear fan-out, and for the degenerate case that CAUSES oversized
+    * buckets (near-identical members) the star still connects every member
+    * to the representative, so downstream connected-components dedup sees
+    * the whole cluster. Recall loss is confined to non-dup pairs that
+    * share ONLY an oversized bucket and are each far from its
+    * representative — measured in PipelineSpec's skew fixture.
+    *
+    * Output: (ida, idb) with ida < idb, distinct. The bucket-size
+    * aggregation shuffles on the same keys as the join itself, so AQE
+    * reuses the exchange rather than adding a full extra pass.
+    */
+  def cappedPairs(banded: DataFrame, bucketCols: Seq[String], idCol: String,
+      cap: Int = DefaultBucketCap): DataFrame = {
+    val keys = bucketCols.map(col)
+    val sizes = banded.groupBy(keys: _*).agg(count(lit(1)).as("bn"))
+    val withN = banded.join(sizes, bucketCols)
+    val small = withN.filter(col("bn") <= cap).drop("bn")
+    val joinCond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+    val smallPairs = small.as("a").join(small.as("b"), joinCond)
+      .select(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"))
+    val big = withN.filter(col("bn") > cap)
+    val reps = big.groupBy(keys: _*).agg(min(col(idCol)).as("rep"))
+    val bigPairs = big.join(reps, bucketCols)
+      .filter(col(idCol) =!= col("rep"))
+      .select(col("rep").as("ida"), col(idCol).as("idb")) // rep=min ⇒ ida<idb
+    smallPairs.union(bigPairs).dropDuplicates("ida", "idb")
+  }
+
   /** SimHash over 64-bit token hashes: per bit position, sum +1/-1 votes
     * weighted by presence; sign → bit. Implemented as a typed
     * `Aggregator[Long, Array[Int], Long]` — single-shuffle groupBy, mutable
@@ -62,8 +105,7 @@ object Fingerprints {
     import s.implicits._
     docs
       .select(col("doc_id"),
-        explode(Dedup.shingles(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+        explode(Dedup.shingleHashes(col("text"))).as("h"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .mapValues(_._2)
@@ -115,8 +157,7 @@ object Fingerprints {
     import s.implicits._
     docs
       .select(col("doc_id"),
-        explode(Dedup.shingles(col("text"))).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        explode(Dedup.shingleHashes(col("text"))).as("h"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .mapValues(_._2)
@@ -126,22 +167,28 @@ object Fingerprints {
 
   /** LSH banding: equal band slice ⇒ candidate pair. Estimated similarity =
     * fraction of matching signature positions; keep pairs ≥ threshold.
+    *
+    * The band join carries ID PAIRS ONLY (the sf0.1-measured rule: 256-byte
+    * signatures through a fan-out join cost seconds; ids cost nothing) and
+    * goes through [[cappedPairs]] so a degenerate band bucket can't go
+    * quadratic. Signatures are re-fetched with two narrow joins for the
+    * estimate step.
     */
-  def minhashCandidates(signatures: DataFrame, threshold: Double): DataFrame = {
-    val banded = signatures.select(col("doc_id"), col("sig"),
+  def minhashCandidates(signatures: DataFrame, threshold: Double,
+      cap: Int = DefaultBucketCap): DataFrame = {
+    val banded = signatures.select(col("doc_id"),
       explode(array((0 until Bands).map(b =>
         struct(lit(b).as("band"),
           xxhash64(concat_ws(",",
             slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)))
             .as("bkey"))): _*)).as("bb"))
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.sig").as("siga"), col("b.sig").as("sigb"))
-      .dropDuplicates("da", "db")
+    cappedPairs(banded, Seq("band", "bkey"), "doc_id", cap)
+      .join(signatures.select(col("doc_id").as("da"), col("sig").as("siga")),
+        col("ida") === col("da"))
+      .join(signatures.select(col("doc_id").as("db"), col("sig").as("sigb")),
+        col("idb") === col("db"))
       .select(col("da"), col("db"),
         (aggregate(zip_with(col("siga"), col("sigb"),
           (x, y) => when(x === y, 1).otherwise(0)),
@@ -160,25 +207,25 @@ object Fingerprints {
         .orderBy("da", "db")
     },
     // SimHash near-dup pairs: 8×8-bit band blocking (pigeonhole: hamming
-    // ≤ 7 ⇒ ≥1 identical band), popcount(xor) ≤ 7 verify.
+    // ≤ 7 ⇒ ≥1 identical band), popcount(xor) ≤ 7 verify. Same skew-capped
+    // id-pairs-only candidate step as MinHash.
     "d_simhash" -> { (s, d) =>
       implicit val sp: SparkSession = s
       val sh = simhashes(Tables.documents(s, d))
-      val banded = sh.select(col("doc_id"), col("simhash"),
+      val banded = sh.select(col("doc_id"),
         explode(array((0 until 8).map(b =>
           struct(lit(b).as("band"),
             shiftrightunsigned(col("simhash"), b * 8)
               .bitwiseAND(lit(0xFFL)).as("bkey"))): _*)).as("bb"))
-        .select(col("doc_id"), col("simhash"),
+        .select(col("doc_id"),
           col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-      banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-            .as("hamming"))
-        .dropDuplicates("da", "db")
+      cappedPairs(banded, Seq("band", "bkey"), "doc_id")
+        .join(sh.select(col("doc_id").as("da"), col("simhash").as("ha")),
+          col("ida") === col("da"))
+        .join(sh.select(col("doc_id").as("db"), col("simhash").as("hb")),
+          col("idb") === col("db"))
+        .select(col("da"), col("db"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
         .filter(col("hamming") <= 7)
         .orderBy("da", "db")
     })
@@ -205,12 +252,12 @@ object Fingerprints {
         col("ts.t").as("t"), col("ts.sig").as("sig"))
     // candidates carry ID PAIRS ONLY through the bucket join + distinct
     // (shuffling 64-double vectors per candidate cost 23 s at sf0.1);
-    // vectors are re-fetched with two cheap joins for the exact verify
-    val candidates = sigs.as("a").join(sigs.as("b"),
-        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-      .dropDuplicates("va", "vb")
+    // vectors are re-fetched with two cheap joins for the exact verify.
+    // cappedPairs guards against a degenerate (table, sig) bucket.
+    val candidates = cappedPairs(
+      sigs.select(col("vec_id"), col("t"), col("sig")),
+      Seq("t", "sig"), "vec_id")
+      .select(col("ida").as("va"), col("idb").as("vb"))
     candidates
       .join(e.select(col("vec_id").as("va"), col("v").as("xa")), "va")
       .join(e.select(col("vec_id").as("vb"), col("v").as("xb")), "vb")

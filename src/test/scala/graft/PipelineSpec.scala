@@ -102,6 +102,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH bucket cap: degenerate corpus slice stays linear, star keeps recall") {
+    import spark.implicits._
+    // 1000 identical docs — every band bucket degenerates to size 1000;
+    // uncapped this is 499,500 pairs PER BAND. Plus 20 distinct docs.
+    val hot = (0L until 1000L).map(i => (i, "the same exact boilerplate text repeated across the corpus slice"))
+    val cold = (1000L until 1020L).map(i => (i, s"unique document $i with tokens alpha$i beta$i gamma$i delta$i"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    val cand = Fingerprints.minhashCandidates(
+      Fingerprints.minhashSignatures(docs), 0.5, cap = 50)
+    val got = pairs(cand.select(col("da"), col("db")))
+    // linear fan-out: exactly the 999 star pairs to the representative,
+    // not half a million all-pairs
+    assert(got.size < 2000, s"fan-out not bounded: ${got.size} pairs")
+    // star recall: every identical member is connected to rep doc 0
+    val starTargets = got.collect { case (0L, m) => m }
+    assert(starTargets.size == 999,
+      s"star covered ${starTargets.size}/999 members")
+  }
+
+  test("capped ngram-jaccard equals exact tier on the benign fixture") {
+    // max shingle df at this sf is far below the cap, so the capped
+    // scale-path variant must reproduce the ground-truth tier exactly
+    val capped = pairs(SparkEntry.queries("d_ngram_jaccard_capped")(spark, sf))
+    val exact = pairs(SparkEntry.queries("d_ngram_jaccard")(spark, sf))
+    assert(capped == exact, s"capped=${capped.size} exact=${exact.size}")
+  }
+
+  test("shingles of a doc shorter than n tokens are empty") {
+    import spark.implicits._
+    val got = Seq("one two", "a", "", "one two three")
+      .toDF("text").select(Dedup.shingles(col("text")).as("sh"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(Nil, Nil, Nil, List("one two three")))
+  }
+
   test("multimodal decode keeps partition count (mapPartitions shape)") {
     val meta = graft.pipeline.Multimodal.decodeMeta(spark, sf)
     assert(meta.rdd.getNumPartitions ==
