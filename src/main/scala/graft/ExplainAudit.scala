@@ -34,6 +34,26 @@ object ExplainAudit {
         println(s"AUDIT $name: MISSING ${missing.mkString(",")}") }
     }
 
+    /** At most `max` occurrences of `pattern` in the final plan. */
+    def auditAtMost(name: String, pattern: String, max: Int): Unit = {
+      val n = pattern.r.findAllIn(finalPlan(name)).size
+      if (n <= max) println(s"AUDIT $name: OK ($n $pattern)")
+      else { failed += 1
+        println(s"AUDIT $name: $n × $pattern, expected ≤ $max") }
+    }
+    /** `marker` present and no `banned` anywhere BELOW it (tree prints
+      * top-down, so "below" = after the marker's line).
+      */
+    def auditNoneBelow(name: String, marker: String, banned: String): Unit = {
+      val plan = finalPlan(name)
+      val at = plan.indexOf(marker)
+      if (at < 0) { failed += 1
+        println(s"AUDIT $name: MISSING $marker") }
+      else if (plan.indexOf(banned, at) >= 0) { failed += 1
+        println(s"AUDIT $name: $banned below $marker") }
+      else println(s"AUDIT $name: OK (no $banned below $marker)")
+    }
+
     audit("f_eq", "*(", "Filter")                         // codegen'd filter
     audit("r_local_supplier_volume", "BroadcastHashJoin") // dims broadcast
     audit("r_topk", "TakeOrderedAndProject")              // no global sort
@@ -41,6 +61,54 @@ object ExplainAudit {
     audit("s_ann_bruteforce", "BroadcastNestedLoopJoin")  // corpus unshuffled
     audit("t_rolling_fingerprint", "*(")                  // custom expr fused
     audit("d_embedding_dup", "BroadcastNestedLoopJoin")
+
+    // as-of join is the tagged-union+window form: ONE computational
+    // (hash) exchange on user_id, never an inequality-join product. The
+    // final orderBy's rangepartitioning is presentation-only, so count
+    // hash exchanges specifically.
+    auditAtMost("r_join_asof", "Exchange hashpartitioning", 1)
+    // session windows aggregate behind a single hash exchange
+    auditAtMost("w_session", "Exchange hashpartitioning", 1)
+    // ANN re-rank runs on the bounded-heap operator; nothing below it
+    // sorts (the only Sorts sit above, over the k·|queries| survivors)
+    auditNoneBelow("s_ann_lsh", "TopKPerKey", "Sort")
+    // bucketed ingest joins with NO shuffle: both sides' distribution
+    // comes from the bucketed layout (write once here, plan must be
+    // Exchange-free)
+    locally {
+      import graft.sources.Bucketing
+      spark.sql("DROP TABLE IF EXISTS audit_li")
+      spark.sql("DROP TABLE IF EXISTS audit_ord")
+      // a crashed previous run can leave orphaned managed-table dirs the
+      // catalog no longer knows about; clear them or the write refuses
+      for (t <- Seq("audit_li", "audit_ord")) {
+        val p = new java.io.File(s"spark-warehouse/$t")
+        if (p.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(p).deleteRecursively()
+        }
+      }
+      Bucketing.writeBucketed(Tables.lineitem(spark, d)
+        .select("l_orderkey", "l_quantity"), "audit_li", "l_orderkey", 4)
+      Bucketing.writeBucketed(Tables.orders(spark, d)
+        .select("o_orderkey", "o_orderpriority"), "audit_ord",
+        "o_orderkey", 4)
+      // at audit scale the planner would (rightly) broadcast instead;
+      // disable auto-broadcast so the bucketed SMJ path is what's planned
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = Bucketing.colocatedJoin(spark, "audit_li", "audit_ord",
+        "l_orderkey", "o_orderkey")
+      j.collect()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      val plan = j.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      val ok = !plan.contains("Exchange") && plan.contains("SortMergeJoin")
+      if (!ok) failed += 1
+      println("AUDIT bucketed-join: " + (if (ok) "OK (no Exchange)"
+        else "FAIL\n" + plan))
+    }
 
     val scan = Tables.lineitem(spark, d).select("l_orderkey", "l_quantity")
       .queryExecution.executedPlan.toString

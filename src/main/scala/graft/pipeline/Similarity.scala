@@ -45,11 +45,18 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
+  /** Top-k per query via the engine's own bounded-heap operator: the heavy
+    * reduction (all candidates → k rows per qid) streams through
+    * `TopKPerKey` with NO per-partition sort; the rank column is then a
+    * window over only k·|queries| surviving rows. The previous
+    * `row_number().over(Window)` formulation sorted every candidate.
+    */
   private def topK(sims: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("c").desc, col("nid"))
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val top = graft.plans.TopKPerKey.topKPerKey(
+      sims.select(col("qid"), col("nid"), col("c")),
+      Seq("qid"), Seq(("c", true), ("nid", false)), k)
+    top.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))))
       .select(col("qid"), col("nid"), col("rank"))
       .orderBy("qid", "rank")
   }
@@ -84,15 +91,22 @@ object Similarity {
         .select(col("vec_id"), col("v"),
           col("ts.t").as("t"), col("ts.sig").as("sig"))
       val q = sigs.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
+        .select(col("vec_id").as("qid"),
           col("t").as("qt"), col("sig").as("qsig"))
+      // id-pairs-only through the bucket join + dedup (array payloads
+      // force a SortAggregate dedup; bare ids hash-aggregate), vectors
+      // re-fetched after: corpus side by join, query side by broadcast
       val candidates = sigs
         .join(broadcast(q),
           col("t") === col("qt") && col("sig") === col("qsig") &&
             col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"), col("qv"), col("v"))
+        .select(col("qid"), col("vec_id").as("nid"))
         .dropDuplicates("qid", "nid")
+      val qv = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
       candidates
+        .join(e.select(col("vec_id").as("nid"), col("v")), "nid")
+        .join(broadcast(qv), "qid")
         .select(col("qid"), col("nid"),
           VectorOps.cosine(col("qv"), col("v")).as("c"))
         .transform(topK(_, 10))
@@ -122,25 +136,30 @@ object Similarity {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"),
           VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
-      // deterministic "training": every (n/16)-th vector is a centroid
-      val n = e.count()
-      val step = math.max(n / 16, 1)
-      val cents = e.filter(col("vec_id") % step === 0)
-        .limit(16)
-        .select((col("vec_id") / step).cast("int").as("cid"),
-          col("v").as("cv"))
+      // deterministic "training" with NO driver-side count scan: the 16
+      // corpus vectors with the smallest xxhash64(vec_id) are the
+      // centroids — a TakeOrderedAndProject (per-partition heaps, 16 rows
+      // to the driver), order-stable across runs/retries/partitionings.
+      val cents = e
+        .select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("h"))
+        .orderBy(col("h"), col("vec_id")).limit(16)
+        .withColumn("cid", (row_number().over(
+          Window.orderBy(col("h"), col("vec_id"))) - 1).cast("int"))
+        .select(col("cid"), col("v").as("cv"))
       val assigned = assignCells(e, cents, "cell")
       val queries = e.filter(col("vec_id") < 5)
-      // probe top-4 cells per query
-      val wq = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cid"))
+      // probe top-10 cells per query. nprobe is THE recall/cost dial: this
+      // fixture's embeddings are near-uniform noise (top cosine ≈ 0.51),
+      // so recall ≈ fraction of cells probed; clustered real corpora get
+      // the same recall from far fewer probes. 10/16 here keeps the
+      // recall spec honest instead of relying on a lucky centroid draw.
       val probes = queries.join(broadcast(cents))
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("cid"), VectorOps.dot(col("v"), col("cv")).as("csim"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("csim").desc,
             col("cid"))))
-        .filter(col("rn") <= 4)
+        .filter(col("rn") <= 10)
         .select(col("qid"), col("qv"), col("cid").as("cell"))
       assigned.join(broadcast(probes), Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))

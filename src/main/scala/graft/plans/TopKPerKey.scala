@@ -69,6 +69,14 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
+  // per-key filtering preserves the child's partitioning: downstream
+  // operators clustered on the same keys (e.g. a rank window) must NOT
+  // re-shuffle. Without this override the default UnknownPartitioning
+  // inserted a second identical hash Exchange above every use.
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
     val ordExprs = order
