@@ -37,15 +37,23 @@ import org.apache.spark.sql.functions._
 object FilterCompiler {
   import FilterVerbs._
 
-  /** True iff the column parses as a JSON document.
+  /** True iff the column parses as a JSON OBJECT.
     *
     * `get_json_object(c, "$")` returns the (re-serialized) document for any
     * valid JSON input and null for malformed input — a codegen'd validity
-    * probe with no UDF. (A JSON scalar `null` body also yields null here;
-    * the reference's `JObject.Parse` would likewise throw on a bare `null`
-    * body and pass the record through, so the two agree.)
+    * probe with no UDF. The object-shape check matters for P8 parity: the
+    * reference parses with `JObject.Parse`, which throws on top-level
+    * arrays (`[1,2]`), bare scalars (`123`, `"x"`), and a bare `null` —
+    * all of those records are DELIVERED unfiltered. A plain validity probe
+    * would instead apply the filters to them and (under AND with a missing
+    * property) drop them, so the re-serialized document must also start
+    * with '{'. (A `null` body yields null from the probe, agreeing with
+    * the reference's throw-and-deliver for that case too.)
     */
-  def isValidJson(c: Column): Column = get_json_object(c, "$").isNotNull
+  def isValidJson(c: Column): Column = {
+    val doc = get_json_object(c, "$")
+    doc.isNotNull && doc.startsWith("{")
+  }
 
   /** P4: extract `property` (dot path, arbitrary depth) as a string. */
   def extract(jsonCol: Column, property: String): Column =

@@ -33,24 +33,66 @@ object Backoff {
     * faults.
     */
   def isRetryable(e: Throwable): Boolean = e match {
-    case r: RetryableException => r.statusCode >= 500 || r.throttled
+    case r: ServiceException => r.statusCode >= 500 || r.throttled
     case _ => false
   }
 
+  /** Connector-layer service error carrying the provider's error code and
+    * HTTP status — the shape E5's formatter distinguishes.
+    */
+  class ServiceException(msg: String, val errorCode: String,
+      val statusCode: Int, val throttled: Boolean = false)
+    extends RuntimeException(msg)
+
   /** Marker for connector-layer errors carrying an HTTP status. */
-  class RetryableException(msg: String, val statusCode: Int,
-      val throttled: Boolean = false) extends RuntimeException(msg)
+  class RetryableException(msg: String, statusCode: Int,
+      throttled: Boolean = false)
+    extends ServiceException(msg, "", statusCode, throttled)
+
+  /** E5 — error-formatting taxonomy (`KinesisThreadJobs.cs:817-823`,
+    * `FormatErrorMessage`): service errors render message + error code +
+    * HTTP status; anything else renders type name + message.
+    */
+  def formatErrorMessage(e: Throwable): String = e match {
+    case s: ServiceException =>
+      s"Kinesis error: ${s.getMessage} (ErrorCode: ${s.errorCode}, " +
+        s"StatusCode: ${s.statusCode})"
+    case other =>
+      s"Error: ${other.getClass.getSimpleName} - ${other.getMessage}"
+  }
+
+  /** E4 — client-setup failure path (`KinesisThreadJobs.cs:152-156`): a
+    * failed setup logs the formatted error, sleeps a FIXED 30 s (not the
+    * exponential schedule — the reference treats setup specially), and
+    * rethrows so the caller's lifecycle sees the failure.
+    */
+  val SetupFailureSleepSeconds = 30
+
+  def setupWithBackoff[T](sleep: Long => Unit = Thread.sleep,
+      log: String => Unit = _ => ())(op: () => T): T =
+    try op()
+    catch {
+      case e: Throwable =>
+        log(s"Failed to set up client: ${formatErrorMessage(e)}. " +
+          s"Sleeping for ${SetupFailureSleepSeconds}s")
+        sleep(SetupFailureSleepSeconds * 1000L)
+        throw e
+    }
 
   /** Synchronous retry combinator for connector/driver-side calls (never
-    * on the executor hot path). Mirrors `ExecuteWithRetryAsync`.
+    * on the executor hot path). Mirrors `ExecuteWithRetryAsync`; each
+    * retried failure is logged through the E5 formatter.
     */
   def withRetry[T](maxRetries: Int, baseSeconds: Double,
-      sleep: Long => Unit = Thread.sleep)(op: () => T): T = {
+      sleep: Long => Unit = Thread.sleep,
+      log: String => Unit = _ => ())(op: () => T): T = {
     var attempt = 0
     while (true) {
       try return op()
       catch {
         case e: Throwable if isRetryable(e) && attempt < maxRetries =>
+          log(s"Attempt ${attempt + 1}/$maxRetries failed: " +
+            formatErrorMessage(e))
           val d = delaySeconds(baseSeconds, attempt, math.random())
           sleep((d * 1000).toLong)
           attempt += 1

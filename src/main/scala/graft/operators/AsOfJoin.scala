@@ -37,23 +37,32 @@ object AsOfJoin {
     val lOther = lCols.filterNot(Set(key, time))
     require(rightVals.map(_._2).forall(!lCols.contains(_)),
       "as-of output names must not collide with left columns")
+    // All carried columns travel as ONE struct per right row. The struct
+    // is non-null by construction even when every payload field is null,
+    // so `last(ignoreNulls)` skips exactly the interleaved LEFT rows and
+    // never a genuine null right payload (which would otherwise carry a
+    // stale older value forward) — and multi-column carries are guaranteed
+    // to come from the SAME right row.
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map { case (src, out) =>
+        org.apache.spark.sql.types.StructField(out,
+          right.schema(src).dataType, nullable = true) })
     val taggedLeft = left.select(
-      Seq(col(key), col(time), lit(1).as("__tag")) ++
-        rightVals.map { case (src, out) =>
-          lit(null).cast(right.schema(src).dataType).as(s"__r_$out") } ++
+      Seq(col(key), col(time), lit(1).as("__tag"),
+        lit(null).cast(rvType).as("__rv")) ++
         lOther.map(col): _*)
     val taggedRight = right.select(
-      Seq(col(key), col(time), lit(0).as("__tag")) ++
-        rightVals.map { case (src, out) => col(src).as(s"__r_$out") } ++
+      Seq(col(key), col(time), lit(0).as("__tag"),
+        struct(rightVals.map { case (src, out) => col(src).as(out) }: _*)
+          .as("__rv")) ++
         lOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(time), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedLeft.unionByName(taggedRight)
-      .select((lCols.map(col) :+ col("__tag")) ++
-        rightVals.map { case (_, out) =>
-          last(col(s"__r_$out"), ignoreNulls = true).over(w).as(out) }: _*)
+      .withColumn("__rvc", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .drop("__tag")
+      .select(lCols.map(col) ++
+        rightVals.map { case (_, out) => col(s"__rvc.$out").as(out) }: _*)
   }
 }

@@ -137,6 +137,22 @@ object FilterQueries {
         .filter(FilterCompiler.compile(spec, col("body")))
         .select(col("event_id")).orderBy("event_id")
     },
+    // ---- P8 object-shape: top-level arrays / bare scalars are NOT
+    // JObjects — JObject.Parse throws and the record is delivered
+    // unfiltered, exactly like malformed JSON ----
+    "f_object_only" -> { (s, d) =>
+      val spec = FilterSpec(Seq(
+        PayloadFilter("k", FilterVerbs.GreaterThan, "5")))
+      val body = when(col("event_id") % 4 === 1, lit("[1,2,3]"))
+        .when(col("event_id") % 4 === 2,
+          FilterCompiler.extract(col("props"), "k")) // bare numeric scalar
+        .when(col("event_id") % 4 === 3, lit("\"just a string\""))
+        .otherwise(col("props")) // a real object: filters apply
+      Tables.events(s, d)
+        .withColumn("body", body)
+        .filter(FilterCompiler.compile(spec, col("body")))
+        .select(col("event_id")).orderBy("event_id")
+    },
     // ---- empty filter list: everything delivered (TJ:694 guard) ----
     "f_empty_spec" -> { (s, d) =>
       Tables.events(s, d)
@@ -245,6 +261,20 @@ object FilterQueries {
         |  FROM events)
         |WHERE (NOT json_valid(body))
         |   OR json_extract_string(body, '$.k') = '87'
+        |ORDER BY event_id""".stripMargin,
+    "f_object_only" ->
+      """SELECT event_id FROM (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 4 = 1 THEN '[1,2,3]'
+        |              WHEN event_id % 4 = 2
+        |                THEN json_extract_string(props, '$.k')
+        |              WHEN event_id % 4 = 3 THEN '"just a string"'
+        |              ELSE props END AS body
+        |  FROM events)
+        |WHERE NOT coalesce(
+        |        CASE WHEN json_valid(body) THEN json_type(body) END
+        |          = 'OBJECT', FALSE)
+        |   OR json_extract_string(body, '$.k') > '5'
         |ORDER BY event_id""".stripMargin,
     "f_empty_spec" ->
       "SELECT event_id FROM events ORDER BY event_id",

@@ -93,19 +93,29 @@ final class QueueRuntime(
   /** The record pipeline as a pure DataFrame transform (unit-testable in
     * batch, identical in streaming): decode → filter → project.
     */
-  def pipeline(records: DataFrame): DataFrame = {
+  def pipeline(records: DataFrame): DataFrame =
+    pipelineWithVerdict(records).filter(col("__pass")).drop("__pass")
+
+  /** Pipeline variant keeping dropped records alongside their filter
+    * verdict (`__pass`). The streaming path dispatches on the verdict
+    * rather than pre-filtering because the reference checkpoints the last
+    * FETCHED record of a batch, filtered or not (`KinesisThreadJobs
+    * .cs:404-408` saves `records.Last()` after the per-record filter
+    * loop), and because the filtered-count metric needs to see the drops.
+    */
+  def pipelineWithVerdict(records: DataFrame): DataFrame = {
     val text = records.withColumn("messageText",
       col("data").cast("string")) // P1: UTF-8 decode projection
     val pred = FilterCompiler.compile(queue.filters, col("messageText"))
-    text.filter(pred)
-      .select(
-        col("sequenceNumber").as("messageId"), // TJ:689
-        col("data").as("messageBody"),
-        col("messageText"),
-        col("partitionKey"),
-        col("approximateArrivalTimestamp"),
-        coalesce(col("encryptionType"), lit("None")) // P3, U:173
-          .as("encryptionType"))
+    text.select(
+      col("sequenceNumber").as("messageId"), // TJ:689
+      col("data").as("messageBody"),
+      col("messageText"),
+      col("partitionKey"),
+      col("approximateArrivalTimestamp"),
+      coalesce(col("encryptionType"), lit("None")) // P3, U:173
+        .as("encryptionType"),
+      pred.as("__pass"))
   }
 
   /** Start consuming. Handler runs per record, per partitionKey in
@@ -118,39 +128,45 @@ final class QueueRuntime(
     val streamName = queue.streamName
     val qid = queueId
     val st = store
-    val q = pipeline(source.stream(spark).toDF())
+    val q = pipelineWithVerdict(source.stream(spark).toDF())
       .writeStream
       .option("checkpointLocation", checkpointLocation)
       .trigger(Trigger.ProcessingTime(
         s"${queue.shardBatchWaitTime} seconds")) // ST9 pacing
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // Per-shard ordered, serial processing (ST7): group a batch by
-        // partitionKey on the executors, process each key's records in
-        // sequence order, record the last sequence per key.
+        // partitionKey on the executors, dispatch each key's PASSING
+        // records in sequence order, record the last fetched sequence per
+        // key (TJ:404-408: filtered records advance the checkpoint too).
         import batch.sparkSession.implicits._
         val results = batch
           .select(col("messageId"), col("messageBody"), col("messageText"),
-            col("partitionKey"))
-          .as[(String, Array[Byte], String, String)]
+            col("partitionKey"), col("__pass"))
+          .as[(String, Array[Byte], String, String, Boolean)]
           .groupByKey(_._4)
           .mapGroups { (key, it) =>
             var last: String = null
             var n = 0L
+            var dropped = 0L
             // Kinesis sequence numbers are decimal strings that grow in
             // numeric value; order numerically via (length, lexicographic)
             it.toSeq.sortBy(r => (r._1.length, r._1)).foreach { r =>
-              if (!handler.process(r._1, r._2, r._3, r._4))
-                throw new RuntimeException( // K2 failure ⇒ batch retry
-                  s"Failed to process message: ${r._1}")
-              last = r._1; n += 1
+              if (r._5) {
+                if (!handler.process(r._1, r._2, r._3, r._4))
+                  throw new RuntimeException( // K2 failure ⇒ batch retry
+                    s"Failed to process message: ${r._1}")
+                n += 1
+              } else dropped += 1
+              last = r._1
             }
-            (key, last, n)
+            (key, last, n, dropped)
           }.collect()
         // handler succeeded for the whole batch ⇒ advance the
         // queue-visible checkpoints (commit-after-process = at-least-once)
-        results.foreach { case (key, last, n) =>
+        results.foreach { case (key, last, n, dropped) =>
           if (last != null) st.saveCheckpoint(streamName, qid, key, last)
           delivered.addAndGet(n)
+          filtered.addAndGet(dropped)
         }
       }
       .start()

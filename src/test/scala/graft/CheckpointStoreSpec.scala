@@ -126,6 +126,51 @@ class CheckpointStoreSpec extends AnyFunSuite {
     assert(calls == 3) // initial + 2 retries
   }
 
+  test("E5 error taxonomy mirrors FormatErrorMessage (TJ:817-823)") {
+    val svc = new Backoff.ServiceException(
+      "Rate exceeded", "ProvisionedThroughputExceededException", 400,
+      throttled = true)
+    assert(Backoff.formatErrorMessage(svc) ==
+      "Kinesis error: Rate exceeded (ErrorCode: " +
+        "ProvisionedThroughputExceededException, StatusCode: 400)")
+    assert(Backoff.formatErrorMessage(new IllegalStateException("boom")) ==
+      "Error: IllegalStateException - boom")
+    // RetryableException IS a service error → service-shaped format
+    assert(Backoff.formatErrorMessage(
+      new Backoff.RetryableException("x", 503)).startsWith("Kinesis error:"))
+  }
+
+  test("E4 setup failure sleeps fixed 30s, logs formatted error, rethrows") {
+    var slept = 0L
+    val logs = Seq.newBuilder[String]
+    intercept[IllegalStateException] {
+      Backoff.setupWithBackoff(ms => slept += ms, logs += _) { () =>
+        throw new IllegalStateException("no creds")
+      }
+    }
+    assert(slept == 30000L)
+    val msg = logs.result().mkString
+    assert(msg.contains("Failed to set up client") &&
+      msg.contains("Error: IllegalStateException - no creds"))
+    // success path: no sleep, no log
+    slept = 0
+    assert(Backoff.setupWithBackoff(ms => slept += ms)(() => 42) == 42)
+    assert(slept == 0L)
+  }
+
+  test("withRetry logs each retried failure through the E5 formatter") {
+    val logs = Seq.newBuilder[String]
+    var calls = 0
+    Backoff.withRetry(3, 0.0, _ => (), logs += _) { () =>
+      calls += 1
+      if (calls < 3)
+        throw new Backoff.RetryableException("throttle", 400, throttled = true)
+      "ok"
+    }
+    val out = logs.result()
+    assert(out.size == 2 && out.forall(_.contains("Kinesis error: throttle")))
+  }
+
   test("config validation mirrors MQ:417-472") {
     val ok = QueueConfig("stream", QueueConfig.StartFromOldest)
     assert(QueueConfig.validate(ok).isEmpty)

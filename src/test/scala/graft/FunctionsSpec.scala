@@ -53,6 +53,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out == Map("L1" -> 2L, "L2" -> 3L, "L3" -> -1L, "L4" -> -1L))
   }
 
+  test("as-of join carries genuine null payloads, not stale older values") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val left = Seq(("a", ts(200), "L")).toDF("k", "t", "label")
+    val right = Seq(
+      ("a", ts(50), Some(1L), "old"),
+      ("a", ts(150), None: Option[Long], "new")) // most recent: null payload
+      .toDF("k", "t", "rid", "tag2")
+    val row = AsOfJoin.asOf(left, right, "k", "t",
+      Seq("rid" -> "m_rid", "tag2" -> "m_tag")).head()
+    // the ts=150 row wins: its rid is genuinely null (NOT the stale 1L),
+    // and both carried columns come from that same row
+    assert(row.isNullAt(row.fieldIndex("m_rid")))
+    assert(row.getString(row.fieldIndex("m_tag")) == "new")
+  }
+
   test("as-of join rejects colliding output names") {
     import spark.implicits._
     val df = Seq(("a", new java.sql.Timestamp(0L), 1L)).toDF("k", "t", "x")

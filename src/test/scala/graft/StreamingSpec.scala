@@ -94,8 +94,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(byKey("shardA") == Seq("9", "10", "11")) // numeric seq order
     assert(byKey("shardB") == Seq("5"))             // k-missing filtered
     assert(store.getCheckpoint("teststream", "q1", "shardA").contains("11"))
-    assert(store.getCheckpoint("teststream", "q1", "shardB").contains("5"))
+    // checkpoint advances past FILTERED records too: the reference saves
+    // records.Last() of the fetched batch (TJ:405-408), and filtering
+    // happens inside ProcessRecordAsync — so shardB checkpoints 6, not 5
+    assert(store.getCheckpoint("teststream", "q1", "shardB").contains("6"))
     assert(rt.deliveredCount == 4)
+    assert(rt.filteredCount == 1) // the k-missing record on shardB
   }
 
   test("at-least-once: handler crash aborts batch, restart redelivers") {
