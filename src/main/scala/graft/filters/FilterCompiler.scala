@@ -87,6 +87,51 @@ object FilterCompiler {
     coalesce(verbPredicate(extract(jsonCol, f.property), f.verb, f.value),
       lit(false))
 
+  /** EXTENSION — deliberately NOT reference behavior: numeric comparison
+    * verbs. The reference compares everything as ordinal strings (finding
+    * S1: `"9" > "1000"` is TRUE, `KinesisThreadJobs.cs:778-801`), which is
+    * locked in above; this is the documented typed variant users of
+    * numeric JSON fields actually want. Both the extracted value and the
+    * filter value cast to double; an unparseable or missing value yields
+    * null ⇒ non-match, mirroring P7. Only ordering/equality verbs make
+    * sense on numbers — substring verbs and case-insensitive variants are
+    * rejected at compile time (P9 discipline).
+    */
+  def typedVerbPredicate(extracted: Column, verb: String,
+      value: String): Column = {
+    val v = try value.toDouble catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"Typed comparison needs a numeric value, got '$value'")
+    }
+    // try_cast, not cast: under ANSI semantics a malformed numeric string
+    // must mean "no match" (null ⇒ coalesce false), never a query error
+    val l = extracted.try_cast(org.apache.spark.sql.types.DoubleType)
+    verb match {
+      case Equals             => l === lit(v)
+      case NotEquals          => l =!= lit(v)
+      case GreaterThan        => l > lit(v)
+      case LessThan           => l < lit(v)
+      case GreaterThanOrEqual => l >= lit(v)
+      case LessThanOrEqual    => l <= lit(v)
+      case other => throw new IllegalArgumentException(
+        s"Verb '$other' is not a typed (numeric) comparison")
+    }
+  }
+
+  /** Typed twin of [[compile]]: same P6/P7/P8 composition, numeric verbs. */
+  def compileTyped(spec: FilterSpec, jsonCol: Column): Column = {
+    FilterValidation.requireValid(spec)
+    if (spec.filters.isEmpty) lit(true)
+    else {
+      val preds = spec.filters.map(f => coalesce(
+        typedVerbPredicate(extract(jsonCol, f.property), f.verb, f.value),
+        lit(false)))
+      val verdict =
+        if (spec.useOr) preds.reduce(_ || _) else preds.reduce(_ && _)
+      when(isValidJson(jsonCol), verdict).otherwise(lit(true))
+    }
+  }
+
   /** P5+P6: the composed verdict over a parsed payload (no P8 wrapping). */
   def matchPredicate(spec: FilterSpec, jsonCol: Column): Column =
     if (spec.filters.isEmpty) lit(!spec.useOr) // TJ:813 — AND ∅=true, OR ∅=false

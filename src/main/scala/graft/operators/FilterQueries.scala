@@ -137,6 +137,26 @@ object FilterQueries {
         .filter(FilterCompiler.compile(spec, col("body")))
         .select(col("event_id")).orderBy("event_id")
     },
+    // ---- typed-comparison EXTENSION: numeric verbs over JSON fields.
+    // Not reference behavior (S1 string semantics stay the default);
+    // gate-checked so the extension surface is as hard-verified as the
+    // ported one. ft_gt_typed vs f_gt differ on ~800 rows at sf0.01
+    // ("9" > "10" string-wise but not numerically). ----
+    "ft_gt_typed" -> { (s, d) =>
+      val spec = FilterSpec(Seq(
+        PayloadFilter("k", FilterVerbs.GreaterThan, "10")))
+      Tables.events(s, d)
+        .filter(FilterCompiler.compileTyped(spec, col("props")))
+        .select(col("event_id")).orderBy("event_id")
+    },
+    "ft_range_typed" -> { (s, d) => // AND of numeric bounds: 25 ≤ k < 75
+      val spec = FilterSpec(Seq(
+        PayloadFilter("k", FilterVerbs.GreaterThanOrEqual, "25"),
+        PayloadFilter("k", FilterVerbs.LessThan, "75")))
+      Tables.events(s, d)
+        .filter(FilterCompiler.compileTyped(spec, col("props")))
+        .select(col("event_id")).orderBy("event_id")
+    },
     // ---- P8 object-shape: top-level arrays / bare scalars are NOT
     // JObjects — JObject.Parse throws and the record is delivered
     // unfiltered, exactly like malformed JSON ----
@@ -261,6 +281,15 @@ object FilterQueries {
         |  FROM events)
         |WHERE (NOT json_valid(body))
         |   OR json_extract_string(body, '$.k') = '87'
+        |ORDER BY event_id""".stripMargin,
+    "ft_gt_typed" ->
+      """SELECT event_id FROM events
+        |WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) > 10
+        |ORDER BY event_id""".stripMargin,
+    "ft_range_typed" ->
+      """SELECT event_id FROM events
+        |WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 25
+        |  AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) < 75
         |ORDER BY event_id""".stripMargin,
     "f_object_only" ->
       """SELECT event_id FROM (

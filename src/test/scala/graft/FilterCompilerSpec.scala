@@ -145,4 +145,43 @@ class FilterCompilerSpec extends AnyFunSuite {
     val deep = """{"a":{"b":{"c":"leaf"}}}"""
     assert(one(deep, PayloadFilter("a.b.c", "Equals", "leaf")))
   }
+
+  private def oneTyped(body: String, f: PayloadFilter): Boolean =
+    Seq(body).toDF("body")
+      .select(FilterCompiler.compileTyped(FilterSpec(Seq(f)), col("body"))
+        .as("v")).head().getBoolean(0)
+
+  test("typed extension compares numerically where S1 compares ordinally") {
+    val d9 = """{"n":"9"}"""
+    // the locked-in reference semantics: "9" > "10" ordinally
+    assert(one(d9, PayloadFilter("n", "Greater Than", "10")))
+    // the typed extension: 9 > 10 is false, 9 < 10 is true
+    assert(!oneTyped(d9, PayloadFilter("n", "Greater Than", "10")))
+    assert(oneTyped(d9, PayloadFilter("n", "Less Than", "10")))
+    // bare JSON numbers work the same as quoted ones
+    assert(oneTyped("""{"n":42}""", PayloadFilter("n", "Equals", "42")))
+  }
+
+  test("typed extension keeps P7/P8: missing→non-match, non-object→deliver") {
+    assert(!oneTyped("""{"other":1}""", PayloadFilter("n", "Equals", "1")))
+    assert(!oneTyped("""{"n":"abc"}""", PayloadFilter("n", "Equals", "1")))
+    assert(oneTyped("not json", PayloadFilter("n", "Equals", "1")))
+    assert(oneTyped("[1,2]", PayloadFilter("n", "Equals", "1")))
+  }
+
+  test("typed extension rejects substring verbs and non-numeric values") {
+    intercept[IllegalArgumentException] {
+      FilterCompiler.compileTyped(
+        FilterSpec(Seq(PayloadFilter("n", "Contains", "1"))), col("body"))
+    }
+    intercept[IllegalArgumentException] {
+      FilterCompiler.compileTyped(
+        FilterSpec(Seq(PayloadFilter("n",
+          "Greater Than (Case Insensitive)", "1"))), col("body"))
+    }
+    intercept[IllegalArgumentException] {
+      FilterCompiler.compileTyped(
+        FilterSpec(Seq(PayloadFilter("n", "Equals", "abc"))), col("body"))
+    }
+  }
 }
