@@ -24,7 +24,11 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => RollingHash(exprs.head)),
     (FunctionIdentifier("graft_array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_array_dot"),
-      (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_array_normalize"),
+      new ExpressionInfo(classOf[ArrayNormalize].getName,
+        "graft_array_normalize"),
+      (exprs: Seq[Expression]) => ArrayNormalize(exprs.head)))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -28,7 +28,11 @@ object VectorOps {
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Unit-normalized copy of a double-array column. */
+  /** Unit-normalized copy of a double-array column (codegen'd
+    * [[graft.functions.ArrayNormalize]] — the HOF form re-evaluated the
+    * norm per element; see that expression's doc). Zero vectors pass
+    * through unchanged instead of fanning out NaN.
+    */
   def normalized(a: Column): Column =
-    transform(a, x => x / norm(a))
+    graft.functions.ArrayNormalize.array_normalize(a)
 }

@@ -34,6 +34,36 @@ class FunctionsSpec extends AnyFunSuite {
     } finally () // shared-context session; do not stop the underlying SC
   }
 
+  test("ArrayNormalize: codegen, interpreted, and reference agree") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val samples = Seq(Seq(3.0, 4.0), Seq(1.0), Seq(0.0, 0.0), Seq.empty[Double])
+    def ref(a: Seq[Double]): Seq[Double] = {
+      val s = a.map(x => x * x).sum
+      val inv = if (s > 0) 1.0 / math.sqrt(s) else 1.0
+      a.map(_ * inv) // multiply-by-inverse, bit-exact with the expression
+    }
+    val viaExpr = samples.toDF("a")
+      .select(graft.pipeline.VectorOps.normalized(col("a")))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    assert(viaExpr == samples.map(ref))
+    // unit norm for non-zero inputs
+    assert(math.abs(viaExpr.head.map(x => x * x).sum - 1.0) < 1e-12)
+    // SQL registration route agrees
+    val viaSql = spark.sql(
+      "SELECT graft_array_normalize(array(3.0d, 4.0d)) AS v")
+      .head().getSeq[Double](0).toSeq
+    assert(viaSql == ref(Seq(3.0, 4.0)))
+    // null passes through; wrong type is an analysis error
+    assert(Seq[Seq[Double]](null).toDF("a")
+      .select(graft.pipeline.VectorOps.normalized(col("a"))).head().isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("x").toDF("s")
+        .select(graft.functions.ArrayNormalize.array_normalize(col("s")))
+        .collect()
+    }
+  }
+
   test("as-of join picks the latest right row at-or-before, per key") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
