@@ -29,12 +29,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     FilterQueries.queries ++ StreamAnalogs.queries ++ Relational.queries ++
       Dedup.queries ++ Similarity.queries ++ Fingerprints.allQueries ++
-      TextAnalysis.queries ++ Multimodal.queries ++ EventWindows.queries
+      TextAnalysis.queries ++ Multimodal.queries ++ EventWindows.queries ++
+      TrainingSet.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     FilterQueries.oracles ++ StreamAnalogs.oracles ++ Relational.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Fingerprints.oracles ++
-      TextAnalysis.oracles ++ Multimodal.oracles ++ EventWindows.oracles
+      TextAnalysis.oracles ++ Multimodal.oracles ++ EventWindows.oracles ++
+      TrainingSet.oracles
 }

@@ -120,6 +120,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs → (doc_id, cluster) where
+    * `cluster` is the component's minimum doc_id (the canonical keeper).
+    * The missing last step of every dedup pipeline: pair lists don't
+    * dedupe anything until transitively-linked docs collapse to one
+    * representative.
+    *
+    * Min-label propagation: each round every node takes the min of its
+    * own label and its neighbors' labels; converged when the (monotone
+    * non-increasing) label sum stops changing — one cheap aggregate
+    * action per round, rounds = graph diameter ≤ `maxIter`. Each round's
+    * labels are persisted and the previous round unpersisted, the
+    * standard iterative-DataFrame pattern (otherwise the lineage doubles
+    * per round). Near-dup graphs are shallow (dup clusters are cliques or
+    * short chains), so rounds stay small at any corpus size; the per-round
+    * cost is one shuffle join on `src` + one aggregate.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
+      .union(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).persist()
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nlabel"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .persist()
+      val nextSum = next.agg(sum("label")).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: duplicated delivery (doc_id < 100 re-ingested) collapses
     // on content; keeper = min doc_id. Hash-groupBy — single shuffle.
@@ -157,6 +202,15 @@ object Dedup {
       jaccardPairs(Tables.documents(s, d), 0.8, maxDf = 20)
         .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("da", "db")
+    },
+    // Connected-components clustering of the exact near-dup pairs:
+    // (doc_id, cluster=min id of the component). The oracle is a DuckDB
+    // recursive CTE computing the same transitive closure.
+    "d_dup_clusters" -> { (s, d) =>
+      dupClusters(
+        jaccardPairs(Tables.documents(s, d), 0.8)
+          .select(col("da").as("ida"), col("db").as("idb")))
+        .orderBy("doc_id")
     },
     // Embedding cosine near-dup pairs: brute-force on the checkable scale;
     // the LSH-bucketed variant in Similarity is the 100 TB path.
@@ -231,6 +285,33 @@ object Dedup {
         |JOIN sizes sb ON sb.doc_id = db
         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
         |ORDER BY da, db""".stripMargin,
+    "d_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) s
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id da, b.doc_id db, count(*) i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da, db FROM inter
+        |  JOIN sizes sa ON sa.doc_id = da
+        |  JOIN sizes sb ON sb.doc_id = db
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (
+        |  SELECT da AS s, db AS t FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.t, reach.r FROM reach JOIN edges e ON reach.id = e.s)
+        |SELECT id AS doc_id, min(r) AS cluster
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "d_embedding_dup" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb
         |FROM embeddings a, embeddings b

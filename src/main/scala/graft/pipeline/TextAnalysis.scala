@@ -64,6 +64,18 @@ object TextAnalysis {
     folded
   }
 
+  /** Composite quality score: 0.4·TTR + 0.3·(1−stopword) + 0.3·length cap.
+    * UNROUNDED — round only at output edges; filter thresholds must be
+    * chosen with measured margin to the nearest data value.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val ttr = size(array_distinct(toks(text))) / n
+    val stop = stopwordRatio(text)
+    lit(0.4) * ttr + lit(0.3) * (lit(1.0) - stop) +
+      lit(0.3) * least(n / 100.0, lit(1.0))
+  }
+
   val queries: Map[String, Q] = Map(
     // token counting: whitespace + BPE-ish subword estimate
     "t_token_count" -> { (s, d) =>
@@ -84,11 +96,22 @@ object TextAnalysis {
         col("doc_id"),
         round(ttr, 4).as("type_token_ratio"),
         round(stop, 4).as("stopword_ratio"),
-        round(lit(0.4) * ttr + lit(0.3) * (lit(1.0) - stop) +
-          lit(0.3) * least(n / 100.0, lit(1.0)), 4).as("quality"))
+        round(qualityScore(col("text")), 4).as("quality"))
         .orderBy("doc_id")
     },
     // language-ID by marker voting, compared against the labeled column
+    // per-language top-5 trigram shingles by frequency, reduced through
+    // the engine's bounded-heap TopKPerKey (no per-language sort; at
+    // corpus scale the heap sees one row per (lang, ngram) after the
+    // map-side-combined count)
+    "t_top_ngrams" -> { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .select(col("lang"), explode(Dedup.shingles(col("text"))).as("ngram"))
+        .groupBy("lang", "ngram").agg(count(lit(1)).as("n"))
+      graft.plans.TopKPerKey.topKPerKey(counts,
+        Seq("lang"), Seq(("n", true), ("ngram", false)), 5)
+        .orderBy(col("lang"), col("n").desc, col("ngram"))
+    },
     "t_lang_id" -> { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"), col("lang").as("labeled"),
@@ -117,6 +140,21 @@ object TextAnalysis {
          |    AS n_subwords,
          |  CAST(length(text) AS INT) AS n_chars_text
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_top_ngrams" ->
+      """WITH sh AS (
+        |  SELECT lang, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS ngram
+        |  FROM (SELECT lang, string_split(text, ' ') t FROM documents)
+        |  WHERE len(t) >= 3),
+        |counts AS (
+        |  SELECT lang, ngram, count(*) AS n FROM sh GROUP BY lang, ngram)
+        |SELECT lang, ngram, n FROM (
+        |  SELECT lang, ngram, n, row_number() OVER (
+        |    PARTITION BY lang ORDER BY n DESC, ngram) AS rk
+        |  FROM counts)
+        |WHERE rk <= 5
+        |ORDER BY lang, n DESC, ngram""".stripMargin,
     "t_quality_score" ->
       s"""SELECT doc_id,
          |  round(ttr, 4) AS type_token_ratio,

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** End-to-end training-set materialization (north star): the composition a
+  * real LLM data pipeline runs — near-dup clustering → keep-list anti-join
+  * → language gate → quality gate — as ONE declarative query, so Catalyst
+  * sees the whole plan (the quality/lang predicates prune before anything
+  * wide, the anti-join broadcasts when the drop-list is small).
+  *
+  * Plan shape at scale: pair generation + clustering bound by the capped
+  * LSH machinery; the final pass is one scan of `documents` with a
+  * (usually broadcast) anti-join and codegen'd per-row predicates.
+  */
+object TrainingSet {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Quality threshold with measured margin at the fixture (nearest value
+    * 2.15e-4 away at sf0.01; the natural-looking 0.65 sits 1 ulp from real
+    * data values — see oracle-compare notes).
+    */
+  val QualityThreshold = 0.66
+
+  def trainingSet(docs: DataFrame): DataFrame = {
+    val pairs = Dedup.jaccardPairs(docs, 0.8)
+      .select(col("da").as("ida"), col("db").as("idb"))
+    val dropList = Dedup.dupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select("doc_id")
+    docs.join(dropList, Seq("doc_id"), "left_anti")
+      .filter(col("lang") === "en" &&
+        TextAnalysis.qualityScore(col("text")) >= QualityThreshold)
+      .select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "p_training_set" -> { (s, d) => trainingSet(Tables.documents(s, d)) })
+
+  val oracles: Map[String, String] = Map(
+    "p_training_set" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) s
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id da, b.doc_id db, count(*) i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da, db FROM inter
+        |  JOIN sizes sa ON sa.doc_id = da
+        |  JOIN sizes sb ON sb.doc_id = db
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (
+        |  SELECT da AS s, db AS t FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.t, reach.r FROM reach JOIN edges e ON reach.id = e.s),
+        |drops AS (
+        |  SELECT id AS doc_id FROM reach GROUP BY id
+        |  HAVING id <> min(r)),
+        |meta AS (
+        |  SELECT doc_id, lang,
+        |    len(t) * 1.0 AS n,
+        |    len(list_distinct(t)) / (len(t) * 1.0) AS ttr,
+        |    len(list_filter(t, x ->
+        |      list_contains(['the','a','of','and','to'], x)))
+        |      / (len(t) * 1.0) AS stop
+        |  FROM toks)
+        |SELECT doc_id,
+        |       round(0.4 * ttr + 0.3 * (1.0 - stop)
+        |             + 0.3 * least(n / 100.0, 1.0), 4) AS quality,
+        |       CAST(len(t) AS INT) AS n_tokens
+        |FROM meta JOIN toks USING (doc_id)
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        |  AND meta.lang = 'en'
+        |  AND 0.4 * ttr + 0.3 * (1.0 - stop)
+        |      + 0.3 * least(n / 100.0, 1.0) >= 0.66
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -137,6 +137,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == List(Nil, Nil, Nil, List("one two three")))
   }
 
+  test("dup clustering: chains collapse transitively to the min-id keeper") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3 forces multi-round propagation),
+    // separate pair 10-11, plus a clique 20-21-22
+    val prs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("ida", "idb")
+    val got = Dedup.dupClusters(prs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("multimodal decode keeps partition count (mapPartitions shape)") {
     val meta = graft.pipeline.Multimodal.decodeMeta(spark, sf)
     assert(meta.rdd.getNumPartitions ==
