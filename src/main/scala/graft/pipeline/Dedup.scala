@@ -87,7 +87,8 @@ object Dedup {
     // Block on the 64-bit shingle hash, not the ~30-char string: same
     // semantics (collision odds ~1e-10 at this cardinality), 4× narrower
     // shuffle rows.
-    val posting = docs
+    val spreadDocs = graft.Tables.spread(docs) // small-file parallelism
+    val posting = spreadDocs
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("s"))
       .groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
     val kept =
@@ -95,7 +96,7 @@ object Dedup {
       else posting.filter(size(col("ids")) <= maxDf) // df cap = list size
     // per-doc sizes; under a df cap, subtract each doc's dropped shingles
     // (hot shingles are FEW by construction, so `drops` is tiny)
-    val rawSizes = docs.select(col("doc_id"),
+    val rawSizes = spreadDocs.select(col("doc_id"),
       size(shingleHashes(col("text"))).cast("long").as("n0"))
     val sizes =
       if (maxDf <= 0) rawSizes.withColumnRenamed("n0", "n")
@@ -108,6 +109,7 @@ object Dedup {
             (col("n0") - coalesce(col("dropped"), lit(0L))).as("n"))
       }
     val inter = kept
+      .filter(size(col("ids")) >= 2) // df=1 (most shingles) pairs nothing
       .select(explode(col("ids")).as("da"), col("ids"))
       .select(col("da"), explode(col("ids")).as("db"))
       .filter(col("da") < col("db"))
@@ -217,7 +219,7 @@ object Dedup {
     "d_embedding_dup" -> { (s, d) =>
       // normalize each side once (linear), so each of the O(n²) pairs is a
       // single codegen'd primitive dot product
-      val e = Tables.embeddings(s, d)
+      val e = graft.Tables.spread(Tables.embeddings(s, d))
         .select(col("vec_id"),
           VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))

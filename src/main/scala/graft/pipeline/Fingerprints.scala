@@ -103,7 +103,7 @@ object Fingerprints {
     */
   def simhashes(docs: DataFrame)(implicit s: SparkSession): DataFrame = {
     import s.implicits._
-    docs
+    graft.Tables.spread(docs)
       .select(col("doc_id"),
         explode(Dedup.shingleHashes(col("text"))).as("h"))
       .as[(Long, Long)]
@@ -155,7 +155,7 @@ object Fingerprints {
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs
+    graft.Tables.spread(docs)
       .select(col("doc_id"),
         explode(Dedup.shingleHashes(col("text"))).as("h"))
       .as[(Long, Long)]
@@ -236,7 +236,7 @@ object Fingerprints {
     */
   def embeddingDupLsh(s: org.apache.spark.sql.SparkSession, d: String)
       : DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = Tables.spread(Tables.embeddings(s, d))
       .select(col("vec_id"),
         VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
     // the fixture's near-dups sit at cosine ≈ 0.47-0.51 (θ/π ≈ 0.34), so

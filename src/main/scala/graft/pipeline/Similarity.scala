@@ -65,7 +65,7 @@ object Similarity {
     // Exact brute-force cosine top-10 for 5 query vectors: broadcast the
     // query batch; single corpus scan, no shuffle of the corpus.
     "s_ann_bruteforce" -> { (s, d) =>
-      val e = Tables.embeddings(s, d)
+      val e = Tables.spread(Tables.embeddings(s, d))
         .select(col("vec_id"),
           VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
       val q = e.filter(col("vec_id") < 5)
@@ -81,7 +81,7 @@ object Similarity {
     // then exact cosine re-rank.
     "s_ann_lsh" -> { (s, d) =>
       val dims = 64
-      val e = Tables.embeddings(s, d)
+      val e = Tables.spread(Tables.embeddings(s, d))
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       val tables = 8
       val sigs = e.select(col("vec_id"), col("v"),
@@ -133,7 +133,7 @@ object Similarity {
     // cells and re-rank exactly within candidates. Corpus cost at scale:
     // one assignment scan + equi-join on cell id — no all-pairs product.
     "s_ann_ivf" -> { (s, d) =>
-      val e = Tables.embeddings(s, d)
+      val e = Tables.spread(Tables.embeddings(s, d))
         .select(col("vec_id"),
           VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
       // deterministic "training" with NO driver-side count scan: the 16

@@ -105,7 +105,7 @@ object TextAnalysis {
     // corpus scale the heap sees one row per (lang, ngram) after the
     // map-side-combined count)
     "t_top_ngrams" -> { (s, d) =>
-      val counts = Tables.documents(s, d)
+      val counts = Tables.spread(Tables.documents(s, d))
         .select(col("lang"), explode(Dedup.shingles(col("text"))).as("ngram"))
         .groupBy("lang", "ngram").agg(count(lit(1)).as("n"))
       graft.plans.TopKPerKey.topKPerKey(counts,
