@@ -139,8 +139,18 @@ object Dedup {
     * cost is one shuffle join on `src` + one aggregate.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
-      .union(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+    val prs = pairs.persist()
+    // Size the iteration's partitioning to the GRAPH, not the corpus: the
+    // dup graph is orders of magnitude smaller than its input, and each
+    // propagation round pays per-partition scheduling overhead times the
+    // round count. One partition per ~500k edges, floor 2.
+    val spark = prs.sparkSession
+    val parts = math.max(2, math.min(
+      spark.sparkContext.defaultParallelism,
+      (prs.count() / 500000L).toInt + 1))
+    val edges = prs.select(col("ida").as("src"), col("idb").as("dst"))
+      .union(prs.select(col("idb").as("src"), col("ida").as("dst")))
+      .repartition(parts, col("src"))
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).persist()
@@ -164,6 +174,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    prs.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
   }
 
