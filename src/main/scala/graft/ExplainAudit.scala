@@ -62,6 +62,10 @@ object ExplainAudit {
     audit("t_rolling_fingerprint", "*(")                  // custom expr fused
     audit("d_embedding_dup", "BroadcastNestedLoopJoin")
 
+    // composed training-set: the language gate reaches the parquet scan
+    // and the dedup drop-list anti-joins via broadcast (never a shuffle
+    // of the corpus for the keep-list)
+    audit("p_training_set", "LeftAnti", "EqualTo(lang,en)")
     // as-of join is the tagged-union+window form: ONE computational
     // (hash) exchange on user_id, never an inequality-join product. The
     // final orderBy's rangepartitioning is presentation-only, so count
