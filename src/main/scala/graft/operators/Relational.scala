@@ -133,6 +133,17 @@ object Relational {
           r2(sum(col("l_quantity")).over(w)).as("running_qty"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     },
+    // ---- RANGE frame: peers by VALUE distance, not row position —
+    // orders within ±1000 of the current price per customer
+    "r_window_range_frame" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-1000, 1000)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          count(lit(1)).over(w).as("n_similar_price"))
+        .orderBy("o_orderkey")
+    },
     // ---- global top-k: orderBy+limit (Spark plans TakeOrderedAndProject —
     // per-partition heaps, no full sort at scale)
     "r_topk" -> { (s, d) =>
@@ -309,6 +320,15 @@ object Relational {
           r2(sqrt(col("l_quantity"))).as("sqrt_qty"),
           pmod(col("l_partkey"), lit(13)).as("part_mod"))
         .orderBy("l_orderkey", "l_linenumber")
+    },
+    // ---- regular-expression scalar functions
+    "r_scalar_regex" -> { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        col("p_name").rlike("o.*o").as("has_oo"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"))
+        .orderBy("p_partkey")
     },
     // ---- conditional expressions
     "r_case_when" -> { (s, d) =>
@@ -577,6 +597,19 @@ object Relational {
         |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
         |         AS month_start
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "r_window_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |       count(*) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_totalprice
+        |         RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+        |         AS n_similar_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "r_scalar_regex" ->
+      """SELECT p_partkey,
+        |       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |       regexp_matches(p_name, 'o.*o') AS has_oo,
+        |       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "r_scalar_math" ->
       """SELECT l_orderkey, l_linenumber,
         |       abs(l_discount - 0.05) AS disc_dev,

@@ -35,4 +35,28 @@ object WindowedStreams {
     records
       .withWatermark("approximateArrivalTimestamp", lateness)
       .dropDuplicatesWithinWatermark("sequenceNumber")
+
+  /** Streaming ingest filter for a training-data pipeline: decode the
+    * payload, gate on quality and EXACT content dup (same rolling-hash
+    * fingerprint seen within the watermark horizon ⇒ suppressed with
+    * bounded state). The per-row expressions are the SAME codegen columns
+    * the batch tier runs (`TextAnalysis.qualityScore`, `RollingHash`) —
+    * nothing is reimplemented for streaming, which is the point of
+    * building on DataFrames: one operator library, two execution modes.
+    * Near-dup (MinHash) stays batch-side — it needs corpus-wide candidate
+    * joins, which is a compaction job, not a per-record stream decision.
+    */
+  def qualityGate(records: DataFrame, minQuality: Double,
+      lateness: String): DataFrame =
+    records
+      .withColumn("text", col("data").cast("string"))
+      .withColumn("quality",
+        graft.pipeline.TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+      .withColumn("fp",
+        graft.functions.RollingHash.rolling_hash(col("text")))
+      .withWatermark("approximateArrivalTimestamp", lateness)
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("sequenceNumber"), col("partitionKey"),
+        col("text"), round(col("quality"), 4).as("quality"))
 }

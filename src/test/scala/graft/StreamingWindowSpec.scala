@@ -74,4 +74,47 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(seqs.length == 20, s"expected 20 unique, got ${seqs.length}")
     assert(seqs.toSet == (0 until 20).map(_.toString).toSet)
   }
+
+  test("streaming quality gate filters low-quality and exact-dup payloads") {
+    val dir = Files.createTempDirectory("wquality").toString
+    val base = 1700000000L
+    val rich = "the quick brown fox jumps over a lazy dog " +
+      "with many varied distinct tokens in this sentence"
+    val poor = "spam spam spam spam spam spam spam spam spam spam"
+    def body(key: String, seq: String, text: String, t: Long) =
+      KinesisRecord(text.getBytes("UTF-8"), key, seq,
+        new Timestamp(t * 1000), "None")
+    writeRecords(dir, Seq(
+      body("k", "1", rich, base),            // passes
+      body("k", "2", poor, base + 10),       // low quality → dropped
+      body("k", "3", rich, base + 20),       // exact dup of 1 → suppressed
+      body("k", "4", rich + " extended with fresh additional words",
+        base + 30)))                         // passes (different content)
+
+    val stream = spark.readStream.schema(KinesisRecord.schema).parquet(dir)
+    val q = WindowedStreams.qualityGate(stream, 0.5, "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wquality").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.table("wquality").collect()
+      .map(r => r.getAs[String]("sequenceNumber")).toSet
+    // seq 2 must be gone (quality) and exactly ONE of the exact-dup pair
+    // {1, 3} survives — which one is arbitrary within a micro-batch
+    // (dropDuplicates keeps an unspecified member per key)
+    assert(out.size == 2 && out.contains("4") &&
+      (out - "4").subsetOf(Set("1", "3")), s"got $out")
+    // the gate applies the SAME batch-tier expressions: cross-check the
+    // surviving quality values against a batch computation
+    val batchQ = spark.read.schema(KinesisRecord.schema).parquet(dir)
+      .withColumn("text", col("data").cast("string"))
+      .select(col("sequenceNumber"),
+        round(graft.pipeline.TextAnalysis.qualityScore(col("text")), 4)
+          .as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val streamQ = spark.table("wquality").collect()
+      .map(r => r.getAs[String]("sequenceNumber") ->
+        r.getAs[Double]("quality")).toMap
+    assert(streamQ.forall { case (k, v) => batchQ(k) == v })
+  }
 }
