@@ -39,10 +39,74 @@ object TrainingSet {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified sampling: k docs per stratum, chosen by
+    * ranking on a content-independent hash (md5 of the id) — stable across
+    * runs, retries, and partitionings, unlike `sample()` whose output
+    * depends on partition layout. One shuffle on the stratum key; the
+    * rank-k cutoff is a per-key top-k shape.
+    */
+  def stratifiedSample(docs: DataFrame, stratum: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratum))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col(stratum))
+  }
+
+  /** Sequence packing for context-window training: concatenate docs in
+    * doc_id order within each language and assign each doc the index of
+    * the `budget`-token context window its first token lands in (standard
+    * concat-then-chunk packing). A running-sum window per stratum — one
+    * shuffle; at scale the stratum is whatever bounds a packing shard
+    * (language × date × source file), never a global ordering.
+    */
+  def packSequences(docs: DataFrame, budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / budget).cast("long")
+          .as("pack_id"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "p_training_set" -> { (s, d) => trainingSet(Tables.documents(s, d)) })
+    "p_training_set" -> { (s, d) => trainingSet(Tables.documents(s, d)) },
+    "p_stratified_sample" -> { (s, d) =>
+      stratifiedSample(Tables.documents(s, d), "lang", 20)
+        .orderBy("lang", "doc_id")
+    },
+    "p_pack_sequences" -> { (s, d) =>
+      packSequences(Tables.documents(s, d), 2048)
+        .orderBy("doc_id")
+    })
 
   val oracles: Map[String, String] = Map(
+    "p_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20
+        |ORDER BY lang, doc_id""".stripMargin,
+    "p_pack_sequences" ->
+      """SELECT doc_id, lang, n_tokens,
+        |       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT)
+        |         AS pack_id
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+        |      PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "p_training_set" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, lang, string_split(text, ' ') t FROM documents),
