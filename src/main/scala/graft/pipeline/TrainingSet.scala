@@ -25,7 +25,11 @@ object TrainingSet {
   val QualityThreshold = 0.66
 
   def trainingSet(docs: DataFrame): DataFrame = {
-    val pairs = Dedup.jaccardPairs(docs, 0.8)
+    // production tier: the df-capped jaccard (bounded per-shingle buckets)
+    // feeds clustering — identical to the exact tier on the fixture (max
+    // df << cap, proven by d_ngram_jaccard_capped's oracle), bounded at
+    // any scale
+    val pairs = Dedup.jaccardPairs(docs, 0.8, maxDf = 20)
       .select(col("da").as("ida"), col("db").as("idb"))
     val dropList = Dedup.dupClusters(pairs)
       .filter(col("doc_id") =!= col("cluster"))
@@ -115,10 +119,13 @@ object TrainingSet {
         |    range(1, greatest(len(t) - 2, 1) + 1),
         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) s
         |  FROM toks WHERE len(t) >= 3),
-        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |df AS (SELECT s, count(*) c FROM sh GROUP BY s),
+        |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING(s)
+        |        WHERE c <= 20),
+        |sizes AS (SELECT doc_id, count(*) n FROM shc GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id da, b.doc_id db, count(*) i
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |pairs AS (
         |  SELECT da, db FROM inter
