@@ -279,8 +279,9 @@ object FilterQueries {
         |         CASE WHEN event_id % 10 = 0 THEN substr(props, 1, 3)
         |              ELSE props END AS body
         |  FROM events)
-        |WHERE (NOT json_valid(body))
-        |   OR json_extract_string(body, '$.k') = '87'
+        |WHERE CASE WHEN json_valid(body)
+        |           THEN json_extract_string(body, '$.k') = '87'
+        |           ELSE TRUE END
         |ORDER BY event_id""".stripMargin,
     "ft_gt_typed" ->
       """SELECT event_id FROM events

@@ -64,6 +64,16 @@ object TextAnalysis {
     folded
   }
 
+  /** Explicit HALF-UP 4-decimal rounding: `floor(x·10⁴ + 0.5)/10⁴`.
+    * `round(x, 4)` is NOT portable at half boundaries — Spark rounds the
+    * exact binary value via BigDecimal HALF_UP while DuckDB rounds the
+    * scaled float, and a quality score landing on .xxxx5 flips between
+    * them (first seen at sf0.1, doc 1017). Spelling the arithmetic out
+    * makes both engines compute the identical double. Non-negative inputs
+    * only.
+    */
+  def round4HalfUp(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
+
   /** Composite quality score: 0.4·TTR + 0.3·(1−stopword) + 0.3·length cap.
     * UNROUNDED — round only at output edges; filter thresholds must be
     * chosen with measured margin to the nearest data value.
@@ -94,9 +104,9 @@ object TextAnalysis {
       val stop = stopwordRatio(col("text"))
       Tables.documents(s, d).select(
         col("doc_id"),
-        round(ttr, 4).as("type_token_ratio"),
-        round(stop, 4).as("stopword_ratio"),
-        round(qualityScore(col("text")), 4).as("quality"))
+        round4HalfUp(ttr).as("type_token_ratio"),
+        round4HalfUp(stop).as("stopword_ratio"),
+        round4HalfUp(qualityScore(col("text"))).as("quality"))
         .orderBy("doc_id")
     },
     // language-ID by marker voting, compared against the labeled column
@@ -157,10 +167,11 @@ object TextAnalysis {
         |ORDER BY lang, n DESC, ngram""".stripMargin,
     "t_quality_score" ->
       s"""SELECT doc_id,
-         |  round(ttr, 4) AS type_token_ratio,
-         |  round(stop, 4) AS stopword_ratio,
-         |  round(0.4 * ttr + 0.3 * (1.0 - stop) +
-         |        0.3 * least(n / 100.0, 1.0), 4) AS quality
+         |  floor(ttr * 10000 + 0.5) / 10000.0 AS type_token_ratio,
+         |  floor(stop * 10000 + 0.5) / 10000.0 AS stopword_ratio,
+         |  floor((0.4 * ttr + 0.3 * (1.0 - stop) +
+         |         0.3 * least(n / 100.0, 1.0)) * 10000 + 0.5) / 10000.0
+         |    AS quality
          |FROM (
          |  SELECT doc_id,
          |    len($oracleToks) * 1.0 AS n,

@@ -38,7 +38,8 @@ object TrainingSet {
       .filter(col("lang") === "en" &&
         TextAnalysis.qualityScore(col("text")) >= QualityThreshold)
       .select(col("doc_id"),
-        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"),
+        TextAnalysis.round4HalfUp(TextAnalysis.qualityScore(col("text")))
+          .as("quality"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       .orderBy("doc_id")
   }
@@ -151,8 +152,9 @@ object TrainingSet {
         |      / (len(t) * 1.0) AS stop
         |  FROM toks)
         |SELECT doc_id,
-        |       round(0.4 * ttr + 0.3 * (1.0 - stop)
-        |             + 0.3 * least(n / 100.0, 1.0), 4) AS quality,
+        |       floor((0.4 * ttr + 0.3 * (1.0 - stop)
+        |              + 0.3 * least(n / 100.0, 1.0)) * 10000 + 0.5)
+        |         / 10000.0 AS quality,
         |       CAST(len(t) AS INT) AS n_tokens
         |FROM meta JOIN toks USING (doc_id)
         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
