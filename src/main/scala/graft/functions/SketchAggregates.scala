@@ -1,0 +1,180 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Sketch aggregations as native `TypedImperativeAggregate`s — the
+  * Catalyst mechanism built for exactly this shape (HyperLogLog++ and
+  * percentile_approx use it): a mutable object buffer inside
+  * ObjectHashAggregate with map-side partial aggregation, serialized once
+  * per partition boundary instead of per row. Replaces the
+  * `groupByKey + Aggregator` formulation, whose Dataset encoder boundary
+  * deserialized every input row into JVM tuples (measured ~2× slower at
+  * sf0.1) and whose typed path planned no partial aggregation.
+  *
+  * Both sketches consume 64-bit shingle hashes (`Dedup.shingleHashes`).
+  * Deterministic: literal seed constants, no RNG — identical results
+  * across retries and AQE re-execution.
+  */
+
+/** MinHash signature: per seed i of k, min over inputs of a seeded
+  * avalanche mix of the shingle hash. Buffer = Array[Long](k).
+  * Bit-identical to the previous Aggregator's mixer, so signatures,
+  * band keys, and the recall specs are unchanged.
+  */
+case class MinHashSketch(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sketch expects bigint, got ${t.sql}")
+  }
+
+  @inline private def mix(h0: Long, seed: Int): Long = {
+    var h = h0 ^ (seed.toLong * 0x9E3779B97F4A7C15L)
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
+    h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+    h ^ (h >>> 33)
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(k)(Long.MaxValue)
+
+  override def update(b: Array[Long], row: InternalRow): Array[Long] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < k) {
+        val m = mix(h, i)
+        if (m < b(i)) b(i) = m
+        i += 1
+      }
+    }
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(b: Array[Long]): Any = new GenericArrayData(b.clone())
+
+  override def serialize(b: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(k * 8)
+    var i = 0
+    while (i < k) { bb.putLong(b(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MinHashSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MinHashSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MinHashSketch = copy(child = c.head)
+}
+
+/** SimHash: per bit position, sum of ±1 presence votes over input hashes;
+  * sign → bit. Buffer = Array[Long](64) vote counters (long: no overflow
+  * at any corpus size).
+  */
+case class SimHashSketch(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash_sketch expects bigint, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+
+  override def update(b: Array[Long], row: InternalRow): Array[Long] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) b(i) += 1 else b(i) -= 1
+        i += 1
+      }
+    }
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < 64) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(b: Array[Long]): Any = {
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (b(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  override def serialize(b: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(64 * 8)
+    var i = 0
+    while (i < 64) { bb.putLong(b(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](64)
+    var i = 0
+    while (i < 64) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SimHashSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SimHashSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): SimHashSketch = copy(child = c.head)
+}
+
+object SketchAggregates {
+  import org.apache.spark.sql.graftshim.Bridge
+
+  def minhash_sketch(c: Column, k: Int): Column =
+    Bridge.column(MinHashSketch(Bridge.expression(c), k)
+      .toAggregateExpression())
+
+  def simhash_sketch(c: Column): Column =
+    Bridge.column(SimHashSketch(Bridge.expression(c))
+      .toAggregateExpression())
+}

@@ -1,7 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -65,105 +64,39 @@ object Fingerprints {
     smallPairs.union(bigPairs).dropDuplicates("ida", "idb")
   }
 
-  /** SimHash over 64-bit token hashes: per bit position, sum +1/-1 votes
-    * weighted by presence; sign → bit. Implemented as a typed
-    * `Aggregator[Long, Array[Int], Long]` — single-shuffle groupBy, mutable
-    * fixed-size buffer, no per-row allocation.
-    */
-  object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
-    override def zero: Array[Int] = new Array[Int](64)
-    override def reduce(b: Array[Int], h: Long): Array[Int] = {
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) b(i) += 1 else b(i) -= 1
-        i += 1
-      }
-      b
-    }
-    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
-      var i = 0
-      while (i < 64) { a(i) += b(i); i += 1 }
-      a
-    }
-    override def finish(b: Array[Int]): Long = {
-      var out = 0L
-      var i = 0
-      while (i < 64) { if (b(i) > 0) out |= (1L << i); i += 1 }
-      out
-    }
-    override def bufferEncoder: Encoder[Array[Int]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
-    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
-  }
-
   /** (doc_id, simhash) for every document — over trigram SHINGLES, not
     * single tokens: the fixture (and much crawl data) draws from a small
     * shared vocabulary, so token-level simhashes collapse together;
     * shingles are near-unique per doc and keep unrelated hamming ≈ 32.
+    *
+    * One `groupBy` on the native [[graft.functions.SimHashSketch]]
+    * TypedImperativeAggregate — ObjectHashAggregate with map-side partial
+    * aggregation and a mutable 64-counter buffer; the previous
+    * `groupByKey + Aggregator` route deserialized every row through a
+    * Dataset encoder.
     */
-  def simhashes(docs: DataFrame)(implicit s: SparkSession): DataFrame = {
-    import s.implicits._
+  def simhashes(docs: DataFrame)(implicit s: SparkSession): DataFrame =
     graft.Tables.spread(docs)
       .select(col("doc_id"),
         explode(Dedup.shingleHashes(col("text"))).as("h"))
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(SimHashAgg.toColumn.name("simhash"))
-      .toDF("doc_id", "simhash")
-  }
+      .groupBy("doc_id")
+      .agg(graft.functions.SketchAggregates.simhash_sketch(col("h"))
+        .as("simhash"))
 
-  /** Single-pass MinHash: one base xxhash64 per shingle, k per-seed
-    * variants derived by mixing INSIDE the aggregation buffer (an
-    * avalanche finalizer per seed — no k-way row explosion; the previous
-    * explode(seeds) formulation materialized 19 M rows at sf0.1 and cost
-    * 5.6 s of bench). One shuffle, constant 32-long buffer per doc.
+  /** (doc_id, sig: array<long>) MinHash signatures — single pass: one base
+    * xxhash64 per shingle, k per-seed variants derived by an avalanche mix
+    * INSIDE the aggregation buffer (no k-way row explosion; an
+    * explode(seeds) formulation materialized 19 M rows at sf0.1). Native
+    * [[graft.functions.MinHashSketch]] aggregate, same plan shape as
+    * [[simhashes]].
     */
-  object MinHashAgg extends Aggregator[Long, Array[Long], Seq[Long]] {
-    @inline private def mix(h0: Long, seed: Int): Long = {
-      var h = h0 ^ (seed.toLong * 0x9E3779B97F4A7C15L)
-      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
-      h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
-      h ^ (h >>> 33)
-    }
-    override def zero: Array[Long] = Array.fill(MinHashFunctions)(Long.MaxValue)
-    override def reduce(b: Array[Long], h: Long): Array[Long] = {
-      var i = 0
-      while (i < MinHashFunctions) {
-        val v = mix(h, i)
-        if (v < b(i)) b(i) = v
-        i += 1
-      }
-      b
-    }
-    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-      var i = 0
-      while (i < MinHashFunctions) {
-        if (b(i) < a(i)) a(i) = b(i)
-        i += 1
-      }
-      a
-    }
-    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
-    override def bufferEncoder: Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-    override def outputEncoder: Encoder[Seq[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
-  }
-
-  /** (doc_id, sig: array<long>) MinHash signatures via [[MinHashAgg]]. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
+  def minhashSignatures(docs: DataFrame): DataFrame =
     graft.Tables.spread(docs)
       .select(col("doc_id"),
         explode(Dedup.shingleHashes(col("text"))).as("h"))
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(MinHashAgg.toColumn.name("sig"))
-      .toDF("doc_id", "sig")
-  }
+      .groupBy("doc_id")
+      .agg(graft.functions.SketchAggregates
+        .minhash_sketch(col("h"), MinHashFunctions).as("sig"))
 
   /** LSH banding: equal band slice ⇒ candidate pair. Estimated similarity =
     * fraction of matching signature positions; keep pairs ≥ threshold.
