@@ -28,7 +28,25 @@ object GraftFunctions {
     (FunctionIdentifier("graft_array_normalize"),
       new ExpressionInfo(classOf[ArrayNormalize].getName,
         "graft_array_normalize"),
-      (exprs: Seq[Expression]) => ArrayNormalize(exprs.head)))
+      (exprs: Seq[Expression]) => ArrayNormalize(exprs.head)),
+    (FunctionIdentifier("graft_simhash_sketch"),
+      new ExpressionInfo(classOf[SimHashSketch].getName,
+        "graft_simhash_sketch"),
+      (exprs: Seq[Expression]) =>
+        SimHashSketch(exprs.head).toAggregateExpression()),
+    (FunctionIdentifier("graft_minhash_sketch"),
+      new ExpressionInfo(classOf[MinHashSketch].getName,
+        "graft_minhash_sketch"),
+      (exprs: Seq[Expression]) => {
+        // k must be a literal int: SELECT graft_minhash_sketch(h, 32)
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v.isInstanceOf[Int] => v.asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_sketch k must be an integer literal, got $other")
+        }
+        MinHashSketch(exprs.head, k).toAggregateExpression()
+      }))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -34,6 +34,30 @@ class FunctionsSpec extends AnyFunSuite {
     } finally () // shared-context session; do not stop the underlying SC
   }
 
+  test("sketch aggregates are SQL-registered and match the Column API") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq((1L, 7L), (1L, 9L), (2L, 7L)).toDF("id", "h")
+      .createOrReplaceTempView("sketch_in")
+    val viaSql = spark.sql(
+      """SELECT id, graft_simhash_sketch(h) AS sh,
+        |       graft_minhash_sketch(h, 32) AS mh
+        |FROM sketch_in GROUP BY id ORDER BY id""".stripMargin).collect()
+    val viaCol = Seq((1L, 7L), (1L, 9L), (2L, 7L)).toDF("id", "h")
+      .groupBy("id")
+      .agg(graft.functions.SketchAggregates.simhash_sketch(col("h")).as("sh"),
+        graft.functions.SketchAggregates.minhash_sketch(col("h"), 32)
+          .as("mh"))
+      .orderBy("id").collect()
+    assert(viaSql.map(_.getLong(1)).toSeq == viaCol.map(_.getLong(1)).toSeq)
+    assert(viaSql.map(_.getSeq[Long](2)).toSeq ==
+      viaCol.map(_.getSeq[Long](2)).toSeq)
+    // non-literal k is rejected at analysis
+    intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sketch(h, id) FROM sketch_in").collect()
+    }
+  }
+
   test("ArrayNormalize: codegen, interpreted, and reference agree") {
     import spark.implicits._
     GraftFunctions.register(spark)
