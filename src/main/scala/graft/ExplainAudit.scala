@@ -62,6 +62,10 @@ object ExplainAudit {
     audit("t_rolling_fingerprint", "*(")                  // custom expr fused
     audit("d_embedding_dup", "BroadcastNestedLoopJoin")
 
+    // sketch aggregations keep map-side partial aggregation: the shuffle
+    // carries one buffer per (partition, doc), never the shingle rows
+    audit("d_simhash", "partial_simhashsketch")
+    audit("d_minhash_lsh", "partial_minhashsketch")
     // composed training-set: the language gate reaches the parquet scan
     // and the dedup drop-list anti-joins via broadcast (never a shuffle
     // of the corpus for the keep-list)
