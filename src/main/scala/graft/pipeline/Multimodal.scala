@@ -80,6 +80,21 @@ object Multimodal {
           round(avg(col("n_bytes")), 2).as("avg_bytes"))
         .orderBy("kind")
     },
+    // binary content dedup: md5-address the media BYTES (the standard
+    // image/audio dedup tier — no decode needed, so it runs before any
+    // codec work at scan speed). A re-ingested slice under shifted ids
+    // plants real collisions; keeper = min doc_id.
+    "m_binary_dup" -> { (s, d) =>
+      val m = mediaTable(s, d).select("doc_id", "media")
+      val reingested = m.filter(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      m.union(reingested)
+        .groupBy(md5(col("media")).as("content_md5"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+        .filter(col("copies") > 1)
+        .select(col("keeper"), col("copies"))
+        .orderBy("keeper")
+    },
     // resize: target box 224x224 preserving aspect ratio (integer math so
     // the oracle can replicate; the real resample lives behind the same
     // stub boundary as decode)
@@ -129,6 +144,15 @@ object Multimodal {
       s"""SELECT doc_id, unnest(range(0, n_frames, 5)) AS frame_idx
          |FROM ($meta) WHERE kind = 'video'
          |ORDER BY doc_id, frame_idx""".stripMargin,
+    "m_binary_dup" ->
+      """SELECT keeper, copies FROM (
+        |  SELECT min(doc_id) AS keeper, count(*) AS copies FROM (
+        |    SELECT doc_id, text FROM documents
+        |    UNION ALL
+        |    SELECT doc_id + 1000000, text FROM documents
+        |    WHERE doc_id < 100)
+        |  GROUP BY md5(text))
+        |WHERE copies > 1 ORDER BY keeper""".stripMargin,
     "m_resize" ->
       s"""SELECT doc_id,
          |  CAST(floor(width * scale_k / 1000) AS INT) AS out_w,
