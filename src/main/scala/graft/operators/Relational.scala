@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -264,13 +264,29 @@ object Relational {
     // ---- exact interpolated percentiles (linear, same definition as
     // DuckDB quantile_cont); percentile_approx is the sketch variant at
     // scale but has no cross-engine oracle
+    // exact percentiles with the interpolation arithmetic SPELLED OUT
+    // (lo + d·(hi−lo) over a sorted array): built-in `percentile` computes
+    // (1−d)·lo + d·hi — mathematically equal but 1 ulp away from DuckDB's
+    // form, and midpoints of 2-decimal prices land exactly on .xx5 where
+    // rounding splits the two (bit at sf0.001). Memory profile matches
+    // `percentile` (both buffer the group); `percentile_approx` is the
+    // sketch path at scale.
     "r_percentiles" -> { (s, d) =>
+      def pct(arr: Column, p: Double): Column = {
+        val pos = (size(arr) - 1).cast("double") * lit(p)
+        val lo = element_at(arr, floor(pos).cast("int") + 1)
+        val hi = element_at(arr,
+          least(floor(pos).cast("int") + 2, size(arr)))
+        lo + (pos - floor(pos)) * (hi - lo)
+      }
+      def r2h(c: Column): Column = floor(c * 100 + 0.5) / 100.0
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"))
+        .agg(array_sort(collect_list(col("l_extendedprice"))).as("arr"))
+        .select(col("l_returnflag"),
+          r2h(pct(col("arr"), 0.25)).as("p25"),
+          r2h(pct(col("arr"), 0.5)).as("p50"),
+          r2h(pct(col("arr"), 0.9)).as("p90"))
         .orderBy("l_returnflag")
     },
     // ---- distinct + exact count-distinct
@@ -568,16 +584,26 @@ object Relational {
         |  FROM names a, names b WHERE a.p_name < b.p_name)
         |WHERE dist <= 3
         |GROUP BY dist ORDER BY dist""".stripMargin,
-    "r_percentiles" ->
-      """SELECT l_returnflag,
-        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 2)
-        |    AS p25,
-        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 2)
-        |    AS p50,
-        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 2)
-        |    AS p90
-        |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
+    "r_percentiles" -> {
+      // identical interpolation arithmetic as the Spark side: sorted
+      // array, lo + d·(hi−lo), explicit half-up 2-decimal rounding
+      def pct(p: String) =
+        s"""(arr[CAST(floor((len(arr)-1)*$p) AS INT) + 1]
+           |  + ((len(arr)-1)*$p - floor((len(arr)-1)*$p))
+           |    * (arr[least(CAST(floor((len(arr)-1)*$p) AS INT) + 2,
+           |             CAST(len(arr) AS INT))]
+           |       - arr[CAST(floor((len(arr)-1)*$p) AS INT) + 1]))"""
+          .stripMargin
+      s"""SELECT l_returnflag,
+         |  floor(${pct("0.25")} * 100 + 0.5) / 100.0 AS p25,
+         |  floor(${pct("0.5")} * 100 + 0.5) / 100.0 AS p50,
+         |  floor(${pct("0.9")} * 100 + 0.5) / 100.0 AS p90
+         |FROM (
+         |  SELECT l_returnflag,
+         |    list_sort(list(CAST(l_extendedprice AS DOUBLE))) AS arr
+         |  FROM lineitem GROUP BY l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
+    },
     "r_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps
