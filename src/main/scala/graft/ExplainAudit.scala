@@ -103,11 +103,19 @@ object ExplainAudit {
         "o_orderkey", 4)
       // at audit scale the planner would (rightly) broadcast instead;
       // disable auto-broadcast so the bucketed SMJ path is what's planned
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val j = Bucketing.colocatedJoin(spark, "audit_li", "audit_ord",
-        "l_orderkey", "o_orderkey")
-      j.collect()
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      // (restore the PRIOR value in finally — a thrown collect must not
+      // leave broadcast disabled for the rest of the audit)
+      val savedThreshold =
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val j =
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val df = Bucketing.colocatedJoin(spark, "audit_li", "audit_ord",
+            "l_orderkey", "o_orderkey")
+          df.collect()
+          df
+        } finally spark.conf.set(
+          "spark.sql.autoBroadcastJoinThreshold", savedThreshold)
       val plan = j.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.executedPlan.toString
         case p => p.toString

@@ -27,12 +27,20 @@ case class ArrayNormalize(child: Expression) extends UnaryExpression {
       s"array_normalize expects array<double>, got ${t.sql}")
   }
 
+  // a null ELEMENT nulls the whole result — a vector with a missing
+  // dimension has no meaningful norm; getDouble on a null slot would
+  // silently read it as 0/garbage. Hence nullable even for non-null input.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getDouble(i); s += v * v; i += 1
+    }
     val inv = if (s > 0.0) 1.0 / math.sqrt(s) else 1.0
     val out = new Array[Double](n)
     i = 0
@@ -52,16 +60,19 @@ case class ArrayNormalize(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double v = $a.getDouble($i);
          |  $s += v * v;
          |}
-         |double $inv = $s > 0.0 ? 1.0 / java.lang.Math.sqrt($s) : 1.0;
-         |double[] $out = new double[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = $a.getDouble($i) * $inv;
+         |if (!${ev.isNull}) {
+         |  double $inv = $s > 0.0 ? 1.0 / java.lang.Math.sqrt($s) : 1.0;
+         |  double[] $out = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = $a.getDouble($i) * $inv;
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
-         |${ev.value} =
-         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 

@@ -283,14 +283,28 @@ object FilterQueries {
         |           THEN json_extract_string(body, '$.k') = '87'
         |           ELSE TRUE END
         |ORDER BY event_id""".stripMargin,
+    // the oracles mirror compileTyped's full semantics INCLUDING the
+    // non-object deliver branch (every fixture props row happens to be a
+    // valid object, but the oracle must not rely on that staying true)
     "ft_gt_typed" ->
       """SELECT event_id FROM events
-        |WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) > 10
+        |WHERE CASE WHEN coalesce(
+        |        CASE WHEN json_valid(props) THEN json_type(props) END
+        |          = 'OBJECT', FALSE)
+        |      THEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+        |             > 10
+        |      ELSE TRUE END
         |ORDER BY event_id""".stripMargin,
     "ft_range_typed" ->
       """SELECT event_id FROM events
-        |WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 25
-        |  AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) < 75
+        |WHERE CASE WHEN coalesce(
+        |        CASE WHEN json_valid(props) THEN json_type(props) END
+        |          = 'OBJECT', FALSE)
+        |      THEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+        |             >= 25
+        |       AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+        |             < 75
+        |      ELSE TRUE END
         |ORDER BY event_id""".stripMargin,
     "f_object_only" ->
       """SELECT event_id FROM (

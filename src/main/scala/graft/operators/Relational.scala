@@ -279,7 +279,8 @@ object Relational {
           least(floor(pos).cast("int") + 2, size(arr)))
         lo + (pos - floor(pos)) * (hi - lo)
       }
-      def r2h(c: Column): Column = floor(c * 100 + 0.5) / 100.0
+      def r2h(c: Column): Column =
+        graft.pipeline.TextAnalysis.roundHalfUp(c, 2)
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(array_sort(collect_list(col("l_extendedprice"))).as("arr"))

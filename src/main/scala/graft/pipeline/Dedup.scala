@@ -145,18 +145,25 @@ object Dedup {
     // propagation round pays per-partition scheduling overhead times the
     // round count. One partition per ~500k edges, floor 2.
     val spark = prs.sparkSession
+    val nPairs = prs.count()
     val parts = math.max(2, math.min(
       spark.sparkContext.defaultParallelism,
-      (prs.count() / 500000L).toInt + 1))
+      (nPairs / 500000L).toInt + 1))
     val edges = prs.select(col("ida").as("src"), col("idb").as("dst"))
       .union(prs.select(col("idb").as("src"), col("ida").as("dst")))
       .repartition(parts, col("src"))
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).persist()
-    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    // sum over ZERO rows is null (a pair-free corpus is normal — clean
+    // slice, high threshold); treat it as converged-at-0
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum("label")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum(labels)
     var i = 0
-    var converged = false
+    var converged = nPairs == 0L // empty graph: nothing to propagate
     while (!converged && i < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
@@ -166,16 +173,30 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
         .persist()
-      val nextSum = next.agg(sum("label")).head().getLong(0)
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       i += 1
     }
+    // Silent non-convergence would leak duplicate representatives into the
+    // training set (two "keepers" in one transitive cluster). Refuse.
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxIter rounds — the dup graph " +
+        "has a connected component of diameter > maxIter (unusual for " +
+        "near-dup data; raise maxIter or pre-collapse exact dups)")
     edges.unpersist()
     prs.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+    // Truncate the iterative lineage: without this, losing a cached block
+    // at scale replays EVERY round against already-unpersisted parents.
+    // (Cluster deployments should set a reliable checkpoint dir and use
+    // checkpoint(); localCheckpoint is the single-node equivalent.)
+    val out = labels
+      .select(col("id").as("doc_id"), col("label").as("cluster"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   val queries: Map[String, Q] = Map(

@@ -64,15 +64,20 @@ object TextAnalysis {
     folded
   }
 
-  /** Explicit HALF-UP 4-decimal rounding: `floor(x·10⁴ + 0.5)/10⁴`.
-    * `round(x, 4)` is NOT portable at half boundaries — Spark rounds the
+  /** Explicit HALF-UP rounding: `floor(x·10ˢ + 0.5)/10ˢ`.
+    * `round(x, s)` is NOT portable at half boundaries — Spark rounds the
     * exact binary value via BigDecimal HALF_UP while DuckDB rounds the
-    * scaled float, and a quality score landing on .xxxx5 flips between
+    * scaled float, and a value landing on a .…5 boundary flips between
     * them (first seen at sf0.1, doc 1017). Spelling the arithmetic out
     * makes both engines compute the identical double. Non-negative inputs
-    * only.
+    * only. The oracle SQL must use the same spelled-out form.
     */
-  def round4HalfUp(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
+  def roundHalfUp(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    floor(c * f + 0.5) / f
+  }
+
+  def round4HalfUp(c: Column): Column = roundHalfUp(c, 4)
 
   /** Composite quality score: 0.4·TTR + 0.3·(1−stopword) + 0.3·length cap.
     * UNROUNDED — round only at output edges; filter thresholds must be

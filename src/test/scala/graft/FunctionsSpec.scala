@@ -81,6 +81,13 @@ class FunctionsSpec extends AnyFunSuite {
     // null passes through; wrong type is an analysis error
     assert(Seq[Seq[Double]](null).toDF("a")
       .select(graft.pipeline.VectorOps.normalized(col("a"))).head().isNullAt(0))
+    // a null ELEMENT nulls the result (never read as 0/garbage) — for
+    // both normalize and dot
+    val nullElem = spark.sql(
+      """SELECT graft_array_normalize(array(1.0d, CAST(NULL AS DOUBLE))) n,
+        |       graft_array_dot(array(1.0d, CAST(NULL AS DOUBLE)),
+        |                       array(1.0d, 2.0d)) d""".stripMargin).head()
+    assert(nullElem.isNullAt(0) && nullElem.isNullAt(1))
     intercept[org.apache.spark.sql.AnalysisException] {
       Seq("x").toDF("s")
         .select(graft.functions.ArrayNormalize.array_normalize(col("s")))

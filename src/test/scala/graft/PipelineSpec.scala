@@ -149,6 +149,22 @@ class PipelineSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("dup clustering: empty pair set yields empty clusters, no error") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("ida", "idb")
+    assert(Dedup.dupClusters(none).count() == 0)
+  }
+
+  test("dup clustering: refuses to return silently-unconverged labels") {
+    import spark.implicits._
+    // a path graph propagates the min one hop per round; with maxIter=2
+    // a 6-node chain cannot converge and MUST throw, not emit two keepers
+    val chain = (1L until 6L).map(i => (i, i + 1)).toDF("ida", "idb")
+    intercept[IllegalStateException] {
+      Dedup.dupClusters(chain, maxIter = 2).collect()
+    }
+  }
+
   test("multimodal decode keeps partition count (mapPartitions shape)") {
     val meta = graft.pipeline.Multimodal.decodeMeta(spark, sf)
     assert(meta.rdd.getNumPartitions ==
