@@ -47,6 +47,44 @@ class StatefulSessionSpec extends AnyFunSuite {
     assert(closed == Seq(("a", 3L)))
   }
 
+  test("transformWithState sessionization agrees with the v1 operator") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sessv2").toString
+    val base = 1700000000L
+    val recs = Seq(
+      rec("a", 1, base), rec("a", 2, base + 60), rec("a", 3, base + 120),
+      rec("a", 4, base + 3720), rec("a", 5, base + 3780),
+      rec("b", 6, base), rec("b", 7, base + 30),
+      rec("b", 8, base + 4000)) // closes b's first session (n=2)
+    recs.toDS().write.mode("overwrite").parquet(dir)
+
+    // transformWithState requires the RocksDB state-store provider
+    val saved = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val ds = spark.readStream.schema(KinesisRecord.schema).parquet(dir)
+        .as[KinesisRecord]
+      val q = graft.streaming.StatefulSessionsV2
+        .sessionize(ds, gapMillis = 600000L, spark, timers = false)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sessions_v2").start()
+      try q.processAllAvailable() finally q.stop()
+      val v2 = spark.table("sessions_v2")
+        .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+      // same gap semantics as v1: a's first burst (3) and b's first
+      // burst (2) close; the post-gap singletons stay open in state
+      assert(v2 == Set(("a", 3L), ("b", 2L)))
+    } finally saved match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("JSON-lines source round-trips the envelope") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonsrc").toString
