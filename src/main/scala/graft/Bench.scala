@@ -35,12 +35,18 @@ object Bench {
     // min-of-2 is the steady-state cost the engine actually has. Recorded
     // in the JSON ("samples"/"agg") so rounds compare like with like.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val samples = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      // min over SUCCESSFUL samples only — a fast failure must not mask a
+      // slow success; if every sample failed, report the worst elapsed so
+      // the breakage shows as cost rather than as a speedup
+      val good = samples.filter(_._1).map(_._2)
+      name -> (if (good.nonEmpty) good.min else samples.map(_._2).max)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -25,6 +25,35 @@ object StatefulSessions {
   case class ClosedSession(partitionKey: String, sessionStart: Timestamp,
       sessionEnd: Timestamp, n: Long)
 
+  /** The core session fold, shared by the v1 (`flatMapGroupsWithState`)
+    * and v2 (`transformWithState`) operators so their gap semantics can
+    * never silently diverge: records in arrival order extend the current
+    * session within `gapMillis`, close it otherwise.
+    *
+    * @return (open session after the batch, sessions closed by it)
+    */
+  def foldRecords(key: String, prior: Option[SessionState],
+      rows: Iterator[KinesisRecord], gapMillis: Long)
+      : (Option[SessionState], Seq[ClosedSession]) = {
+    val sorted = rows.toSeq.sortBy(_.approximateArrivalTimestamp.getTime)
+    var cur = prior
+    val closed = Seq.newBuilder[ClosedSession]
+    sorted.foreach { r =>
+      val t = r.approximateArrivalTimestamp.getTime
+      cur match {
+        case Some(s) if t - s.lastTs <= gapMillis =>
+          cur = Some(s.copy(lastTs = t, n = s.n + 1))
+        case Some(s) => // gap exceeded: close, start fresh
+          closed += ClosedSession(key, new Timestamp(s.start),
+            new Timestamp(s.lastTs), s.n)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    (cur, closed.result())
+  }
+
   /** @param idleTimeout when true, idle keys flush via processing-time
     *                     timeout — the production setting. Note the
     *                     timeout itself schedules new micro-batches, so
@@ -51,26 +80,11 @@ object StatefulSessions {
             state.remove()
             out
           } else {
-            val sorted = rows.toSeq
-              .sortBy(_.approximateArrivalTimestamp.getTime)
-            var cur = state.getOption
-            val closed = Seq.newBuilder[ClosedSession]
-            sorted.foreach { r =>
-              val t = r.approximateArrivalTimestamp.getTime
-              cur match {
-                case Some(s) if t - s.lastTs <= gapMillis =>
-                  cur = Some(s.copy(lastTs = t, n = s.n + 1))
-                case Some(s) => // gap exceeded: close, start fresh
-                  closed += ClosedSession(key, new Timestamp(s.start),
-                    new Timestamp(s.lastTs), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
+            val (cur, closed) =
+              foldRecords(key, state.getOption, rows, gapMillis)
             cur.foreach(state.update)
             if (idleTimeout) state.setTimeoutDuration(gapMillis)
-            closed.result().iterator
+            closed.iterator
           }
       }
   }

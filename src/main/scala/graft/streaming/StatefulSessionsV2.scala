@@ -29,49 +29,63 @@ object StatefulSessionsV2 {
     *               sessions then close only on a gap-exceeding record,
     *               exactly like the v1 `idleTimeout=false` mode.
     */
+  /** v2 state: the session itself plus the PROCESSING-time of the last
+    * activity — timers live in the processing-time domain, session bounds
+    * in event time; conflating them would misjudge idleness.
+    */
+  case class SessionStateV2(start: Long, lastTs: Long, n: Long,
+      lastActiveProcMs: Long)
+
   class SessionProcessor(gapMillis: Long, timers: Boolean)
     extends StatefulProcessor[String, KinesisRecord, ClosedSession] {
 
     @transient private var state: org.apache.spark.sql.streaming
-      .ValueState[SessionState] = _
+      .ValueState[SessionStateV2] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[SessionState]("session",
-        Encoders.product[SessionState], TTLConfig.NONE)
+      state = getHandle.getValueState[SessionStateV2]("session",
+        Encoders.product[SessionStateV2], TTLConfig.NONE)
 
     override def handleInputRows(key: String,
         rows: Iterator[KinesisRecord],
         timerValues: TimerValues): Iterator[ClosedSession] = {
-      val sorted = rows.toSeq.sortBy(_.approximateArrivalTimestamp.getTime)
-      var cur = if (state.exists()) Some(state.get()) else None
-      val closed = Seq.newBuilder[ClosedSession]
-      sorted.foreach { r =>
-        val t = r.approximateArrivalTimestamp.getTime
-        cur match {
-          case Some(s) if t - s.lastTs <= gapMillis =>
-            cur = Some(s.copy(lastTs = t, n = s.n + 1))
-          case Some(s) => // gap exceeded: close, start fresh
-            closed += ClosedSession(key, new Timestamp(s.start),
-              new Timestamp(s.lastTs), s.n)
-            cur = Some(SessionState(t, t, 1))
-          case None =>
-            cur = Some(SessionState(t, t, 1))
-        }
+      val now = timerValues.getCurrentProcessingTimeInMs()
+      val prior =
+        if (state.exists()) {
+          val v = state.get()
+          Some(SessionState(v.start, v.lastTs, v.n))
+        } else None
+      val (cur, closed) =
+        StatefulSessions.foldRecords(key, prior, rows, gapMillis)
+      cur.foreach(s =>
+        state.update(SessionStateV2(s.start, s.lastTs, s.n, now)))
+      if (timers) {
+        // timers are ADDITIVE (unlike v1's single resettable timeout):
+        // drop the stale ones before registering the fresh deadline, or
+        // an earlier timer fires mid-session
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(now + gapMillis)
       }
-      cur.foreach(state.update)
-      if (timers)
-        getHandle.registerTimer(
-          timerValues.getCurrentProcessingTimeInMs() + gapMillis)
-      closed.result().iterator
+      closed.iterator
     }
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] =
       if (state.exists()) {
         val s = state.get()
-        state.clear()
-        Iterator(ClosedSession(key, new Timestamp(s.start),
-          new Timestamp(s.lastTs), s.n))
+        val now = timerValues.getCurrentProcessingTimeInMs()
+        if (now - s.lastActiveProcMs >= gapMillis) {
+          // genuinely idle in the processing-time domain: flush
+          state.clear()
+          Iterator(ClosedSession(key, new Timestamp(s.start),
+            new Timestamp(s.lastTs), s.n))
+        } else {
+          // a stale timer outlived newer activity (e.g. restored from an
+          // old checkpoint): re-arm for the remaining idle window
+          getHandle.registerTimer(s.lastActiveProcMs + gapMillis)
+          Iterator.empty
+        }
       } else Iterator.empty
   }
 

@@ -65,18 +65,73 @@ class StatefulSessionSpec extends AnyFunSuite {
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
     try {
-      val ds = spark.readStream.schema(KinesisRecord.schema).parquet(dir)
+      def ds = spark.readStream.schema(KinesisRecord.schema).parquet(dir)
         .as[KinesisRecord]
-      val q = graft.streaming.StatefulSessionsV2
+      val q2 = graft.streaming.StatefulSessionsV2
         .sessionize(ds, gapMillis = 600000L, spark, timers = false)
         .writeStream.outputMode("append").format("memory")
         .queryName("sessions_v2").start()
-      try q.processAllAvailable() finally q.stop()
-      val v2 = spark.table("sessions_v2")
-        .collect().map(r => (r.getString(0), r.getLong(3))).toSet
-      // same gap semantics as v1: a's first burst (3) and b's first
-      // burst (2) close; the post-gap singletons stay open in state
-      assert(v2 == Set(("a", 3L), ("b", 2L)))
+      try q2.processAllAvailable() finally q2.stop()
+      val q1 = StatefulSessions
+        .sessionize(ds, gapMillis = 600000L, spark, idleTimeout = false)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sessions_v1_same").start()
+      try q1.processAllAvailable() finally q1.stop()
+      def rows(t: String) = spark.table(t).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3))).toSet
+      val v2 = rows("sessions_v2")
+      // full-row agreement with v1 ON THE SAME INPUT, plus the expected
+      // closures: a's first burst (3) and b's first burst (2); the
+      // post-gap singletons stay open in state
+      assert(v2 == rows("sessions_v1_same"))
+      assert(v2.map(r => (r._1, r._4)) == Set(("a", 3L), ("b", 2L)))
+    } finally saved match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("transformWithState timers flush only genuinely idle sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val saved = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[KinesisRecord]
+      val gap = 5000L
+      val q = graft.streaming.StatefulSessionsV2
+        .sessionize(mem.toDS(), gap, spark, timers = true)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sessions_timer").start()
+      try {
+        // three records spread over ~2 s of processing time, all within
+        // the event-time gap: stale timers from the first two batches
+        // expire DURING the session — a premature close would split it.
+        // NO processAllAvailable here: armed timers keep scheduling
+        // batches, so it never quiesces — poll the sink instead.
+        val base = 1700000000L
+        mem.addData(rec("k", 1, base)); Thread.sleep(1000)
+        mem.addData(rec("k", 2, base + 1)); Thread.sleep(1000)
+        mem.addData(rec("k", 3, base + 2))
+        // now idle: the final timer (last activity + gap) must flush ONE
+        // session carrying all three records
+        val deadline = System.currentTimeMillis() + 60000
+        var rows = Array.empty[(String, Long)]
+        while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+          Thread.sleep(500)
+          rows = spark.table("sessions_timer").collect()
+            .map(r => (r.getString(0), r.getLong(3)))
+        }
+        assert(rows.toSeq == Seq(("k", 3L)),
+          s"expected one idle-flushed session of 3, got ${rows.toSeq}")
+      } finally q.stop()
     } finally saved match {
       case Some(v) => spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", v)
