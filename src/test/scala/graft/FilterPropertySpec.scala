@@ -93,6 +93,83 @@ class FilterPropertySpec extends AnyFunSuite {
       else verdicts.forall(identity)
   }
 
+  // --- typed-extension reference interpreter ---------------------------
+  private def refTypedVerb(v: String, verb: String, fv: String): Boolean = {
+    import FilterVerbs._
+    val l = try Some(v.toDouble) catch { case _: Throwable => None }
+    val r = fv.toDouble
+    l match {
+      case None => false // unparseable ⇒ non-match, like missing (P7)
+      case Some(x) => verb match {
+        case Equals             => x == r
+        case NotEquals          => x != r
+        case GreaterThan        => x > r
+        case LessThan           => x < r
+        case GreaterThanOrEqual => x >= r
+        case LessThanOrEqual    => x <= r
+      }
+    }
+  }
+
+  private def refDeliverTyped(doc: Doc, spec: FilterSpec): Boolean =
+    doc match {
+      case _ if spec.filters.isEmpty => true
+      case RawDoc(_) => true
+      case ObjDoc(fields) =>
+        val verdicts = spec.filters.map { f =>
+          fields.get(f.property) match {
+            case None => false
+            case Some(v) => refTypedVerb(v, f.verb, f.value)
+          }
+        }
+        if (spec.useOr) verdicts.exists(identity)
+        else verdicts.forall(identity)
+    }
+
+  private val typedVerbs = {
+    import FilterVerbs._
+    Seq(Equals, NotEquals, GreaterThan, LessThan, GreaterThanOrEqual,
+      LessThanOrEqual)
+  }
+
+  private def randNumericish(): String =
+    Seq("0", "7", "42", "-3", "3.5", "1000", "9", "10", "abc")(rnd.nextInt(9))
+
+  private def randTypedSpec(): FilterSpec = FilterSpec(
+    (0 until (1 + rnd.nextInt(3))).map { _ =>
+      PayloadFilter(keys(rnd.nextInt(keys.length)),
+        typedVerbs(rnd.nextInt(typedVerbs.length)),
+        // filter value must be numeric (validated); field values may not
+        Seq("0", "7", "42", "-3", "3.5", "1000", "9",
+          "10")(rnd.nextInt(8)))
+    }, useOr = rnd.nextBoolean())
+
+  private def randNumDoc(): Doc = rnd.nextInt(10) match {
+    case 0 => RawDoc(Seq("[1,2,3]", "42", "{oops")(rnd.nextInt(3)))
+    case _ => ObjDoc(keys.filter(_ => rnd.nextBoolean())
+      .map(k => k -> randNumericish()).toMap)
+  }
+
+  test("typed compiler == numeric reference interpreter on 40×40 matrix") {
+    import spark.implicits._
+    val docs = (0 until 40).map(_ => randNumDoc())
+    val specs = (0 until 40).map(_ => randTypedSpec())
+    val df = docs.zipWithIndex.map { case (d, i) => (i, d.render) }
+      .toDF("i", "body")
+    val predCols = specs.zipWithIndex.map { case (sp, j) =>
+      FilterCompiler.compileTyped(sp, col("body")).as(s"p$j") }
+    val got = df.select(col("i") +: predCols: _*).collect()
+      .map(r => r.getInt(0) -> (0 until specs.length).map(j =>
+        r.getBoolean(j + 1))).toMap
+    for ((d, i) <- docs.zipWithIndex; (sp, j) <- specs.zipWithIndex) {
+      val expect = refDeliverTyped(d, sp)
+      assert(got(i)(j) == expect,
+        s"doc=${d.render} spec=$sp: spark=${got(i)(j)} ref=$expect")
+    }
+    val flat = got.values.flatten
+    assert(flat.exists(identity) && flat.exists(!_))
+  }
+
   test("compiled predicate == reference interpreter on 60×48 random matrix") {
     import spark.implicits._
     val docs = (0 until 48).map(_ => randDoc())
