@@ -77,6 +77,11 @@ object ExplainAudit {
     auditAtMost("r_join_asof", "Exchange hashpartitioning", 1)
     // session windows aggregate behind a single hash exchange
     auditAtMost("w_session", "Exchange hashpartitioning", 1)
+    // TopKOptimizations: the key filter written ABOVE the custom operator
+    // reaches the parquet scan as a PushedFilter, and the scan reads only
+    // the two live columns (ts/event_type/value/props pruned)
+    audit("r_topk_pushdown", "LessThan(user_id,8)",
+      "ReadSchema: struct<event_id:bigint,user_id:bigint>")
     // ANN re-rank runs on the bounded-heap operator; nothing below it
     // sorts (the only Sorts sit above, over the k·|queries| survivors)
     auditNoneBelow("s_ann_lsh", "TopKPerKey", "Sort")

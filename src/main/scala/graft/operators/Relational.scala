@@ -154,6 +154,18 @@ object Relational {
           col("l_linenumber"))
         .limit(20)
     },
+    // ---- per-key top-k THEN key filter + narrow projection, written in
+    // the "wrong" order on purpose: TopKOptimizations pushes the key
+    // predicate below the custom operator (whole groups drop before the
+    // heap, and the parquet scan gets the PushedFilter) and prunes the
+    // scan to the two live columns. ExplainAudit gates both.
+    "r_topk_pushdown" -> { (s, d) =>
+      graft.plans.TopKPerKey.topKPerKey(Tables.events(s, d),
+          Seq("user_id"), Seq(("event_id", true)), 3)
+        .filter(col("user_id") < 8)
+        .select("user_id", "event_id")
+        .orderBy(col("user_id"), col("event_id").desc)
+    },
     // ---- set ops
     "r_union" -> { (s, d) =>
       val c = Tables.customer(s, d)
@@ -513,6 +525,13 @@ object Relational {
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 20""".stripMargin,
+    "r_topk_pushdown" ->
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY event_id DESC) AS rk
+        |  FROM events)
+        |WHERE rk <= 3 AND user_id < 8
+        |ORDER BY user_id, event_id DESC""".stripMargin,
     "r_union" ->
       """SELECT DISTINCT c_custkey FROM (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

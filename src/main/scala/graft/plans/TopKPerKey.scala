@@ -50,6 +50,7 @@ object TopKPerKey {
       order: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession
     Bridge.addStrategy(spark, TopKPerKeyStrategy)
+    Bridge.addOptimizations(spark, TopKOptimizations.liveSessionRules)
     val analyzed = df.queryExecution.analyzed
     def attr(n: String) = analyzed.output
       .find(_.name.equalsIgnoreCase(n))
@@ -132,6 +133,11 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * `spark.sql.extensions`.
   */
 class TopKExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // inside the main operator-optimization fixed point the built-in
+    // pushdown/pruning rules compose with these, so only the engine's own
+    // rules are injected here (vs the live-session late-batch set)
+    TopKOptimizations.rules.foreach(r => e.injectOptimizerRule(_ => r))
+  }
 }

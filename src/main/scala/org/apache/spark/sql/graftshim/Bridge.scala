@@ -40,6 +40,20 @@ object Bridge {
         classic.experimental.extraStrategies :+ s
   }
 
+  /** Add optimizer rules to a live session's `experimental
+    * .extraOptimizations` batch (public experimental surface; idempotent).
+    */
+  def addOptimizations(spark: org.apache.spark.sql.SparkSession,
+      rules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val missing = rules.filterNot(
+      classic.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty)
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations ++ missing
+  }
+
   /** Register catalyst function builders on a live session's registry
     * (`sessionState` is private[sql] in Spark 4).
     */
