@@ -91,7 +91,68 @@ object TextAnalysis {
       lit(0.3) * least(n / 100.0, lit(1.0))
   }
 
+  /** ALL word-trigram occurrences (Dedup.shingles dedups for Jaccard; the
+    * repetition signals need the multiplicities). Same short-doc guard.
+    */
+  def trigramOccurrences(text: Column): Column = {
+    val tk = toks(text)
+    when(size(tk) >= 3,
+      transform(sequence(lit(0), size(tk) - 3),
+        i => concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2),
+          element_at(tk, i + 3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Email / phone redaction patterns — RE2-compatible (no backrefs or
+    * lookaround) so Java (Spark) and RE2 (DuckDB/real pipelines) agree.
+    */
+  val EmailRe = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+
   val queries: Map[String, Q] = Map(
+    // PII redaction: count + replace emails/phones. The fixture corpus is
+    // clean synthetic prose, so the query plants deterministic PII derived
+    // from doc_id (emails on even ids, phones on ids % 3 == 0) — both
+    // engines synthesize the identical dirty column, and the oracle then
+    // checks the FULL redacted string, not just the counts.
+    "t_pii_redact" -> { (s, d) =>
+      val dirty = concat(col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" call +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("dirty"), lit(EmailRe), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("dirty"), lit(PhoneRe), lit(0)))
+            .as("n_phones"),
+          regexp_replace(
+            regexp_replace(col("dirty"), lit(EmailRe), lit("<EMAIL>")),
+            lit(PhoneRe), lit("<PHONE>")).as("redacted"))
+        .orderBy("doc_id")
+    },
+    // Gopher-style repetition signals: share of the doc's trigrams taken
+    // by its single most frequent trigram, and the duplicated-trigram
+    // fraction. Two map-side-combined aggregations keyed by doc — linear,
+    // one shuffle of (doc, ngram) counts.
+    "t_repetition" -> { (s, d) =>
+      Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(trigramOccurrences(col("text"))).as("ngram"))
+        .groupBy("doc_id", "ngram").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(
+          round4HalfUp(max(col("n")) / sum(col("n")))
+            .as("top_trigram_frac"),
+          round4HalfUp((sum(col("n")) - count(lit(1))) / sum(col("n")))
+            .as("dup_trigram_frac"),
+          sum(col("n")).cast("long").as("n_trigrams"))
+        .orderBy("doc_id")
+    },
     // token counting: whitespace + BPE-ish subword estimate
     "t_token_count" -> { (s, d) =>
       Tables.documents(s, d).select(
@@ -146,6 +207,41 @@ object TextAnalysis {
   private val oracleToks = "string_split(text, ' ')"
 
   val oracles: Map[String, String] = Map(
+    "t_pii_redact" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' contact user' ||
+        |      CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(dirty,
+        |    '[a-z0-9.]+@[a-z0-9.]+[a-z]')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(dirty,
+        |    '\+1-555-[0-9]{4}')) AS INT) AS n_phones,
+        |  regexp_replace(regexp_replace(dirty,
+        |    '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+    "t_repetition" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, len(t) - 2 + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ngram
+        |  FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)
+        |  WHERE len(t) >= 3),
+        |counts AS (
+        |  SELECT doc_id, ngram, count(*) AS n FROM occ GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  floor(max(n) / (sum(n) * 1.0) * 10000 + 0.5) / 10000.0
+        |    AS top_trigram_frac,
+        |  floor((sum(n) - count(*)) / (sum(n) * 1.0) * 10000 + 0.5)
+        |    / 10000.0 AS dup_trigram_frac,
+        |  CAST(sum(n) AS BIGINT) AS n_trigrams
+        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t_token_count" ->
       s"""SELECT doc_id,
          |  CAST(len($oracleToks) AS INT) AS n_tokens,

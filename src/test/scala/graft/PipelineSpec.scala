@@ -165,6 +165,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("PII redaction is non-vacuous: counts vary and text changes") {
+    // guards the synthesized-dirty-column trick against fixture drift: if
+    // redaction ever stops firing (or fires on every row identically) the
+    // oracle would still hash-match while testing nothing
+    val out = SparkEntry.queries("t_pii_redact")(spark, sf)
+      .select("n_emails", "n_phones", "redacted").collect()
+    assert(out.map(_.getInt(0)).toSet == Set(0, 1))
+    assert(out.map(_.getInt(1)).toSet == Set(0, 1))
+    val redacted = out.map(_.getString(2))
+    assert(redacted.exists(_.contains("<EMAIL>")))
+    assert(redacted.exists(_.contains("<PHONE>")))
+    assert(redacted.forall(t => !t.contains("@") && !t.contains("+1-555-")))
+  }
+
+  test("repetition signals are non-degenerate on the fixture") {
+    val out = SparkEntry.queries("t_repetition")(spark, sf)
+      .select("top_trigram_frac", "dup_trigram_frac").collect()
+    val top = out.map(_.getDouble(0))
+    val dup = out.map(_.getDouble(1))
+    assert(top.forall(v => v > 0.0 && v <= 1.0))
+    assert(dup.forall(v => v >= 0.0 && v < 1.0))
+    // the synthetic corpus repeats trigrams in SOME docs but not all
+    assert(dup.exists(_ > 0.0) && dup.distinct.length > 10)
+  }
+
   test("multimodal decode keeps partition count (mapPartitions shape)") {
     val meta = graft.pipeline.Multimodal.decodeMeta(spark, sf)
     assert(meta.rdd.getNumPartitions ==
