@@ -122,6 +122,65 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup: Jaccard pairs where at least one side is in
+    * the NEW batch — the production dedup shape. A pipeline ingesting a
+    * daily slice against a 100 TB index must never enumerate index×index
+    * pairs (the quadratic bulk it already resolved in prior runs); only
+    * new×index and new×new candidates matter. Same posting-list blocking
+    * as [[jaccardPairs]], but each bucket enumerates only pairs touching
+    * a batch doc, so per-bucket cost is O(|new|·df) instead of O(df²).
+    * Sizes still come from both sides (Jaccard is over full shingle
+    * sets); `maxDf` caps hot buckets exactly as in the full variant.
+    */
+  def incrementalJaccardPairs(index: DataFrame, batch: DataFrame,
+      threshold: Double, maxDf: Int = 0): DataFrame = {
+    val tagged = graft.Tables.spread(
+      index.select(col("doc_id"), col("text"), lit(false).as("is_new"))
+        .union(batch.select(col("doc_id"), col("text"),
+          lit(true).as("is_new"))))
+    val posting = tagged
+      .select(col("doc_id"), col("is_new"),
+        explode(shingleHashes(col("text"))).as("s"))
+      .groupBy("s").agg(
+        collect_list(struct(col("doc_id"), col("is_new"))).as("ids"))
+    val kept =
+      if (maxDf <= 0) posting else posting.filter(size(col("ids")) <= maxDf)
+    val rawSizes = tagged.select(col("doc_id"),
+      size(shingleHashes(col("text"))).cast("long").as("n0"))
+    val sizes =
+      if (maxDf <= 0) rawSizes.withColumnRenamed("n0", "n")
+      else {
+        val drops = posting.filter(size(col("ids")) > maxDf)
+          .select(explode(col("ids")).as("m"))
+          .groupBy(col("m.doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("dropped"))
+        rawSizes.join(drops, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (col("n0") - coalesce(col("dropped"), lit(0L))).as("n"))
+      }
+    val inter = kept
+      .filter(size(col("ids")) >= 2)
+      // enumerate from the NEW members only — O(|new|·df) per bucket, not
+      // O(df²); a bucket with no batch doc generates zero rows. A
+      // new-new pair would surface from both endpoints, so keep it only
+      // from its smaller one; then canonicalize (da, db) by id order.
+      .select(explode(filter(col("ids"), m => m.getField("is_new")))
+        .as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a.doc_id") =!= col("b.doc_id") &&
+        (!col("b.is_new") || col("a.doc_id") < col("b.doc_id")))
+      .groupBy(
+        least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("i") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Connected components over near-dup pairs → (doc_id, cluster) where
     * `cluster` is the component's minimum doc_id (the canonical keeper).
     * The missing last step of every dedup pipeline: pair lists don't
@@ -237,6 +296,20 @@ object Dedup {
         .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("da", "db")
     },
+    // Incremental dedup: docs with doc_id % 5 == 0 play the NEW batch,
+    // the rest the already-resolved index; only pairs touching the batch
+    // are produced (and index×index pairs are never even enumerated).
+    // The oracle is the full capped pair set filtered to batch-touching
+    // pairs — equality proves the incremental path loses nothing.
+    "d_incremental_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      incrementalJaccardPairs(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        0.8, maxDf = 20)
+        .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("da", "db")
+    },
     // Connected-components clustering of the exact near-dup pairs:
     // (doc_id, cluster=min id of the component). The oracle is a DuckDB
     // recursive CTE computing the same transitive closure.
@@ -318,6 +391,30 @@ object Dedup {
         |JOIN sizes sa ON sa.doc_id = da
         |JOIN sizes sb ON sb.doc_id = db
         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        |ORDER BY da, db""".stripMargin,
+    "d_incremental_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) s
+        |  FROM toks WHERE len(t) >= 3),
+        |df AS (SELECT s, count(*) c FROM sh GROUP BY s),
+        |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING(s)
+        |        WHERE c <= 20),
+        |sizes AS (SELECT doc_id, count(*) n FROM shc GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id da, b.doc_id db, count(*) i
+        |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db,
+        |       round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = da
+        |JOIN sizes sb ON sb.doc_id = db
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        |  AND (da % 5 = 0 OR db % 5 = 0)
         |ORDER BY da, db""".stripMargin,
     "d_dup_clusters" ->
       """WITH RECURSIVE toks AS (

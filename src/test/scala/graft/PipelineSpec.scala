@@ -165,6 +165,17 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup equals the full pair set restricted to the batch") {
+    val docs = Tables.documents(spark, sf)
+    val inc = pairs(Dedup.incrementalJaccardPairs(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0), 0.8, maxDf = 20))
+    val expected = exactPairs.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    assert(inc == expected)
+    // non-vacuous both ways: some pairs touch the batch, some don't
+    assert(inc.nonEmpty && inc.size < exactPairs.size)
+  }
+
   test("PII redaction is non-vacuous: counts vary and text changes") {
     // guards the synthesized-dirty-column trick against fixture drift: if
     // redaction ever stops firing (or fires on every row identically) the
