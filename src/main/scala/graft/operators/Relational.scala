@@ -237,6 +237,39 @@ object Relational {
             .as("corr_qty_disc"))
         .orderBy("l_returnflag")
     },
+    // ---- unpivot (wide→long melt): Dataset.unpivot keeps the reshape
+    // inside one narrow stage after the map-side-combined aggregate
+    "r_unpivot" -> { (s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("price"),
+          round(sum(col("l_discount")), 2).as("disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    },
+    // ---- ntile bucketing per partition key (never a global window: the
+    // partition key bounds each sort at scale)
+    "r_window_ntile" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderkey")
+    },
+    // ---- argmin/argmax aggregates (min_by/max_by). Deterministic on the
+    // fixture: per-returnflag extendedprice extremes are unique (probed at
+    // sf0.01 and sf0.1 — exactly one row carries each extreme).
+    "r_argminmax" -> { (s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(max_by(col("l_orderkey"), col("l_extendedprice"))
+            .as("top_order"),
+          min_by(col("l_orderkey"), col("l_extendedprice"))
+            .as("bottom_order"))
+        .orderBy("l_returnflag")
+    },
     // ---- ordered collect: deterministic string-joined per-group list
     // (array-typed outputs hash differently across engines; concat_ws is
     // the portable form)
@@ -582,6 +615,30 @@ object Relational {
         |  round(stddev_samp(l_quantity), 2) AS sd_qty,
         |  round(var_samp(l_quantity), 2) AS var_qty,
         |  round(corr(l_quantity, l_discount), 4) AS corr_qty_disc
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "r_unpivot" ->
+      """SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'qty' AS measure,
+        |    round(sum(l_quantity), 2) AS value
+        |  FROM lineitem GROUP BY 1
+        |  UNION ALL
+        |  SELECT l_returnflag, 'price', round(sum(l_extendedprice), 2)
+        |  FROM lineitem GROUP BY 1
+        |  UNION ALL
+        |  SELECT l_returnflag, 'disc', round(sum(l_discount), 2)
+        |  FROM lineitem GROUP BY 1)
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "r_window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER (
+        |    PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "r_argminmax" ->
+      """SELECT l_returnflag,
+        |  arg_max(l_orderkey, l_extendedprice) AS top_order,
+        |  arg_min(l_orderkey, l_extendedprice) AS bottom_order
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "r_array_agg" ->
