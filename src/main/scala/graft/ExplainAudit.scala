@@ -131,6 +131,27 @@ object ExplainAudit {
         else "FAIL\n" + plan))
     }
 
+    // partitioned layout: a lang predicate prunes whole directories at
+    // planning time (PartitionFilters), the coarse complement to
+    // row-group pushdown
+    locally {
+      import graft.sources.PartitionedLayout
+      val p = java.nio.file.Files
+        .createTempDirectory("audit_part").toString + "/docs"
+      PartitionedLayout.writePartitioned(
+        Tables.documents(spark, d), p, Seq("lang"))
+      val en = PartitionedLayout.readPartitioned(spark, p)
+        .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      en.collect()
+      val plan = en.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+", "")
+      val ok = plan.contains("PartitionFilters") &&
+        plan.contains("(lang = en)")
+      if (!ok) failed += 1
+      println("AUDIT partition-pruning: " + (if (ok) "OK"
+        else "FAIL\n" + plan))
+    }
+
     val scan = Tables.lineitem(spark, d).select("l_orderkey", "l_quantity")
       .queryExecution.executedPlan.toString
     val pruned = scan.contains(

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Hive-style partitioned parquet layout — the file-skipping path for the
+  * engine's selective scans at scale.
+  *
+  * `partitionBy` at write time encodes the partition columns into the
+  * directory tree (`lang=en/part-…`); a query filtering on those columns
+  * then prunes whole directories at PLANNING time — the scan's
+  * `PartitionFilters` — so a `lang = 'en'` predicate over a 100 TB corpus
+  * reads only the English files, no matter how many others exist. This is
+  * the coarse-grained complement to parquet row-group pushdown
+  * (`PushedFilters`): pruning removes files from the listing; pushdown
+  * skips row groups inside the files that remain.
+  *
+  * Partition columns must be low-cardinality (language, ingest date,
+  * source): a high-cardinality partition key explodes the file count and
+  * kills the listing. Cardinality guidance lives with the caller; the
+  * writer optionally repartitions by the partition columns first so each
+  * partition directory gets one file per shuffle partition instead of one
+  * per input task (the small-files problem at ingest).
+  */
+object PartitionedLayout {
+  /** Write `df` partitioned by `cols`. `coalesceOutput` pre-shuffles on
+    * the partition columns so each output directory holds few, large
+    * files — at 100 TB the difference between O(dirs) and
+    * O(dirs × input-tasks) files.
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String],
+      coalesceOutput: Boolean = true): Unit = {
+    val out =
+      if (coalesceOutput)
+        df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    out.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(cols: _*)
+      .parquet(path)
+  }
+
+  /** Read a layout produced by [[writePartitioned]]. Partition columns
+    * come back from the directory names; filters on them become
+    * `PartitionFilters` in the scan.
+    */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
