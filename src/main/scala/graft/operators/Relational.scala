@@ -237,6 +237,36 @@ object Relational {
             .as("corr_qty_disc"))
         .orderBy("l_returnflag")
     },
+    // ---- array set-algebra scalars (intersect/except/union/slice) over
+    // token arrays; outputs string-joined + sorted because DuckDB's list
+    // functions don't preserve order and raw arrays hash differently
+    "r_array_ops" -> { (s, d) =>
+      val toks = array_distinct(split(col("text"), " "))
+      val vocab = array(
+        Seq("table", "scan", "join", "filter", "window").map(lit): _*)
+      val first3 = slice(array_sort(toks), 1, 3)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        concat_ws(",", array_sort(array_intersect(toks, vocab)))
+          .as("inter"),
+        concat_ws(",", array_sort(array_except(toks, vocab))).as("minus"),
+        concat_ws(",", array_sort(array_union(first3, vocab))).as("uni"),
+        size(toks).as("n_distinct_toks"),
+        concat_ws(",", first3).as("first3"))
+        .orderBy("doc_id")
+    },
+    // ---- bitwise scalars
+    "r_scalar_bitwise" -> { (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        col("event_id").bitwiseAND(lit(255L)).as("b_and"),
+        col("event_id").bitwiseOR(lit(16L)).as("b_or"),
+        col("event_id").bitwiseXOR(col("user_id")).as("b_xor"),
+        shiftleft(col("event_id"), 3).as("b_shl"),
+        shiftright(col("event_id"), 2).as("b_shr"),
+        bit_count(col("event_id")).as("b_cnt"))
+        .orderBy("event_id")
+    },
     // ---- unpivot (wide→long melt): Dataset.unpivot keeps the reshape
     // inside one narrow stage after the map-side-combined aggregate
     "r_unpivot" -> { (s, d) =>
@@ -617,6 +647,34 @@ object Relational {
         |  round(corr(l_quantity, l_discount), 4) AS corr_qty_disc
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "r_array_ops" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |v AS (SELECT ['table','scan','join','filter','window'] AS vocab)
+        |SELECT doc_id,
+        |  -- array_to_string of an EMPTY list is NULL in DuckDB (Spark
+        |  -- concat_ws gives ''); coalesce aligns the engines
+        |  coalesce(array_to_string(
+        |    list_sort(list_intersect(toks, vocab)), ','), '') AS inter,
+        |  coalesce(array_to_string(list_sort(list_filter(toks,
+        |    x -> NOT list_contains(vocab, x))), ','), '') AS minus,
+        |  coalesce(array_to_string(list_sort(list_distinct(
+        |    list_slice(list_sort(toks), 1, 3) || vocab)), ','), '')
+        |    AS uni,
+        |  CAST(len(toks) AS INT) AS n_distinct_toks,
+        |  array_to_string(list_slice(list_sort(toks), 1, 3), ',')
+        |    AS first3
+        |FROM t, v ORDER BY doc_id""".stripMargin,
+    "r_scalar_bitwise" ->
+      """SELECT event_id,
+        |  event_id & 255 AS b_and,
+        |  event_id | 16 AS b_or,
+        |  xor(event_id, user_id) AS b_xor,
+        |  event_id << 3 AS b_shl,
+        |  event_id >> 2 AS b_shr,
+        |  CAST(bit_count(event_id) AS INT) AS b_cnt
+        |FROM events ORDER BY event_id""".stripMargin,
     "r_unpivot" ->
       """SELECT l_returnflag, measure, value FROM (
         |  SELECT l_returnflag, 'qty' AS measure,
