@@ -80,8 +80,33 @@ object TrainingSet {
           .as("pack_id"))
   }
 
+  /** Corpus-RELATIVE quality gate: keep docs at or above their
+    * language's 25th quality percentile. Absolute thresholds (the
+    * [[QualityThreshold]] gate) drift as the corpus mix shifts;
+    * rank-based gates self-calibrate. percent_rank = (rank-1)/(n-1) is
+    * the same IEEE division in any engine, so the 0.25 boundary needs no
+    * measured margin — ties share a rank in both. Partitioning by lang
+    * bounds each sort; at 100 TB swap the window for approx_percentile
+    * cutoffs per language (same keep set up to sketch error).
+    */
+  def qualityPercentileGate(docs: DataFrame, p: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= p)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.round4HalfUp(col("quality")).as("quality"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p_training_set" -> { (s, d) => trainingSet(Tables.documents(s, d)) },
+    "p_quality_gate" -> { (s, d) =>
+      qualityPercentileGate(Tables.documents(s, d), 0.25)
+        .orderBy("doc_id")
+    },
     "p_stratified_sample" -> { (s, d) =>
       stratifiedSample(Tables.documents(s, d), "lang", 20)
         .orderBy("lang", "doc_id")
@@ -92,6 +117,26 @@ object TrainingSet {
     })
 
   val oracles: Map[String, String] = Map(
+    "p_quality_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |    0.4 * (len(list_distinct(t)) / (len(t) * 1.0)) +
+        |    0.3 * (1.0 - len(list_filter(t,
+        |      x -> list_contains(['the','a','of','and','to'], x))) /
+        |      (len(t) * 1.0)) +
+        |    0.3 * least(len(t) / 100.0, 1.0) AS quality
+        |  FROM toks)
+        |SELECT doc_id, lang,
+        |  floor(quality * 10000 + 0.5) / 10000.0 AS quality
+        |FROM (
+        |  SELECT doc_id, lang, quality, percent_rank() OVER (
+        |    PARTITION BY lang ORDER BY quality) AS pr
+        |  FROM q)
+        |WHERE pr >= 0.25
+        |ORDER BY doc_id""".stripMargin,
     "p_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (
