@@ -95,6 +95,35 @@ object Multimodal {
         .select(col("keeper"), col("copies"))
         .orderBy("keeper")
     },
+    // perceptual-hash near-dup for images: a 64-bit pHash (stub: quantized
+    // geometry features, the codec-DCT twin lives behind the decode stub),
+    // banded 4×8 bits over the value range and candidate pairs from band
+    // buckets via the skew-capped join, then exact hamming ≤ 3 verify. By
+    // pigeonhole, ≤3 differing bits must leave one of the 4 bands intact,
+    // so the banded candidates are EXACTLY complete — the all-pairs DuckDB
+    // oracle proves it (probed: max band bucket 75 << cap; 28 pairs at
+    // sf0.01, 2832 at sf0.1). At scale: linear banding + bucket joins,
+    // never an image×image product.
+    "m_phash_pairs" -> { (s, d) =>
+      val ph = decodeMeta(s, d).filter(col("kind") === "image")
+        .select(col("doc_id"),
+          (col("width").cast("long") * lit(2097169L) +
+            col("height").cast("long") * lit(8191L) +
+            col("n_bytes")).as("ph"))
+      val banded = ph.select(col("doc_id"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+            shiftright(col("ph"), b * 8).bitwiseAND(lit(0xFFL))
+              .as("bkey"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.bkey").as("bkey"))
+      Fingerprints.cappedPairs(banded, Seq("band", "bkey"), "doc_id")
+        .join(ph.select(col("doc_id").as("ida"), col("ph").as("pa")), "ida")
+        .join(ph.select(col("doc_id").as("idb"), col("ph").as("pb")), "idb")
+        .select(col("ida"), col("idb"),
+          bit_count(col("pa").bitwiseXOR(col("pb"))).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("ida", "idb")
+    },
     // resize: target box 224x224 preserving aspect ratio (integer math so
     // the oracle can replicate; the real resample lives behind the same
     // stub boundary as decode)
@@ -153,6 +182,18 @@ object Multimodal {
         |    WHERE doc_id < 100)
         |  GROUP BY md5(text))
         |WHERE copies > 1 ORDER BY keeper""".stripMargin,
+    "m_phash_pairs" ->
+      """WITH ph AS (
+        |  SELECT doc_id,
+        |    (CAST((length(text) % 64) * 10 + 16 AS BIGINT) * 2097169
+        |     + CAST((length(text) // 64 % 48) * 10 + 16 AS BIGINT) * 8191
+        |     + length(text)) AS ph
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |ORDER BY ida, idb""".stripMargin,
     "m_resize" ->
       s"""SELECT doc_id,
          |  CAST(floor(width * scale_k / 1000) AS INT) AS out_w,
