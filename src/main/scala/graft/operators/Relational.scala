@@ -237,6 +237,41 @@ object Relational {
             .as("corr_qty_disc"))
         .orderBy("l_returnflag")
     },
+    // ---- full-outer join with genuine nulls on BOTH sides (urgent-only
+    // and low-only customers both exist — probed 188/171 at sf0.01)
+    "r_join_outer" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey").as("uk"))
+        .agg(count(lit(1)).as("n_urgent"))
+      val low = o.filter(col("o_orderpriority") === "5-LOW")
+        .groupBy(col("o_custkey").as("lk"))
+        .agg(count(lit(1)).as("n_low"))
+      urgent.join(low, col("uk") === col("lk"), "full_outer")
+        .select(coalesce(col("uk"), col("lk")).as("custkey"),
+          coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+          coalesce(col("n_low"), lit(0L)).as("n_low"))
+        .orderBy("custkey")
+    },
+    // ---- correlated subqueries through the SQL surface: EXISTS,
+    // NOT EXISTS, and a correlated scalar subquery in one query
+    // (Catalyst rewrites them to semi/anti/left joins)
+    "r_subqueries" -> { (s, d) =>
+      Tables.part(s, d).createOrReplaceTempView("graft_sq_part")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_sq_lineitem")
+      s.sql("""
+        SELECT p.p_partkey,
+               (SELECT max(l.l_quantity) FROM graft_sq_lineitem l
+                WHERE l.l_partkey = p.p_partkey) AS max_qty
+        FROM graft_sq_part p
+        WHERE EXISTS (SELECT 1 FROM graft_sq_lineitem l
+                      WHERE l.l_partkey = p.p_partkey
+                        AND l.l_quantity > 45)
+          AND NOT EXISTS (SELECT 1 FROM graft_sq_lineitem l
+                          WHERE l.l_partkey = p.p_partkey
+                            AND l.l_discount > 0.09)
+        ORDER BY p.p_partkey""")
+    },
     // ---- array set-algebra scalars (intersect/except/union/slice) over
     // token arrays; outputs string-joined + sorted because DuckDB's list
     // functions don't preserve order and raw arrays hash differently
@@ -647,6 +682,30 @@ object Relational {
         |  round(corr(l_quantity, l_discount), 4) AS corr_qty_disc
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "r_join_outer" ->
+      """WITH u AS (
+        |  SELECT o_custkey, count(*) AS n_urgent FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |l AS (
+        |  SELECT o_custkey, count(*) AS n_low FROM orders
+        |  WHERE o_orderpriority = '5-LOW' GROUP BY 1)
+        |SELECT coalesce(u.o_custkey, l.o_custkey) AS custkey,
+        |  CAST(coalesce(n_urgent, 0) AS BIGINT) AS n_urgent,
+        |  CAST(coalesce(n_low, 0) AS BIGINT) AS n_low
+        |FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "r_subqueries" ->
+      """SELECT p.p_partkey,
+        |  (SELECT max(l.l_quantity) FROM lineitem l
+        |   WHERE l.l_partkey = p.p_partkey) AS max_qty
+        |FROM part p
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_partkey = p.p_partkey
+        |                AND l.l_quantity > 45)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_partkey = p.p_partkey
+        |                    AND l.l_discount > 0.09)
+        |ORDER BY p.p_partkey""".stripMargin,
     "r_array_ops" ->
       """WITH t AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
