@@ -136,6 +136,29 @@ object TextAnalysis {
             lit(PhoneRe), lit("<PHONE>")).as("redacted"))
         .orderBy("doc_id")
     },
+    // Corpus-frequency informativeness: mean document frequency of the
+    // doc's distinct trigrams — high mean ⇒ boilerplate shared across the
+    // corpus, low ⇒ unique content. Deliberately INTEGER arithmetic until
+    // the final division: a float log-average would be aggregation-order-
+    // dependent across engines, while BIGINT sums are exact. Two shuffles
+    // (df build, per-doc sum); the df side is a broadcast at any scale
+    // where it fits, else a plain equi-join.
+    "t_informativeness" -> { (s, d) =>
+      val sh = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), explode(Dedup.shingles(col("text")))
+          .as("ngram"))
+      val df_ = sh.groupBy("ngram").agg(count(lit(1)).as("df"))
+      sh.join(df_, "ngram")
+        .groupBy("doc_id").agg(
+          sum(col("df")).as("df_sum"),
+          count(lit(1)).as("n_distinct_trigrams"))
+        .select(col("doc_id"),
+          col("df_sum"),
+          col("n_distinct_trigrams"),
+          round4HalfUp(col("df_sum") / col("n_distinct_trigrams"))
+            .as("mean_df"))
+        .orderBy("doc_id")
+    },
     // Gopher-style repetition signals: share of the doc's trigrams taken
     // by its single most frequent trigram, and the duplicated-trigram
     // fraction. Two map-side-combined aggregations keyed by doc — linear,
@@ -226,6 +249,21 @@ object TextAnalysis {
         |    '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
         |    '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
         |FROM dirty ORDER BY doc_id""".stripMargin,
+    "t_informativeness" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 2 + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS ngram
+        |  FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)
+        |  WHERE len(t) >= 3),
+        |df AS (SELECT ngram, count(*) AS df FROM sh GROUP BY ngram)
+        |SELECT doc_id,
+        |  CAST(sum(df) AS BIGINT) AS df_sum,
+        |  count(*) AS n_distinct_trigrams,
+        |  floor(sum(df) / (count(*) * 1.0) * 10000 + 0.5) / 10000.0
+        |    AS mean_df
+        |FROM sh JOIN df USING (ngram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t_repetition" ->
       """WITH occ AS (
         |  SELECT doc_id, unnest(list_transform(

@@ -118,6 +118,34 @@ class TopKOptimizationSpec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("randomized: rewritten plans equal the window formulation") {
+    val rnd = new scala.util.Random(20260812L)
+    val ev = Tables.events(spark, sf)
+    for (_ <- 0 until 8) {
+      val k = 1 + rnd.nextInt(9)
+      val desc = rnd.nextBoolean()
+      val keyTh = rnd.nextInt(15).toLong
+      val payTh = rnd.nextDouble()
+      val (useKey, usePay) = (rnd.nextBoolean(), rnd.nextBoolean())
+      def filters(df: DataFrame): DataFrame = {
+        val f1 = if (useKey) df.filter(col("user_id") <= keyTh) else df
+        if (usePay) f1.filter(col("value") > payTh) else f1
+      }
+      val custom = filters(TopKApi.topKPerKey(ev, Seq("user_id"),
+          Seq(("event_id", desc)), k))
+        .select("user_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(if (desc) col("event_id").desc else col("event_id"))
+      val reference = filters(ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).drop("rn"))
+        .select("user_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(custom == reference,
+        s"k=$k desc=$desc keyF=$useKey($keyTh) payF=$usePay($payTh)")
+    }
+  }
+
   test("PushFilterThroughTopK rewrites the analyzed plan (unit)") {
     val base = TopKApi.topKPerKey(Tables.events(spark, sf),
       Seq("user_id"), Seq(("event_id", false)), 5)
