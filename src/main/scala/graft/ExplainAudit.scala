@@ -77,6 +77,9 @@ object ExplainAudit {
     auditAtMost("r_join_asof", "Exchange hashpartitioning", 1)
     // session windows aggregate behind a single hash exchange
     auditAtMost("w_session", "Exchange hashpartitioning", 1)
+    // correlated subqueries must rewrite to join operators, never a
+    // per-row re-execution or nested-loop product
+    audit("r_subqueries", "LeftSemi", "LeftAnti")
     // TopKOptimizations: the key filter written ABOVE the custom operator
     // reaches the parquet scan as a PushedFilter, and the scan reads only
     // the two live columns (ts/event_type/value/props pruned)

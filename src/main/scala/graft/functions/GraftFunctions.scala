@@ -53,10 +53,16 @@ object GraftFunctions {
     org.apache.spark.sql.graftshim.Bridge.registerFunctions(spark, all)
 }
 
-/** Extensions entry point for `withExtensions` / `spark.sql.extensions`. */
+/** Extensions entry point for `withExtensions` / `spark.sql.extensions`:
+  * the whole engine in one registration — SQL functions, the TopKPerKey
+  * planner strategy, and its optimizer rules. (`graft.plans
+  * .TopKExtensions` remains available for strategy/rules alone.)
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (id, info, builder) =>
       e.injectFunction((id, info, builder))
     }
+    new graft.plans.TopKExtensions()(e)
+  }
 }

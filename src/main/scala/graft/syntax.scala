@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Fluent syntax for the engine's operator library:
+  *
+  * {{{
+  * import graft.syntax._
+  * docs.graftJaccardPairs(0.8, maxDf = 20)
+  * docs.graftTrainingSet
+  * events.graftTopKPerKey(Seq("user_id"), Seq(("event_id", true)), 50)
+  * records.graftFilterPayload(spec, col("data").cast("string"))
+  * }}}
+  *
+  * Thin forwarding only — every method delegates to the module object
+  * that owns the operator (and its tests/oracles); nothing is
+  * reimplemented here.
+  */
+object syntax {
+  implicit class GraftOps(private val df: DataFrame) extends AnyVal {
+    /** Per-key bounded-heap top-k ([[plans.TopKPerKey]]); `(col, true)`
+      * orders descending.
+      */
+    def graftTopKPerKey(keys: Seq[String], order: Seq[(String, Boolean)],
+        k: Int): DataFrame =
+      plans.TopKPerKey.topKPerKey(df, keys, order, k)
+
+    /** Keep rows whose JSON `body` matches the reference-semantics
+      * filter spec ([[filters.FilterCompiler.compile]]).
+      */
+    def graftFilterPayload(spec: filters.FilterSpec, body: Column): DataFrame =
+      df.filter(filters.FilterCompiler.compile(spec, body))
+
+    /** Trigram-Jaccard near-dup pairs over (doc_id, text)
+      * ([[pipeline.Dedup.jaccardPairs]]).
+      */
+    def graftJaccardPairs(threshold: Double, maxDf: Int = 0): DataFrame =
+      pipeline.Dedup.jaccardPairs(df, threshold, maxDf)
+
+    /** Connected-components clustering of an (ida, idb) pair frame
+      * ([[pipeline.Dedup.dupClusters]]).
+      */
+    def graftDupClusters(maxIter: Int = 20): DataFrame =
+      pipeline.Dedup.dupClusters(df, maxIter)
+
+    /** Composed dedup ∘ language ∘ quality training-set materialization
+      * over documents ([[pipeline.TrainingSet.trainingSet]]).
+      */
+    def graftTrainingSet: DataFrame =
+      pipeline.TrainingSet.trainingSet(df)
+
+    /** Keep docs at/above their language's `p` quality percentile
+      * ([[pipeline.TrainingSet.qualityPercentileGate]]).
+      */
+    def graftQualityGate(p: Double): DataFrame =
+      pipeline.TrainingSet.qualityPercentileGate(df, p)
+
+    /** Deterministic hash-ranked k-per-stratum sample
+      * ([[pipeline.TrainingSet.stratifiedSample]]).
+      */
+    def graftStratifiedSample(stratum: String, k: Int): DataFrame =
+      pipeline.TrainingSet.stratifiedSample(df, stratum, k)
+
+    /** Context-window sequence packing
+      * ([[pipeline.TrainingSet.packSequences]]).
+      */
+    def graftPackSequences(budget: Int): DataFrame =
+      pipeline.TrainingSet.packSequences(df, budget)
+  }
+}

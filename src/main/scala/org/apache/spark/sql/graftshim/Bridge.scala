@@ -54,6 +54,23 @@ object Bridge {
         classic.experimental.extraOptimizations ++ missing
   }
 
+  /** Introspect a `SparkSessionExtensions` (its build* methods are
+    * private[sql]) — lets specs assert what an extensions class injects
+    * without the getOrCreate-shares-the-session trap.
+    */
+  def extensionOptimizerRules(e: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    e.buildOptimizerRules(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+
+  def extensionStrategies(e: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    e.buildPlannerStrategies(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+
   /** Register catalyst function builders on a live session's registry
     * (`sessionState` is private[sql] in Spark 4).
     */

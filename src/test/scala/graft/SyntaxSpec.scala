@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.syntax._
+
+/** The fluent facade must delegate (not reimplement), and GraftExtensions
+  * must be the one-stop registration: functions + TopK strategy + its
+  * optimizer rules.
+  */
+class SyntaxSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  test("fluent syntax equals the module operators") {
+    val ev = Tables.events(spark, sf)
+    val viaSyntax = ev
+      .graftTopKPerKey(Seq("user_id"), Seq(("event_id", false)), 3)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = plans.TopKPerKey
+      .topKPerKey(ev, Seq("user_id"), Seq(("event_id", false)), 3)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSyntax == direct && viaSyntax.nonEmpty)
+
+    val docs = Tables.documents(spark, sf)
+    assert(docs.graftJaccardPairs(0.8).count() ==
+      pipeline.Dedup.jaccardPairs(docs, 0.8).count())
+    assert(docs.graftTrainingSet.columns.toSeq ==
+      Seq("doc_id", "quality", "n_tokens"))
+    assert(docs.graftQualityGate(0.25).count() ==
+      pipeline.TrainingSet.qualityPercentileGate(docs, 0.25).count())
+
+    val spec = filters.FilterSpec(Seq(filters.PayloadFilter(
+      "k", filters.FilterVerbs.GreaterThanOrEqual, "1")))
+    assert(ev.graftFilterPayload(spec, col("props")).count() ==
+      ev.filter(filters.FilterCompiler.compile(spec, col("props"))).count())
+  }
+
+  test("GraftExtensions injects functions, strategy, and optimizer rules") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new functions.GraftExtensions()(e)
+    import org.apache.spark.sql.graftshim.Bridge
+    assert(Bridge.extensionOptimizerRules(e, spark).toSet ==
+      plans.TopKOptimizations.rules.toSet)
+    assert(Bridge.extensionStrategies(e, spark)
+      .contains(plans.TopKPerKeyStrategy))
+  }
+}
