@@ -197,7 +197,8 @@ object Dedup {
     * short chains), so rounds stay small at any corpus size; the per-round
     * cost is one shuffle join on `src` + one aggregate.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20,
+      driverMaxPairs: Long = 4L << 20): DataFrame = {
     val prs = pairs.persist()
     // Size the iteration's partitioning to the GRAPH, not the corpus: the
     // dup graph is orders of magnitude smaller than its input, and each
@@ -205,6 +206,19 @@ object Dedup {
     // round count. One partition per ~500k edges, floor 2.
     val spark = prs.sparkSession
     val nPairs = prs.count()
+    // Size-gated fast path, the same engineering rule as the broadcast
+    // join threshold: a pair list under `driverMaxPairs` (4M pairs ≈
+    // 64 MB — near-dup pairs are rare by construction, so this covers
+    // all but planetary corpora) is a driver-trivial union-find; each
+    // label-propagation round below costs a full Spark job, so driving
+    // a 25-edge fixture graph through 4 rounds of joins is pure
+    // overhead. Larger graphs take the distributed path unchanged
+    // (PipelineSpec pins both paths to identical output).
+    if (nPairs > 0 && nPairs <= driverMaxPairs) {
+      val out = driverClusters(prs)
+      prs.unpersist()
+      return out
+    }
     val parts = math.max(2, math.min(
       spark.sparkContext.defaultParallelism,
       (nPairs / 500000L).toInt + 1))
@@ -256,6 +270,33 @@ object Dedup {
       .localCheckpoint(true)
     labels.unpersist()
     out
+  }
+
+  /** Min-root union-find over a collected pair list. The union rule
+    * (larger root points at smaller) keeps every tree's root equal to
+    * the component's minimum id, so `find` IS the cluster label.
+    */
+  private def driverClusters(prs: DataFrame): DataFrame = {
+    val spark = prs.sparkSession
+    val edges = prs.select(col("ida"), col("idb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- edges) {
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val rows = parent.keysIterator
+      .map(id => (id, find(id))).toSeq
+    spark.createDataFrame(rows).toDF("doc_id", "cluster")
   }
 
   val queries: Map[String, Q] = Map(

@@ -143,10 +143,28 @@ class PipelineSpec extends AnyFunSuite {
     // separate pair 10-11, plus a clique 20-21-22
     val prs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)).toDF("ida", "idb")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // driver union-find fast path (default threshold)…
     val got = Dedup.dupClusters(prs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    assert(got == expect)
+    // …and the distributed label-propagation path (threshold 0 forces
+    // it) must produce the identical labeling
+    val distributed = Dedup.dupClusters(prs, driverMaxPairs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == expect)
+  }
+
+  test("dup clustering: both paths agree on the fixture pair graph") {
+    val prs = Dedup.jaccardPairs(Tables.documents(spark, sf), 0.8)
+      .select(col("da").as("ida"), col("db").as("idb"))
+    def labels(threshold: Long) =
+      Dedup.dupClusters(prs, driverMaxPairs = threshold).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = labels(4L << 20)
+    val dist = labels(0L)
+    assert(fast == dist && fast.nonEmpty)
   }
 
   test("dup clustering: empty pair set yields empty clusters, no error") {
@@ -161,7 +179,9 @@ class PipelineSpec extends AnyFunSuite {
     // a 6-node chain cannot converge and MUST throw, not emit two keepers
     val chain = (1L until 6L).map(i => (i, i + 1)).toDF("ida", "idb")
     intercept[IllegalStateException] {
-      Dedup.dupClusters(chain, maxIter = 2).collect()
+      // driverMaxPairs=0 forces the iterative path (the driver
+      // union-find has no convergence bound to test)
+      Dedup.dupClusters(chain, maxIter = 2, driverMaxPairs = 0L).collect()
     }
   }
 
