@@ -237,6 +237,29 @@ object Relational {
             .as("corr_qty_disc"))
         .orderBy("l_returnflag")
     },
+    // ---- first/last/nth analytic functions with the full frame spelled
+    // out (the default frame stops at CURRENT ROW, which makes
+    // last_value a no-op — a classic window trap, fixed identically in
+    // both engines)
+    "r_window_firstlast" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        first(col("o_orderkey")).over(w).as("cheapest"),
+        last(col("o_orderkey")).over(w).as("priciest"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_cheapest"))
+        .orderBy("o_orderkey")
+    },
+    // ---- positional explode (token index) — generator with ordinality
+    "r_posexplode" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(col("pos") < 5)
+        .orderBy("doc_id", "pos")
+    },
     // ---- full-outer join with genuine nulls on BOTH sides (urgent-only
     // and low-only customers both exist — probed 188/171 at sf0.01)
     "r_join_outer" -> { (s, d) =>
@@ -682,6 +705,25 @@ object Relational {
         |  round(corr(l_quantity, l_discount), 4) AS corr_qty_disc
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "r_window_firstlast" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  first_value(o_orderkey) OVER w AS cheapest,
+        |  last_value(o_orderkey) OVER w AS priciest,
+        |  nth_value(o_orderkey, 2) OVER w AS second_cheapest
+        |FROM orders
+        |WINDOW w AS (
+        |  PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+    "r_posexplode" ->
+      """SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[CAST(i AS INT)] AS tok
+        |FROM (
+        |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |        FROM documents))
+        |WHERE i - 1 < 5
+        |ORDER BY doc_id, pos""".stripMargin,
     "r_join_outer" ->
       """WITH u AS (
         |  SELECT o_custkey, count(*) AS n_urgent FROM orders
