@@ -21,29 +21,44 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *
   * Drop rule (deterministic, standard keeper-selection): a batch doc is
   * flagged if it pairs with any index doc, or with any SMALLER-id doc of
-  * its own batch (whether or not that doc is itself flagged). Re-running
-  * a batch replays the same decision — but `foreachBatch` is
-  * at-least-once, so a production deployment writes per-batchId
-  * partitions (idempotent overwrite) instead of blind appends.
+  * its own batch (whether or not that doc is itself flagged).
+  *
+  * Exactly-once effect under at-least-once `foreachBatch`: every write
+  * lands in a `batch=<id>` partition directory with OVERWRITE semantics,
+  * and the index read excludes the batch being (re)written — so a
+  * replayed micro-batch recomputes against the same prior-batch index
+  * and overwrites its own previous output instead of appending
+  * duplicates. The decision itself is deterministic, so the rewrite is
+  * byte-identical.
   */
 object IncrementalDedupStream {
   private val IndexSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
 
-  private def readIndex(spark: SparkSession, path: String): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], IndexSchema)
+  /** Survivor index = every `batch=<id>` partition EXCEPT the one being
+    * (re)written, so a replayed batch sees the same input state.
+    */
+  private def readIndex(spark: SparkSession, path: String,
+      excludeBatch: Long): DataFrame = {
+    val root = new java.io.File(path)
+    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .filterNot(_.getName == s"batch=$excludeBatch")
+      .map(_.getAbsolutePath)
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], IndexSchema)
+    else spark.read.parquet(parts: _*).select("doc_id", "text")
+  }
 
   /** One micro-batch: flag, persist survivors. Public so the batch tier
     * (and the spec) can drive the identical body without a stream.
     */
-  def ingestBatch(batch: DataFrame, indexPath: String, flaggedPath: String,
-      threshold: Double, maxDf: Int): Unit = {
+  def ingestBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      flaggedPath: String, threshold: Double, maxDf: Int): Unit = {
     val spark = batch.sparkSession
     val b = batch.select("doc_id", "text").persist()
     val pairs = graft.pipeline.Dedup
-      .incrementalJaccardPairs(readIndex(spark, indexPath), b,
+      .incrementalJaccardPairs(readIndex(spark, indexPath, batchId), b,
         threshold, maxDf)
       .select("da", "db")
     val daNew = b.select(col("doc_id").as("da"), lit(true).as("da_new"))
@@ -58,9 +73,11 @@ object IncrementalDedupStream {
           .otherwise(col("db")).as("doc_id"))
       .distinct()
       .persist()
-    drops.write.mode("append").parquet(flaggedPath)
+    drops.write.mode("overwrite")
+      .parquet(s"$flaggedPath/batch=$batchId")
     b.join(drops, Seq("doc_id"), "left_anti")
-      .write.mode("append").parquet(indexPath)
+      .write.mode("overwrite")
+      .parquet(s"$indexPath/batch=$batchId")
     drops.unpersist()
     b.unpersist()
   }
@@ -69,7 +86,7 @@ object IncrementalDedupStream {
   def start(docs: DataFrame, indexPath: String, flaggedPath: String,
       threshold: Double, maxDf: Int, checkpoint: String): StreamingQuery = {
     val body: (DataFrame, Long) => Unit =
-      (b, _) => ingestBatch(b, indexPath, flaggedPath, threshold, maxDf)
+      (b, id) => ingestBatch(b, id, indexPath, flaggedPath, threshold, maxDf)
     docs.writeStream
       .foreachBatch(body)
       .option("checkpointLocation", checkpoint)

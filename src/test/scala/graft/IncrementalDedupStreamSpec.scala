@@ -62,5 +62,13 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     // non-vacuous: both batches flagged something, and survivors remain
     assert((d1 ++ d2).nonEmpty && expectIndex.nonEmpty)
     assert(d2.nonEmpty, "batch 2 should collide with the index")
+
+    // at-least-once replay: re-running batch 1 (same batchId) must leave
+    // index and flagged output byte-identical — the batch=<id> overwrite
+    // plus excluded-self index read make the retry idempotent
+    IncrementalDedupStream.ingestBatch(batch1, batchId = 0,
+      idx, flagged, 0.8, 20)
+    assert(ids(spark.read.parquet(idx)) == expectIndex)
+    assert(ids(spark.read.parquet(flagged)) == d1 ++ d2)
   }
 }
