@@ -36,6 +36,33 @@ object WindowedStreams {
       .withWatermark("approximateArrivalTimestamp", lateness)
       .dropDuplicatesWithinWatermark("sequenceNumber")
 
+  /** Stream-STREAM interval join: left records matched to same-key right
+    * records that arrived within `maxDelay` BEFORE them (the
+    * click-to-impression / event-to-cause shape). Both sides carry
+    * watermarks and the join condition bounds event time on both ends,
+    * which is exactly what Structured Streaming needs to know when
+    * buffered right-side state can be dropped — without the time bound
+    * the state store grows forever. One shuffle per side on the join
+    * key; state is O(key × maxDelay-window).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, lateness: String,
+      maxDelay: String): DataFrame = {
+    val l = left
+      .withWatermark("approximateArrivalTimestamp", lateness)
+      .select(col("partitionKey").as("k"),
+        col("sequenceNumber").as("l_seq"),
+        col("approximateArrivalTimestamp").as("l_ts"))
+    val r = right
+      .withWatermark("approximateArrivalTimestamp", lateness)
+      .select(col("partitionKey").as("rk"),
+        col("sequenceNumber").as("r_seq"),
+        col("approximateArrivalTimestamp").as("r_ts"))
+    l.join(r, col("k") === col("rk") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $maxDelay") &&
+        col("r_ts") <= col("l_ts"))
+      .select(col("k"), col("l_seq"), col("r_seq"))
+  }
+
   /** Streaming ingest filter for a training-data pipeline: decode the
     * payload, gate on quality and EXACT content dup (same rolling-hash
     * fingerprint seen within the watermark horizon ⇒ suppressed with

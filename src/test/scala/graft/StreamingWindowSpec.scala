@@ -75,6 +75,38 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(seqs.toSet == (0 until 20).map(_.toString).toSet)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val ldir = Files.createTempDirectory("sjleft").toString
+    val rdir = Files.createTempDirectory("sjright").toString
+    val base = 1700000000L
+    // left events at +0, +120, +240…; right events every 50s — only
+    // rights within [l_ts - 90s, l_ts] per key should match, so the
+    // interval genuinely filters
+    writeRecords(ldir, (0 until 12).map(i =>
+      rec(s"k${i % 3}", s"L$i", base + i * 120)))
+    writeRecords(rdir, (0 until 30).map(i =>
+      rec(s"k${i % 3}", s"R$i", base + i * 50)))
+
+    val ls = spark.readStream.schema(KinesisRecord.schema).parquet(ldir)
+    val rs = spark.readStream.schema(KinesisRecord.schema).parquet(rdir)
+    val q = WindowedStreams.intervalJoin(ls, rs, "1 minute", "90 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sjoin").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sjoin").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val lb = spark.read.schema(KinesisRecord.schema).parquet(ldir)
+    val rb = spark.read.schema(KinesisRecord.schema).parquet(rdir)
+    val batch = WindowedStreams.intervalJoin(lb, rb, "1 minute",
+      "90 seconds").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // the time bound really filtered: fewer matches than the key-only join
+    assert(streamed.size < 12L * 10L)
+  }
+
   test("streaming quality gate filters low-quality and exact-dup payloads") {
     val dir = Files.createTempDirectory("wquality").toString
     val base = 1700000000L
