@@ -107,6 +107,24 @@ object TrainingSet {
       qualityPercentileGate(Tables.documents(s, d), 0.25)
         .orderBy("doc_id")
     },
+    // The 100 TB path for the same gate: per-language approx_percentile
+    // cutoffs (one map-side-combined sketch aggregation, no per-language
+    // sort) broadcast back against the corpus. Rows-only — the sketch is
+    // implementation-defined — with agreement vs the exact gate measured
+    // in PipelineSpec.
+    "p_quality_gate_approx" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      val cuts = docs.groupBy("lang")
+        .agg(percentile_approx(col("quality"), lit(0.25), lit(10000))
+          .as("cut"))
+      docs.join(broadcast(cuts), "lang")
+        .filter(col("quality") >= col("cut"))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.round4HalfUp(col("quality")).as("quality"))
+        .orderBy("doc_id")
+    },
     "p_stratified_sample" -> { (s, d) =>
       stratifiedSample(Tables.documents(s, d), "lang", 20)
         .orderBy("lang", "doc_id")

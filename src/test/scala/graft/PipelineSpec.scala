@@ -221,6 +221,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(dup.exists(_ > 0.0) && dup.distinct.length > 10)
   }
 
+  test("approx quality gate tracks the exact percentile gate") {
+    def keep(name: String): Set[Long] =
+      SparkEntry.queries(name)(spark, sf)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = keep("p_quality_gate")
+    val approx = keep("p_quality_gate_approx")
+    val inter = (exact & approx).size.toDouble
+    assert(inter / exact.size >= 0.97 && inter / approx.size >= 0.97,
+      s"exact=${exact.size} approx=${approx.size} inter=$inter")
+  }
+
   test("multimodal decode keeps partition count (mapPartitions shape)") {
     val meta = graft.pipeline.Multimodal.decodeMeta(spark, sf)
     assert(meta.rdd.getNumPartitions ==

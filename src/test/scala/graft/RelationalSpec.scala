@@ -30,7 +30,7 @@ class RelationalSpec extends AnyFunSuite {
     // Their accuracy is asserted in PipelineSpec instead.
     val rowsOnly = Set("d_minhash_lsh", "d_simhash", "s_ann_lsh",
       "t_rolling_fingerprint", "s_ann_ivf", "d_embedding_dup_lsh",
-      "r_approx_distinct")
+      "r_approx_distinct", "p_quality_gate_approx")
     assert(missing == rowsOnly, s"queries without oracle: $missing")
   }
 
