@@ -125,6 +125,26 @@ object TrainingSet {
           TextAnalysis.round4HalfUp(col("quality")).as("quality"))
         .orderBy("doc_id")
     },
+    // Train/eval decontamination: flag corpus docs sharing any 8-token
+    // span with the benchmark slice (doc_id % 7 == 0 plays the eval
+    // set). Standard n-gram membership check: benchmark grams are a
+    // SMALL distinct set (eval suites are tiny next to the corpus), so
+    // they broadcast and the corpus-side scan never shuffles; grams are
+    // 64-bit multi-arg hashes, no n-token strings materialize. The
+    // oracle recomputes with literal string grams — hash-vs-string
+    // equality also re-proves the no-collision assumption the blocking
+    // joins rely on.
+    "p_decontaminate" -> { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+      def grams(df: DataFrame) = df.select(col("doc_id"),
+        explode(Dedup.shingleHashes(col("text"), 8)).as("g"))
+      val bench = grams(docs.filter(pmod(col("doc_id"), lit(7)) === 0))
+        .select("g").distinct()
+      grams(docs.filter(pmod(col("doc_id"), lit(7)) =!= 0))
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared_ngrams"))
+        .orderBy("doc_id")
+    },
     "p_stratified_sample" -> { (s, d) =>
       stratifiedSample(Tables.documents(s, d), "lang", 20)
         .orderBy("lang", "doc_id")
@@ -155,6 +175,21 @@ object TrainingSet {
         |  FROM q)
         |WHERE pr >= 0.25
         |ORDER BY doc_id""".stripMargin,
+    "p_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 7 + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |      || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+        |      || ' ' || t[i+7]))) AS s
+        |  FROM toks WHERE len(t) >= 8),
+        |bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 7 = 0)
+        |SELECT doc_id, count(*) AS n_shared_ngrams
+        |FROM g JOIN bench USING (s)
+        |WHERE doc_id % 7 != 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "p_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (
