@@ -360,6 +360,22 @@ object Dedup {
           .select(col("da").as("ida"), col("db").as("idb")))
         .orderBy("doc_id")
     },
+    // Semantic (embedding) dup CLUSTERS: the cosine pair set fed through
+    // the same connected-components keeper selection as the text tier —
+    // near-dup handling is one machinery, whatever produced the pairs.
+    "d_embedding_dup_clusters" -> { (s, d) =>
+      val e = graft.Tables.spread(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
+      val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+          VectorOps.dot(col("a.v"), col("b.v")).as("c"))
+        .filter(col("c") > 0.47)
+        .select("ida", "idb")
+      dupClusters(pairs)
+        .withColumnRenamed("doc_id", "vec_id")
+        .orderBy("vec_id")
+    },
     // Embedding cosine near-dup pairs: brute-force on the checkable scale;
     // the LSH-bucketed variant in Similarity is the 100 TB path.
     "d_embedding_dup" -> { (s, d) =>
@@ -484,6 +500,21 @@ object Dedup {
         |  SELECT e.t, reach.r FROM reach JOIN edges e ON reach.id = e.s)
         |SELECT id AS doc_id, min(r) AS cluster
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "d_embedding_dup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(a.embedding, b.embedding) > 0.47),
+        |edges AS (
+        |  SELECT ida AS s, idb AS t FROM pairs
+        |  UNION ALL SELECT idb, ida FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.t, reach.r FROM reach JOIN edges e ON reach.id = e.s)
+        |SELECT id AS vec_id, min(r) AS cluster
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "d_embedding_dup" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb
         |FROM embeddings a, embeddings b
