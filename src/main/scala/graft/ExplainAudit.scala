@@ -80,6 +80,9 @@ object ExplainAudit {
     // correlated subqueries must rewrite to join operators, never a
     // per-row re-execution or nested-loop product
     audit("r_subqueries", "LeftSemi", "LeftAnti")
+    // decontamination: the benchmark gram set broadcasts — the corpus
+    // side must never shuffle for the membership join
+    audit("p_decontaminate", "BroadcastHashJoin")
     // TopKOptimizations: the key filter written ABOVE the custom operator
     // reaches the parquet scan as a PushedFilter, and the scan reads only
     // the two live columns (ts/event_type/value/props pruned)

@@ -351,12 +351,14 @@ object Dedup {
         .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("da", "db")
     },
-    // Connected-components clustering of the exact near-dup pairs:
-    // (doc_id, cluster=min id of the component). The oracle is a DuckDB
-    // recursive CTE computing the same transitive closure.
+    // Connected-components clustering of the near-dup pairs:
+    // (doc_id, cluster=min id of the component). Runs on the PRODUCTION
+    // pair tier (df-capped blocking — the only one that exists at
+    // 100 TB); the oracle is a DuckDB recursive CTE over the same
+    // df-capped pair set.
     "d_dup_clusters" -> { (s, d) =>
       dupClusters(
-        jaccardPairs(Tables.documents(s, d), 0.8)
+        jaccardPairs(Tables.documents(s, d), 0.8, maxDf = 20)
           .select(col("da").as("ida"), col("db").as("idb")))
         .orderBy("doc_id")
     },
@@ -476,11 +478,14 @@ object Dedup {
     "d_dup_clusters" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split(text, ' ') t FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(t) - 2, 1) + 1),
         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) s
         |  FROM toks WHERE len(t) >= 3),
+        |dfc AS (SELECT s, count(*) c FROM sh0 GROUP BY s),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfc USING(s)
+        |       WHERE c <= 20),
         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id da, b.doc_id db, count(*) i
