@@ -42,7 +42,19 @@ object PartitionedLayout {
   /** Read a layout produced by [[writePartitioned]]. Partition columns
     * come back from the directory names; filters on them become
     * `PartitionFilters` in the scan.
+    *
+    * `mergeSchema = true` unions the footers of every file instead of
+    * trusting the first one — the schema-EVOLUTION read: a crawl layout
+    * whose later batches grew columns (a new quality signal, a new
+    * media field) comes back as the superset schema with nulls for
+    * files that predate a column. Off by default because footer
+    * merging costs a pass over every file's metadata at planning time;
+    * at 100 TB, prefer a table catalog carrying the current schema and
+    * turn this on only for ad-hoc reads of evolving layouts.
     */
-  def readPartitioned(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  def readPartitioned(spark: SparkSession, path: String,
+      mergeSchema: Boolean = false): DataFrame =
+    spark.read
+      .option("mergeSchema", mergeSchema.toString)
+      .parquet(path)
 }

@@ -41,6 +41,35 @@ class PartitionedLayoutSpec extends AnyFunSuite {
     assert(docs.select("lang").distinct().count() > 1)
   }
 
+  test("schema evolution: a later batch's new column merges with nulls") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_evolve").toString + "/docs"
+    val docs = Tables.documents(spark, sf)
+    // batch 1: original schema
+    PartitionedLayout.writePartitioned(
+      docs.filter(col("doc_id") < 100).select("doc_id", "text", "lang"),
+      path, Seq("lang"))
+    // batch 2 grew a quality column — append alongside batch 1
+    docs.filter(col("doc_id") >= 100)
+      .select(col("doc_id"), col("text"), col("lang"),
+        graft.pipeline.TextAnalysis.round4HalfUp(
+          graft.pipeline.TextAnalysis.qualityScore(col("text")))
+          .as("quality"))
+      .repartition(col("lang"))
+      .write.mode("append").partitionBy("lang").parquet(path)
+
+    val merged = PartitionedLayout.readPartitioned(spark, path,
+      mergeSchema = true)
+    assert(merged.columns.contains("quality"), merged.columns.toSeq)
+    val n = docs.count()
+    assert(merged.count() == n)
+    // pre-evolution rows surface the new column as null; new rows don't
+    assert(merged.filter(col("doc_id") < 100)
+      .filter(col("quality").isNotNull).count() == 0)
+    assert(merged.filter(col("doc_id") >= 100)
+      .filter(col("quality").isNull).count() == 0)
+  }
+
   test("coalesced write keeps files-per-directory independent of input tasks") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_part2").toString + "/docs"
