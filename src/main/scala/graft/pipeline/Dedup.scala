@@ -198,7 +198,7 @@ object Dedup {
     * cost is one shuffle join on `src` + one aggregate.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
-      driverMaxPairs: Long = 4L << 20): DataFrame = {
+      driverMaxPairs: Long = 1L << 20): DataFrame = {
     val prs = pairs.persist()
     // Size the iteration's partitioning to the GRAPH, not the corpus: the
     // dup graph is orders of magnitude smaller than its input, and each
@@ -207,14 +207,17 @@ object Dedup {
     val spark = prs.sparkSession
     val nPairs = prs.count()
     // Size-gated fast path, the same engineering rule as the broadcast
-    // join threshold: a pair list under `driverMaxPairs` (4M pairs ≈
-    // 64 MB — near-dup pairs are rare by construction, so this covers
-    // all but planetary corpora) is a driver-trivial union-find; each
-    // label-propagation round below costs a full Spark job, so driving
-    // a 25-edge fixture graph through 4 rounds of joins is pure
-    // overhead. Larger graphs take the distributed path unchanged
-    // (PipelineSpec pins both paths to identical output).
-    if (nPairs > 0 && nPairs <= driverMaxPairs) {
+    // join threshold: a pair list under `driverMaxPairs` is a
+    // driver-trivial union-find; each label-propagation round below
+    // costs a full Spark job, so driving a 25-edge fixture graph
+    // through 4 rounds of joins is pure overhead. 1M pairs collect as
+    // ~1M Rows + a 2M-entry primitive-keyed map — tens of MB with
+    // boxing overhead counted, the broadcast-side size class. Larger
+    // graphs (or non-long id types) take the distributed path
+    // unchanged (PipelineSpec pins both paths to identical output).
+    val longIds = prs.schema.fields.take(2).forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (nPairs > 0 && nPairs <= driverMaxPairs && longIds) {
       val out = driverClusters(prs)
       prs.unpersist()
       return out
@@ -280,7 +283,8 @@ object Dedup {
     val spark = prs.sparkSession
     val edges = prs.select(col("ida"), col("idb")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    // LongMap: primitive keys, no per-entry box on the hot find() path
+    val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
       while (parent(r) != r) r = parent(r)

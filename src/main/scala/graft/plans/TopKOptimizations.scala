@@ -69,18 +69,32 @@ object TopKOptimizations {
   val rules: Seq[Rule[LogicalPlan]] =
     Seq(PushFilterThroughTopK, PruneColumnsThroughTopK)
 
+  /** Wrapper that fires `rule` only when the plan actually contains a
+    * [[TopKPerKey]] node. The live-session batch below carries three
+    * BUILT-IN rules; without the guard, registering them via
+    * `extraOptimizations` would re-run them at the very end of the
+    * optimizer on EVERY subsequent query in the session — paying a
+    * fixed-point batch (and running them after cleanup batches they
+    * were never designed to follow) on plans that gain nothing.
+    */
+  private case class OnlyWithTopK(rule: Rule[LogicalPlan])
+      extends Rule[LogicalPlan] {
+    override val ruleName: String = s"graft.OnlyWithTopK(${rule.ruleName})"
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (plan.exists(_.isInstanceOf[TopKPerKey])) rule(plan) else plan
+  }
+
   /** For LIVE sessions (no `spark.sql.extensions` at build time) the only
     * registration surface is `experimental.extraOptimizations`, which runs
     * as the LAST optimizer batch — after the built-in pushdown/pruning
     * batches have already finished. A filter moved below `TopKPerKey`
     * there would strand just beneath it, so the batch also carries the
     * (idempotent) built-in rules needed to keep driving it down to the
-    * scan: `PushDownPredicates`, `ColumnPruning`, `CollapseProject`. On
-    * plans without a `TopKPerKey` the main batches already reached their
-    * fixed point and these re-runs are no-ops.
+    * scan — `PushDownPredicates`, `ColumnPruning`, `CollapseProject` —
+    * each guarded to fire only on plans that contain the custom node.
     */
   val liveSessionRules: Seq[Rule[LogicalPlan]] = rules ++ Seq(
-    org.apache.spark.sql.catalyst.optimizer.PushDownPredicates,
-    org.apache.spark.sql.catalyst.optimizer.ColumnPruning,
-    org.apache.spark.sql.catalyst.optimizer.CollapseProject)
+    OnlyWithTopK(org.apache.spark.sql.catalyst.optimizer.PushDownPredicates),
+    OnlyWithTopK(org.apache.spark.sql.catalyst.optimizer.ColumnPruning),
+    OnlyWithTopK(org.apache.spark.sql.catalyst.optimizer.CollapseProject))
 }

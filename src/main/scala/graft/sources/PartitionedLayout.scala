@@ -23,16 +23,25 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object PartitionedLayout {
   /** Write `df` partitioned by `cols`. `coalesceOutput` pre-shuffles on
-    * the partition columns so each output directory holds few, large
-    * files — at 100 TB the difference between O(dirs) and
-    * O(dirs × input-tasks) files.
+    * (partition columns, content-hash salt) so each directory holds
+    * about `filesPerDir` files — at 100 TB the difference between
+    * O(dirs) and O(dirs × input-tasks) files. The salt matters as much
+    * as the shuffle: repartitioning on the partition columns ALONE
+    * routes every row of a partition value through ONE task — a
+    * write-skew straggler serializing `lang=en` through a single
+    * thread. The salt is a deterministic hash of the whole row (no
+    * rand(): task retries must land rows in the same shuffle
+    * partition), spreading each directory across `filesPerDir` writers.
     */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String],
-      coalesceOutput: Boolean = true): Unit = {
+      coalesceOutput: Boolean = true, filesPerDir: Int = 4): Unit = {
+    import org.apache.spark.sql.functions._
     val out =
-      if (coalesceOutput)
-        df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
-      else df
+      if (coalesceOutput) {
+        val salt = pmod(xxhash64(struct(df.columns.map(col): _*)),
+          lit(filesPerDir.toLong))
+        df.repartition(cols.map(col) :+ salt: _*)
+      } else df
     out.write
       .mode(SaveMode.Overwrite)
       .partitionBy(cols: _*)

@@ -57,18 +57,21 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     val d2 = dropsOf(b2, idx1)
     val expectIndex = idx1 ++ (b2 -- d2)
 
-    assert(ids(spark.read.parquet(idx)) == expectIndex)
+    assert(ids(spark.read.parquet(s"$idx/docs")) == expectIndex)
     assert(ids(spark.read.parquet(flagged)) == d1 ++ d2)
     // non-vacuous: both batches flagged something, and survivors remain
     assert((d1 ++ d2).nonEmpty && expectIndex.nonEmpty)
     assert(d2.nonEmpty, "batch 2 should collide with the index")
+    // the persisted inverted index holds exactly the survivors
+    assert(ids(spark.read.parquet(s"$idx/grams")) == expectIndex)
+    assert(ids(spark.read.parquet(s"$idx/sizes")) == expectIndex)
 
     // at-least-once replay: re-running batch 1 (same batchId) must leave
-    // index and flagged output byte-identical — the batch=<id> overwrite
-    // plus excluded-self index read make the retry idempotent
+    // index and flagged output identical — the batch=<id> overwrite plus
+    // excluded-self index reads make the retry idempotent
     IncrementalDedupStream.ingestBatch(batch1, batchId = 0,
       idx, flagged, 0.8, 20)
-    assert(ids(spark.read.parquet(idx)) == expectIndex)
+    assert(ids(spark.read.parquet(s"$idx/docs")) == expectIndex)
     assert(ids(spark.read.parquet(flagged)) == d1 ++ d2)
   }
 }
