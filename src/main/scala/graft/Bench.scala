@@ -43,17 +43,22 @@ object Bench {
         (ok, (System.nanoTime() - t0) / 1e9)
       }
       // min over SUCCESSFUL samples only — a fast failure must not mask a
-      // slow success; if every sample failed, report the worst elapsed so
-      // the breakage shows as cost rather than as a speedup
+      // slow success. A query with NO successful sample keeps its worst
+      // elapsed AND lands in the "failed" list: an analysis-time throw
+      // fails in ~0.1 s, which would otherwise read as a big speedup in
+      // the round-over-round total.
       val good = samples.filter(_._1).map(_._2)
-      name -> (if (good.nonEmpty) good.min else samples.map(_._2).max)
+      (name, if (good.nonEmpty) good.min else samples.map(_._2).max,
+        good.nonEmpty)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => s"\"$k\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""samples":2,"agg":"min","sf":"$sfDir"}"""
+        s""""failed":$failed,"samples":2,"agg":"min","sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))

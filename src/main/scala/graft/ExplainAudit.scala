@@ -90,7 +90,9 @@ object ExplainAudit {
       "ReadSchema: struct<event_id:bigint,user_id:bigint>")
     // ANN re-rank runs on the bounded-heap operator; nothing below it
     // sorts (the only Sorts sit above, over the k·|queries| survivors)
-    auditNoneBelow("s_ann_lsh", "TopKPerKey", "Sort")
+    // "Sort [" matches only a bare Sort node — "Sort" alone would also
+    // hit SortMergeJoin/SortAggregate in sibling subtrees
+    auditNoneBelow("s_ann_lsh", "TopKPerKey", "Sort [")
     // bucketed ingest joins with NO shuffle: both sides' distribution
     // comes from the bucketed layout (write once here, plan must be
     // Exchange-free)

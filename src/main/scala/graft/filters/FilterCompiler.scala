@@ -118,19 +118,28 @@ object FilterCompiler {
     }
   }
 
-  /** Typed twin of [[compile]]: same P6/P7/P8 composition, numeric verbs. */
-  def compileTyped(spec: FilterSpec, jsonCol: Column): Column = {
+  /** The delivery-critical P6/P7/P8 composition in ONE place: per-filter
+    * null ⇒ false (P7), AND/OR reduce (P6), object-only parse gate
+    * delivering non-objects unfiltered (P8), empty spec delivers all.
+    * [[compile]] and [[compileTyped]] differ only in the verb semantics
+    * they plug in — sharing this wrapper keeps the two from drifting.
+    */
+  private def compileWith(spec: FilterSpec, jsonCol: Column,
+      perFilter: PayloadFilter => Column): Column = {
     FilterValidation.requireValid(spec)
     if (spec.filters.isEmpty) lit(true)
     else {
-      val preds = spec.filters.map(f => coalesce(
-        typedVerbPredicate(extract(jsonCol, f.property), f.verb, f.value),
-        lit(false)))
+      val preds = spec.filters.map(f => coalesce(perFilter(f), lit(false)))
       val verdict =
         if (spec.useOr) preds.reduce(_ || _) else preds.reduce(_ && _)
       when(isValidJson(jsonCol), verdict).otherwise(lit(true))
     }
   }
+
+  /** Typed twin of [[compile]]: same P6/P7/P8 composition, numeric verbs. */
+  def compileTyped(spec: FilterSpec, jsonCol: Column): Column =
+    compileWith(spec, jsonCol,
+      f => typedVerbPredicate(extract(jsonCol, f.property), f.verb, f.value))
 
   /** P5+P6: the composed verdict over a parsed payload (no P8 wrapping). */
   def matchPredicate(spec: FilterSpec, jsonCol: Column): Column =
@@ -148,10 +157,7 @@ object FilterCompiler {
     * `PayloadFilters?.Length > 0` (`KinesisThreadJobs.cs:694`), so the
     * vacuous-OR=false rule of `matchPredicate` never applies to delivery.
     */
-  def compile(spec: FilterSpec, jsonCol: Column): Column = {
-    FilterValidation.requireValid(spec)
-    if (spec.filters.isEmpty) lit(true)
-    else when(isValidJson(jsonCol), matchPredicate(spec, jsonCol))
-      .otherwise(lit(true))
-  }
+  def compile(spec: FilterSpec, jsonCol: Column): Column =
+    compileWith(spec, jsonCol,
+      f => verbPredicate(extract(jsonCol, f.property), f.verb, f.value))
 }

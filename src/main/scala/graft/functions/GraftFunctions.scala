@@ -38,12 +38,20 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MinHashSketch].getName,
         "graft_minhash_sketch"),
       (exprs: Seq[Expression]) => {
-        // k must be a literal int: SELECT graft_minhash_sketch(h, 32)
+        // k must be a positive literal int: graft_minhash_sketch(h, 32).
+        // Arity and range are checked here so SQL misuse gets the same
+        // IllegalArgumentException discipline as the filter verbs (P9),
+        // not an IndexOutOfBounds — and k <= 0 would build empty
+        // signatures whose LSH bands all collide (all-pairs explosion).
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"graft_minhash_sketch takes (hash, k), got ${exprs.length} args")
         val k = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
-            if v.isInstanceOf[Int] => v.asInstanceOf[Int]
+            if v.isInstanceOf[Int] && v.asInstanceOf[Int] > 0 =>
+            v.asInstanceOf[Int]
           case other => throw new IllegalArgumentException(
-            s"graft_minhash_sketch k must be an integer literal, got $other")
+            "graft_minhash_sketch k must be a positive integer literal, " +
+              s"got $other")
         }
         MinHashSketch(exprs.head, k).toAggregateExpression()
       }))

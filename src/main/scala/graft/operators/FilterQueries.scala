@@ -279,7 +279,9 @@ object FilterQueries {
         |         CASE WHEN event_id % 10 = 0 THEN substr(props, 1, 3)
         |              ELSE props END AS body
         |  FROM events)
-        |WHERE CASE WHEN json_valid(body)
+        |WHERE CASE WHEN coalesce(
+        |             CASE WHEN json_valid(body) THEN json_type(body) END
+        |               = 'OBJECT', FALSE)
         |           THEN json_extract_string(body, '$.k') = '87'
         |           ELSE TRUE END
         |ORDER BY event_id""".stripMargin,

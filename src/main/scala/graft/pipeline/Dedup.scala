@@ -88,27 +88,31 @@ object Dedup {
     // semantics (collision odds ~1e-10 at this cardinality), 4× narrower
     // shuffle rows.
     val spreadDocs = graft.Tables.spread(docs) // small-file parallelism
-    val posting = spreadDocs
+    val exploded = spreadDocs
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("s"))
-      .groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
-    val kept =
-      if (maxDf <= 0) posting
-      else posting.filter(size(col("ids")) <= maxDf) // df cap = list size
-    // per-doc sizes; under a df cap, subtract each doc's dropped shingles
-    // (hot shingles are FEW by construction, so `drops` is tiny)
     val rawSizes = spreadDocs.select(col("doc_id"),
       size(shingleHashes(col("text"))).cast("long").as("n0"))
-    val sizes =
-      if (maxDf <= 0) rawSizes.withColumnRenamed("n0", "n")
+    // Under a cap, compute df FIRST with a count-only aggregation
+    // (map-side combined longs) and drop hot-shingle ROWS before any
+    // collect_list: filtering posting lists by their size after building
+    // them would still materialize a 10M-doc boilerplate shingle's list
+    // in one aggregation buffer — the exact OOM the cap exists to
+    // prevent. The hot set is tiny by construction, so the anti-join
+    // broadcasts; per-doc drop counts reuse it for the size adjustment.
+    val (keptRows, sizes) =
+      if (maxDf <= 0) (exploded, rawSizes.withColumnRenamed("n0", "n"))
       else {
-        val drops = posting.filter(size(col("ids")) > maxDf)
-          .select(explode(col("ids")).as("doc_id"))
+        val hot = exploded.groupBy("s").agg(count(lit(1)).as("dfc"))
+          .filter(col("dfc") > maxDf).select("s")
+        val drops = exploded.join(hot, Seq("s"))
           .groupBy("doc_id").agg(count(lit(1)).as("dropped"))
-        rawSizes.join(drops, Seq("doc_id"), "left")
+        val szs = rawSizes.join(drops, Seq("doc_id"), "left")
           .select(col("doc_id"),
             (col("n0") - coalesce(col("dropped"), lit(0L))).as("n"))
+        (exploded.join(hot, Seq("s"), "left_anti"), szs)
       }
-    val inter = kept
+    val inter = keptRows
+      .groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) >= 2) // df=1 (most shingles) pairs nothing
       .select(explode(col("ids")).as("da"), col("ids"))
       .select(col("da"), explode(col("ids")).as("db"))
@@ -138,27 +142,29 @@ object Dedup {
       index.select(col("doc_id"), col("text"), lit(false).as("is_new"))
         .union(batch.select(col("doc_id"), col("text"),
           lit(true).as("is_new"))))
-    val posting = tagged
+    val exploded = tagged
       .select(col("doc_id"), col("is_new"),
         explode(shingleHashes(col("text"))).as("s"))
-      .groupBy("s").agg(
-        collect_list(struct(col("doc_id"), col("is_new"))).as("ids"))
-    val kept =
-      if (maxDf <= 0) posting else posting.filter(size(col("ids")) <= maxDf)
     val rawSizes = tagged.select(col("doc_id"),
       size(shingleHashes(col("text"))).cast("long").as("n0"))
-    val sizes =
-      if (maxDf <= 0) rawSizes.withColumnRenamed("n0", "n")
+    // df FIRST, hot rows dropped BEFORE collect_list — same memory-bound
+    // rationale as jaccardPairs: a hot shingle's posting list must never
+    // materialize in an aggregation buffer just to be discarded
+    val (keptRows, sizes) =
+      if (maxDf <= 0) (exploded, rawSizes.withColumnRenamed("n0", "n"))
       else {
-        val drops = posting.filter(size(col("ids")) > maxDf)
-          .select(explode(col("ids")).as("m"))
-          .groupBy(col("m.doc_id").as("doc_id"))
-          .agg(count(lit(1)).as("dropped"))
-        rawSizes.join(drops, Seq("doc_id"), "left")
+        val hot = exploded.groupBy("s").agg(count(lit(1)).as("dfc"))
+          .filter(col("dfc") > maxDf).select("s")
+        val drops = exploded.join(hot, Seq("s"))
+          .groupBy("doc_id").agg(count(lit(1)).as("dropped"))
+        val szs = rawSizes.join(drops, Seq("doc_id"), "left")
           .select(col("doc_id"),
             (col("n0") - coalesce(col("dropped"), lit(0L))).as("n"))
+        (exploded.join(hot, Seq("s"), "left_anti"), szs)
       }
-    val inter = kept
+    val inter = keptRows
+      .groupBy("s").agg(
+        collect_list(struct(col("doc_id"), col("is_new"))).as("ids"))
       .filter(size(col("ids")) >= 2)
       // enumerate from the NEW members only — O(|new|·df) per bucket, not
       // O(df²); a bucket with no batch doc generates zero rows. A
@@ -257,11 +263,18 @@ object Dedup {
       i += 1
     }
     // Silent non-convergence would leak duplicate representatives into the
-    // training set (two "keepers" in one transitive cluster). Refuse.
-    if (!converged) throw new IllegalStateException(
-      s"dupClusters did not converge in $maxIter rounds — the dup graph " +
-        "has a connected component of diameter > maxIter (unusual for " +
-        "near-dup data; raise maxIter or pre-collapse exact dups)")
+    // training set (two "keepers" in one transitive cluster). Refuse —
+    // but unpersist FIRST: in a long-lived session each failed attempt
+    // would otherwise pin three cached DataFrames forever.
+    if (!converged) {
+      edges.unpersist()
+      prs.unpersist()
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter rounds — the dup graph " +
+          "has a connected component of diameter > maxIter (unusual for " +
+          "near-dup data; raise maxIter or pre-collapse exact dups)")
+    }
     edges.unpersist()
     prs.unpersist()
     // Truncate the iterative lineage: without this, losing a cached block

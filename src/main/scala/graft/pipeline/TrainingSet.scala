@@ -34,12 +34,15 @@ object TrainingSet {
     val dropList = Dedup.dupClusters(pairs)
       .filter(col("doc_id") =!= col("cluster"))
       .select("doc_id")
+    // quality computed ONCE: filter and projection are separate codegen
+    // stages with no cross-operator subexpression elimination, so
+    // compiling qualityScore into both would tokenize every surviving
+    // row twice
     docs.join(dropList, Seq("doc_id"), "left_anti")
-      .filter(col("lang") === "en" &&
-        TextAnalysis.qualityScore(col("text")) >= QualityThreshold)
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .filter(col("lang") === "en" && col("q") >= QualityThreshold)
       .select(col("doc_id"),
-        TextAnalysis.round4HalfUp(TextAnalysis.qualityScore(col("text")))
-          .as("quality"),
+        TextAnalysis.round4HalfUp(col("q")).as("quality"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       .orderBy("doc_id")
   }
