@@ -15,8 +15,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * element; on an all-pairs similarity join that dominated the benchmark
   * (58 s of a 124 s total at sf0.1). This expression loops over the two
   * `ArrayData` buffers with primitive reads — no allocation, stays fused
-  * in the generated stage. Null if either side is null; requires equal
-  * lengths (similarity over a homogeneous embedding column).
+  * in the generated stage. Null if either side is null, if any element is
+  * null, or if the LENGTHS differ — a 63-dim row dotted against 64-dim
+  * vectors is corrupt input, and silently truncating to the shorter
+  * length would deflate similarity scores instead of surfacing it.
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,7 +41,8 @@ case class ArrayDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -57,13 +60,17 @@ case class ArrayDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
-         |    ${ev.isNull} = true; break;
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -72,7 +72,14 @@ object Backoff {
       log: String => Unit = _ => ())(op: () => T): T =
     try op()
     catch {
-      case e: Throwable =>
+      // an interrupt is a SHUTDOWN signal, not a setup failure: restore
+      // the flag and rethrow immediately — sleeping 30 s here would
+      // stall the very shutdown the interrupt requested. Fatal errors
+      // (OOM, linkage) propagate untouched.
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt()
+        throw e
+      case scala.util.control.NonFatal(e) =>
         log(s"Failed to set up client: ${formatErrorMessage(e)}. " +
           s"Sleeping for ${SetupFailureSleepSeconds}s")
         sleep(SetupFailureSleepSeconds * 1000L)

@@ -17,23 +17,41 @@ import org.apache.spark.sql.SparkSessionExtensions
   *     existing session (what `SparkEntry.queries` uses).
   */
 object GraftFunctions {
+  /** P9 discipline for the SQL surface: wrong arity is an
+    * IllegalArgumentException naming the function, never a silent extra
+    * argument (`graft_array_dot(a, b, c)` computing dot(a, b)) or a bare
+    * IndexOutOfBounds.
+    */
+  private def arity(name: String, n: Int)(
+      exprs: Seq[Expression]): Seq[Expression] = {
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$name takes $n argument(s), got ${exprs.length}")
+    exprs
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
-      (exprs: Seq[Expression]) => RollingHash(exprs.head)),
+      (exprs: Seq[Expression]) =>
+        RollingHash(arity("graft_rolling_hash", 1)(exprs).head)),
     (FunctionIdentifier("graft_array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_array_dot"),
-      (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1))),
+      (exprs: Seq[Expression]) => {
+        val e = arity("graft_array_dot", 2)(exprs)
+        ArrayDot(e(0), e(1))
+      }),
     (FunctionIdentifier("graft_array_normalize"),
       new ExpressionInfo(classOf[ArrayNormalize].getName,
         "graft_array_normalize"),
-      (exprs: Seq[Expression]) => ArrayNormalize(exprs.head)),
+      (exprs: Seq[Expression]) =>
+        ArrayNormalize(arity("graft_array_normalize", 1)(exprs).head)),
     (FunctionIdentifier("graft_simhash_sketch"),
       new ExpressionInfo(classOf[SimHashSketch].getName,
         "graft_simhash_sketch"),
       (exprs: Seq[Expression]) =>
-        SimHashSketch(exprs.head).toAggregateExpression()),
+        SimHashSketch(arity("graft_simhash_sketch", 1)(exprs).head)
+          .toAggregateExpression()),
     (FunctionIdentifier("graft_minhash_sketch"),
       new ExpressionInfo(classOf[MinHashSketch].getName,
         "graft_minhash_sketch"),

@@ -51,7 +51,11 @@ object AsOfJoin {
       Seq(col(key), col(time), lit(1).as("__tag"),
         lit(null).cast(rvType).as("__rv")) ++
         lOther.map(col): _*)
-    val taggedRight = right.select(
+    // a right row with a NULL time can never be an as-of match (DuckDB
+    // ASOF's l.t >= r.t is false for null r.t) — but ascending
+    // nulls-first ordering would sort it before every real row and make
+    // it the carried match for early left rows; exclude it up front
+    val taggedRight = right.filter(col(time).isNotNull).select(
       Seq(col(key), col(time), lit(0).as("__tag"),
         struct(rightVals.map { case (src, out) => col(src).as(out) }: _*)
           .as("__rv")) ++

@@ -54,6 +54,12 @@ final class CheckpointStore(now: () => Instant = () => Instant.now()) {
         rows(id) = Checkpoint(streamName, queueId, shardId, None, None,
           Some(threadId), Some(t.plusSeconds(LeaseTtlSeconds)))
         true
+      // NOTE deliberate parity quirk: a just-RELEASED lease (owner=None,
+      // expiry=now) is unacquirable until the next tick, because the
+      // reference's validity check is `LeaseExpirationTime >= UtcNow`
+      // and its valid-branch returns false for any non-matching owner —
+      // including null (`KinesisCheckPointer.cs:46-62`). The spec's
+      // release test advances the clock for exactly this reason.
       case Some(cp) if cp.leaseExpirationTime.exists(!_.isBefore(t)) =>
         if (cp.leaseOwner.contains(threadId)) {
           rows(id) = cp.copy(
@@ -106,6 +112,22 @@ final class CheckpointStore(now: () => Instant = () => Instant.now()) {
       _.map(_.copy(leaseOwner = None,
         leaseExpirationTime = Some(now()))))
   }
+
+  /** Shutdown twin of `ReleaseAllLeases` for the engine's runtime, which
+    * extends leases via [[saveCheckpoint]] WITHOUT per-thread ownership
+    * (Spark's driver owns partition assignment): expire every lease of
+    * the queue so a successor runtime can start immediately.
+    */
+  def releaseQueueLeases(streamName: String, queueId: String): Unit =
+    synchronized {
+      rows.keys.toSeq.foreach { id =>
+        rows.updateWith(id)(_.map { cp =>
+          if (cp.streamName == streamName && cp.queueId == queueId)
+            cp.copy(leaseOwner = None, leaseExpirationTime = Some(now()))
+          else cp
+        })
+      }
+    }
 
   /** `ReleaseAllLeases` (`KinesisCheckPointer.cs:193-220`) — shutdown path. */
   def releaseAllLeases(streamName: String, queueId: String,

@@ -79,8 +79,12 @@ object IncrementalDedupStream {
     val b = batch.select("doc_id", "text").persist()
     val bGrams = b.select(col("doc_id"),
       explode(Dedup.shingleHashes(col("text"))).as("g")).persist()
+    // consumed twice (size join + index write) — persist, or the
+    // shingling pass the persisted-index design exists to avoid runs
+    // again per use
     val bSizes = b.select(col("doc_id"),
       size(Dedup.shingleHashes(col("text"))).cast("long").as("n0"))
+      .persist()
 
     val iGrams = readParts(spark, s"$indexPath/grams", batchId, GramSchema)
     val iSizes = readParts(spark, s"$indexPath/sizes", batchId, SizeSchema)
@@ -154,7 +158,8 @@ object IncrementalDedupStream {
     bSizes.join(drops, Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$indexPath/sizes/batch=$batchId")
 
-    Seq(survivors, drops, bK, iRel, bGrams, b).foreach(_.unpersist())
+    Seq(survivors, drops, bK, iRel, bGrams, bSizes, b)
+      .foreach(_.unpersist())
   }
 
   /** Start the ingest on a streaming `docs` frame (doc_id, text). */

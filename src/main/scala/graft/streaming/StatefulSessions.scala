@@ -30,6 +30,11 @@ object StatefulSessions {
     * never silently diverge: records in arrival order extend the current
     * session within `gapMillis`, close it otherwise.
     *
+    * Sorting bounds out-of-order WITHIN a batch; a late record from a
+    * PREVIOUS batch folds with min/max — `lastTs` must never rewind, or
+    * the late record shrinks the gap window and splits a live session
+    * (and can emit sessionEnd earlier than already-folded activity).
+    *
     * @return (open session after the batch, sessions closed by it)
     */
   def foldRecords(key: String, prior: Option[SessionState],
@@ -42,7 +47,8 @@ object StatefulSessions {
       val t = r.approximateArrivalTimestamp.getTime
       cur match {
         case Some(s) if t - s.lastTs <= gapMillis =>
-          cur = Some(s.copy(lastTs = t, n = s.n + 1))
+          cur = Some(s.copy(start = math.min(s.start, t),
+            lastTs = math.max(s.lastTs, t), n = s.n + 1))
         case Some(s) => // gap exceeded: close, start fresh
           closed += ClosedSession(key, new Timestamp(s.start),
             new Timestamp(s.lastTs), s.n)

@@ -194,9 +194,15 @@ final class QueueRuntime(
       case e: Exception => s"Connection failed: ${e.getMessage}"
     }
 
-  /** Graceful shutdown (ST13): stop the query, release queue leases. */
+  /** Graceful shutdown (ST13): stop the query, then actually release the
+    * queue's leases (the checkpoint saves extended them) so a successor
+    * runtime starts immediately instead of waiting out the TTL — the
+    * `ReleaseAllLeases` shutdown contract (`KinesisCheckPointer
+    * .cs:193-220`).
+    */
   def stop(): Unit = {
     query.foreach(_.stop())
     query = None
+    store.releaseQueueLeases(queue.streamName, queueId)
   }
 }

@@ -80,8 +80,11 @@ object WindowedStreams {
       .withColumn("quality",
         graft.pipeline.TextAnalysis.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
-      .withColumn("fp",
-        graft.functions.RollingHash.rolling_hash(col("text")))
+      // exact-dup key is xxhash64 (the batch tier's fingerprint family),
+      // NOT the base-31 RollingHash: polynomial hashes collide on
+      // classics like "Aa"/"BB", and a collision here silently DROPS a
+      // distinct record
+      .withColumn("fp", xxhash64(col("text")))
       .withWatermark("approximateArrivalTimestamp", lateness)
       .dropDuplicatesWithinWatermark("fp")
       .select(col("sequenceNumber"), col("partitionKey"),

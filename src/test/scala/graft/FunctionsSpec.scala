@@ -93,6 +93,22 @@ class FunctionsSpec extends AnyFunSuite {
         .select(graft.functions.ArrayNormalize.array_normalize(col("s")))
         .collect()
     }
+    // LENGTH mismatch nulls the dot (corrupt row must surface, not
+    // silently truncate to the shorter length and deflate similarity)
+    val mismatch = spark.sql(
+      """SELECT graft_array_dot(array(1.0d, 2.0d, 3.0d),
+        |                       array(1.0d, 2.0d)) d""".stripMargin).head()
+    assert(mismatch.isNullAt(0))
+    // SQL arity misuse is an IllegalArgumentException naming the
+    // function — never a silently-ignored extra argument
+    val wrongArity = intercept[Exception] {
+      spark.sql("SELECT graft_array_dot(array(1.0d), array(1.0d), 3)")
+        .collect()
+    }
+    assert(wrongArity.getMessage.contains("graft_array_dot") ||
+      Option(wrongArity.getCause)
+        .exists(_.getMessage.contains("graft_array_dot")),
+      wrongArity.toString)
   }
 
   test("as-of join picks the latest right row at-or-before, per key") {

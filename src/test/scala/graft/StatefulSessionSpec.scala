@@ -18,6 +18,23 @@ class StatefulSessionSpec extends AnyFunSuite {
     KinesisRecord(seq.toString.getBytes("UTF-8"), key, seq.toString,
       new Timestamp(epochSec * 1000), "None")
 
+  test("late cross-batch record never rewinds the session clock") {
+    val gap = 10000L
+    // batch 1: activity at t=100s
+    val (s1, c1) = StatefulSessions.foldRecords("k", None,
+      Iterator(rec("k", 1, 100)), gap)
+    assert(c1.isEmpty && s1.get.lastTs == 100000L)
+    // batch 2: a LATE record at t=95s, then t=106s. 106s is 6s after the
+    // real last activity (100s) — same session. A fold that rewound
+    // lastTs to 95s would see an 11s gap and wrongly split (emitting
+    // sessionEnd=95s, BEFORE activity already folded in at 100s).
+    val (s2, c2) = StatefulSessions.foldRecords("k", s1,
+      Iterator(rec("k", 2, 95), rec("k", 3, 106)), gap)
+    assert(c2.isEmpty, s"spurious split: $c2")
+    val s = s2.get
+    assert(s.lastTs == 106000L && s.start == 95000L && s.n == 3)
+  }
+
   test("flatMapGroupsWithState closes sessions on gap, keeps the open one") {
     import spark.implicits._
     val dir = Files.createTempDirectory("sess").toString
