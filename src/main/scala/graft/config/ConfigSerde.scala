@@ -24,6 +24,12 @@ object ConfigSerde {
     QueueConfig.requireValid(Serialization.read[QueueConfig](json))
 
   def filtersToJson(s: FilterSpec): String = Serialization.write(s)
-  def filtersFromJson(json: String): FilterSpec =
-    Serialization.read[FilterSpec](json)
+  // validated on load like its queue twin — the round-trip contract is
+  // "reconstitutes an identical, VALIDATED config", and an invalid verb
+  // must fail here, not later inside the filter compiler
+  def filtersFromJson(json: String): FilterSpec = {
+    val s = Serialization.read[FilterSpec](json)
+    graft.filters.FilterValidation.requireValid(s)
+    s
+  }
 }

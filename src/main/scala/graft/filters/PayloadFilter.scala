@@ -48,7 +48,12 @@ object FilterVerbs {
   * `KinesisThreadJobs.cs:802-804` (unknown verb rejected).
   */
 object FilterValidation {
-  def validate(spec: FilterSpec): Seq[String] = spec.filters.flatMap { f =>
+  def validate(spec: FilterSpec): Seq[String] = {
+    // json4s maps {"filters": null} to FilterSpec(null) — report it like
+    // any other issue instead of NPEing out of the validator
+    if (spec.filters == null)
+      return Seq("Payload filter list must not be null")
+    spec.filters.flatMap { f =>
     val issues = Seq.newBuilder[String]
     if (f.property == null || f.property.trim.isEmpty)
       issues += s"Payload filter property must not be empty: $f"
@@ -59,6 +64,7 @@ object FilterValidation {
     if (f.value == null || f.value.isEmpty)
       issues += s"Payload filter value must not be empty: $f"
     issues.result()
+    }
   }
 
   def requireValid(spec: FilterSpec): Unit = {

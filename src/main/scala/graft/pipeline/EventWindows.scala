@@ -25,7 +25,9 @@ object EventWindows {
     "w_tumbling" -> { (s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          graft.pipeline.TextAnalysis.roundHalfUp(sum(col("value")), 2)
+            .as("total"))
         .select(fmt(col("w.start")).as("window_start"), col("event_type"),
           col("n"), col("total"))
         .orderBy("window_start", "event_type")
@@ -43,7 +45,9 @@ object EventWindows {
       Tables.events(s, d)
         .groupBy(col("user_id"),
           session_window(col("ts"), "12 hours").as("w"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          graft.pipeline.TextAnalysis.roundHalfUp(sum(col("value")), 2)
+            .as("total"))
         .select(col("user_id"), fmt(col("w.start")).as("session_start"),
           col("n"), col("total"))
         .orderBy("user_id", "session_start")
@@ -53,7 +57,7 @@ object EventWindows {
     "w_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |         AS window_start,
-        |       event_type, count(*) AS n, round(sum(value), 2) AS total
+        |       event_type, count(*) AS n, floor(sum(value) * 100 + 0.5) / 100.0 AS total
         |FROM events
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "w_sliding" ->
@@ -81,7 +85,7 @@ object EventWindows {
         |  FROM ordered)
         |SELECT user_id,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  count(*) AS n, round(sum(value), 2) AS total
+        |  count(*) AS n, floor(sum(value) * 100 + 0.5) / 100.0 AS total
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin)
 }

@@ -75,7 +75,7 @@ object Fingerprints {
     * `groupByKey + Aggregator` route deserialized every row through a
     * Dataset encoder.
     */
-  def simhashes(docs: DataFrame)(implicit s: SparkSession): DataFrame =
+  def simhashes(docs: DataFrame): DataFrame =
     graft.Tables.spread(docs)
       .select(col("doc_id"),
         explode(Dedup.shingleHashes(col("text"))).as("h"))
@@ -143,7 +143,6 @@ object Fingerprints {
     // ≤ 7 ⇒ ≥1 identical band), popcount(xor) ≤ 7 verify. Same skew-capped
     // id-pairs-only candidate step as MinHash.
     "d_simhash" -> { (s, d) =>
-      implicit val sp: SparkSession = s
       val sh = simhashes(Tables.documents(s, d))
       val banded = sh.select(col("doc_id"),
         explode(array((0 until 8).map(b =>

@@ -77,7 +77,7 @@ object Multimodal {
         .agg(count(lit(1)).as("n"),
           max(col("width")).as("max_w"),
           min(col("height")).as("min_h"),
-          round(avg(col("n_bytes")), 2).as("avg_bytes"))
+          TextAnalysis.roundHalfUp(avg(col("n_bytes")), 2).as("avg_bytes"))
         .orderBy("kind")
     },
     // binary content dedup: md5-address the media BYTES (the standard
@@ -167,7 +167,7 @@ object Multimodal {
          |ORDER BY doc_id""".stripMargin,
     "m_kind_stats" ->
       s"""SELECT kind, count(*) AS n, max(width) AS max_w,
-         |       min(height) AS min_h, round(avg(n_bytes), 2) AS avg_bytes
+         |       min(height) AS min_h, floor(avg(n_bytes) * 100 + 0.5) / 100.0 AS avg_bytes
          |FROM ($meta) GROUP BY kind ORDER BY kind""".stripMargin,
     "m_frame_sample" ->
       s"""SELECT doc_id, unnest(range(0, n_frames, 5)) AS frame_idx

@@ -129,7 +129,7 @@ object Similarity {
 
   lazy val queries: Map[String, Q] = exactAndLsh ++ Map(
     // IVF-style ANN: 16 deterministic centroids (a corpus sample), each
-    // vector assigned to its nearest cell; queries probe their top-4
+    // vector assigned to its nearest cell; queries probe their top-10
     // cells and re-rank exactly within candidates. Corpus cost at scale:
     // one assignment scan + equi-join on cell id — no all-pairs product.
     "s_ann_ivf" -> { (s, d) =>

@@ -24,9 +24,14 @@ object VectorOps {
 
   /** Cosine similarity between two double-array columns. On pairwise
     * joins prefer [[normalized]] + [[dot]]: normalize each side ONCE
-    * (linear cost), then each pair is a single dot product.
+    * (linear cost), then each pair is a single dot product. A zero
+    * vector has no direction — similarity is null, not a DIVIDE_BY_ZERO
+    * (which is a query-killing ERROR under Spark 4's ANSI default).
     */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    org.apache.spark.sql.functions.when(denom =!= 0.0, dot(a, b) / denom)
+  }
 
   /** Unit-normalized copy of a double-array column (codegen'd
     * [[graft.functions.ArrayNormalize]] — the HOF form re-evaluated the

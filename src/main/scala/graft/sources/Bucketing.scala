@@ -28,7 +28,12 @@ object Bucketing {
     * [[writeBucketed]] on their join keys (same bucket count).
     */
   def colocatedJoin(spark: SparkSession, leftTable: String,
-      rightTable: String, leftKey: String, rightKey: String): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable),
-      spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+      rightTable: String, leftKey: String, rightKey: String): DataFrame = {
+    // build the condition from the SAME DataFrame instances being joined
+    // — fresh spark.table() calls only resolved via a catalog-cache
+    // identity accident, and broke bucketed SELF-joins outright
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

@@ -60,9 +60,12 @@ object KinesisOptions {
       "kinesis.describeShardIntervalMs" ->
         (c.shardPollInterval * 1000L).toString,
       "kinesis.retryIntervalMs" -> (c.errorBackoffTime * 1000L).toString)
+    // Option(...).exists(...) throughout: json4s maps an explicit JSON
+    // null onto a null String field, and requireValid deliberately
+    // treats null-as-absent — so the option mapping must too, not NPE
     val efo =
       if (!c.useEnhancedFanOut) Map.empty[String, String]
-      else if (c.consumerArn.nonEmpty)
+      else if (Option(c.consumerArn).exists(_.nonEmpty))
         Map("kinesis.consumerArn" -> c.consumerArn)
       else Map("kinesis.consumerName" -> c.consumerName)
     base ++ efo ++ credentialOptions(s)
@@ -81,7 +84,8 @@ object KinesisOptions {
 
   private def credentialOptions(s: KinesisSettings): Map[String, String] = {
     val region =
-      if (s.region.nonEmpty) Map("kinesis.region" -> s.region)
+      if (Option(s.region).exists(_.nonEmpty))
+        Map("kinesis.region" -> s.region)
       else Map.empty[String, String]
     val creds = s.authMethod match {
       case KinesisSettings.StaticCredentials =>
@@ -90,7 +94,7 @@ object KinesisOptions {
       case _ => Map.empty[String, String] // provider chain: emit nothing
     }
     val role =
-      if (s.roleArn.nonEmpty)
+      if (Option(s.roleArn).exists(_.nonEmpty))
         Map("kinesis.stsRoleArn" -> s.roleArn,
           "kinesis.stsSessionName" -> StsSessionName)
       else Map.empty[String, String]

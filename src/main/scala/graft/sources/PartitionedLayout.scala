@@ -35,6 +35,8 @@ object PartitionedLayout {
     */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String],
       coalesceOutput: Boolean = true, filesPerDir: Int = 4): Unit = {
+    require(filesPerDir >= 1,
+      s"filesPerDir must be >= 1, got $filesPerDir") // pmod-by-0 salt
     import org.apache.spark.sql.functions._
     val out =
       if (coalesceOutput) {
