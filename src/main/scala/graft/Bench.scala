@@ -51,14 +51,18 @@ object Bench {
       (name, if (good.nonEmpty) good.min else samples.map(_._2).max,
         good.nonEmpty)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // escape interpolated strings — a quote/backslash in a query name or
+    // sfDir path would emit invalid JSON and lose the round's timings
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val qs = results.map { case (k, v, _) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s"\"$k\"" }
+    val failed = results.collect { case (k, _, false) => "\"" + esc(k) + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failed":$failed,"samples":2,"agg":"min","sf":"$sfDir"}"""
+        s""""failed":$failed,"samples":2,"agg":"min","sf":"${esc(sfDir)}"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))

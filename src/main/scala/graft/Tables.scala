@@ -7,21 +7,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * predicate pushdown for free.
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    // default; read nanos as long and convert explicitly (see events()).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
-  }
 
   /** `events` with `ts` converted from raw nanos to a microsecond
     * TimestampType. Integer `div` (not `/`) — nano epochs exceed 2^53 so a
     * double division would silently lose precision.
+    *
+    * events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default; `nanosAsLong` is a SQL conf (not a reader option), so the
+    * flag is necessarily session-wide — but only THIS loader sets it, so
+    * sessions that never read events keep default parquet semantics.
     */
-  def events(s: SparkSession, d: String): DataFrame =
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions
         .expr("timestamp_micros(ts div 1000)"))
+  }
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
@@ -39,9 +42,24 @@ object Tables {
     * task (measured: the sf0.1 shingle explode ran 3.3 s single-threaded
     * vs 0.7 s spread over 32). No-op when the input already has enough
     * splits, so at real scale (thousands of splits) this never shuffles.
+    *
+    * Applies only to SHUFFLE-FREE plans (scans/unions/projections): a
+    * plan containing a join/aggregate/window re-parallelizes at its own
+    * exchange, so spreading adds nothing — and probing `df.rdd` on such
+    * a plan would make AQE materialize the upstream shuffle stages
+    * eagerly, executing part of the query twice.
     */
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val reShuffles = df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Distinct | _: Window | _: Sort => true
+      case _: RepartitionOperation => true
+      case _ => false
+    }
+    if (reShuffles) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
   }
 }

@@ -25,6 +25,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a previous run's output for this query must NOT survive: the
+        // driver's compare would read the stale parquet as current and
+        // report a broken query as passing
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(dir).deleteRecursively()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -32,7 +32,15 @@ object TopKOptimizations {
     */
   object PushFilterThroughTopK extends Rule[LogicalPlan] with PredicateHelper {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-      case f @ Filter(cond, topk @ TopKPerKey(keys, _, _, child)) =>
+      // SOUND only when every key is a bare Attribute: with an
+      // expression key like `a % 10`, a predicate on `a` references only
+      // key attributes yet is NOT constant within a key group — pushing
+      // it would change which rows compete for the k slots. (The public
+      // API always produces Attribute keys; the guard protects plans
+      // built directly against the node.)
+      case f @ Filter(cond, topk @ TopKPerKey(keys, _, _, child))
+          if keys.forall(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.Attribute]) =>
         val keyAttrs = AttributeSet(keys.flatMap(_.references))
         val (push, keep) = splitConjunctivePredicates(cond)
           .partition(p => p.deterministic && p.references.subsetOf(keyAttrs))

@@ -29,6 +29,12 @@ import org.apache.spark.sql.SparkSessionExtensions
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
+  // empty keys would only fail much later inside ClusteredDistribution's
+  // own require (with no hint it came from here); empty order would make
+  // the heap keep an ARBITRARY k rows per key with no error at all
+  require(keys.nonEmpty, "topKPerKey needs at least one key column " +
+    "(for global top-k use orderBy().limit() — TakeOrderedAndProject)")
+  require(order.nonEmpty, "topKPerKey needs at least one order column")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): TopKPerKey =
     copy(child = c)
@@ -52,10 +58,21 @@ object TopKPerKey {
     Bridge.addStrategy(spark, TopKPerKeyStrategy)
     Bridge.addOptimizations(spark, TopKOptimizations.liveSessionRules)
     val analyzed = df.queryExecution.analyzed
-    def attr(n: String) = analyzed.output
-      .find(_.name.equalsIgnoreCase(n))
-      .getOrElse(throw new IllegalArgumentException(
-        s"column '$n' not in ${analyzed.output.map(_.name)}"))
+    // honor spark.sql.caseSensitive, and REFUSE ambiguity: after a join
+    // two attributes can share a name, and silently binding the first
+    // would rank every group by the wrong column
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def attr(n: String) = {
+      val matches = analyzed.output.filter(a =>
+        if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n))
+      if (matches.isEmpty) throw new IllegalArgumentException(
+        s"column '$n' not in ${analyzed.output.map(_.name)}")
+      if (matches.length > 1) throw new IllegalArgumentException(
+        s"column '$n' is ambiguous (${matches.length} matches) — " +
+          "alias the inputs before topKPerKey")
+      matches.head
+    }
     val sortOrders = order.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending) }
     Bridge.ofRows(spark,
@@ -81,7 +98,18 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
     val ordExprs = order
-    val keyExprs = keys
+    // grouping compares raw UnsafeRow bytes, so float/double keys must
+    // be normalized (-0.0 == 0.0, one canonical NaN) exactly as Spark's
+    // NormalizeFloatingNumbers rule does for built-in Aggregate/Join —
+    // a custom node doesn't get that rule applied for free
+    val keyExprs = keys.map { k =>
+      k.dataType match {
+        case org.apache.spark.sql.types.FloatType |
+            org.apache.spark.sql.types.DoubleType =>
+          org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(k)
+        case _ => k
+      }
+    }
     val kk = k
     child.execute().mapPartitions { rows =>
       // key → bounded max-heap of the k smallest under `order`
