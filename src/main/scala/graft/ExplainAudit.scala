@@ -93,6 +93,15 @@ object ExplainAudit {
     // "Sort [" matches only a bare Sort node — "Sort" alone would also
     // hit SortMergeJoin/SortAggregate in sibling subtrees
     auditNoneBelow("s_ann_lsh", "TopKPerKey", "Sort [")
+    // domain cap runs on the bounded-heap operator, not a rank window —
+    // a hot domain must never be fully sorted just to keep 15 rows
+    auditNoneBelow("p_domain_cap", "TopKPerKey", "Window")
+    // latest-wins upsert is an aggregation with a map-side partial (the
+    // shuffle carries one row per key per map partition, not the union)
+    audit("r_merge_upsert", "partial_max_by")
+    // salted two-phase agg: exactly two hash exchanges (salted partial +
+    // final), each over already-combined rows
+    auditAtMost("r_agg_twophase", "Exchange hashpartitioning", 2)
     // bucketed ingest joins with NO shuffle: both sides' distribution
     // comes from the bucketed layout (write once here, plan must be
     // Exchange-free)

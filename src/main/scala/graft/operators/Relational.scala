@@ -45,6 +45,25 @@ object Relational {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
+    // ---- two-phase SALTED aggregation, the skewed-key agg pattern: the
+    // 3-value l_returnflag key would put a third of a 100 TB fact table
+    // in each of 3 reduce partitions; salting the partial phase to
+    // (key, hash%16) spreads each hot key over 16 reducers, and the
+    // final re-agg over ≤ 3×16 partial rows is free. Only works for
+    // re-aggregatable measures (sum/count here; avg = sum/count at the
+    // end, never avg-of-avgs). The oracle is the PLAIN group-by — the
+    // equality is the proof the decomposition is lossless.
+    "r_agg_twophase" -> { (s, d) =>
+      val partial = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          pmod(xxhash64(col("l_orderkey")), lit(16)).as("salt"))
+        .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cn"))
+      partial.groupBy("l_returnflag")
+        .agg(sum(col("sq")).as("sum_qty"),
+          sum(col("cn")).as("n_items"),
+          (sum(col("sq")) / sum(col("cn"))).as("avg_qty"))
+        .orderBy("l_returnflag")
+    },
     // ---- 3-way join + agg + top-10 (TPC-H Q3 shape); customer is the
     // small side → broadcast, no fact shuffle for the dim filter
     "r_shipping_priority" -> { (s, d) =>
@@ -165,6 +184,26 @@ object Relational {
         .filter(col("user_id") < 8)
         .select("user_id", "event_id")
         .orderBy(col("user_id"), col("event_id").desc)
+    },
+    // ---- latest-wins merge/upsert: the compaction every incremental
+    // ingest needs (base snapshot + update stream → current state).
+    // Union + one shuffle on the key; the per-key winner comes from a
+    // max_by aggregation (partial/map-side combinable — a row_number
+    // window would sort whole partitions for a 1-row-per-key answer).
+    // Updates replay orderkeys divisible by 7 at double price, version 2.
+    "r_merge_upsert" -> { (s, d) =>
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("price"), lit(1).as("version"))
+      val updates = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") * 2).as("price"), lit(2).as("version"))
+      base.union(updates)
+        .groupBy("k")
+        .agg(max_by(col("price"), col("version")).as("price"),
+          max(col("version")).as("version"))
+        .orderBy("k")
     },
     // ---- set ops
     "r_union" -> { (s, d) =>
@@ -653,6 +692,22 @@ object Relational {
         |  FROM events)
         |WHERE rk <= 3 AND user_id < 8
         |ORDER BY user_id, event_id DESC""".stripMargin,
+    "r_agg_twophase" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  sum(l_quantity) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "r_merge_upsert" ->
+      """WITH all_rows AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price, 1 AS version
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 2, 2
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT k, arg_max(price, version) AS price,
+        |  max(version) AS version
+        |FROM all_rows GROUP BY k ORDER BY k""".stripMargin,
     "r_union" ->
       """SELECT DISTINCT c_custkey FROM (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

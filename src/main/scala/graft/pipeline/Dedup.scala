@@ -316,6 +316,31 @@ object Dedup {
     spark.createDataFrame(rows).toDF("doc_id", "cluster")
   }
 
+  /** Keeper SELECTION, the step after clustering: given docs and a
+    * (doc_id, cluster) assignment, keep the best doc per cluster —
+    * "best" = highest `scoreCol`, ties to the smallest doc_id. Docs
+    * absent from `clusters` are their own singleton cluster.
+    *
+    * One shuffle on the cluster key; partitions are cluster-sized (dup
+    * clusters are small by construction — a million-member "cluster" is
+    * boilerplate that exact tiers collapse first), so the per-key sort
+    * is bounded at any corpus size.
+    */
+  def keepBest(docs: DataFrame, clusters: DataFrame,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = docs
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val byCluster = Window.partitionBy(col("cluster"))
+    assigned
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(col(scoreCol).desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("keeper"), col("n_members"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: duplicated delivery (doc_id < 100 re-ingested) collapses
     // on content; keeper = min doc_id. Hash-groupBy — single shuffle.
@@ -336,6 +361,23 @@ object Dedup {
         .filter(col("members") > 1)
         .select(col("keeper"), col("members"))
         .orderBy("keeper")
+    },
+    // Keeper selection over fingerprint clusters: the doc with the most
+    // content (n_chars, ties to min id) represents each normalized-token
+    // group — dedup that PICKS QUALITY instead of blindly keeping the
+    // first-seen copy. Cluster label = min doc_id of the fingerprint
+    // group (one aggregation), then keepBest's single cluster-key window.
+    "d_keep_best" -> { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select("doc_id", "text", "n_chars")
+      val clusters = docs
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .withColumn("cluster",
+          min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+        .select("doc_id", "cluster")
+      keepBest(docs.select("doc_id", "n_chars"), clusters, "n_chars")
+        .orderBy("cluster")
     },
     // Exact n-gram Jaccard near-dup pairs (threshold 0.8 — nearest fixture
     // pair is >0.08 away on both sides, so float-safe).
@@ -425,6 +467,24 @@ object Dedup {
         |          string_split(text, ' '))), ' ')) AS fp
         |      FROM documents)
         |GROUP BY fp HAVING count(*) > 1 ORDER BY keeper""".stripMargin,
+    "d_keep_best" ->
+      """WITH fp AS (
+        |  SELECT doc_id, n_chars,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(text, ' '))), ' ')) AS f
+        |  FROM documents),
+        |assigned AS (
+        |  SELECT doc_id, n_chars,
+        |    min(doc_id) OVER (PARTITION BY f) AS cluster
+        |  FROM fp),
+        |rk AS (
+        |  SELECT cluster, doc_id, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY cluster) AS n_members
+        |  FROM assigned)
+        |SELECT cluster, doc_id AS keeper, n_members
+        |FROM rk WHERE rn = 1 ORDER BY cluster""".stripMargin,
     "d_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') t FROM documents),

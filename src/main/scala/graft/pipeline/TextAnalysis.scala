@@ -176,6 +176,22 @@ object TextAnalysis {
           sum(col("n")).cast("long").as("n_trigrams"))
         .orderBy("doc_id")
     },
+    // Unigram word entropy + type-token ratio — the information-density
+    // quality signal (low-entropy docs are boilerplate/repetition, the
+    // first thing a corpus filter drops). entropy = log2(n) − Σc·log2(c)/n
+    // over per-doc word counts: one (doc, word) count shuffle, then a
+    // map-side-combined per-doc aggregate — linear at any corpus size.
+    "t_word_entropy" -> { (s, d) =>
+      Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          round4HalfUp(log2(sum(col("c"))) -
+            sum(col("c") * log2(col("c"))) / sum(col("c"))).as("entropy"),
+          round4HalfUp(count(lit(1)) / sum(col("c"))).as("ttr"),
+          sum(col("c")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    },
     // token counting: whitespace + BPE-ish subword estimate
     "t_token_count" -> { (s, d) =>
       Tables.documents(s, d).select(
@@ -280,6 +296,18 @@ object TextAnalysis {
         |    / 10000.0 AS dup_trigram_frac,
         |  CAST(sum(n) AS BIGINT) AS n_trigrams
         |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_word_entropy" ->
+      """WITH wc AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  floor((log2(sum(c)) - sum(c * log2(c)) / (sum(c) * 1.0))
+        |    * 10000 + 0.5) / 10000.0 AS entropy,
+        |  floor(count(*) / (sum(c) * 1.0) * 10000 + 0.5) / 10000.0 AS ttr,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens
+        |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t_token_count" ->
       s"""SELECT doc_id,
          |  CAST(len($oracleToks) AS INT) AS n_tokens,

@@ -152,6 +152,18 @@ object TrainingSet {
       stratifiedSample(Tables.documents(s, d), "lang", 20)
         .orderBy("lang", "doc_id")
     },
+    // Per-domain cap, the mix-balancing gate (no source may dominate the
+    // training mix): first 15 docs per source in doc_id order, via the
+    // engine's bounded-heap TopKPerKey — one shuffle on `source`, heap
+    // memory O(k) per key regardless of how many billions of docs the
+    // hottest domain contributes (a row_number window would sort the
+    // whole hot partition just to discard it).
+    "p_domain_cap" -> { (s, d) =>
+      graft.plans.TopKPerKey.topKPerKey(
+        Tables.spread(Tables.documents(s, d)).select("doc_id", "source"),
+        Seq("source"), Seq(("doc_id", false)), 15)
+        .orderBy("source", "doc_id")
+    },
     "p_pack_sequences" -> { (s, d) =>
       packSequences(Tables.documents(s, d), 2048)
         .orderBy("doc_id")
@@ -201,6 +213,13 @@ object TrainingSet {
         |  FROM documents)
         |WHERE rk <= 20
         |ORDER BY lang, doc_id""".stripMargin,
+    "p_domain_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15
+        |ORDER BY source, doc_id""".stripMargin,
     "p_pack_sequences" ->
       """SELECT doc_id, lang, n_tokens,
         |       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT)
