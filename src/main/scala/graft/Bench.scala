@@ -24,9 +24,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Uncounted warm-up: touch each table + one codegen-heavy query so JIT,
-    // codegen-compiler, and parquet footer caches are hot before timing.
-    for (q <- Seq("f_eq", "r_case_when", "t_token_count"))
+    // Uncounted warm-up: touch each table + one query per MACHINERY class
+    // (codegen filter, hash agg + shuffle, window, broadcast join) so JIT,
+    // codegen-compiler, shuffle/exchange init, and parquet footer caches
+    // are hot before timing. Round-2 profiling showed first-shuffle init
+    // (~5-30 s) landing on whichever alphabetically-early query shuffles
+    // first, misattributing one-time session cost to that operator.
+    for (q <- Seq("f_eq", "r_case_when", "t_token_count",
+        "r_pricing_summary", "r_window_rank", "r_join_semi"))
       try { SparkEntry.queries(q)(spark, sfDir).count() }
       catch { case _: Throwable => () }
 

@@ -72,6 +72,23 @@ object GraftFunctions {
               s"got $other")
         }
         MinHashSketch(exprs.head, k).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketch].getName, "graft_freq_sketch"),
+      (exprs: Seq[Expression]) => {
+        // same literal discipline as minhash's k: the counter budget must
+        // be a positive literal (m <= 0 could never admit an item)
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"graft_freq_sketch takes (item, m), got ${exprs.length} args")
+        val m = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v.isInstanceOf[Int] && v.asInstanceOf[Int] > 0 =>
+            v.asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            "graft_freq_sketch m must be a positive integer literal, " +
+              s"got $other")
+        }
+        FreqSketch(exprs.head, m).toAggregateExpression()
       }))
 
   /** Register on a live session (idempotent). */

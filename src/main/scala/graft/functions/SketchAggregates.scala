@@ -167,6 +167,129 @@ case class SimHashSketch(child: Expression,
       c: IndexedSeq[Expression]): SimHashSketch = copy(child = c.head)
 }
 
+/** SpaceSaving heavy-hitters summary (Metwally et al., "Efficient
+  * computation of frequent and top-k elements in data streams"): at most
+  * `m` (item, count, err) counters; a full summary evicts its minimum
+  * counter to admit a new item at count min+1 with err=min. Guarantees
+  * per partition stream: reported count ≥ true count ≥ reported − err,
+  * and any item with true frequency > n/m is present. Parallel merge =
+  * counter-wise sum over the union (an item missing from one side adds
+  * that side's minimum counter to ERR, its admission upper bound), then
+  * keep the top m — the standard distributed SpaceSaving, same O(n/m)
+  * error class. Buffer is O(m) regardless of input size: the 100 TB
+  * "top domains / top tokens" answer without a full (item, count)
+  * shuffle of a trillion-row corpus.
+  *
+  * Output: array<struct<item,count,err>> sorted count desc (ties: item
+  * asc). Approximate tier — accuracy is spec-checked against exact
+  * counts (SketchSpec), not oracle-hashed.
+  */
+case class FreqSketch(child: Expression, m: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.LongMap[(Long, Long)]] {
+  type Buf = scala.collection.mutable.LongMap[(Long, Long)]
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("item", LongType, false),
+      org.apache.spark.sql.types.StructField("count", LongType, false),
+      org.apache.spark.sql.types.StructField("err", LongType, false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"freq_sketch expects bigint, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): Buf =
+    scala.collection.mutable.LongMap.empty[(Long, Long)]
+
+  private def minEntry(b: Buf): (Long, (Long, Long)) = {
+    var bestK = 0L; var bestC = Long.MaxValue; var bestE = 0L
+    b.foreachEntry { (k, v) =>
+      if (v._1 < bestC) { bestK = k; bestC = v._1; bestE = v._2 }
+    }
+    (bestK, (bestC, bestE))
+  }
+
+  override def update(b: Buf, row: InternalRow): Buf = {
+    val v = child.eval(row)
+    if (v != null) {
+      val item = v.asInstanceOf[Long]
+      b.get(item) match {
+        case Some((c, e)) => b(item) = (c + 1, e)
+        case None if b.size < m => b(item) = (1L, 0L)
+        case None =>
+          val (mk, (mc, _)) = minEntry(b)
+          b.remove(mk)
+          b(item) = (mc + 1, mc)
+      }
+    }
+    b
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    if (b.isEmpty) return a
+    // admission bound for items one side never saw: that side's minimum
+    // counter if it ever evicted (full), else 0
+    def floorOf(s: Buf): Long =
+      if (s.size < m) 0L else minEntry(s)._2._1
+    val fa = floorOf(a)
+    val fb = floorOf(b)
+    val out = scala.collection.mutable.LongMap.empty[(Long, Long)]
+    a.foreachEntry { (k, va) =>
+      out(k) = b.get(k) match {
+        case Some(vb) => (va._1 + vb._1, va._2 + vb._2)
+        case None => (va._1, va._2 + fb)
+      }
+    }
+    b.foreachEntry { (k, vb) =>
+      if (!a.contains(k)) out(k) = (vb._1, vb._2 + fa)
+    }
+    if (out.size <= m) out
+    else {
+      val kept = out.toSeq.sortBy { case (k, (c, _)) => (-c, k) }.take(m)
+      scala.collection.mutable.LongMap.from(kept)
+    }
+  }
+
+  override def eval(b: Buf): Any = {
+    val sorted = b.toSeq.sortBy { case (k, (c, _)) => (-c, k) }
+    new GenericArrayData(sorted.map { case (k, (c, e)) =>
+      InternalRow(k, c, e) })
+  }
+
+  override def serialize(b: Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + b.size * 24)
+    bb.putInt(b.size)
+    b.foreachEntry { (k, v) =>
+      bb.putLong(k); bb.putLong(v._1); bb.putLong(v._2) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val out = scala.collection.mutable.LongMap.empty[(Long, Long)]
+    var i = 0
+    while (i < n) {
+      val k = bb.getLong(); val c = bb.getLong(); val e = bb.getLong()
+      out(k) = (c, e); i += 1
+    }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): FreqSketch = copy(child = c.head)
+}
+
 object SketchAggregates {
   import org.apache.spark.sql.graftshim.Bridge
 
@@ -176,5 +299,9 @@ object SketchAggregates {
 
   def simhash_sketch(c: Column): Column =
     Bridge.column(SimHashSketch(Bridge.expression(c))
+      .toAggregateExpression())
+
+  def freq_sketch(c: Column, m: Int): Column =
+    Bridge.column(FreqSketch(Bridge.expression(c), m)
       .toAggregateExpression())
 }

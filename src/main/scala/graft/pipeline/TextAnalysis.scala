@@ -176,6 +176,33 @@ object TextAnalysis {
           sum(col("n")).cast("long").as("n_trigrams"))
         .orderBy("doc_id")
     },
+    // Per-language heavy hitters through the SpaceSaving sketch
+    // (graft_freq_sketch): O(m) state per language instead of a full
+    // (lang, word) count shuffle — at corpus scale the vocabulary is
+    // billions of keys, the sketch budget is 64 counters. Candidates
+    // (≤ m × langs rows) broadcast back against the token stream to
+    // recover the word strings; top-10 per language by estimate.
+    // Rows-only tier: accuracy bounds are spec-checked (SketchSpec).
+    "t_heavy_hitters" -> { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(col("lang"), explode(toks(col("text"))).as("w"))
+        .select(col("lang"), col("w"), xxhash64(col("w")).as("h"))
+      val cands = words.groupBy("lang")
+        .agg(graft.functions.SketchAggregates
+          .freq_sketch(col("h"), 64).as("sk"))
+        .select(col("lang"), explode(col("sk")).as("e"))
+        .select(col("lang"), col("e.item").as("h"),
+          col("e.count").as("est"), col("e.err").as("err"))
+      val named = words.select("lang", "w", "h").distinct()
+        .join(broadcast(cands), Seq("lang", "h"))
+      val byEst = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("est").desc, col("w"))
+      named.withColumn("rk", row_number().over(byEst))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("w"), col("est"), col("err"))
+        .orderBy("lang", "w")
+    },
     // Unigram word entropy + type-token ratio — the information-density
     // quality signal (low-entropy docs are boilerplate/repetition, the
     // first thing a corpus filter drops). entropy = log2(n) − Σc·log2(c)/n
@@ -296,6 +323,24 @@ object TextAnalysis {
         |    / 10000.0 AS dup_trigram_frac,
         |  CAST(sum(n) AS BIGINT) AS n_trigrams
         |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // exact on the fixture BY CONSTRUCTION: per-language vocabulary is 31
+    // words (every SF) vs a 64-counter budget, so no eviction can occur,
+    // counts are true counts and err = 0 — which makes the approximate
+    // operator itself hash-gated here (the same fixture-margin trick as
+    // d_ngram_jaccard_capped). Eviction behavior is spec-covered with
+    // vocab > m fixtures in FreqSketchSpec.
+    "t_heavy_hitters" ->
+      """WITH wc AS (
+        |  SELECT lang, w, count(*) AS est
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT lang, w, est, row_number() OVER (
+        |    PARTITION BY lang ORDER BY est DESC, w) AS rk
+        |  FROM wc)
+        |SELECT lang, w, est, CAST(0 AS BIGINT) AS err
+        |FROM rk WHERE rk <= 10 ORDER BY lang, w""".stripMargin,
     "t_word_entropy" ->
       """WITH wc AS (
         |  SELECT doc_id, w, count(*) AS c
