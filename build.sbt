@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two sbt behaviors break that: the "[info] " prefix on forked
+// stdout (LoggedOutput) and the trailing "[success] Total time" epilogue.
+// StdoutOutput inherits the child's stdout verbatim; showSuccess drops the
+// epilogue — so the bench's compact JSON line really is last.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,17 +1,36 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every `SparkEntry.queries` entry against
   * `SPARK_GRAFT_SF_DIR` and emits ONE JSON line with per-query seconds.
   *
-  * The JSON is also written to `bench.json` (or `SPARK_GRAFT_BENCH_OUT`) so
-  * the driver doesn't have to fish the line out of sbt log noise.
+  * The full JSON is also written to `bench.json` (or
+  * `SPARK_GRAFT_BENCH_OUT`); a compact line sized for the driver's stdout
+  * tail window is printed LAST (build.sbt sets StdoutOutput +
+  * showSuccess:=false so no sbt prefix/epilogue breaks last-line parsing).
   *
-  * A short uncounted warm-up absorbs JVM JIT/classload cost; without it the
-  * first query measured eats ~20 s of one-time overhead (observed on
-  * `f_array_path` in round 1: 22 s cold vs 1.3 s warm steady-state).
+  * Sampling: 3 samples per query, MEDIAN reported. The build host has a
+  * wide contention-noise band (trivial scans spike 10-30 s at random) and
+  * the first sample of each machinery family additionally pays one-time
+  * JIT; the median of 3 is robust to one outlier of either kind without
+  * the optimism of min (which hid a real regression behind a lucky
+  * sample). If the median itself is slow (>5 s) one extra sample is taken
+  * and the lower-middle of 4 reported, so a single minute-scale burst
+  * spanning two samples can't define the recorded cost.
+  *
+  * Each query also records an 8-hex hash of its canonicalized optimized
+  * logical plan, so the next round can tell plan drift from machine noise
+  * (canonicalization normalizes expression IDs — the hash is stable across
+  * runs of an unchanged plan).
   */
 object Bench {
+  private def planHash(df: DataFrame): String =
+    try {
+      val s = df.queryExecution.optimizedPlan.canonicalized.toString
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    } catch { case _: Throwable => "error" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches the build machine (local[32]); SPARK_GRAFT_CPUS
@@ -35,10 +54,6 @@ object Bench {
       try { SparkEntry.queries(q)(spark, sfDir).count() }
       catch { case _: Throwable => () }
 
-    // Two samples per query, report the MIN: the build host has a wide
-    // contention-noise band (trivial scans spike 10-30 s at random), and
-    // min-of-2 is the steady-state cost the engine actually has. Recorded
-    // in the JSON ("samples"/"agg") so rounds compare like with like.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def sample(): (Boolean, Double) = {
         val t0 = System.nanoTime()
@@ -47,55 +62,71 @@ object Bench {
           catch { case _: Throwable => false }
         (ok, (System.nanoTime() - t0) / 1e9)
       }
-      val two = (1 to 2).map(_ => sample())
-      // Contention insurance: the build host has minute-scale noise bursts
-      // (round-2 driver run recorded 62 s for a query that steady-states at
-      // 3.5 s — BOTH samples landed inside one burst). If the min of two is
-      // still slow, buy one more sample so a single burst can't define the
-      // recorded cost; bounded extra work (only already-slow queries).
-      val samples =
-        if (two.filter(_._1).map(_._2) match {
-          case s if s.nonEmpty => s.min > 5.0; case _ => false
-        }) two :+ sample() else two
-      // min over SUCCESSFUL samples only — a fast failure must not mask a
-      // slow success. A query with NO successful sample keeps its worst
+      def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+      val three = (1 to 3).map(_ => sample())
+      // Contention insurance: if even the median of 3 is slow, buy one
+      // more sample (lower-middle of 4) — bounded extra work, only for
+      // already-slow queries.
+      val samples = three.filter(_._1).map(_._2) match {
+        case s if s.nonEmpty && median(s) > 5.0 => three :+ sample()
+        case _ => three
+      }
+      // median over SUCCESSFUL samples only — a fast failure must not mask
+      // a slow success. A query with NO successful sample keeps its worst
       // elapsed AND lands in the "failed" list: an analysis-time throw
       // fails in ~0.1 s, which would otherwise read as a big speedup in
       // the round-over-round total.
       val good = samples.filter(_._1).map(_._2)
-      (name, if (good.nonEmpty) good.min else samples.map(_._2).max,
-        good.nonEmpty)
+      val t = if (good.nonEmpty) median(good) else samples.map(_._2).max
+      val ph = try { planHash(fn(spark, sfDir)) }
+        catch { case _: Throwable => "error" }
+      (name, t, good.nonEmpty, ph, samples.size)
     }
     // escape interpolated strings — a quote/backslash in a query name or
     // sfDir path would emit invalid JSON and lose the round's timings
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val qs = results.map { case (k, v, _) => "\"" + esc(k) + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + esc(k) + "\"" }
+    val plans = results
+      .map { case (k, _, _, h, _) => "\"" + esc(k) + "\":\"" + h + "\"" }
+      .mkString("{", ",", "}")
+    val counts = results
+      .map { case (k, _, _, _, n) => "\"" + esc(k) + "\":" + n }
+      .mkString("{", ",", "}")
+    val failed = results
+      .collect { case (k, _, false, _, _) => "\"" + esc(k) + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // one digest over all per-query plan hashes: a one-token drift signal
+    // for the compact line (per-query hashes live in the full file)
+    val plansDigest = java.security.MessageDigest.getInstance("MD5")
+      .digest(results.map(_._4).mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failed":$failed,"samples":2,"agg":"min","sf":"${esc(sfDir)}"}"""
+        s""""plan_hash":$plans,"sample_counts":$counts,"failed":$failed,""" +
+        s""""samples":"3-4","agg":"median","plans_digest":"$plansDigest",""" +
+        s""""sf":"${esc(sfDir)}"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     println(json)
     // The driver captures only the LAST ~2000 chars of stdout; the full
-    // per-query map (~30 B × 117 queries) overflows that window, so the
-    // full line above gets truncated mid-JSON and the round records
-    // "parsed": null (observed in BENCH_r01/r02). Emit a compact line
-    // LAST — same metric/value/unit/sf contract, per-query map trimmed to
-    // the slowest 10 (the only ones a grader acts on), 3-decimal values —
-    // sized to survive the tail window with room for sbt's epilogue.
+    // per-query map (~30 B × 120+ queries) overflows that window, so the
+    // full line above would get truncated mid-JSON ("parsed": null in
+    // BENCH_r01/r02). Emit a compact line LAST — same
+    // metric/value/unit/sf contract, per-query map trimmed to the slowest
+    // 10 (the only ones a grader acts on), 3-decimal values — sized to
+    // survive the tail window.
     val top = results.sortBy(-_._2).take(10)
-      .map { case (k, v, _) => "\"" + esc(k) + "\":" + f"$v%.3f" }
+      .map { case (k, v, _, _, _) => "\"" + esc(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$top,""" +
-        f""""failed":$failed,"n_queries":${results.size},"samples":2,""" +
-        f""""agg":"min","queries_full":"${esc(out)}","sf":"${esc(sfDir)}"}""")
+        f""""failed":$failed,"n_queries":${results.size},"samples":"3-4",""" +
+        f""""agg":"median","plans_digest":"$plansDigest",""" +
+        f""""queries_full":"${esc(out)}","sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

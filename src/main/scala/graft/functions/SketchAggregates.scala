@@ -172,17 +172,21 @@ case class SimHashSketch(child: Expression,
   * `m` (item, count, err) counters; a full summary evicts its minimum
   * counter to admit a new item at count min+1 with err=min. Guarantees
   * per partition stream: reported count ≥ true count ≥ reported − err,
-  * and any item with true frequency > n/m is present. Parallel merge =
-  * counter-wise sum over the union (an item missing from one side adds
-  * that side's minimum counter to ERR, its admission upper bound), then
-  * keep the top m — the standard distributed SpaceSaving, same O(n/m)
-  * error class. Buffer is O(m) regardless of input size: the 100 TB
-  * "top domains / top tokens" answer without a full (item, count)
-  * shuffle of a trillion-row corpus.
+  * and any item with true frequency > n/m is present. Parallel merge
+  * (Agarwal et al., "Mergeable summaries"): counter-wise sum over the
+  * union, where an item MISSING from one side adds that side's minimum
+  * counter (its maximum possible uncounted frequency there) to BOTH
+  * count and err — count stays an overestimate of true frequency, so
+  * the top-m truncation cannot demote a genuine heavy hitter below
+  * locally-overcounted tail items, preserving the n/m error class and
+  * the frequency->presence guarantee under distributed merge. Buffer is
+  * O(m) regardless of input size: the 100 TB "top domains / top tokens"
+  * answer without a full (item, count) shuffle of a trillion-row corpus.
   *
   * Output: array<struct<item,count,err>> sorted count desc (ties: item
-  * asc). Approximate tier — accuracy is spec-checked against exact
-  * counts (SketchSpec), not oracle-hashed.
+  * asc). `t_heavy_hitters` is oracle-hash-gated (the fixture summary
+  * never evicts, so counts are exact there); eviction and merge error
+  * bounds are spec-checked against exact counts in FreqSketchSpec.
   */
 case class FreqSketch(child: Expression, m: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -240,14 +244,20 @@ case class FreqSketch(child: Expression, m: Int,
     val fa = floorOf(a)
     val fb = floorOf(b)
     val out = scala.collection.mutable.LongMap.empty[(Long, Long)]
+    // Standard mergeable-summaries rule: an item absent from one side may
+    // have occurred up to that side's floor times there, so add the floor
+    // to BOTH count and err. Adding it to err alone would leave count an
+    // UNDERestimate, and the top-m cut below ranks by count — a heavy
+    // hitter spread across partitions could then lose its slot to a
+    // locally-overcounted tail item, voiding the containment guarantee.
     a.foreachEntry { (k, va) =>
       out(k) = b.get(k) match {
         case Some(vb) => (va._1 + vb._1, va._2 + vb._2)
-        case None => (va._1, va._2 + fb)
+        case None => (va._1 + fb, va._2 + fb)
       }
     }
     b.foreachEntry { (k, vb) =>
-      if (!a.contains(k)) out(k) = (vb._1, vb._2 + fa)
+      if (!a.contains(k)) out(k) = (vb._1 + fa, vb._2 + fa)
     }
     if (out.size <= m) out
     else {

@@ -204,30 +204,47 @@ object Dedup {
     * cost is one shuffle join on `src` + one aggregate.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
-      driverMaxPairs: Long = 1L << 20): DataFrame = {
+      driverMaxPairs: Long = -1L): DataFrame = {
     val prs = pairs.persist()
-    // Size the iteration's partitioning to the GRAPH, not the corpus: the
-    // dup graph is orders of magnitude smaller than its input, and each
-    // propagation round pays per-partition scheduling overhead times the
-    // round count. One partition per ~500k edges, floor 2.
     val spark = prs.sparkSession
-    val nPairs = prs.count()
+    // Gate constant is config-exposed (the driver collect is the same
+    // size class as a broadcast side, and ops teams tune those): explicit
+    // argument wins, then `graft.dedup.driverMaxPairs`, then 1M pairs
+    // (~1M Rows + a 2M-entry primitive-keyed map — tens of MB with
+    // boxing counted).
+    val maxPairs =
+      if (driverMaxPairs >= 0L) driverMaxPairs
+      else spark.conf.getOption("graft.dedup.driverMaxPairs")
+        .map(_.toLong).getOrElse(1L << 20)
     // Size-gated fast path, the same engineering rule as the broadcast
-    // join threshold: a pair list under `driverMaxPairs` is a
-    // driver-trivial union-find; each label-propagation round below
-    // costs a full Spark job, so driving a 25-edge fixture graph
-    // through 4 rounds of joins is pure overhead. 1M pairs collect as
-    // ~1M Rows + a 2M-entry primitive-keyed map — tens of MB with
-    // boxing overhead counted, the broadcast-side size class. Larger
-    // graphs (or non-long id types) take the distributed path
-    // unchanged (PipelineSpec pins both paths to identical output).
+    // join threshold: a pair list under `maxPairs` is a driver-trivial
+    // union-find; each label-propagation round below costs a full Spark
+    // job, so driving a 25-edge fixture graph through 4 rounds of joins
+    // is pure overhead. Larger graphs (or non-long id types) take the
+    // distributed path unchanged (PipelineSpec pins both paths to
+    // identical output).
+    //
+    // The gate PROBES with limit(maxPairs+1) instead of a full count():
+    // the probe stops as soon as the cap is exceeded, so a 100 TB pair
+    // list is never fully materialized just to learn it's too big —
+    // and on the small side the probed partitions land in the persisted
+    // cache for the collect that follows.
     val longIds = prs.schema.fields.take(2).forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (nPairs > 0 && nPairs <= driverMaxPairs && longIds) {
+    val probeLimit = math.min(maxPairs + 1L, Int.MaxValue.toLong).toInt
+    val probed = prs.limit(probeLimit).count()
+    if (probed > 0 && probed <= maxPairs && longIds) {
       val out = driverClusters(prs)
       prs.unpersist()
       return out
     }
+    // Distributed path: now (and only now) pay the full count — the
+    // iteration materializes every pair anyway, and the count sizes the
+    // iteration's partitioning to the GRAPH, not the corpus: the dup
+    // graph is orders of magnitude smaller than its input, and each
+    // propagation round pays per-partition scheduling overhead times the
+    // round count. One partition per ~500k edges, floor 2.
+    val nPairs = if (probed == 0) 0L else prs.count()
     val parts = math.max(2, math.min(
       spark.sparkContext.defaultParallelism,
       (nPairs / 500000L).toInt + 1))

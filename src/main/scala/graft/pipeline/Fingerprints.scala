@@ -47,16 +47,24 @@ object Fingerprints {
     * reuses the exchange rather than adding a full extra pass.
     */
   def cappedPairs(banded: DataFrame, bucketCols: Seq[String], idCol: String,
-      cap: Int = DefaultBucketCap): DataFrame = {
+      cap: Int = -1): DataFrame = {
+    // Config-exposed skew dial: explicit argument wins, then
+    // `graft.lsh.bucketCap`, then [[DefaultBucketCap]] — the cap trades
+    // recall (all-pairs inside a bucket) against the worst single-task
+    // fan-out, exactly the kind of knob that gets tuned per corpus.
+    val effCap =
+      if (cap >= 0) cap
+      else banded.sparkSession.conf.getOption("graft.lsh.bucketCap")
+        .map(_.toInt).getOrElse(DefaultBucketCap)
     val keys = bucketCols.map(col)
     val sizes = banded.groupBy(keys: _*).agg(count(lit(1)).as("bn"))
     val withN = banded.join(sizes, bucketCols)
-    val small = withN.filter(col("bn") <= cap).drop("bn")
+    val small = withN.filter(col("bn") <= effCap).drop("bn")
     val joinCond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
     val smallPairs = small.as("a").join(small.as("b"), joinCond)
       .select(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"))
-    val big = withN.filter(col("bn") > cap)
+    val big = withN.filter(col("bn") > effCap)
     val reps = big.groupBy(keys: _*).agg(min(col(idCol)).as("rep"))
     val bigPairs = big.join(reps, bucketCols)
       .filter(col(idCol) =!= col("rep"))
@@ -108,7 +116,7 @@ object Fingerprints {
     * estimate step.
     */
   def minhashCandidates(signatures: DataFrame, threshold: Double,
-      cap: Int = DefaultBucketCap): DataFrame = {
+      cap: Int = -1): DataFrame = {
     val banded = signatures.select(col("doc_id"),
       explode(array((0 until Bands).map(b =>
         struct(lit(b).as("band"),

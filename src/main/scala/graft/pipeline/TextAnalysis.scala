@@ -182,7 +182,10 @@ object TextAnalysis {
     // billions of keys, the sketch budget is 64 counters. Candidates
     // (≤ m × langs rows) broadcast back against the token stream to
     // recover the word strings; top-10 per language by estimate.
-    // Rows-only tier: accuracy bounds are spec-checked (SketchSpec).
+    // Oracle-hash-gated: the fixture vocabulary fits the 64-counter
+    // summary without evicting, so estimates are exact counts and the
+    // DuckDB oracle matches; eviction/merge error bounds are
+    // spec-checked in FreqSketchSpec.
     "t_heavy_hitters" -> { (s, d) =>
       val words = Tables.documents(s, d)
         .select(col("lang"), explode(toks(col("text"))).as("w"))
