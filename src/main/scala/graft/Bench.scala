@@ -106,7 +106,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""plan_hash":$plans,"sample_counts":$counts,"failed":$failed,""" +
-        s""""samples":"3-4","agg":"median","plans_digest":"$plansDigest",""" +
+        s""""samples":3,"samples_max":4,"agg":"median","plans_digest":"$plansDigest",""" +
         s""""sf":"${esc(sfDir)}"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
@@ -124,7 +124,7 @@ object Bench {
       .mkString("{", ",", "}")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$top,""" +
-        f""""failed":$failed,"n_queries":${results.size},"samples":"3-4",""" +
+        f""""failed":$failed,"n_queries":${results.size},"samples":3,"samples_max":4,""" +
         f""""agg":"median","plans_digest":"$plansDigest",""" +
         f""""queries_full":"${esc(out)}","sf":"${esc(sfDir)}"}""")
     spark.stop()

@@ -231,7 +231,11 @@ object Dedup {
     // cache for the collect that follows.
     val longIds = prs.schema.fields.take(2).forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    val probeLimit = math.min(maxPairs + 1L, Int.MaxValue.toLong).toInt
+    // Clamp BEFORE incrementing: maxPairs + 1 overflows at Long.MaxValue,
+    // which would make the probe limit 0 and silently skip clustering.
+    val probeLimit =
+      if (maxPairs >= Int.MaxValue - 1L) Int.MaxValue
+      else (maxPairs + 1L).toInt
     val probed = prs.limit(probeLimit).count()
     if (probed > 0 && probed <= maxPairs && longIds) {
       val out = driverClusters(prs)

@@ -13,7 +13,11 @@ import graft.pipeline.{Dedup, Fingerprints}
   * the PATH change, not just the same answer.
   */
 class GateConfSpec extends AnyFunSuite {
-  lazy val spark = SparkTestSession.get
+  // Isolated session: `newSession()` shares the SparkContext but has its
+  // own SessionState/SQLConf, so the conf flips below cannot leak into
+  // suites running concurrently in the same forked JVM (sbt's default
+  // Test/parallelExecution) and change THEIR gate paths mid-flight.
+  lazy val spark = SparkTestSession.get.newSession()
 
   private def withConf[A](key: String, value: String)(body: => A): A =
     try { spark.conf.set(key, value); body }
