@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale smoke: synthesizes a 10× tier from sf0.1 and times the
+  * production-path queries at both scales, printing the per-query ratio.
+  * `runMain graft.ScaleSmoke [sf0.1Dir] [outDir]`.
+  *
+  * A super-linear ratio (≫10×) flags a shape that sf0.1 hides — exactly
+  * what a 100 TB deployment would hit. Results are recorded in SCALING.md.
+  *
+  * The synthesis preserves WITHIN-copy structure and randomizes
+  * CROSS-copy structure, so duplicate/similarity counts scale ×10
+  * (linear), not ×100 (every doc suddenly 10 exact twins):
+  *   - documents: ids shifted per copy; each copy salts the 10% of words
+  *     with `xxhash64(word) % 10 == copy` (content-keyed, so two docs in
+  *     the SAME copy transform identically — their Jaccard is preserved
+  *     exactly — while docs from different copies diverge in ~20% of
+  *     words ⇒ well under the 0.8 pair threshold).
+  *   - embeddings: vectors circularly rotated by the copy index — same
+  *     rotation on both sides of a within-copy pair preserves cosine
+  *     exactly; cross-copy cosine of a random vector with its rotation
+  *     is near zero.
+  *   - events/lineitem/orders: ids (and users) shifted per copy; event
+  *     times unchanged, so time windows see 10× density — the linear
+  *     axis a stream at scale actually grows along.
+  */
+object ScaleSmoke {
+  // Production-tier queries (the ones that exist at 100 TB). The exact
+  // ground-truth tiers (d_ngram_jaccard maxDf=0, d_embedding_dup,
+  // s_ann_bruteforce) are EXCLUDED by design: they are documented as
+  // oracle-only and quadratic.
+  val Queries = Seq(
+    "d_ngram_jaccard_capped", "d_dup_clusters", "d_incremental_dedup",
+    "d_fingerprint_dup", "d_exact_dup", "d_simhash", "d_minhash_lsh",
+    "d_embedding_dup_lsh", "s_ann_ivf", "s_ann_lsh",
+    "p_training_set", "p_quality_gate", "p_domain_cap",
+    "t_heavy_hitters", "t_top_ngrams", "w_session", "w_sliding",
+    "r_join_salted", "r_pricing_summary", "r_merge_upsert")
+
+  def synthesize(spark: SparkSession, src: String, out: String): Unit = {
+    val fs = new java.io.File(out)
+    if (new java.io.File(fs, "_DONE").exists()) return
+    fs.mkdirs()
+    val copies = 10
+    def shifted(df: DataFrame, idCols: Map[String, Long],
+        extra: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until copies).map { c =>
+        val s = idCols.foldLeft(df) { case (d, (col0, stride)) =>
+          d.withColumn(col0, col(col0) + lit(stride * c))
+        }
+        extra(s, c)
+      }.reduce(_ union _)
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    shifted(docs, Map("doc_id" -> 10000000L), (d, c) =>
+      if (c == 0) d
+      else d.withColumn("text", concat_ws(" ",
+        transform(split(col("text"), " "),
+          w => when(pmod(xxhash64(w), lit(copies)) === c,
+            concat(w, lit("_"), lit(c))).otherwise(w)))))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    shifted(emb, Map("vec_id" -> 10000000L), (d, c) =>
+      if (c == 0) d
+      else d.withColumn("embedding", concat(
+        slice(col("embedding"), c + 1, dim - c),
+        slice(col("embedding"), 1, c))))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$src/events.parquet")
+    shifted(events,
+      Map("event_id" -> 100000000L, "user_id" -> 10000000L))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+
+    shifted(spark.read.parquet(s"$src/lineitem.parquet"),
+      Map("l_orderkey" -> 100000000L))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+    shifted(spark.read.parquet(s"$src/orders.parquet"),
+      Map("o_orderkey" -> 100000000L))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
+
+    // dimension tables pass through unscaled (they stay broadcast-sized
+    // at any fact scale — that is the point of a star schema)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+    new java.io.FileOutputStream(new java.io.File(fs, "_DONE")).close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t0 = System.nanoTime()
+    synthesize(spark, src, out)
+    println(f"SYNTH done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    def time(q: String, dir: String): (Double, Long) = {
+      val t = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, dir).count()
+      ((System.nanoTime() - t) / 1e9, n)
+    }
+    // warm the machinery classes once, uncounted (same rationale as Bench)
+    for (q <- Seq("d_ngram_jaccard_capped", "r_pricing_summary",
+        "w_session", "s_ann_ivf"))
+      try time(q, src) catch { case _: Throwable => () }
+    println(f"${"query"}%-24s ${"sf0.1"}%8s ${"sf1"}%10s ${"ratio"}%7s  rows1")
+    Queries.foreach { q =>
+      try {
+        val (tSmall, _) = time(q, src)
+        val (tBig, nBig) = time(q, out)
+        val ratio = tBig / math.max(tSmall, 0.001)
+        println(f"SMOKE $q%-24s $tSmall%7.2fs $tBig%9.2fs $ratio%6.1fx  $nBig")
+      } catch {
+        case e: Throwable =>
+          println(s"SMOKE $q FAILED: ${e.getClass.getSimpleName}: " +
+            s"${String.valueOf(e.getMessage).take(120)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -160,4 +160,78 @@ object FilterCompiler {
   def compile(spec: FilterSpec, jsonCol: Column): Column =
     compileWith(spec, jsonCol,
       f => verbPredicate(extract(jsonCol, f.property), f.verb, f.value))
+
+  /** Resolve a reference-style property path ("a.b", "ids[0]",
+    * "a.items[2].id") against an already-parsed struct column — the
+    * `SelectToken` path grammar the spec properties use (P4), re-expressed
+    * as struct/array field access instead of a per-filter JSON re-parse.
+    */
+  def structPath(parsed: Column, property: String): Column = {
+    val Seg = "^([^\\[\\]]+)((?:\\[\\d+\\])*)$".r
+    property.split('.').foldLeft(parsed) { (c, seg) =>
+      seg match {
+        case Seg(name, idxPart) =>
+          val base = c.getField(name)
+          // `get`, not `getItem`: an out-of-range index must mean "missing
+          // property" (null ⇒ non-match, P7), not an ANSI runtime error —
+          // SelectToken returns null there too
+          "\\d+".r.findAllIn(idxPart).foldLeft(base)(
+            (cc, i) => get(cc, lit(i.toInt)))
+        case _ => throw new IllegalArgumentException(
+          s"Unsupported property path segment '$seg' in '$property'")
+      }
+    }
+  }
+
+  /** Marker field capturing unparseable bodies in [[parseForFilters]]. */
+  val CorruptField = "_graft_corrupt"
+
+  /** ONE `from_json` parse of `body` suitable for [[compileParsed]]: the
+    * schema gains a corrupt-record field so that malformed JSON — which
+    * PERMISSIVE `from_json` reports as an all-null ROW, not a null struct —
+    * stays distinguishable from a valid object whose properties are
+    * missing. That distinction IS the P8 gate.
+    */
+  def parseForFilters(body: Column,
+      schema: org.apache.spark.sql.types.StructType): Column =
+    from_json(body,
+      schema.add(CorruptField, org.apache.spark.sql.types.StringType),
+      java.util.Map.of("columnNameOfCorruptRecord", CorruptField))
+
+  /** Single-parse variant of [[compile]] for plans where the filter and
+    * the projection share one JSON body: the caller parses ONCE with
+    * [[parseForFilters]] and the predicate runs against the parsed
+    * struct — no per-filter `get_json_object` re-parse, no separate
+    * validity probe.
+    *
+    * Semantics parity with [[compile]] (spec-pinned in FilterCompilerSpec):
+    *   - P8: the corrupt-record field is non-null exactly for the inputs
+    *     `JObject.Parse` throws on (malformed text, top-level arrays, bare
+    *     scalars); a JSON-null/absent body parses to a null struct. Both
+    *     ⇒ deliver unfiltered.
+    *   - P5/S1: extracted values cast to string before comparing, keeping
+    *     the reference's ordinal-string semantics even for typed fields.
+    *   - P7: a missing property extracts null ⇒ coalesce(false) non-match.
+    *
+    * The parse SCHEMA must declare every property the spec references
+    * (struct field access is resolved at analysis time — an undeclared
+    * field fails the query, P9-style fail-fast). A property declared in
+    * the schema but missing from the DOCUMENT extracts null ⇒ non-match,
+    * which is the P7 case.
+    */
+  def compileParsed(spec: FilterSpec, parsed: Column): Column = {
+    FilterValidation.requireValid(spec)
+    if (spec.filters.isEmpty) lit(true)
+    else {
+      val preds = spec.filters.map(f => coalesce(
+        verbPredicate(structPath(parsed, f.property).cast("string"),
+          f.verb, f.value),
+        lit(false)))
+      val verdict =
+        if (spec.useOr) preds.reduce(_ || _) else preds.reduce(_ && _)
+      val isObject =
+        parsed.isNotNull && parsed.getField(CorruptField).isNull
+      when(isObject, verdict).otherwise(lit(true))
+    }
+  }
 }

@@ -188,18 +188,16 @@ object FilterQueries {
         FilterCompiler.extract(col("props"), "k"), lit(",5]}"))
       val spec = FilterSpec(Seq(
         PayloadFilter("ids[0]", FilterVerbs.Equals, "purchase")))
-      // The filter goes through the compiler (the P4 array-path machinery
-      // under test); the two OUTPUT extractions share ONE from_json parse
-      // instead of two get_json_object re-parses. Profiled at sf0.1: warm
-      // steady-state 1.3 s (sibling parity) — the 22 s seen in round 1's
-      // bench was one-time JIT/classload cost landing on the first measured
-      // query, since fixed by Bench's uncounted warm-up.
+      // Single-parse plan (SCALING.md): filter AND both output extractions
+      // run against ONE from_json of the body via compileParsed — the
+      // earlier shape paid three Jackson parses per row (validity probe +
+      // filter extract via get_json_object + from_json for outputs).
       val parsedSchema = org.apache.spark.sql.types.StructType.fromDDL(
         "ids ARRAY<STRING>, ks ARRAY<INT>")
       Tables.events(s, d)
-        .withColumn("body", body)
-        .filter(FilterCompiler.compile(spec, col("body")))
-        .withColumn("parsed", from_json(col("body"), parsedSchema))
+        .withColumn("parsed",
+          FilterCompiler.parseForFilters(body, parsedSchema))
+        .filter(FilterCompiler.compileParsed(spec, col("parsed")))
         .select(col("event_id"),
           col("parsed.ks").getItem(0).cast("string").as("k0"),
           col("parsed.ids").getItem(1).as("backup"))

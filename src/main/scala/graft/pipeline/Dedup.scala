@@ -236,9 +236,18 @@ object Dedup {
     val probeLimit =
       if (maxPairs >= Int.MaxValue - 1L) Int.MaxValue
       else (maxPairs + 1L).toInt
-    val probed = prs.limit(probeLimit).count()
-    if (probed > 0 && probed <= maxPairs && longIds) {
-      val out = driverClusters(prs)
+    // The probe COLLECTS (id pairs only — 16 bytes/row, so the cap bounds
+    // driver memory the same way the count probe did) instead of counting:
+    // on the driver path those rows ARE the union-find input, making the
+    // gate and the work a single job over the persisted pairs instead of
+    // probe-then-recollect paying the plan twice.
+    val probedRows =
+      if (longIds)
+        prs.select(col("ida"), col("idb")).limit(probeLimit).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (probedRows.nonEmpty && probedRows.length <= maxPairs) {
+      val out = driverClusters(spark,
+        probedRows.map(r => (r.getLong(0), r.getLong(1))))
       prs.unpersist()
       return out
     }
@@ -248,7 +257,8 @@ object Dedup {
     // graph is orders of magnitude smaller than its input, and each
     // propagation round pays per-partition scheduling overhead times the
     // round count. One partition per ~500k edges, floor 2.
-    val nPairs = if (probed == 0) 0L else prs.count()
+    val nPairs =
+      if (longIds && probedRows.isEmpty) 0L else prs.count()
     val parts = math.max(2, math.min(
       spark.sparkContext.defaultParallelism,
       (nPairs / 500000L).toInt + 1))
@@ -313,10 +323,8 @@ object Dedup {
     * (larger root points at smaller) keeps every tree's root equal to
     * the component's minimum id, so `find` IS the cluster label.
     */
-  private def driverClusters(prs: DataFrame): DataFrame = {
-    val spark = prs.sparkSession
-    val edges = prs.select(col("ida"), col("idb")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+  private def driverClusters(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
     // LongMap: primitive keys, no per-entry box on the hot find() path
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {

@@ -184,4 +184,69 @@ class FilterCompilerSpec extends AnyFunSuite {
         FilterSpec(Seq(PayloadFilter("n", "Equals", "abc"))), col("body"))
     }
   }
+
+  // ---- single-parse path (compileParsed) ---------------------------------
+
+  private val parsedSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "user STRUCT<type: STRING>, n STRING, s STRING, " +
+      "ids ARRAY<STRING>, ks ARRAY<INT>, missing STRING")
+
+  /** compileParsed over one from_json of the body. */
+  private def verdictsParsed(bodies: Seq[String],
+      spec: FilterSpec): Seq[Boolean] = {
+    val df = bodies.toDF("body")
+      .withColumn("parsed",
+        FilterCompiler.parseForFilters(col("body"), parsedSchema))
+    df.select(FilterCompiler.compileParsed(spec, col("parsed")).as("v"))
+      .collect().map(_.getBoolean(0)).toSeq
+  }
+
+  test("compileParsed ≡ compile across object / missing-prop / array / " +
+      "scalar / malformed / null bodies (P5-P8 parity)") {
+    val bodies = Seq(
+      doc,                               // object, all props present
+      """{"s":"Hello"}""",               // object, filter prop missing
+      "[1,2,3]",                         // top-level array → deliver
+      "42",                              // bare scalar → deliver
+      "\"just a string\"",               // bare string → deliver
+      "not json at all",                 // malformed → deliver
+      "null",                            // bare null → deliver
+      null)                              // null body → deliver
+    val specs = Seq(
+      FilterSpec(Seq(PayloadFilter("user.type", "Equals", "Admin"))),
+      FilterSpec(Seq(PayloadFilter("n", "Greater Than", "100"))), // S1 string
+      FilterSpec(Seq(
+        PayloadFilter("user.type", "Equals", "Admin"),
+        PayloadFilter("missing", "Equals", "x"))),
+      FilterSpec(Seq(
+        PayloadFilter("user.type", "Equals", "nope"),
+        PayloadFilter("s", "Starts With (Case Insensitive)", "hel")),
+        useOr = true),
+      FilterSpec(Nil))
+    for (spec <- specs)
+      assert(verdictsParsed(bodies, spec) == verdicts(bodies, spec),
+        s"single-parse verdicts diverged for $spec")
+  }
+
+  test("compileParsed resolves array-index paths against the struct " +
+      "(P4 grammar: ids[0], ks[1])") {
+    val bodies = Seq(
+      """{"ids":["purchase","backup"],"ks":[7,5]}""",
+      """{"ids":["refund","backup"],"ks":[7,5]}""",
+      """{"ids":[],"ks":[7,5]}""") // index out of range → null → non-match
+    val spec = FilterSpec(Seq(PayloadFilter("ids[0]", "Equals", "purchase")))
+    assert(verdictsParsed(bodies, spec) == Seq(true, false, false))
+    // typed field compared as its STRING form (S1 parity): ks[1]="5"
+    val spec2 = FilterSpec(Seq(PayloadFilter("ks[1]", "Equals", "5")))
+    assert(verdictsParsed(bodies.take(1), spec2) == Seq(true))
+    // and ordinal-string ordering survives the typed field: "7" > "10"
+    val spec3 = FilterSpec(Seq(PayloadFilter("ks[0]", "Greater Than", "10")))
+    assert(verdictsParsed(bodies.take(1), spec3) == Seq(true))
+  }
+
+  test("structPath rejects malformed path segments") {
+    intercept[IllegalArgumentException] {
+      FilterCompiler.structPath(col("p"), "ids[")
+    }
+  }
 }
