@@ -1,0 +1,174 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximation-fidelity AUDIT queries: deterministic agreement metrics
+  * between an exact tier and its scale-path approximation, expressed so a
+  * SQL oracle can hash-check them. The approximate tiers elsewhere in the
+  * engine (MinHash/SimHash/IVF) are hash-seeded and carry recall SPECS;
+  * these two queries complement them by making approximation error itself
+  * an oracle-checkable result:
+  *
+  *   - [[Agreement.gateAgreement]]: the per-language quality-percentile
+  *     gate computed exactly (full percent_rank) vs. from a deterministic
+  *     hash sample (the shape a 100 TB corpus uses — a 30% sample's
+  *     discrete p25 as the cutoff). Both sides are pure rank/compare
+  *     logic over identical doubles, so keep/drop counts match any
+  *     engine bit-for-bit — no interpolation arithmetic to drift.
+  *   - capped-pair drift (in [[Agreement.queries]]): the exact n-gram
+  *     Jaccard pair set vs. the df-capped production tier, emitting the
+  *     symmetric difference with each pair's own-tier similarity. The
+  *     fixture cap (df ≤ 2) is chosen BELOW the corpus's max shingle df
+  *     so the drift is non-empty: a 3-doc near-dup clique's shared
+  *     shingles have df = 3 and are all dropped — the exact failure mode
+  *     (cliques just over the cap) an operator of the capped tier must
+  *     size its cap against.
+  */
+object Agreement {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic 30% sample: Knuth multiplicative hash on the id.
+    * Content- and partitioning-independent (same sample on every run,
+    * retry, and layout), and plain 64-bit arithmetic any SQL engine
+    * reproduces exactly — unlike `rand()` or `TABLESAMPLE`.
+    */
+  private def inSample(id: org.apache.spark.sql.Column) =
+    pmod(id * lit(2654435761L), lit(10)) < 3
+
+  /** Exact vs. sampled per-language quality gate, as per-language
+    * keep-set counts: `n_exact` (percent_rank ≥ p over all docs),
+    * `n_approx` (quality ≥ the sample's discrete p-th percentile), and
+    * `n_common`. The sampled cutoff is `min(quality)` over sample rows
+    * with in-sample percent_rank ≥ p — a discrete percentile, i.e. an
+    * ACTUAL data value, so the `quality >= cut` comparison never touches
+    * interpolated arithmetic. At scale the exact side's per-language
+    * full sort disappears and only the sample is ranked; this query
+    * measures what that buys and what it costs, per language.
+    */
+  def gateAgreement(docs: DataFrame, p: Double): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("lang"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("quality"))
+    val cuts = scored.filter(inSample(col("doc_id")))
+      .withColumn("spr", percent_rank().over(w))
+      .filter(col("spr") >= p)
+      .groupBy("lang").agg(min("quality").as("cut"))
+    // cuts is ≤ one row per language — always broadcast-sized. A language
+    // absent from the sample yields no cut row: the left join's null cut
+    // makes `quality >= cut` null, and count(when(...)) skips it — the
+    // same FILTER(WHERE ...) null semantics the oracle uses.
+    scored.withColumn("pr", percent_rank().over(w))
+      .join(broadcast(cuts), Seq("lang"), "left")
+      .groupBy("lang").agg(
+        count(when(col("pr") >= p, lit(1))).as("n_exact"),
+        count(when(col("quality") >= col("cut"), lit(1))).as("n_approx"),
+        count(when(col("pr") >= p && col("quality") >= col("cut"), lit(1)))
+          .as("n_common"))
+  }
+
+  /** Symmetric difference of two (da, db, jaccard) pair sets, each row
+    * tagged with the side that produced it and that side's own jaccard.
+    */
+  def pairDrift(exact: DataFrame, approx: DataFrame): DataFrame = {
+    def minus(a: DataFrame, b: DataFrame, tag: String) =
+      a.join(b.select("da", "db"), Seq("da", "db"), "left_anti")
+        .select(col("da"), col("db"),
+          round(col("jaccard"), 4).as("jaccard"), lit(tag).as("side"))
+    minus(exact, approx, "lost").union(minus(approx, exact, "gained"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "a_gate_agreement" -> { (s, d) =>
+      gateAgreement(Tables.documents(s, d), 0.25).orderBy("lang")
+    },
+    // Ground-truth audit tier (runs the uncapped all-pairs side, like
+    // d_ngram_jaccard — documented as NOT the 100 TB path; at scale the
+    // drift is estimated from a sampled slice with this same query).
+    "a_capped_pair_drift" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      pairDrift(
+        Dedup.jaccardPairs(docs, 0.8),
+        Dedup.jaccardPairs(docs, 0.8, maxDf = 2))
+        .orderBy("da", "db", "side")
+    })
+
+  private val pairCtes =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 2, 1) + 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) s
+      |  FROM toks WHERE len(t) >= 3),
+      |df AS (SELECT s, count(*) c FROM sh GROUP BY s),
+      |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING(s)
+      |        WHERE c <= 2),
+      |sizes0 AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |inter0 AS (
+      |  SELECT a.doc_id da, b.doc_id db, count(*) i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |exact AS (
+      |  SELECT da, db, i * 1.0 / (sa.n + sb.n - i) j FROM inter0
+      |  JOIN sizes0 sa ON sa.doc_id = da
+      |  JOIN sizes0 sb ON sb.doc_id = db
+      |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+      |sizes1 AS (SELECT doc_id, count(*) n FROM shc GROUP BY doc_id),
+      |inter1 AS (
+      |  SELECT a.doc_id da, b.doc_id db, count(*) i
+      |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |capped AS (
+      |  SELECT da, db, i * 1.0 / (sa.n + sb.n - i) j FROM inter1
+      |  JOIN sizes1 sa ON sa.doc_id = da
+      |  JOIN sizes1 sb ON sb.doc_id = db
+      |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "a_gate_agreement" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |    0.4 * (len(list_distinct(t)) / (len(t) * 1.0)) +
+        |    0.3 * (1.0 - len(list_filter(t,
+        |      x -> list_contains(['the','a','of','and','to'], x))) /
+        |      (len(t) * 1.0)) +
+        |    0.3 * least(len(t) / 100.0, 1.0) AS quality
+        |  FROM toks),
+        |pr AS (
+        |  SELECT doc_id, lang, quality, percent_rank() OVER (
+        |    PARTITION BY lang ORDER BY quality) AS pr
+        |  FROM q),
+        |smp AS (
+        |  SELECT lang, quality, percent_rank() OVER (
+        |    PARTITION BY lang ORDER BY quality) AS spr
+        |  FROM q WHERE (doc_id * 2654435761) % 10 < 3),
+        |cuts AS (
+        |  SELECT lang, min(quality) AS cut FROM smp
+        |  WHERE spr >= 0.25 GROUP BY lang)
+        |SELECT pr.lang,
+        |  count(*) FILTER (WHERE pr >= 0.25) AS n_exact,
+        |  count(*) FILTER (WHERE quality >= cut) AS n_approx,
+        |  count(*) FILTER (WHERE pr >= 0.25 AND quality >= cut)
+        |    AS n_common
+        |FROM pr LEFT JOIN cuts USING (lang)
+        |GROUP BY pr.lang ORDER BY pr.lang""".stripMargin,
+    "a_capped_pair_drift" -> (pairCtes +
+      """
+        |SELECT da, db, round(j, 4) AS jaccard, 'lost' AS side
+        |FROM exact e
+        |WHERE NOT EXISTS (SELECT 1 FROM capped c
+        |                  WHERE c.da = e.da AND c.db = e.db)
+        |UNION ALL
+        |SELECT da, db, round(j, 4) AS jaccard, 'gained' AS side
+        |FROM capped c
+        |WHERE NOT EXISTS (SELECT 1 FROM exact e
+        |                  WHERE e.da = c.da AND e.db = c.db)
+        |ORDER BY da, db, side""".stripMargin))
+}

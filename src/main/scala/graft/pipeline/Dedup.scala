@@ -370,6 +370,42 @@ object Dedup {
       .select(col("cluster"), col("doc_id").as("keeper"), col("n_members"))
   }
 
+  /** Cross-document duplicated-SPAN coverage — the measurement core of
+    * exact-substring dedup (the C4/"Deduplicating Training Data Makes
+    * Language Models Better" preprocessing step): for each doc, the
+    * number of token positions covered by at least one `n`-token span
+    * that also appears verbatim in ANOTHER document. Within-doc
+    * repetition does not count (that is [[TextAnalysis]]'s repetition
+    * signal); this is the cross-doc memorization surface.
+    *
+    * Shape at scale: spans are 64-bit position-free hashes (no n-token
+    * strings materialize); the duplicated-span set comes from one
+    * count-distinct-docs aggregation; coverage is an 8× bounded explode
+    * of only the DUPLICATED positions (rare by construction in a clean
+    * corpus) — never of the corpus. All shuffles key on the span hash or
+    * doc_id; nothing is quadratic.
+    */
+  def spanDupTokens(docs: DataFrame, n: Int = 8): DataFrame = {
+    val base = graft.Tables.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= n)
+    // positions are kept (no array_distinct): coverage needs every start
+    val grams = base
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("t")) - n)).as("pos"), col("t"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64((0 until n).map(j =>
+          element_at(col("t"), col("pos") + j + 1)): _*).as("g"))
+    val dup = grams.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("dc"))
+      .filter(col("dc") >= 2).select("g")
+    grams.join(dup, Seq("g"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: duplicated delivery (doc_id < 100 re-ingested) collapses
     // on content; keeper = min doc_id. Hash-groupBy — single shuffle.
@@ -465,6 +501,13 @@ object Dedup {
       dupClusters(pairs)
         .withColumnRenamed("doc_id", "vec_id")
         .orderBy("vec_id")
+    },
+    // Exact-substring (span) dedup measurement: per-doc count of token
+    // positions inside an 8-token span shared verbatim with another doc.
+    // The hash-vs-string oracle equality re-proves the no-collision
+    // assumption (as for p_decontaminate).
+    "d_span_dup" -> { (s, d) =>
+      spanDupTokens(Tables.documents(s, d), 8).orderBy("doc_id")
     },
     // Embedding cosine near-dup pairs: brute-force on the checkable scale;
     // the LSH-bucketed variant in Similarity is the 100 TB path.
@@ -611,6 +654,25 @@ object Dedup {
         |  SELECT e.t, reach.r FROM reach JOIN edges e ON reach.id = e.s)
         |SELECT id AS doc_id, min(r) AS cluster
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "d_span_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |      || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+        |      || ' ' || t[i+7] AS s
+        |  FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |dup AS (
+        |  SELECT s FROM (
+        |    SELECT s, count(DISTINCT doc_id) dc FROM g GROUP BY s)
+        |  WHERE dc >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p
+        |  FROM g JOIN dup USING (s), unnest(range(g.i, g.i + 8)) AS c(p))
+        |SELECT doc_id, count(*) AS n_dup_tokens
+        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d_embedding_dup_clusters" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.vec_id AS ida, b.vec_id AS idb

@@ -148,6 +148,32 @@ object TrainingSet {
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared_ngrams"))
         .orderBy("doc_id")
     },
+    // Same decontamination result through the TWO-PHASE scale path:
+    // a Bloom filter of the benchmark grams pre-filters the corpus-side
+    // scan (no join, no shuffle — one codegen'd predicate per gram), and
+    // only the ~fpp survivors pay the exact confirm join. At 100 TB the
+    // broadcast shrinks from an 8-byte-per-gram hash relation to ~1.2
+    // BYTES per gram (1% fpp), and the corpus side never shuffles. The
+    // bloom has no false negatives and the confirm join removes the
+    // false positives, so the result is EXACTLY the single-phase
+    // p_decontaminate — which is what the shared oracle checks.
+    "p_decontaminate_bloom" -> { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+      def grams(df: DataFrame) = df.select(col("doc_id"),
+        explode(Dedup.shingleHashes(col("text"), 8)).as("g"))
+      val bench = grams(docs.filter(pmod(col("doc_id"), lit(7)) === 0))
+        .select("g").distinct()
+      // distributed build (treeAggregate under stat.bloomFilter); the
+      // sketch itself is broadcast-sized by construction
+      val bf = bench.stat.bloomFilter("g", 1000000L, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((g: Long) => bfB.value.mightContainLong(g))
+      grams(docs.filter(pmod(col("doc_id"), lit(7)) =!= 0))
+        .filter(mightContain(col("g")))
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared_ngrams"))
+        .orderBy("doc_id")
+    },
     "p_stratified_sample" -> { (s, d) =>
       stratifiedSample(Tables.documents(s, d), "lang", 20)
         .orderBy("lang", "doc_id")
@@ -168,6 +194,22 @@ object TrainingSet {
       packSequences(Tables.documents(s, d), 2048)
         .orderBy("doc_id")
     })
+
+  private val DecontaminateSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(t) - 7 + 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |      || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+      |      || ' ' || t[i+7]))) AS s
+      |  FROM toks WHERE len(t) >= 8),
+      |bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 7 = 0)
+      |SELECT doc_id, count(*) AS n_shared_ngrams
+      |FROM g JOIN bench USING (s)
+      |WHERE doc_id % 7 != 0
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "p_quality_gate" ->
@@ -190,21 +232,10 @@ object TrainingSet {
         |  FROM q)
         |WHERE pr >= 0.25
         |ORDER BY doc_id""".stripMargin,
-    "p_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, len(t) - 7 + 1),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-        |      || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
-        |      || ' ' || t[i+7]))) AS s
-        |  FROM toks WHERE len(t) >= 8),
-        |bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 7 = 0)
-        |SELECT doc_id, count(*) AS n_shared_ngrams
-        |FROM g JOIN bench USING (s)
-        |WHERE doc_id % 7 != 0
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "p_decontaminate" -> DecontaminateSql,
+    // the bloom pre-filter is exact end-to-end (no false negatives +
+    // exact confirm), so the two-phase path shares the oracle
+    "p_decontaminate_bloom" -> DecontaminateSql,
     "p_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Agreement, Dedup, TrainingSet}
+
+/** Fidelity-audit queries (a_*), span dedup, and the bloom decontaminate
+  * path: internal-consistency invariants the DuckDB oracle also checks
+  * end-to-end, plus hand fixtures for the semantics the big fixture
+  * can't isolate.
+  */
+class AgreementSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  test("a_gate_agreement: common ≤ min(exact, approx); exact side " +
+      "matches p_quality_gate") {
+    val rows = SparkEntry.queries("a_gate_agreement")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (e, a, c) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(c <= math.min(e, a), s"row $r violates common ≤ min")
+      assert(c > 0, s"sampled gate found nothing in common for $r")
+    }
+    val nExact = rows.map(_.getLong(1)).sum
+    val gate = SparkEntry.queries("p_quality_gate")(spark, sf).count()
+    assert(nExact == gate,
+      s"agreement exact side $nExact != p_quality_gate $gate")
+  }
+
+  test("a_capped_pair_drift: drift rows really are the set difference " +
+      "of the two tiers") {
+    val docs = Tables.documents(spark, sf)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.jaccardPairs(docs, 0.8))
+    val capped = pairSet(Dedup.jaccardPairs(docs, 0.8, maxDf = 2))
+    val drift = SparkEntry.queries("a_capped_pair_drift")(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(3)))
+    val lost = drift.collect { case (p, "lost") => p }.toSet
+    val gained = drift.collect { case (p, "gained") => p }.toSet
+    assert(lost == exact -- capped)
+    assert(gained == capped -- exact)
+    // the fixture cap is chosen to make the audit non-trivial
+    assert((lost ++ gained).nonEmpty, "drift fixture is degenerate")
+  }
+
+  test("d_span_dup: cross-doc spans count, within-doc repetition and " +
+      "unique text do not") {
+    import spark.implicits._
+    val docs = Seq(
+      // 1 & 2 share the 8-token prefix (tokens 0..7 covered in both)
+      (1L, "a b c d e f g h x1 y1 z1"),
+      (2L, "a b c d e f g h x2 y2 z2"),
+      // 3 repeats an 8-gram WITHIN itself only — must not count
+      (3L, "m n o p q r s t m n o p q r s t"),
+      // 4 is unique
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+      // 5 is too short for any 8-gram
+      (5L, "short doc")).toDF("doc_id", "text")
+    val out = Dedup.spanDupTokens(docs, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 8L, 2L -> 8L), s"got $out")
+  }
+
+  test("d_span_dup: overlapping shared spans merge into one covered run") {
+    import spark.implicits._
+    // 9 shared tokens → two overlapping 8-grams → coverage 9, not 16
+    val docs = Seq(
+      (1L, "a b c d e f g h i x1"),
+      (2L, "a b c d e f g h i x2")).toDF("doc_id", "text")
+    val out = Dedup.spanDupTokens(docs, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 9L, 2L -> 9L), s"got $out")
+  }
+
+  test("p_decontaminate_bloom equals the single-phase exact result") {
+    val exact = SparkEntry.queries("p_decontaminate")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = SparkEntry.queries("p_decontaminate_bloom")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(bloom == exact)
+  }
+}
