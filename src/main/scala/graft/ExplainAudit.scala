@@ -83,6 +83,14 @@ object ExplainAudit {
     // decontamination: the benchmark gram set broadcasts — the corpus
     // side must never shuffle for the membership join
     audit("p_decontaminate", "BroadcastHashJoin")
+    // two-phase bloom decontamination: the bloom prefilter (UDF over the
+    // broadcast sketch) sits corpus-side with NO shuffle, and the exact
+    // confirm join still broadcasts the benchmark gram set
+    audit("p_decontaminate_bloom", "BroadcastHashJoin", "UDF")
+    // span dedup joins only on the span hash — never a pair product
+    auditAtMost("d_span_dup", "CartesianProduct|BroadcastNestedLoopJoin", 0)
+    // sampled-gate agreement: the per-language cutoffs broadcast back
+    audit("a_gate_agreement", "BroadcastHashJoin")
     // TopKOptimizations: the key filter written ABOVE the custom operator
     // reaches the parquet scan as a PushedFilter, and the scan reads only
     // the two live columns (ts/event_type/value/props pruned)

@@ -219,14 +219,31 @@ object FilterCompiler {
     * the schema but missing from the DOCUMENT extracts null ⇒ non-match,
     * which is the P7 case.
     */
-  def compileParsed(spec: FilterSpec, parsed: Column): Column = {
+  def compileParsed(spec: FilterSpec, parsed: Column): Column =
+    compileParsedWith(spec, parsed,
+      f => verbPredicate(structPath(parsed, f.property).cast("string"),
+        f.verb, f.value))
+
+  /** Typed twin of [[compileParsed]] — [[compileTyped]]'s numeric verbs
+    * over the single-parse struct. The extracted field still goes through
+    * a STRING cast first (the declared schema is string-typed so the
+    * ordinal family shares one parse), then `try_cast(double)` exactly as
+    * the re-parse path does — same null ⇒ non-match on unparseable text.
+    */
+  def compileParsedTyped(spec: FilterSpec, parsed: Column): Column =
+    compileParsedWith(spec, parsed,
+      f => typedVerbPredicate(structPath(parsed, f.property).cast("string"),
+        f.verb, f.value))
+
+  /** Shared P6/P7/P8 composition over a [[parseForFilters]] struct —
+    * the single-parse mirror of [[compileWith]].
+    */
+  private def compileParsedWith(spec: FilterSpec, parsed: Column,
+      perFilter: PayloadFilter => Column): Column = {
     FilterValidation.requireValid(spec)
     if (spec.filters.isEmpty) lit(true)
     else {
-      val preds = spec.filters.map(f => coalesce(
-        verbPredicate(structPath(parsed, f.property).cast("string"),
-          f.verb, f.value),
-        lit(false)))
+      val preds = spec.filters.map(f => coalesce(perFilter(f), lit(false)))
       val verdict =
         if (spec.useOr) preds.reduce(_ || _) else preds.reduce(_ && _)
       val isObject =

@@ -19,13 +19,32 @@ import graft.filters._
 object FilterQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  private def events(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+
+  /** Single-parse plan for the whole family (the shape SCALING.md
+    * documents): ONE `from_json` feeds the P8 validity gate, every
+    * filter extraction, and the output projection. The legacy
+    * `get_json_object` path re-parses the body per call — a one-verb
+    * query pays 3 Jackson parses per row (validity probe + filter +
+    * output), measured ~1.0 s vs ~0.4 s per query at sf0.1, and the
+    * parse runs inside the SCAN stage (the filter pushes below any
+    * exchange), so it cannot be parallelized away on a one-row-group
+    * fixture. Parity with the re-parse path across object/array/scalar/
+    * malformed/null bodies is spec-pinned in FilterCompilerSpec; every
+    * oracle below is unchanged.
+    */
+  private val KSchema =
+    org.apache.spark.sql.types.StructType.fromDDL("k STRING")
+
   /** Spark side of a verb query on `props.$.k` (case-sensitive family). */
   private def verbOnK(verb: String, value: String): Q = (s, d) => {
     val spec = FilterSpec(Seq(PayloadFilter("k", verb, value)))
-    Tables.events(s, d)
-      .filter(FilterCompiler.compile(spec, col("props")))
-      .select(col("event_id"),
-        FilterCompiler.extract(col("props"), "k").as("k"))
+    events(s, d)
+      .withColumn("parsed",
+        FilterCompiler.parseForFilters(col("props"), KSchema))
+      .filter(FilterCompiler.compileParsed(spec, col("parsed")))
+      .select(col("event_id"), col("parsed.k").as("k"))
       .orderBy("event_id")
   }
 
@@ -42,12 +61,15 @@ object FilterQueries {
   private def ciBody = concat(lit("{\"t\":\""), col("event_type"), lit("\"}"))
   private val ciBodySql = """concat('{"t":"', event_type, '"}')"""
 
+  private val TSchema =
+    org.apache.spark.sql.types.StructType.fromDDL("t STRING")
+
   private def verbOnTypeCi(baseVerb: String, value: String): Q = (s, d) => {
     val spec = FilterSpec(Seq(
       PayloadFilter("t", baseVerb + FilterVerbs.CaseInsensitiveSuffix, value)))
-    Tables.events(s, d)
-      .withColumn("body", ciBody)
-      .filter(FilterCompiler.compile(spec, col("body")))
+    events(s, d)
+      .withColumn("parsed", FilterCompiler.parseForFilters(ciBody, TSchema))
+      .filter(FilterCompiler.compileParsed(spec, col("parsed")))
       .select(col("event_id"), col("event_type"))
       .orderBy("event_id")
   }
@@ -90,10 +112,11 @@ object FilterQueries {
         PayloadFilter("k", FilterVerbs.GreaterThan, "2"),
         PayloadFilter("k", FilterVerbs.LessThan, "6"),
         PayloadFilter("k", FilterVerbs.Contains, "3")))
-      Tables.events(s, d)
-        .filter(FilterCompiler.compile(spec, col("props")))
-        .select(col("event_id"),
-          FilterCompiler.extract(col("props"), "k").as("k"))
+      events(s, d)
+        .withColumn("parsed",
+          FilterCompiler.parseForFilters(col("props"), KSchema))
+        .filter(FilterCompiler.compileParsed(spec, col("parsed")))
+        .select(col("event_id"), col("parsed.k").as("k"))
         .orderBy("event_id")
     },
     "f_or" -> { (s, d) =>
@@ -101,10 +124,11 @@ object FilterQueries {
         PayloadFilter("k", FilterVerbs.Equals, "87"),
         PayloadFilter("k", FilterVerbs.Equals, "12"),
         PayloadFilter("k", FilterVerbs.StartsWith, "99")), useOr = true)
-      Tables.events(s, d)
-        .filter(FilterCompiler.compile(spec, col("props")))
-        .select(col("event_id"),
-          FilterCompiler.extract(col("props"), "k").as("k"))
+      events(s, d)
+        .withColumn("parsed",
+          FilterCompiler.parseForFilters(col("props"), KSchema))
+        .filter(FilterCompiler.compileParsed(spec, col("parsed")))
+        .select(col("event_id"), col("parsed.k").as("k"))
         .orderBy("event_id")
     },
     // ---- missing property (P7): AND rejects, OR skips ----
@@ -112,16 +136,22 @@ object FilterQueries {
       val spec = FilterSpec(Seq(
         PayloadFilter("k", FilterVerbs.GreaterThan, "1"),
         PayloadFilter("nope", FilterVerbs.Equals, "x")))
-      Tables.events(s, d)
-        .filter(FilterCompiler.compile(spec, col("props")))
+      events(s, d)
+        .withColumn("parsed", FilterCompiler.parseForFilters(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "k STRING, nope STRING")))
+        .filter(FilterCompiler.compileParsed(spec, col("parsed")))
         .select(col("event_id")).orderBy("event_id")
     },
     "f_missing_or" -> { (s, d) =>
       val spec = FilterSpec(Seq(
         PayloadFilter("nope", FilterVerbs.Equals, "x"),
         PayloadFilter("k", FilterVerbs.Equals, "87")), useOr = true)
-      Tables.events(s, d)
-        .filter(FilterCompiler.compile(spec, col("props")))
+      events(s, d)
+        .withColumn("parsed", FilterCompiler.parseForFilters(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "k STRING, nope STRING")))
+        .filter(FilterCompiler.compileParsed(spec, col("parsed")))
         .select(col("event_id")).orderBy("event_id")
     },
     // ---- parse-failure pass-through (P8) ----
@@ -132,9 +162,9 @@ object FilterQueries {
       val spec = FilterSpec(Seq(PayloadFilter("k", FilterVerbs.Equals, "87")))
       val body = when(col("event_id") % 10 === 0, substring(col("props"), 1, 3))
         .otherwise(col("props"))
-      Tables.events(s, d)
-        .withColumn("body", body)
-        .filter(FilterCompiler.compile(spec, col("body")))
+      events(s, d)
+        .withColumn("parsed", FilterCompiler.parseForFilters(body, KSchema))
+        .filter(FilterCompiler.compileParsed(spec, col("parsed")))
         .select(col("event_id")).orderBy("event_id")
     },
     // ---- typed-comparison EXTENSION: numeric verbs over JSON fields.
@@ -145,16 +175,20 @@ object FilterQueries {
     "ft_gt_typed" -> { (s, d) =>
       val spec = FilterSpec(Seq(
         PayloadFilter("k", FilterVerbs.GreaterThan, "10")))
-      Tables.events(s, d)
-        .filter(FilterCompiler.compileTyped(spec, col("props")))
+      events(s, d)
+        .withColumn("parsed",
+          FilterCompiler.parseForFilters(col("props"), KSchema))
+        .filter(FilterCompiler.compileParsedTyped(spec, col("parsed")))
         .select(col("event_id")).orderBy("event_id")
     },
     "ft_range_typed" -> { (s, d) => // AND of numeric bounds: 25 ≤ k < 75
       val spec = FilterSpec(Seq(
         PayloadFilter("k", FilterVerbs.GreaterThanOrEqual, "25"),
         PayloadFilter("k", FilterVerbs.LessThan, "75")))
-      Tables.events(s, d)
-        .filter(FilterCompiler.compileTyped(spec, col("props")))
+      events(s, d)
+        .withColumn("parsed",
+          FilterCompiler.parseForFilters(col("props"), KSchema))
+        .filter(FilterCompiler.compileParsedTyped(spec, col("parsed")))
         .select(col("event_id")).orderBy("event_id")
     },
     // ---- P8 object-shape: top-level arrays / bare scalars are NOT
@@ -168,14 +202,14 @@ object FilterQueries {
           FilterCompiler.extract(col("props"), "k")) // bare numeric scalar
         .when(col("event_id") % 4 === 3, lit("\"just a string\""))
         .otherwise(col("props")) // a real object: filters apply
-      Tables.events(s, d)
-        .withColumn("body", body)
-        .filter(FilterCompiler.compile(spec, col("body")))
+      events(s, d)
+        .withColumn("parsed", FilterCompiler.parseForFilters(body, KSchema))
+        .filter(FilterCompiler.compileParsed(spec, col("parsed")))
         .select(col("event_id")).orderBy("event_id")
     },
     // ---- empty filter list: everything delivered (TJ:694 guard) ----
     "f_empty_spec" -> { (s, d) =>
-      Tables.events(s, d)
+      events(s, d)
         .filter(FilterCompiler.compile(FilterSpec(Nil, useOr = true),
           col("props")))
         .select(col("event_id")).orderBy("event_id")
@@ -194,7 +228,7 @@ object FilterQueries {
       // filter extract via get_json_object + from_json for outputs).
       val parsedSchema = org.apache.spark.sql.types.StructType.fromDDL(
         "ids ARRAY<STRING>, ks ARRAY<INT>")
-      Tables.events(s, d)
+      events(s, d)
         .withColumn("parsed",
           FilterCompiler.parseForFilters(body, parsedSchema))
         .filter(FilterCompiler.compileParsed(spec, col("parsed")))

@@ -228,6 +228,37 @@ class FilterCompilerSpec extends AnyFunSuite {
         s"single-parse verdicts diverged for $spec")
   }
 
+  test("compileParsedTyped ≡ compileTyped across the same body shapes " +
+      "(numeric verbs, P7/P8 parity)") {
+    val bodies = Seq(
+      doc,                               // n = "42"
+      """{"n":"9"}""",                   // 9 < 100 numerically, > ordinally
+      """{"n":"abc"}""",                 // unparseable number → non-match
+      """{"s":"Hello"}""",               // n missing → non-match
+      "[1,2,3]", "42", "not json at all", "null", null) // all deliver
+    val specs = Seq(
+      FilterSpec(Seq(PayloadFilter("n", "Greater Than", "100"))),
+      FilterSpec(Seq(PayloadFilter("n", "Less Than or Equal", "42"))),
+      FilterSpec(Seq(
+        PayloadFilter("n", "Greater Than or Equal", "9"),
+        PayloadFilter("n", "Less Than", "50"))),
+      FilterSpec(Seq(
+        PayloadFilter("n", "Equals", "42"),
+        PayloadFilter("missing", "Not Equals", "5")), useOr = true))
+    for (spec <- specs) {
+      val df = bodies.toDF("body")
+        .withColumn("parsed",
+          FilterCompiler.parseForFilters(col("body"), parsedSchema))
+      val parsed = df
+        .select(FilterCompiler.compileParsedTyped(spec, col("parsed")).as("v"))
+        .collect().map(_.getBoolean(0)).toSeq
+      val reparse = bodies.toDF("body")
+        .select(FilterCompiler.compileTyped(spec, col("body")).as("v"))
+        .collect().map(_.getBoolean(0)).toSeq
+      assert(parsed == reparse, s"typed single-parse diverged for $spec")
+    }
+  }
+
   test("compileParsed resolves array-index paths against the struct " +
       "(P4 grammar: ids[0], ks[1])") {
     val bodies = Seq(
