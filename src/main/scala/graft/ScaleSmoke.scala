@@ -13,11 +13,18 @@ import org.apache.spark.sql.functions._
   * The synthesis preserves WITHIN-copy structure and randomizes
   * CROSS-copy structure, so duplicate/similarity counts scale ×10
   * (linear), not ×100 (every doc suddenly 10 exact twins):
-  *   - documents: ids shifted per copy; each copy salts the 10% of words
-  *     with `xxhash64(word) % 10 == copy` (content-keyed, so two docs in
-  *     the SAME copy transform identically — their Jaccard is preserved
-  *     exactly — while docs from different copies diverge in ~20% of
-  *     words ⇒ well under the 0.8 pair threshold).
+  *   - documents: ids shifted per copy; each copy salts the ~30% of
+  *     words whose `xxhash64(word) % 10` falls in {c, c+1, c+2}
+  *     (content-keyed, so two docs in the SAME copy transform
+  *     identically — their Jaccard is preserved exactly — while docs
+  *     from different copies share only 40-60% of word tokens). The
+  *     fraction is sized for the LOOSEST tier: a 10%-per-copy salt left
+  *     cross-copy trigram Jaccard under the 0.8 pair threshold but
+  *     inside SimHash's hamming-≤3 tolerance (SimHash shrugs off small
+  *     edits by design), which planted a 10-copy clique per source doc
+  *     — the first smoke run showed d_simhash 19.8× at 10× data purely
+  *     from that quadratic output. 40-60% token divergence pushes
+  *     cross-copy pairs out of every tier, so pair counts scale ×10.
   *   - embeddings: vectors circularly rotated by the copy index — same
   *     rotation on both sides of a within-copy pair preserves cosine
   *     exactly; cross-copy cosine of a random vector with its rotation
@@ -36,6 +43,8 @@ object ScaleSmoke {
     "d_fingerprint_dup", "d_exact_dup", "d_simhash", "d_minhash_lsh",
     "d_embedding_dup_lsh", "s_ann_ivf", "s_ann_lsh",
     "p_training_set", "p_quality_gate", "p_domain_cap",
+    "p_decontaminate_bloom", "d_span_dup", "d_span_strip",
+    "a_gate_agreement",
     "t_heavy_hitters", "t_top_ngrams", "w_session", "w_sliding",
     "r_join_salted", "r_pricing_summary", "r_merge_upsert")
 
@@ -58,7 +67,8 @@ object ScaleSmoke {
       if (c == 0) d
       else d.withColumn("text", concat_ws(" ",
         transform(split(col("text"), " "),
-          w => when(pmod(xxhash64(w), lit(copies)) === c,
+          w => when(pmod(xxhash64(w), lit(copies))
+              .isin(c, (c + 1) % copies, (c + 2) % copies),
             concat(w, lit("_"), lit(c))).otherwise(w)))))
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")

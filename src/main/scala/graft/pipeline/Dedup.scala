@@ -406,6 +406,44 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup_tokens"))
   }
 
+  /** The REMOVAL step over [[spanDupTokens]]'s measurement: every token
+    * position covered by a cross-doc duplicated `n`-token span is dropped
+    * and the remaining tokens re-joined in order — exact-substring dedup
+    * as a transformation, not just a metric. Docs with nothing to strip
+    * pass through unchanged; a (pathological) fully-covered doc vanishes,
+    * which is the correct degenerate output for a verbatim re-paste.
+    *
+    * Scale shape: the only additions over the measurement are the
+    * token posexplode (linear, one shuffle on doc_id) and the ordered
+    * re-assembly (array_sort over ONE doc's tokens — bounded by doc
+    * length, never by corpus size).
+    */
+  def stripDupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val withToks = graft.Tables.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val grams = withToks
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("t")) - n)).as("pos"), col("t"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64((0 until n).map(j =>
+          element_at(col("t"), col("pos") + j + 1)): _*).as("g"))
+    val dup = grams.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("dc"))
+      .filter(col("dc") >= 2).select("g")
+    val covered = grams.join(dup, Seq("g"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val toks = withToks
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p", "tok")))
+    toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_stripped"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: duplicated delivery (doc_id < 100 re-ingested) collapses
     // on content; keeper = min doc_id. Hash-groupBy — single shuffle.
@@ -508,6 +546,11 @@ object Dedup {
     // assumption (as for p_decontaminate).
     "d_span_dup" -> { (s, d) =>
       spanDupTokens(Tables.documents(s, d), 8).orderBy("doc_id")
+    },
+    // The removal operator over the same span machinery: duplicated-span
+    // token positions dropped, text re-joined in order.
+    "d_span_strip" -> { (s, d) =>
+      stripDupSpans(Tables.documents(s, d), 8).orderBy("doc_id")
     },
     // Embedding cosine near-dup pairs: brute-force on the checkable scale;
     // the LSH-bucketed variant in Similarity is the 100 TB path.
@@ -673,6 +716,31 @@ object Dedup {
         |  FROM g JOIN dup USING (s), unnest(range(g.i, g.i + 8)) AS c(p))
         |SELECT doc_id, count(*) AS n_dup_tokens
         |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d_span_strip" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i AS p, t[i] AS w
+        |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |      || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+        |      || ' ' || t[i+7] AS s
+        |  FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |dup AS (
+        |  SELECT s FROM (
+        |    SELECT s, count(DISTINCT doc_id) dc FROM g GROUP BY s)
+        |  WHERE dc >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p
+        |  FROM g JOIN dup USING (s), unnest(range(g.i, g.i + 8)) AS c(p)),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.p, tok.w FROM tok
+        |  ANTI JOIN cov USING (doc_id, p))
+        |SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text_stripped
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d_embedding_dup_clusters" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.vec_id AS ida, b.vec_id AS idb

@@ -147,16 +147,23 @@ object Fingerprints {
           round(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy("da", "db")
     },
-    // SimHash near-dup pairs: 8×8-bit band blocking (pigeonhole: hamming
-    // ≤ 7 ⇒ ≥1 identical band), popcount(xor) ≤ 7 verify. Same skew-capped
-    // id-pairs-only candidate step as MinHash.
+    // SimHash near-dup pairs: 4×16-bit band blocking (pigeonhole: hamming
+    // ≤ 3 ⇒ ≥1 identical band), popcount(xor) ≤ 3 verify — the Manku
+    // (WWW'07) radius-3 design, same as the m_phash_pairs operator. The
+    // earlier 8×8-bit/radius-7 variant was complete for looser matches
+    // but its 256-value band keyspace SATURATES: bucket size grows as
+    // n/256, so the per-bucket all-pairs step grows quadratically with
+    // the corpus (the sf1 smoke measured 16× at 10× data — ~39M
+    // candidate pairs from band collisions alone). A 65536-value
+    // keyspace keeps buckets O(1) in corpus growth; radius-3 is the
+    // standard near-dup operating point for 64-bit fingerprints.
     "d_simhash" -> { (s, d) =>
       val sh = simhashes(Tables.documents(s, d))
       val banded = sh.select(col("doc_id"),
-        explode(array((0 until 8).map(b =>
+        explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
-            shiftrightunsigned(col("simhash"), b * 8)
-              .bitwiseAND(lit(0xFFL)).as("bkey"))): _*)).as("bb"))
+            shiftrightunsigned(col("simhash"), b * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("bb"))
         .select(col("doc_id"),
           col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       cappedPairs(banded, Seq("band", "bkey"), "doc_id")
@@ -166,7 +173,7 @@ object Fingerprints {
           col("idb") === col("db"))
         .select(col("da"), col("db"),
           bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
-        .filter(col("hamming") <= 7)
+        .filter(col("hamming") <= 3)
         .orderBy("da", "db")
     })
 

@@ -77,6 +77,38 @@ class AgreementSpec extends AnyFunSuite {
     assert(out == Map(1L -> 9L, 2L -> 9L), s"got $out")
   }
 
+  test("d_span_strip: removes exactly the covered run, keeps unique docs " +
+      "verbatim, drops fully-covered docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h x1 y1 z1"),
+      (2L, "a b c d e f g h x2 y2 z2"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+      // 4 and 5: verbatim re-paste → fully covered → dropped
+      (4L, "p q r s t u v w"),
+      (5L, "p q r s t u v w")).toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(docs, 8).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "x1 y1 z1", 2L -> "x2 y2 z2",
+      3L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9"), s"got $out")
+  }
+
+  test("d_span_strip is consistent with d_span_dup's coverage counts") {
+    val docs = Tables.documents(spark, sf)
+    val origLen = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n0"))
+    val counts = Dedup.spanDupTokens(docs, 8)
+    val stripped = Dedup.stripDupSpans(docs, 8)
+      .select(col("doc_id"),
+        size(split(col("text_stripped"), " ")).cast("long").as("n1"))
+    // for every doc with dup coverage: n0 - n_dup_tokens == n1
+    val bad = origLen.join(counts, "doc_id").join(stripped, "doc_id")
+      .filter(col("n0") - col("n_dup_tokens") =!= col("n1"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("p_decontaminate_bloom equals the single-phase exact result") {
     val exact = SparkEntry.queries("p_decontaminate")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
