@@ -45,7 +45,9 @@ object ScaleSmoke {
     "p_training_set", "p_quality_gate", "p_domain_cap",
     "p_decontaminate_bloom", "d_span_dup", "d_span_strip",
     "a_gate_agreement",
-    "t_heavy_hitters", "t_top_ngrams", "w_session", "w_sliding",
+    "t_heavy_hitters", "t_top_ngrams", "t_informativeness",
+    "w_session", "w_sliding", "w_tumbling", "ckpt_max_seq",
+    "r_join_asof", "r_subqueries",
     "r_join_salted", "r_pricing_summary", "r_merge_upsert")
 
   def synthesize(spark: SparkSession, src: String, out: String): Unit = {

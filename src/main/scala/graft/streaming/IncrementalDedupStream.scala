@@ -50,7 +50,7 @@ object IncrementalDedupStream {
     * file:// layouts all work (java.io.File would silently list nothing
     * on a remote filesystem and dedup would quietly stop).
     */
-  private def parts(spark: SparkSession, root: String,
+  private[streaming] def parts(spark: SparkSession, root: String,
       exclude: Long): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -61,8 +61,8 @@ object IncrementalDedupStream {
       .map(_.toString).toSeq
   }
 
-  private def readParts(spark: SparkSession, root: String, exclude: Long,
-      schema: StructType): DataFrame = {
+  private[streaming] def readParts(spark: SparkSession, root: String,
+      exclude: Long, schema: StructType): DataFrame = {
     val ps = parts(spark, root, exclude)
     if (ps.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
