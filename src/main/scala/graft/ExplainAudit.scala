@@ -89,6 +89,7 @@ object ExplainAudit {
     audit("p_decontaminate_bloom", "BroadcastHashJoin", "UDF")
     // span dedup joins only on the span hash — never a pair product
     auditAtMost("d_span_dup", "CartesianProduct|BroadcastNestedLoopJoin", 0)
+    auditAtMost("d_span_strip", "CartesianProduct|BroadcastNestedLoopJoin", 0)
     // sampled-gate agreement: the per-language cutoffs broadcast back
     audit("a_gate_agreement", "BroadcastHashJoin")
     // TopKOptimizations: the key filter written ABOVE the custom operator

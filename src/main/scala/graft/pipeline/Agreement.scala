@@ -34,10 +34,14 @@ object Agreement {
   /** Deterministic 30% sample: Knuth multiplicative hash on the id.
     * Content- and partitioning-independent (same sample on every run,
     * retry, and layout), and plain 64-bit arithmetic any SQL engine
-    * reproduces exactly — unlike `rand()` or `TABLESAMPLE`.
+    * reproduces exactly — unlike `rand()` or `TABLESAMPLE`. The id is
+    * reduced mod a prime FIRST so the product stays ≤ ~2.7e15: a raw
+    * 64-bit id times the Knuth constant overflows int64, which under
+    * ANSI mode (Spark 4 default) is a runtime error and in DuckDB an
+    * overflow error — not a silent wrap on either engine.
     */
   private def inSample(id: org.apache.spark.sql.Column) =
-    pmod(id * lit(2654435761L), lit(10)) < 3
+    pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(10)) < 3
 
   /** Exact vs. sampled per-language quality gate, as per-language
     * keep-set counts: `n_exact` (percent_rank ≥ p over all docs),
@@ -148,7 +152,7 @@ object Agreement {
         |smp AS (
         |  SELECT lang, quality, percent_rank() OVER (
         |    PARTITION BY lang ORDER BY quality) AS spr
-        |  FROM q WHERE (doc_id * 2654435761) % 10 < 3),
+        |  FROM q WHERE ((doc_id % 1000003) * 2654435761) % 10 < 3),
         |cuts AS (
         |  SELECT lang, min(quality) AS cut FROM smp
         |  WHERE spr >= 0.25 GROUP BY lang)
