@@ -263,9 +263,12 @@ object TextAnalysis {
         predictedLang(col("text")).as("predicted"))
         .orderBy("doc_id")
     },
-    // content fingerprint via the custom codegen'd RollingHash Expression
-    // (rows-only: DuckDB has no matching 64-bit wraparound primitive;
-    // interpreted-vs-codegen-vs-reference equality is in PipelineSpec)
+    // content fingerprint via the custom codegen'd RollingHash
+    // Expression. Oracle-backed: DuckDB has no 64-bit wraparound
+    // primitive, but the hash is reproduced exactly with HUGEINT
+    // modular arithmetic in a recursive CTE — an INDEPENDENT-ENGINE
+    // recomputation of the custom expression's semantics, on top of the
+    // interpreted-vs-codegen-vs-reference equality in PipelineSpec.
     "t_rolling_fingerprint" -> { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -276,6 +279,35 @@ object TextAnalysis {
   private val oracleToks = "string_split(text, ' ')"
 
   val oracles: Map[String, String] = Map(
+    // The custom RollingHash expression (h := h*31 + byte, natural Long
+    // wraparound) re-derived with HUGEINT modular arithmetic: chars fold
+    // through a recursive CTE, (h*31 + c) mod 2^64 each step (h < 2^64
+    // and 31h+c < 2^69 << 2^127, so the HUGEINT intermediate never
+    // overflows), then mapped back to the signed-64 representation.
+    // Valid while the fixture is ASCII (char = UTF-8 byte; verified: 0
+    // non-ASCII docs) — the multi-byte case is covered by the reference-
+    // impl equality in PipelineSpec instead.
+    "t_rolling_fingerprint" ->
+      """WITH RECURSIVE chars AS (
+        |  SELECT doc_id, i,
+        |    CAST(ascii(substr(text, CAST(i AS INT), 1)) AS HUGEINT) c
+        |  FROM documents, unnest(range(1, len(text) + 1)) AS u(i)),
+        |lens AS (SELECT doc_id, len(text) n FROM documents),
+        |roll(doc_id, i, h) AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS HUGEINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT r.doc_id, r.i + 1,
+        |    (r.h * 31 + c.c) % CAST('18446744073709551616' AS HUGEINT)
+        |  FROM roll r JOIN chars c ON c.doc_id = r.doc_id
+        |    AND c.i = r.i + 1)
+        |SELECT roll.doc_id,
+        |  CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |       THEN h - CAST('18446744073709551616' AS HUGEINT)
+        |       ELSE h END AS BIGINT) AS fp
+        |FROM roll JOIN lens ON lens.doc_id = roll.doc_id
+        |  AND roll.i = lens.n
+        |ORDER BY roll.doc_id""".stripMargin,
     "t_pii_redact" ->
       """WITH dirty AS (
         |  SELECT doc_id, text ||
