@@ -56,6 +56,20 @@ class PipelineSpec extends AnyFunSuite {
       s"simhash recall ${overlap / exactPairs.size}")
   }
 
+  test("simhash 4×16-bit banding is COMPLETE for hamming ≤ 3 " +
+      "(pigeonhole: 3 flipped bits cannot touch all 4 bands)") {
+    val sigs = Fingerprints.simhashes(Tables.documents(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (ida, ha) <- sigs; (idb, hb) <- sigs
+      if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ida, idb)).toSet
+    val found = pairs(SparkEntry.queries("d_simhash")(spark, sf))
+    assert(truth.nonEmpty, "fixture has no hamming≤3 pairs to check")
+    assert(truth.subsetOf(found),
+      s"banding missed ${(truth -- found).size} of ${truth.size} pairs")
+  }
+
   private def topSet(name: String) =
     SparkEntry.queries(name)(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
