@@ -85,6 +85,68 @@ object Agreement {
     minus(exact, approx, "lost").union(minus(approx, exact, "gained"))
   }
 
+  /** Exact↔capped drift from ONE posting-list pass: the exact tier's
+    * all-shingle enumeration subsumes the capped tier's, so instead of
+    * running `jaccardPairs` twice and anti-joining (two scans, two
+    * posting builds, two join trees — measured 8.2 s at sf0.1), each
+    * candidate pair carries its shared-shingle count over BOTH spaces
+    * (`i_all`, and `i_rare = i_all − i_hot` via a per-shingle hot flag)
+    * and both Jaccards come out of the same aggregation. Semantics are
+    * identical to the two-tier formulation (AgreementSpec pins the
+    * output to the independently-computed set difference); a pair whose
+    * shared shingles are all hot gets a null capped-space Jaccard
+    * (0/0), which coalesces to not-in-capped — exactly the capped
+    * tier's absence.
+    */
+  def cappedDriftOnePass(docs: DataFrame, threshold: Double,
+      maxDf: Int): DataFrame = {
+    val spreadDocs = graft.Tables.spread(docs)
+    val exploded = spreadDocs.select(col("doc_id"),
+      explode(Dedup.shingleHashes(col("text"))).as("s"))
+    val hot = exploded.groupBy("s").agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") > maxDf).select(col("s"), lit(1L).as("hot"))
+    val flagged = exploded.join(hot, Seq("s"), "left")
+      .select(col("doc_id"), col("s"),
+        coalesce(col("hot"), lit(0L)).as("hot"))
+    val inter = flagged.groupBy("s")
+      .agg(collect_list(col("doc_id")).as("ids"), first(col("hot")).as("h"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("da"), col("ids"), col("h"))
+      .select(col("da"), explode(col("ids")).as("db"), col("h"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("i_all"), sum("h").as("i_hot"))
+    val nAll = spreadDocs.select(col("doc_id"),
+      size(Dedup.shingleHashes(col("text"))).cast("long").as("n_all"))
+    val sizes = nAll
+      .join(flagged.filter(col("hot") === 1)
+          .groupBy("doc_id").agg(count(lit(1)).as("nh")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_all"),
+        (col("n_all") - coalesce(col("nh"), lit(0L))).as("n_rare"))
+    val iRare = col("i_all") - col("i_hot")
+    inter
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("i_all") /
+          (col("sa.n_all") + col("sb.n_all") - col("i_all")))
+          .as("j_exact"),
+        // try_divide: an all-hot pair has 0 rare shingles on both sides
+        // (0/0) — under ANSI that must be null-not-error; the null
+        // coalesces to not-in-capped below, the capped tier's absence
+        try_divide(iRare, col("sa.n_rare") + col("sb.n_rare") - iRare)
+          .as("j_capped"))
+      .select(col("da"), col("db"), col("j_exact"), col("j_capped"),
+        (col("j_exact") >= threshold).as("in_exact"),
+        coalesce(col("j_capped") >= threshold, lit(false)).as("in_capped"))
+      .filter(col("in_exact") =!= col("in_capped"))
+      .select(col("da"), col("db"),
+        round(when(col("in_exact"), col("j_exact"))
+          .otherwise(col("j_capped")), 4).as("jaccard"),
+        when(col("in_exact"), "lost").otherwise("gained").as("side"))
+  }
+
   val queries: Map[String, Q] = Map(
     "a_gate_agreement" -> { (s, d) =>
       gateAgreement(Tables.documents(s, d), 0.25).orderBy("lang")
@@ -93,10 +155,7 @@ object Agreement {
     // d_ngram_jaccard — documented as NOT the 100 TB path; at scale the
     // drift is estimated from a sampled slice with this same query).
     "a_capped_pair_drift" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      pairDrift(
-        Dedup.jaccardPairs(docs, 0.8),
-        Dedup.jaccardPairs(docs, 0.8, maxDf = 2))
+      cappedDriftOnePass(Tables.documents(s, d), 0.8, maxDf = 2)
         .orderBy("da", "db", "side")
     })
 
