@@ -62,6 +62,33 @@ object Multimodal {
       .toDF()
   }
 
+  /** Banded pHash near-dup pairs (ida, idb, hamming ≤ 3): 4×16-bit
+    * bands (pigeonhole-complete for hamming ≤ 3, like d_simhash — a
+    * 16-bit band keyspace keeps buckets O(1) as the catalog grows; the
+    * earlier 8-bit keys cap at 256 buckets/band, which saturates and
+    * turns the bucket all-pairs step quadratic), candidates via the
+    * skew-capped join, exact popcount verify.
+    */
+  private def phashPairs(s: SparkSession, d: String): DataFrame = {
+    val ph = decodeMeta(s, d).filter(col("kind") === "image")
+      .select(col("doc_id"),
+        (col("width").cast("long") * lit(2097169L) +
+          col("height").cast("long") * lit(8191L) +
+          col("n_bytes")).as("ph"))
+    val banded = ph.select(col("doc_id"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("ph"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
+    Fingerprints.cappedPairs(banded, Seq("band", "bkey"), "doc_id")
+      .join(ph.select(col("doc_id").as("ida"), col("ph").as("pa")), "ida")
+      .join(ph.select(col("doc_id").as("idb"), col("ph").as("pb")), "idb")
+      .select(col("ida"), col("idb"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
   val queries: Map[String, Q] = Map(
     // decode → typed metadata (stubbed codec, real plumbing)
     "m_decode_meta" -> { (s, d) =>
@@ -97,7 +124,7 @@ object Multimodal {
     },
     // perceptual-hash near-dup for images: a 64-bit pHash (stub: quantized
     // geometry features, the codec-DCT twin lives behind the decode stub),
-    // banded 4×8 bits over the value range and candidate pairs from band
+    // banded 4×16 bits and candidate pairs from band
     // buckets via the skew-capped join, then exact hamming ≤ 3 verify. By
     // pigeonhole, ≤3 differing bits must leave one of the 4 bands intact,
     // so the banded candidates are EXACTLY complete — the all-pairs DuckDB
@@ -105,24 +132,17 @@ object Multimodal {
     // sf0.01, 2832 at sf0.1). At scale: linear banding + bucket joins,
     // never an image×image product.
     "m_phash_pairs" -> { (s, d) =>
-      val ph = decodeMeta(s, d).filter(col("kind") === "image")
-        .select(col("doc_id"),
-          (col("width").cast("long") * lit(2097169L) +
-            col("height").cast("long") * lit(8191L) +
-            col("n_bytes")).as("ph"))
-      val banded = ph.select(col("doc_id"),
-          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-            shiftright(col("ph"), b * 8).bitwiseAND(lit(0xFFL))
-              .as("bkey"))): _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"),
-          col("bk.bkey").as("bkey"))
-      Fingerprints.cappedPairs(banded, Seq("band", "bkey"), "doc_id")
-        .join(ph.select(col("doc_id").as("ida"), col("ph").as("pa")), "ida")
-        .join(ph.select(col("doc_id").as("idb"), col("ph").as("pb")), "idb")
-        .select(col("ida"), col("idb"),
-          bit_count(col("pa").bitwiseXOR(col("pb"))).as("hamming"))
-        .filter(col("hamming") <= 3)
-        .orderBy("ida", "idb")
+      phashPairs(s, d).orderBy("ida", "idb")
+    },
+    // Media dedup CLUSTERS: the banded phash pair set through the same
+    // connected-components keeper machinery as the text and embedding
+    // tiers (Dedup.dupClusters) — near-dup handling is one machinery,
+    // whatever modality produced the pairs. Oracle: recursive CTE over
+    // the all-pairs phash SQL.
+    "m_phash_clusters" -> { (s, d) =>
+      graft.pipeline.Dedup.dupClusters(
+        phashPairs(s, d).select(col("ida"), col("idb")))
+        .orderBy("doc_id")
     },
     // resize: target box 224x224 preserving aspect ratio (integer math so
     // the oracle can replicate; the real resample lives behind the same
@@ -194,6 +214,26 @@ object Multimodal {
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ph, b.ph)) <= 3
         |ORDER BY ida, idb""".stripMargin,
+    "m_phash_clusters" ->
+      """WITH RECURSIVE ph AS (
+        |  SELECT doc_id,
+        |    (CAST((length(text) % 64) * 10 + 16 AS BIGINT) * 2097169
+        |     + CAST((length(text) // 64 % 48) * 10 + 16 AS BIGINT) * 8191
+        |     + length(text)) AS ph
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb
+        |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.ph, b.ph)) <= 3),
+        |edges AS (
+        |  SELECT ida AS s, idb AS t FROM pairs
+        |  UNION ALL SELECT idb, ida FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.t, reach.r FROM reach JOIN edges e ON reach.id = e.s)
+        |SELECT id AS doc_id, min(r) AS cluster
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "m_resize" ->
       s"""SELECT doc_id,
          |  CAST(floor(width * scale_k / 1000) AS INT) AS out_w,
