@@ -50,4 +50,34 @@ class SpanDedupStreamSpec extends AnyFunSuite {
     SpanDedupStream.ingestBatch(b2, 1L, idx, out, 8)
     assert(outOf(s"$out/batch=1") == got, "replay must be idempotent")
   }
+
+  test("live stream (file source, two micro-batches) produces the same " +
+      "verdicts as direct ingestBatch") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("span_stream_live").toString
+    val (src, idx, out, ckpt) =
+      (s"$root/src", s"$root/index", s"$root/out", s"$root/ckpt")
+
+    val b1 = Seq((1L, "a b c d e f g h x")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (2L, "a b c d e f g h y"),
+      (3L, "fresh words only here nothing repeats at all")
+    ).toDF("doc_id", "text")
+
+    b1.write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(b1.schema).parquet(src)
+    val q = SpanDedupStream.start(stream, idx, out, 8, ckpt)
+    try {
+      q.processAllAvailable()
+      b2.write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val all = outOf(s"$out/batch=0") ++ outOf(s"$out/batch=1")
+    assert(all == Map(
+      1L -> "a b c d e f g h x",
+      2L -> "y",
+      3L -> "fresh words only here nothing repeats at all"), s"got $all")
+  }
 }
