@@ -79,6 +79,31 @@ object TextAnalysis {
 
   def round4HalfUp(c: Column): Column = roundHalfUp(c, 4)
 
+  /** Hashed-feature linear classifier, fastText-shaped plumbing: each
+    * token hashes to a bucket in a 2²⁰ feature space (feature-hashing, so
+    * the model is fixed-size regardless of vocabulary), the bucket maps
+    * to a weight, and the doc score is the mean token weight. The weight
+    * table here is a deterministic affine map of the bucket (a stand-in
+    * for trained weights — a real exported model swaps it for an
+    * `element_at` into a broadcast weight array, same plan shape), which
+    * keeps the whole pipeline — tokenize → hash → look up → mean-pool —
+    * ONE codegen'd per-row expression, no shuffle, no UDF, and integer
+    * math end-to-end so the oracle recomputes scores bit-identically.
+    *
+    * Returns the raw integer weight-sum (milli-units): thresholds belong
+    * on the exact integer, not on a rounded float. ASCII fixture only
+    * (like the rolling-hash oracle): `ascii` is first-byte in Spark vs
+    * first-codepoint in DuckDB, identical on ASCII.
+    */
+  def hashClassifierWeightSum(text: Column): Column =
+    aggregate(toks(text), lit(0L), (acc, w) => {
+      val feat = length(w).cast("long") * lit(31L) +
+        ascii(substring(w, 1, 1)).cast("long") * lit(7L) +
+        ascii(substring(w, -1, 1)).cast("long")
+      val bucket = (feat * lit(2654435761L)) % lit(1048576L)
+      acc + ((bucket * lit(40503L)) % lit(2001L) - lit(1000L))
+    })
+
   /** Composite quality score: 0.4·TTR + 0.3·(1−stopword) + 0.3·length cap.
     * UNROUNDED — round only at output edges; filter thresholds must be
     * chosen with measured margin to the nearest data value.
@@ -274,6 +299,19 @@ object TextAnalysis {
         col("doc_id"),
         graft.functions.RollingHash.rolling_hash(col("text")).as("fp"))
         .orderBy("doc_id")
+    },
+    // model-based quality filter plumbing: label on the exact integer
+    // weight-sum (no float-boundary flake), rounded mean score for audit
+    "t_hash_classifier" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          hashClassifierWeightSum(col("text")).as("ws"),
+          tokenCount(col("text")).cast("long").as("n"))
+        .select(col("doc_id"),
+          round4HalfUp(col("ws").cast("double") /
+            (col("n").cast("double") * 1000.0)).as("score"),
+          when(col("ws") >= 0, "pos").otherwise("neg").as("label"))
+        .orderBy("doc_id")
     })
 
   private val oracleToks = "string_split(text, ' ')"
@@ -447,6 +485,23 @@ object TextAnalysis {
          |      t -> list_contains(['der','die','das'], t))) AS de,
          |    len(list_filter(list_distinct($oracleToks),
          |      t -> list_contains(['le','les','des'], t))) AS fr
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    // the classifier's integer pipeline spelled out verbatim; the mean
+    // is the only float op, rounded with the shared floor(x·10⁴+0.5)
+    // form (valid for negative scores too: both engines floor toward -∞)
+    "t_hash_classifier" ->
+      s"""SELECT doc_id,
+         |  floor((CAST(ws AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0))
+         |    * 10000 + 0.5) / 10000.0 AS score,
+         |  CASE WHEN ws >= 0 THEN 'pos' ELSE 'neg' END AS label
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform($oracleToks, w ->
+         |      ((((length(w) * 31 + ascii(substr(w, 1, 1)) * 7
+         |          + ascii(substr(w, -1, 1))) * 2654435761)
+         |        % 1048576) * 40503) % 2001 - 1000)) AS BIGINT) AS ws,
+         |    CAST(len($oracleToks) AS BIGINT) AS n
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin)
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -104,8 +104,75 @@ object TrainingSet {
         TextAnalysis.round4HalfUp(col("quality")).as("quality"))
   }
 
+  /** Deterministic pseudo-random ordering/splitting hash: Knuth
+    * multiplicative hashing, (id · 2654435761) mod 2³². Content- and
+    * partition-independent (stable across runs, retries, repartitions —
+    * the property `rand()` lacks), and pure BIGINT arithmetic so any
+    * engine recomputes it bit-identically. Exact while id < ~3.4e9
+    * (the product must stay under 2⁶³); shard the id space first at
+    * larger scales.
+    */
+  def mixHash(id: Column): Column =
+    (id * lit(2654435761L)) % lit(4294967296L)
+
+  /** Deterministic train/val/test split: bucket = mixHash(id) mod 100,
+    * train < 90 ≤ val < 95 ≤ test. The assignment is a per-row codegen'd
+    * expression — no shuffle, no state, and a doc keeps its split when
+    * the corpus around it changes (re-crawls don't leak val docs into
+    * train). The query aggregates per (split, lang) to audit the mix.
+    */
+  def hashSplit(docs: DataFrame): DataFrame = {
+    val bucket = mixHash(col("doc_id")) % lit(100L)
+    docs.select(col("lang"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+  }
+
+  /** Domain-weighted token-budget mixture: each source contributes docs —
+    * in mixHash pseudo-random order, so the selection is an unbiased
+    * sample, not a doc_id-prefix artifact — until its token budget is
+    * exhausted (the doc that crosses the line is kept: standard greedy
+    * fill). This is the mix-shaping step of corpus assembly ("20 B tokens
+    * web, 5 B code, 2 B books") downstream of dedup/quality gates.
+    *
+    * One shuffle on `source`, then a bounded per-source running-sum
+    * window. At 100 TB a single hot source would serialize into one
+    * partition, so the production variant splits each source's budget
+    * across (source, mixHash mod S) sub-shards — same greedy fill, S-way
+    * parallel, budget/S per shard — which this query models with S=1.
+    */
+  def tokenMixture(docs: DataFrame, baseBudget: Long): DataFrame = {
+    // per-source budget: base + (source number mod 3)·base/2 — a stand-in
+    // for the real per-domain budget table (which would broadcast-join in)
+    val budget = lit(baseBudget) +
+      (regexp_extract(col("source"), "([0-9]+)$", 1).cast("long") %
+        lit(3L)) * lit(baseBudget / 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(mixHash(col("doc_id")), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") - col("n_tokens") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p_training_set" -> { (s, d) => trainingSet(Tables.documents(s, d)) },
+    "p_hash_split" -> { (s, d) =>
+      hashSplit(Tables.spread(Tables.documents(s, d)))
+        .orderBy("split", "lang")
+    },
+    "p_token_mixture" -> { (s, d) =>
+      tokenMixture(Tables.spread(Tables.documents(s, d)), 400L)
+        .orderBy("doc_id")
+    },
     "p_quality_gate" -> { (s, d) =>
       qualityPercentileGate(Tables.documents(s, d), 0.25)
         .orderBy("doc_id")
@@ -212,6 +279,39 @@ object TrainingSet {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // mixHash spelled out as the same BIGINT arithmetic; DuckDB's
+    // count/sum widths cast back to Spark's LONG
+    "p_hash_split" ->
+      """SELECT split, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM (
+        |  SELECT lang,
+        |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+        |           THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95
+        |           THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin,
+    "p_token_mixture" ->
+      """SELECT doc_id, source, n_tokens, cum FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (
+        |      PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |    FROM documents))
+        |WHERE cum - n_tokens <
+        |  400 + (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)
+        |         % 3) * 200
+        |ORDER BY doc_id""".stripMargin,
     "p_quality_gate" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS t

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{TextAnalysis, TrainingSet}
+
+/** Operator-level invariants of the round-5 corpus-assembly additions
+  * that the DuckDB hash-match can't pin by itself: budget respect and
+  * greedy-fill shape for the token mixture, split determinism and
+  * disjointness for the hash split, and the classifier's integer/label
+  * contract.
+  */
+class MixtureSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def docs = Seq(
+    // (doc_id, source, text) — token counts 4, 3, 2, 1 per doc below
+    (1L, "src0", "a b c d"), (2L, "src0", "e f g"),
+    (3L, "src0", "h i"), (4L, "src0", "j"),
+    (10L, "src1", "k l m n"), (11L, "src1", "o p q"),
+    (12L, "src2", "r s t u")
+  ).toDF("doc_id", "source", "text")
+    .withColumn("lang", lit("en"))
+
+  test("tokenMixture: every source stays within budget + one crossing doc") {
+    // src0 budget 4 (base), src1 budget 6 (base + 1*base/2), src2 budget 8
+    val out = TrainingSet.tokenMixture(docs, 4L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val bySource = out.groupBy(_._2)
+    // greedy fill: tokens BEFORE each kept doc are < budget, so the total
+    // overshoot is bounded by the last doc's length — verify per source
+    val budgets = Map("src0" -> 4L, "src1" -> 6L, "src2" -> 8L)
+    bySource.foreach { case (src, rows) =>
+      val maxCum = rows.map(_._4).max
+      val lastTok = rows.maxBy(_._4)._3
+      assert(maxCum - lastTok < budgets(src),
+        s"$src: pre-crossing mass ${maxCum - lastTok} >= ${budgets(src)}")
+    }
+    // src2 has 4 tokens total against budget 8: everything kept
+    assert(bySource("src2").map(_._1).toSet == Set(12L))
+  }
+
+  test("tokenMixture selection is independent of input partitioning") {
+    val a = TrainingSet.tokenMixture(docs.repartition(1), 4L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TrainingSet.tokenMixture(docs.repartition(7), 4L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("hashSplit: buckets are disjoint, exhaustive, and deterministic") {
+    val ids = spark.range(0, 2000).select(col("id").as("doc_id"),
+      lit("en").as("lang"), lit("x y z").as("text"))
+    val out = TrainingSet.hashSplit(ids).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(out.keySet == Set("train", "val", "test"))
+    assert(out.values.sum == 2000L)
+    // 90/5/5 split within a loose tolerance — the hash is uniform-ish,
+    // not exactly proportional on 2k ids
+    assert(out("train") > 1600L && out("val") < 250L && out("test") < 250L)
+    // determinism: same ids → same counts on a different partitioning
+    val again = TrainingSet.hashSplit(ids.repartition(13)).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(again == out)
+  }
+
+  test("hashClassifier: label matches the sign of the exact weight sum") {
+    val d = Seq((1L, "alpha beta"), (2L, "gg"), (3L, "zz qq ww"))
+      .toDF("doc_id", "text")
+    val rows = d.select(col("doc_id"),
+      TextAnalysis.hashClassifierWeightSum(col("text")).as("ws"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { case (_, ws) =>
+      assert(ws >= -2000L && ws <= 2000L) // ≤2 tokens·1000 per doc here
+    }
+    // reference recompute of one word's weight: "gg" → feat = 2*31 +
+    // g*7 + g = 62 + 103*8 = 886; bucket = 886*2654435761 % 2^20;
+    // weight = bucket*40503 % 2001 - 1000
+    val feat = 2L * 31 + 'g'.toLong * 7 + 'g'.toLong
+    val bucket = (feat * 2654435761L) % 1048576L
+    val w = (bucket * 40503L) % 2001L - 1000L
+    assert(rows.find(_._1 == 2L).get._2 == w)
+  }
+}
