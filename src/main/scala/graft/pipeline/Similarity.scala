@@ -127,7 +127,89 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("cid").as(out))
   }
 
+  /** Product-quantization ANN (the memory-bounded scale path: IVF bounds
+    * WHICH vectors a query touches, PQ bounds what each touched vector
+    * COSTS — m code bytes instead of 4·dims, so a 100 TB vector corpus's
+    * index fits in executor memory where raw floats cannot).
+    *
+    * Shape: split each vector into `m` subvectors; per subspace, quantize
+    * to the nearest of `k` codebook entries (the codebook here: subvector
+    * slices of the same deterministic xxhash64-sampled corpus vectors the
+    * IVF tier trains on). A query precomputes its m×k table of subspace
+    * dot products ONCE, then every corpus vector scores as m table
+    * lookups on its codes — asymmetric distance computation (ADC). The
+    * ADC top-`shortlist` goes through exact re-rank, the standard
+    * recall-restoring tail.
+    *
+    * Everything is column expressions over literal codebooks: encoding is
+    * per-row argmin over k, no join, no UDF; the only shuffles are the
+    * bounded TopKPerKey reductions. Approximate → rows-only; recall vs
+    * brute force is asserted in PipelineSpec.
+    */
+  private def pqQuery(s: SparkSession, d: String): DataFrame = {
+    val dims = 64; val m = 8; val sub = dims / m; val k = 16
+    val shortlist = 100
+    val e = Tables.spread(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
+    // deterministic codebook sample, same trick as IVF: the k corpus
+    // vectors with smallest xxhash64(vec_id). k rows to the driver — the
+    // same size class as a broadcast side, and the codebook must become
+    // a plan LITERAL so encoding/ADC stay per-row codegen expressions.
+    val centRows = e
+      .select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    // codebook[j][c] = centroid c's j-th subvector; norms2[j][c] = its ‖·‖²
+    val codebook: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
+      centRows.toSeq.map(cv => cv.slice(j * sub, (j + 1) * sub).toSeq))
+    val norms2: Seq[Seq[Double]] = codebook.map(_.map(cs =>
+      cs.map(x => x * x).sum))
+    val cbLit = typedlit(codebook)
+    val n2Lit = typedlit(norms2)
+    // dot(v[jsub..], codebook[j][c]) as a fold over the subspace dims
+    def subDot(v: Column, j: Column, c: Column): Column =
+      aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0), (acc, i) =>
+        acc + element_at(v, j * sub + i + 1) *
+          element_at(element_at(element_at(cbLit, j + 1), c + 1), i + 1))
+    // per-row encoding: code_j = argmin_c ‖v_j − c‖² = argmin_c (‖c‖² −
+    // 2·v_j·c); array_position compares the min against its own array
+    // element — the same double, so exact equality is safe
+    val codes = transform(sequence(lit(0), lit(m - 1)), j => {
+      val dists = transform(sequence(lit(0), lit(k - 1)), c =>
+        element_at(element_at(n2Lit, j + 1), c + 1) -
+          lit(2.0) * subDot(col("v"), j, c))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+    val corpus = e.select(col("vec_id"), codes.as("codes"))
+    // query side: the m×k ADC table, computed once per query row
+    val qtab = transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(sequence(lit(0), lit(k - 1)), c =>
+        subDot(col("qv"), j, c)))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("qid"), col("qv"), qtab.as("qtab"))
+    // ADC score = Σ_j qtab[j][code_j] ≈ dot(q, v); m lookups per corpus row
+    val approx = corpus.join(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("qv"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(element_at(col("qtab"), j + 1),
+            element_at(col("codes"), j + 1) + 1)).as("adc"))
+    // exact re-rank of the ADC shortlist: re-fetch true vectors by id
+    val short = graft.plans.TopKPerKey.topKPerKey(
+      approx.select(col("qid"), col("nid"), col("adc")),
+      Seq("qid"), Seq(("adc", true), ("nid", false)), shortlist)
+    short
+      .join(e.select(col("vec_id").as("nid"), col("v")), "nid")
+      .join(broadcast(q.select(col("qid"), col("qv"))), "qid")
+      .select(col("qid"), col("nid"),
+        VectorOps.dot(col("qv"), col("v")).as("c"))
+      .transform(topK(_, 10))
+  }
+
   lazy val queries: Map[String, Q] = exactAndLsh ++ Map(
+    "s_ann_pq" -> { (s, d) => pqQuery(s, d) },
     // IVF-style ANN: 16 deterministic centroids (a corpus sample), each
     // vector assigned to its nearest cell; queries probe their top-10
     // cells and re-rank exactly within candidates. Corpus cost at scale:

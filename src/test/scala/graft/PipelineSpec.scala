@@ -86,6 +86,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("PQ-ANN (ADC + exact re-rank) recalls ≥60% of brute-force top-10") {
+    // measured 0.76 at sf0.001 / 0.82 at sf0.01 — fully deterministic
+    // (literal codebook, no RNG), so the margin absorbs future codebook
+    // retunes, not run-to-run noise
+    val bf = topSet("s_ann_bruteforce")
+    val recall = bf.count(topSet("s_ann_pq").contains).toDouble / bf.size
+    assert(recall >= 0.6, s"PQ recall $recall")
+  }
+
   test("embedding-LSH near-dup recalls ≥50% of exact pairs") {
     val exact = SparkEntry.queries("d_embedding_dup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
