@@ -108,6 +108,18 @@ object ExplainAudit {
     // latest-wins upsert is an aggregation with a map-side partial (the
     // shuffle carries one row per key per map partition, not the union)
     audit("r_merge_upsert", "partial_max_by")
+    // hash split aggregates behind map-side partials: the shuffle carries
+    // (split, lang) partial counts, never per-doc rows
+    audit("p_hash_split", "partial_count")
+    // token mixture is ONE hash exchange (the per-source window); the
+    // final orderBy's range partitioning is presentation-only
+    auditAtMost("p_token_mixture", "Exchange hashpartitioning", 1)
+    // the hashed-feature classifier is a pure per-row expression: no
+    // exchange anywhere except the presentation sort
+    auditAtMost("t_hash_classifier", "Exchange hashpartitioning", 0)
+    // PQ: encoding + ADC run corpus-side with only the broadcast query
+    // table — the corpus never shuffles before the bounded-heap shortlist
+    auditNoneBelow("s_ann_pq", "TopKPerKey", "Sort [")
     // salted two-phase agg: exactly two hash exchanges (salted partial +
     // final), each over already-combined rows
     auditAtMost("r_agg_twophase", "Exchange hashpartitioning", 2)
