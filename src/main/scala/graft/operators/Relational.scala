@@ -205,6 +205,18 @@ object Relational {
           max(col("version")).as("version"))
         .orderBy("k")
     },
+    // z-order curve values over two range dimensions: the layout-
+    // maintenance primitive (sources.ZOrderLayout) surfaced as a query
+    // so the curve arithmetic itself is oracle-hash-gated — the SQL side
+    // is GENERATED from the same shift/mask step list the Column uses
+    "r_zorder_curve" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"),
+          graft.sources.ZOrderLayout.zvalue(col("user_id"), col("event_id"))
+            .as("z"))
+        .orderBy("z", "event_id")
+    },
     // ---- set ops
     "r_union" -> { (s, d) =>
       val c = Tables.customer(s, d)
@@ -708,6 +720,12 @@ object Relational {
         |SELECT k, arg_max(price, version) AS price,
         |  max(version) AS version
         |FROM all_rows GROUP BY k ORDER BY k""".stripMargin,
+    "r_zorder_curve" ->
+      s"""SELECT event_id, user_id,
+         |  ${graft.sources.ZOrderLayout.zvalueSql("user_id", "event_id")}
+         |    AS z
+         |FROM events WHERE user_id < 50
+         |ORDER BY z, event_id""".stripMargin,
     "r_union" ->
       """SELECT DISTINCT c_custkey FROM (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
