@@ -160,6 +160,41 @@ object Multimodal {
             .as("out_h"))
         .orderBy("doc_id")
     },
+    // Audio fingerprint near-dup (chromaprint-shaped plumbing): frame the
+    // payload into 32-byte windows at a 16-byte hop, fingerprint each
+    // window (here the window BYTES are the fingerprint — a real
+    // deployment swaps in the spectral hash behind the same framing),
+    // and pair audio docs sharing ≥ 4 windows. Hop-aligned framing is
+    // the property under test: a copy trimmed by a hop multiple (the
+    // planted +1000000 re-ingest drops the first 16 bytes) still shares
+    // every subsequent window, exactly how audio fingerprinting survives
+    // head trims. Ubiquitous windows (silence/boilerplate) are df-capped
+    // before any pair enumerates — same skew rule as every blocking join
+    // in the engine. Cost: posting lists over (doc, window), one shuffle;
+    // never an audio×audio product.
+    "m_audio_fp_dup" -> { (s, d) =>
+      val audio = Tables.spread(Tables.documents(s, d))
+        .filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      val trimmed = audio.filter(col("doc_id") < 200)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          expr("substring(media, 17)").as("media"))
+      val frames = audio.union(trimmed)
+        .filter(length(col("media")) >= 32)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(
+            sequence(lit(0),
+              floor((length(col("media")) - 32) / 16).cast("int")),
+            i => col("media").substr(i * 16 + 1, lit(32))))).as("f"))
+      frames.groupBy("f").agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")).between(2, 20))
+        .select(explode(col("ids")).as("ida"), col("ids"))
+        .select(col("ida"), explode(col("ids")).as("idb"))
+        .filter(col("ida") < col("idb"))
+        .groupBy("ida", "idb").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 4)
+        .orderBy("ida", "idb")
+    },
     // frame sampling: every 5th frame of each fake video
     "m_frame_sample" -> { (s, d) =>
       decodeMeta(s, d)
@@ -202,6 +237,28 @@ object Multimodal {
         |    WHERE doc_id < 100)
         |  GROUP BY md5(text))
         |WHERE copies > 1 ORDER BY keeper""".stripMargin,
+    // frames recomputed over text (ASCII fixture: octet == char, so
+    // substr-on-text mirrors the engine's substr-on-binary exactly)
+    "m_audio_fp_dup" ->
+      """WITH audio AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 17) FROM documents
+        |  WHERE doc_id % 3 = 1 AND doc_id < 200),
+        |fr AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, (length(text) - 32) // 16 + 1),
+        |    i -> substr(text, CAST(i * 16 + 1 AS INT), 32)))) AS f
+        |  FROM audio WHERE length(text) >= 32),
+        |dfc AS (SELECT f, count(*) AS c FROM fr GROUP BY f)
+        |SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |  count(*) AS n_shared
+        |FROM fr a JOIN fr b ON a.f = b.f AND a.doc_id < b.doc_id
+        |JOIN dfc ON dfc.f = a.f
+        |WHERE dfc.c BETWEEN 2 AND 20
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 4
+        |ORDER BY ida, idb""".stripMargin,
     "m_phash_pairs" ->
       """WITH ph AS (
         |  SELECT doc_id,

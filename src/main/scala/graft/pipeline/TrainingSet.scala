@@ -163,8 +163,43 @@ object TrainingSet {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum"))
   }
 
+  /** Corpus snapshot diff: classify every doc across two crawl versions
+    * as added / removed / changed by full-outer-joining content HASHES —
+    * the text itself never ships through the join, only (id, 16-byte
+    * digest), so the shuffle is id-sized regardless of doc length. On
+    * bucketed-by-id layouts the join plans with zero exchanges. This is
+    * the incremental-ingest front door: `changed ∪ added` is exactly the
+    * slice the incremental dedup/quality tiers re-process.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def hashed(df: DataFrame, as: String) =
+      df.select(col("doc_id"), md5(col("text")).as(as))
+    hashed(oldDocs, "oh")
+      .join(hashed(newDocs, "nh"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("oh").isNull, "added")
+          .when(col("nh").isNull, "removed")
+          .when(col("oh") =!= col("nh"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p_training_set" -> { (s, d) => trainingSet(Tables.documents(s, d)) },
+    // two synthetic crawl versions from one fixture: the "old" crawl
+    // lacks doc_id ≡ 3 (mod 13) and carries a mutated text for
+    // doc_id ≡ 0 (mod 5); the "new" crawl lacks doc_id ≡ 0 (mod 11)
+    "p_corpus_diff" -> { (s, d) =>
+      val base = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))
+      val old = base.filter(col("doc_id") % 13 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" legacy")))
+            .otherwise(col("text")).as("text"))
+      val neu = base.filter(col("doc_id") % 11 =!= 0)
+      corpusDiff(old, neu)
+        .filter(col("status") =!= "unchanged")
+        .orderBy("doc_id")
+    },
     "p_hash_split" -> { (s, d) =>
       hashSplit(Tables.spread(Tables.documents(s, d)))
         .orderBy("split", "lang")
@@ -279,6 +314,23 @@ object TrainingSet {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "p_corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' legacy'
+        |             ELSE text END) AS oh
+        |  FROM documents WHERE doc_id % 13 != 3),
+        |new AS (
+        |  SELECT doc_id, md5(text) AS nh
+        |  FROM documents WHERE doc_id % 11 != 0)
+        |SELECT doc_id,
+        |  CASE WHEN oh IS NULL THEN 'added'
+        |       WHEN nh IS NULL THEN 'removed'
+        |       WHEN oh != nh THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM old FULL OUTER JOIN new USING (doc_id)
+        |WHERE oh IS NULL OR nh IS NULL OR oh != nh
+        |ORDER BY doc_id""".stripMargin,
     // mixHash spelled out as the same BIGINT arithmetic; DuckDB's
     // count/sum widths cast back to Spark's LONG
     "p_hash_split" ->
