@@ -37,4 +37,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g default: the typed-aggregation pipelines (simhash/minhash) GC-
   // thrash in 8g at sf0.1; SPARK_DRIVER_MEM still overrides.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 136 queries × several whole-stage-codegen classes × 3 bench samples
+  // overflow the default 240 MB JIT code cache; once it fills, the JIT
+  // disables and alphabetically-late queries run interpreted (measured:
+  // s_ann_ivf 0.9 s → 8.3 s median in the full bench but fast in a fresh
+  // JVM). Size the cache to the workload like any other memory region.
+  "-XX:ReservedCodeCacheSize=1g",
 )
