@@ -74,7 +74,8 @@ object IncrementalDedupStream {
     * the identical body without a stream.
     */
   def ingestBatch(batch: DataFrame, batchId: Long, indexPath: String,
-      flaggedPath: String, threshold: Double, maxDf: Int): Unit = {
+      flaggedPath: String, threshold: Double, maxDf: Int,
+      excludeSelfPairs: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val b = batch.select("doc_id", "text").persist()
     val bGrams = b.select(col("doc_id"),
@@ -123,9 +124,14 @@ object IncrementalDedupStream {
         nb: org.apache.spark.sql.Column) =
       i / (na + nb - i) >= threshold
 
-    // batch × index candidates: batch side is always the dropped side
-    val crossDrops = bK.select(col("doc_id").as("bd"), col("g"))
+    // batch × index candidates: batch side is always the dropped side.
+    // `excludeSelfPairs` is the snapshot-update mode (CrawlDiffStream):
+    // a changed doc's NEW version must not be flagged as a near-dup of
+    // its own stale index entry — same id means replacement, not dup.
+    val crossCand = bK.select(col("doc_id").as("bd"), col("g"))
       .join(iK.select(col("doc_id").as("idoc"), col("g")), Seq("g"))
+    val crossDrops = (if (excludeSelfPairs)
+        crossCand.filter(col("bd") =!= col("idoc")) else crossCand)
       .groupBy("bd", "idoc").agg(count(lit(1)).as("i"))
       .join(bN.select(col("doc_id").as("bd"), col("n").as("na")), "bd")
       .join(iN.select(col("doc_id").as("idoc"), col("n").as("nb")), "idoc")

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.CrawlDiffStream
+
+/** Snapshot-ingest semantics: per-batch diffs classify added/changed/
+  * removed against the PREVIOUS snapshot only, only the changed slice
+  * reaches the dedup tiers, a changed doc is never flagged against its
+  * own stale index entry, and an at-least-once replay overwrites itself
+  * with identical verdicts.
+  */
+class CrawlDiffStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+
+  // ≥3 shared trigrams needed for a pair; 9-token docs, 7 shingles
+  private val baseText = "alpha beta gamma delta epsilon zeta eta theta iota"
+
+  private def run(root: String, id: Long,
+      docs: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    CrawlDiffStream.ingestSnapshot(docs.toDF("doc_id", "text"), id,
+      s"$root/snap", s"$root/diff", s"$root/index", s"$root/flagged",
+      0.8, 0)
+  }
+
+  private def diffOf(root: String, id: Long): Map[Long, String] =
+    spark.read.parquet(s"$root/diff/batch=$id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+
+  private def flaggedOf(root: String, id: Long): Set[Long] =
+    spark.read.parquet(s"$root/flagged/batch=$id").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+
+  test("diff-driven ingest: only changes are processed, changed docs " +
+      "don't collide with their stale selves, replay is idempotent") {
+    val root = java.nio.file.Files
+      .createTempDirectory("crawl_diff").toString
+
+    // snapshot 0: everything is "added"; B is a near-dup of A → flagged
+    run(root, 0L, Seq(
+      1L -> baseText,
+      2L -> (baseText + " extra"),     // near-dup of 1 (jaccard ≥ 0.8)
+      3L -> "one two three four five six seven eight nine"))
+    assert(diffOf(root, 0L) ==
+      Map(1L -> "added", 2L -> "added", 3L -> "added"))
+    assert(flaggedOf(root, 0L) == Set(2L), "2 near-dups 1 in-batch")
+
+    // snapshot 1: 1 unchanged, 3 changed (still unique), 4 added as a
+    // near-dup of INDEXED doc 1, 2 removed (it was flagged, but a crawl
+    // can still drop it)
+    run(root, 1L, Seq(
+      1L -> baseText,
+      3L -> "one two three four five six seven eight ten",
+      4L -> (baseText + " tail")))
+    assert(diffOf(root, 1L) ==
+      Map(2L -> "removed", 3L -> "changed", 4L -> "added"))
+    // 4 pairs with index doc 1 across snapshots; 3's edit stays unique.
+    // 1 is unchanged → NOT reprocessed (its absence from flagged/batch=1
+    // and index/batch=1 is asserted below via the processed-set check)
+    assert(flaggedOf(root, 1L) == Set(4L))
+    val processed = spark.read
+      .parquet(s"$root/index/docs/batch=1", s"$root/flagged/batch=1")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(processed == Set(3L, 4L),
+      s"only changed+added may touch the dedup tier, got $processed")
+
+    // snapshot 2: 3 changed AGAIN into a near-dup of its own snapshot-1
+    // text — self-pair exclusion must keep it (it replaces itself), but
+    // its resemblance to nothing else means no flag at all
+    run(root, 2L, Seq(
+      1L -> baseText,
+      3L -> "one two three four five six seven eight ten more"))
+    assert(diffOf(root, 2L) == Map(3L -> "changed", 4L -> "removed"))
+    assert(flaggedOf(root, 2L) == Set.empty,
+      "a changed doc must not be flagged against its own stale entry")
+
+    // at-least-once replay of snapshot 1: identical verdicts (diffed
+    // against snapshot 0 again, not against snapshot 2's state)
+    run(root, 1L, Seq(
+      1L -> baseText,
+      3L -> "one two three four five six seven eight ten",
+      4L -> (baseText + " tail")))
+    assert(diffOf(root, 1L) ==
+      Map(2L -> "removed", 3L -> "changed", 4L -> "added"))
+    assert(flaggedOf(root, 1L) == Set(4L), "replay must be idempotent")
+  }
+}
