@@ -13,12 +13,13 @@ import graft.pipeline.TrainingSet
   * Per batch: diff the snapshot's content hashes against the previous
   * snapshot's persisted hash table ([[TrainingSet.corpusDiff]] — an
   * id-sized full-outer join, the text never ships), record the verdicts,
-  * and forward ONLY `added ∪ changed` docs into the incremental near-dup
-  * index ([[IncrementalDedupStream.ingestBatch]], same batchId).
-  * `removed` ids are recorded for downstream tombstoning; the dedup
-  * index keeps their grams until compaction — a ghost gram can only
-  * cause an extra candidate check, never a wrong verdict, because
-  * flagged docs are decided per batch against ids present then.
+  * tombstone the superseded index entries (removed docs entirely;
+  * changed docs' pre-batch versions), and forward ONLY `added ∪ changed`
+  * docs into the incremental near-dup index
+  * ([[IncrementalDedupStream.ingestBatch]], same batchId). Tombstones
+  * take effect immediately in the candidate join;
+  * [[IncrementalDedupStream.vacuum]] physically reclaims the rows when
+  * the stream is quiescent.
   *
   * State layout: `snapPath/batch=<id>` holds the snapshot's (doc_id, h).
   * The previous snapshot = the highest batch id BELOW the current one —
@@ -75,6 +76,21 @@ object CrawlDiffStream {
       .filter(col("status") =!= "unchanged")
       .persist()
     diff.write.mode("overwrite").parquet(s"$diffPath/batch=$batchId")
+
+    // removed AND changed docs' pre-existing index entries die for
+    // matching NOW (batch-scoped tombstone: entries from batches before
+    // this one are superseded). Removed: a new doc resembling only a
+    // removed doc must be kept — it is the only copy in the corpus.
+    // Changed: the OLD version's grams must not flag anyone (neither a
+    // third doc resembling the old text nor the doc's own new version);
+    // the new version re-enters the index under this batch id, at or
+    // past the tombstone horizon, so it matches normally from here on.
+    // Written before the ingest so this very batch's candidate join
+    // already honors it; replays rewrite the identical tombstones.
+    diff.filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id"), lit(batchId).as("up_to"))
+      .write.mode("overwrite")
+      .parquet(s"$indexPath/tombstones/batch=$batchId")
 
     // only the changed slice pays the expensive tiers
     val toProcess = snap.join(

@@ -70,6 +70,45 @@ object IncrementalDedupStream {
       .select(schema.fieldNames.map(col): _*)
   }
 
+  private val TombSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("up_to", LongType)))
+
+  /** Like [[readParts]] but keeps the `batch` partition column (via
+    * basePath), for readers that filter on entry age.
+    */
+  private def readPartsWithBatch(spark: SparkSession, root: String,
+      exclude: Long, schema: StructType): DataFrame = {
+    val ps = parts(spark, root, exclude)
+    val withBatch = StructType(schema.fields :+
+      StructField("batch", LongType))
+    if (ps.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], withBatch)
+    else spark.read.option("basePath", root).parquet(ps: _*)
+      .select((schema.fieldNames :+ "batch").map(col): _*)
+      .withColumn("batch", col("batch").cast("long"))
+  }
+
+  /** One (doc_id → max up_to) row per tombstoned doc: an index entry
+    * written in batch B is dead iff B < up_to. Batch-scoped (not
+    * id-scoped) so a doc REMOVED and later RE-ADDED matches again from
+    * its re-add batch onward.
+    */
+  private def tombstones(spark: SparkSession,
+      indexPath: String): DataFrame =
+    readParts(spark, s"$indexPath/tombstones", -1L, TombSchema)
+      .groupBy("doc_id").agg(max("up_to").as("up_to"))
+
+  /** Drop index entries superseded by a tombstone: rows whose partition
+    * batch precedes the doc's tombstone horizon. Covers both corpus
+    * REMOVALS (the doc must stop flagging new docs — the new doc is the
+    * only copy now) and CHANGES (the old version's grams must not flag
+    * anyone, including the doc's own new version).
+    */
+  private def liveEntries(df: DataFrame, tombs: DataFrame): DataFrame =
+    df.join(broadcast(tombs), Seq("doc_id"), "left")
+      .filter(col("up_to").isNull || col("batch") >= col("up_to"))
+      .drop("up_to", "batch")
+
   /** One micro-batch. Public so the batch tier (and the spec) can drive
     * the identical body without a stream.
     */
@@ -87,8 +126,15 @@ object IncrementalDedupStream {
       size(Dedup.shingleHashes(col("text"))).cast("long").as("n0"))
       .persist()
 
-    val iGrams = readParts(spark, s"$indexPath/grams", batchId, GramSchema)
-    val iSizes = readParts(spark, s"$indexPath/sizes", batchId, SizeSchema)
+    // tombstones (written by CrawlDiffStream for removed/changed docs)
+    // take effect immediately — superseded entries are dead for matching
+    // from the tombstone's batch onward; `vacuum` reclaims the physical
+    // rows later. Id-sized, broadcast.
+    val tombs = tombstones(spark, indexPath)
+    val iGrams = liveEntries(readPartsWithBatch(
+      spark, s"$indexPath/grams", batchId, GramSchema), tombs)
+    val iSizes = liveEntries(readPartsWithBatch(
+      spark, s"$indexPath/sizes", batchId, SizeSchema), tombs)
     // index gram rows that share a gram with the batch — everything the
     // candidate join and the df cap need; batch gram sets are small, so
     // the membership probe broadcasts
@@ -166,6 +212,38 @@ object IncrementalDedupStream {
 
     Seq(survivors, drops, bK, iRel, bGrams, bSizes, b)
       .foreach(_.unpersist())
+  }
+
+  /** Physically reclaim tombstoned docs: rewrite each index partition
+    * minus the tombstoned ids, then clear the tombstone markers. Safe to
+    * run any time the stream is quiescent, idempotent, and crash-safe at
+    * every boundary: each partition overwrite is the same `batch=<id>`
+    * discipline the stream uses; a crash mid-vacuum leaves the remaining
+    * tombstones in place, and an anti-join against rows already rewritten
+    * is a no-op. Markers are deleted LAST — only after every partition no
+    * longer contains the ids they name.
+    */
+  def vacuum(spark: SparkSession, indexPath: String): Unit = {
+    val tombs = tombstones(spark, indexPath).persist()
+    if (tombs.isEmpty) { tombs.unpersist(); return }
+    for ((sub, schema) <- Seq(("docs", DocSchema), ("grams", GramSchema),
+        ("sizes", SizeSchema));
+        part <- parts(spark, s"$indexPath/$sub", -1L)) {
+      val b = part.split("batch=").last.toLong
+      // read → drop superseded rows → overwrite the SAME partition;
+      // localCheckpoint materializes the survivors before the overwrite
+      // truncates the files the plan was reading from
+      spark.read.parquet(part)
+        .select(schema.fieldNames.map(col): _*)
+        .join(broadcast(tombs.filter(col("up_to") > b).select("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(part)
+    }
+    tombs.unpersist()
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 
   /** Start the ingest on a streaming `docs` frame (doc_id, text). */

@@ -85,4 +85,47 @@ class CrawlDiffStreamSpec extends AnyFunSuite {
       Map(2L -> "removed", 3L -> "changed", 4L -> "added"))
     assert(flaggedOf(root, 1L) == Set(4L), "replay must be idempotent")
   }
+
+  test("a doc resembling only REMOVED or SUPERSEDED content is kept; " +
+      "vacuum reclaims the rows without changing verdicts") {
+    val root = java.nio.file.Files
+      .createTempDirectory("crawl_tomb").toString
+    val changing = "red orange yellow green blue indigo violet pink black"
+
+    run(root, 0L, Seq(1L -> baseText, 2L -> changing))
+    assert(flaggedOf(root, 0L) == Set.empty)
+
+    // snapshot 1 removes doc 1 and rewrites doc 2 entirely
+    run(root, 1L, Seq(2L -> "completely different words in this version"))
+    assert(diffOf(root, 1L) == Map(1L -> "removed", 2L -> "changed"))
+
+    // snapshot 2: doc 5 ≈ removed doc 1 (must be KEPT — only copy now);
+    // doc 6 ≈ doc 2's OLD text (must be KEPT — that version is gone)
+    run(root, 2L, Seq(
+      2L -> "completely different words in this version",
+      5L -> (baseText + " anew"),
+      6L -> (changing + " anew")))
+    assert(diffOf(root, 2L) ==
+      Map(5L -> "added", 6L -> "added"))
+    assert(flaggedOf(root, 2L) == Set.empty,
+      "tombstoned content must not flag new docs")
+
+    // vacuum: physical rows gone, markers cleared, future verdicts same
+    graft.streaming.IncrementalDedupStream.vacuum(spark, s"$root/index")
+    val indexIds = spark.read.parquet(s"$root/index/grams")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!indexIds.contains(1L), "removed doc's grams must be reclaimed")
+    assert(new java.io.File(s"$root/index/tombstones").listFiles() == null
+        || !new java.io.File(s"$root/index/tombstones").exists(),
+      "tombstone markers must clear after vacuum")
+    // doc 7 ≈ live doc 5 (7 of 8 shingles shared → jaccard 7/8 ≥ 0.8)
+    // → still flagged (vacuum must not over-delete)
+    run(root, 3L, Seq(
+      2L -> "completely different words in this version",
+      5L -> (baseText + " anew"),
+      6L -> (changing + " anew"),
+      7L -> baseText))
+    assert(flaggedOf(root, 3L) == Set(7L),
+      "live near-dup detection must survive vacuum")
+  }
 }
