@@ -288,6 +288,32 @@ object Relational {
             .as("corr_qty_disc"))
         .orderBy("l_returnflag")
     },
+    // per-column data profile (the ANALYZE pass): every column's stats
+    // in ONE scan — a single wide aggregate row unpivoted to one row per
+    // column, so profiling n columns never costs n scans. All-null and
+    // null-mixed columns are synthesized to pin the null accounting.
+    "r_profile" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .withColumn("qty_or_null",
+          when(col("l_orderkey") % 3 === 0, col("l_quantity")))
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "qty_or_null")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}__n"),
+        count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"),
+        round(min(col(c)), 4).as(s"${c}__min"),
+        round(max(col(c)), 4).as(s"${c}__max"),
+        round(avg(col(c)), 4).as(s"${c}__avg")))
+      val wide = li.agg(aggs.head, aggs.tail: _*)
+      val stackExpr = cols.map(c =>
+        s"'$c', ${c}__n, ${c}__nulls, ${c}__distinct, " +
+          s"${c}__min, ${c}__max, ${c}__avg").mkString(", ")
+      wide.select(expr(
+        s"stack(${cols.size}, $stackExpr) AS " +
+          "(column, n, n_nulls, n_distinct, min, max, avg)"))
+        .orderBy("column")
+    },
     // ---- first/last/nth analytic functions with the full frame spelled
     // out (the default frame stops at CURRENT ROW, which makes
     // last_value a no-op — a classic window trap, fixed identically in
@@ -778,6 +804,43 @@ object Relational {
         |  round(corr(l_quantity, l_discount), 4) AS corr_qty_disc
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "r_profile" ->
+      """WITH src AS (
+        |  SELECT l_quantity, l_extendedprice, l_discount,
+        |    CASE WHEN l_orderkey % 3 = 0 THEN l_quantity END
+        |      AS qty_or_null
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
+        |    count(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_nulls,
+        |    count(DISTINCT l_quantity) AS n_distinct,
+        |    round(min(l_quantity), 4) AS "min",
+        |    round(max(l_quantity), 4) AS "max",
+        |    round(avg(l_quantity), 4) AS avg
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(l_extendedprice),
+        |    count(CASE WHEN l_extendedprice IS NULL THEN 1 END),
+        |    count(DISTINCT l_extendedprice),
+        |    round(min(l_extendedprice), 4),
+        |    round(max(l_extendedprice), 4),
+        |    round(avg(l_extendedprice), 4)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'l_discount', count(l_discount),
+        |    count(CASE WHEN l_discount IS NULL THEN 1 END),
+        |    count(DISTINCT l_discount),
+        |    round(min(l_discount), 4), round(max(l_discount), 4),
+        |    round(avg(l_discount), 4)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'qty_or_null', count(qty_or_null),
+        |    count(CASE WHEN qty_or_null IS NULL THEN 1 END),
+        |    count(DISTINCT qty_or_null),
+        |    round(min(qty_or_null), 4), round(max(qty_or_null), 4),
+        |    round(avg(qty_or_null), 4)
+        |  FROM src)
+        |SELECT * FROM p ORDER BY "column"""".stripMargin,
     "r_window_firstlast" ->
       """SELECT o_orderkey, o_orderpriority,
         |  first_value(o_orderkey) OVER w AS cheapest,
