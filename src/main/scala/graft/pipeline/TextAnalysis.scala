@@ -300,6 +300,33 @@ object TextAnalysis {
         graft.functions.RollingHash.rolling_hash(col("text")).as("fp"))
         .orderBy("doc_id")
     },
+    // Count-Min point-frequency audit: the sketch every 100 TB counter
+    // service uses where SpaceSaving answers top-k — CMS answers "how
+    // often did THIS key occur" for any key in O(d) probes over a
+    // fixed-size table, with one-sided error (never undercounts).
+    // Built with Spark's native count_min_sketch aggregate (map-side
+    // partial merge — the shuffle carries one d×w table per partition,
+    // never word rows). The sketch is a driver-sized summary by
+    // construction (same size class as a broadcast side): the one-row
+    // collect is the DESIGN, not a shortcut. Probes here are the exact
+    // top-20 words, so the query emits its own ground truth; the
+    // estimate column is seed-deterministic but not SQL-recomputable →
+    // rows-only, with the one-sided-error bound pinned in MixtureSpec.
+    "t_cms_freq" -> { (s, d) =>
+      val words = Tables.spread(Tables.documents(s, d))
+        .select(explode(split(col("text"), " ")).as("w"))
+      val exactTop = words.groupBy("w").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("w")).limit(20).collect()
+      val sketchBytes = words
+        .agg(expr("count_min_sketch(w, 0.001d, 0.99d, 42)"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+      val rows = exactTop.toSeq.map(r => (r.getString(0), r.getLong(1),
+        cms.estimateCount(r.getString(0))))
+      s.createDataFrame(rows).toDF("w", "exact", "est")
+        .orderBy(col("exact").desc, col("w"))
+    },
     // model-based quality filter plumbing: label on the exact integer
     // weight-sum (no float-boundary flake), rounded mean score for audit
     "t_hash_classifier" -> { (s, d) =>

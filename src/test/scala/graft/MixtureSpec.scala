@@ -67,6 +67,21 @@ class MixtureSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("count-min estimates never undercount and respect the eps bound") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("t_cms_freq")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 20)
+    val n = graft.Tables.documents(spark, sf)
+      .select(sum(size(split(col("text"), " ")))).head().getLong(0)
+    val maxOver = math.ceil(0.001 * n).toLong
+    out.foreach { case (w, exact, est) =>
+      assert(est >= exact, s"CMS undercounted '$w': $est < $exact")
+      assert(est <= exact + maxOver,
+        s"CMS overcount for '$w' beyond eps·N: $est > $exact + $maxOver")
+    }
+  }
+
   test("hashClassifier: label matches the sign of the exact weight sum") {
     val d = Seq((1L, "alpha beta"), (2L, "gg"), (3L, "zz qq ww"))
       .toDF("doc_id", "text")
