@@ -30,7 +30,7 @@ object SparkEntry {
     FilterQueries.queries ++ StreamAnalogs.queries ++ Relational.queries ++
       Dedup.queries ++ Similarity.queries ++ Fingerprints.allQueries ++
       TextAnalysis.queries ++ Multimodal.queries ++ EventWindows.queries ++
-      TrainingSet.queries ++ Agreement.queries
+      TrainingSet.queries ++ Agreement.queries ++ Bpe.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +38,5 @@ object SparkEntry {
     FilterQueries.oracles ++ StreamAnalogs.oracles ++ Relational.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Fingerprints.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ EventWindows.oracles ++
-      TrainingSet.oracles ++ Agreement.oracles
+      TrainingSet.oracles ++ Agreement.oracles ++ Bpe.oracles
 }
