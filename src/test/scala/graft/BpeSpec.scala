@@ -58,6 +58,36 @@ class BpeSpec extends AnyFunSuite {
     assert(run("xyz", "a", "b") == Seq("x", "y", "z"))
   }
 
+  test("applyMerge equals the sequential single-merge on random words " +
+      "(property)") {
+    def seqApply(s: Vector[String], a: String, b: String): Vector[String] = {
+      val r = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+          r += (a + b); i += 2
+        } else { r += s(i); i += 1 }
+      }
+      r.result()
+    }
+    // seeded (deterministic) random words over a 3-char alphabet — small
+    // alphabet makes pair hits and overlap runs dense
+    val rnd = new scala.util.Random(42)
+    val abc = Vector("x", "y", "z")
+    val cases = (1 to 60).map { _ =>
+      val w = Vector.fill(1 + rnd.nextInt(12))(abc(rnd.nextInt(3)))
+        .mkString
+      (w, abc(rnd.nextInt(3)), abc(rnd.nextInt(3)))
+    }
+    cases.foreach { case (w, a, b) =>
+      val out = Seq(w).toDF("w")
+        .select(Bpe.applyMerge(split(col("w"), ""), a, b))
+        .head().getSeq[String](0).toVector
+      val want = seqApply(w.split("").toVector, a, b)
+      assert(out == want, s"word=$w merge=($a,$b): $out != $want")
+    }
+  }
+
   test("distributed merge table equals the sequential reference " +
       "(hand vocabulary with ties)") {
     val vocab = Seq(
