@@ -48,6 +48,7 @@ object ScaleSmoke {
     "t_heavy_hitters", "t_top_ngrams", "t_informativeness",
     "t_hash_classifier", "s_ann_pq", "p_hash_split", "p_token_mixture",
     "p_corpus_diff", "m_audio_fp_dup", "r_zorder_curve",
+    "t_bpe_merges", "t_cms_freq", "r_profile",
     "w_session", "w_sliding", "w_tumbling", "ckpt_max_seq",
     "r_join_asof", "r_subqueries",
     "r_join_salted", "r_pricing_summary", "r_merge_upsert")

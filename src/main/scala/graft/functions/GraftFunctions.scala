@@ -89,6 +89,15 @@ object GraftFunctions {
               s"got $other")
         }
         FreqSketch(exprs.head, m).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_zvalue"),
+      new ExpressionInfo("graft.sources.ZOrderLayout", "graft_zvalue"),
+      (exprs: Seq[Expression]) => {
+        // the Morton interleave as a catalyst tree built from the SAME
+        // step list the Column/oracle forms use — three spellings, one
+        // definition (sources.ZOrderLayout.SpreadSteps)
+        val e = arity("graft_zvalue", 2)(exprs)
+        graft.sources.ZOrderLayout.zvalueExpr(e(0), e(1))
       }))
 
   /** Register on a live session (idempotent). */

@@ -46,6 +46,23 @@ object ZOrderLayout {
   def zvalue(a: Column, b: Column): Column =
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
 
+  /** The interleave as a raw catalyst tree (for the `graft_zvalue` SQL
+    * registration) — generated from the same [[SpreadSteps]].
+    */
+  def zvalueExpr(a: org.apache.spark.sql.catalyst.expressions.Expression,
+      b: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    def spreadE(e: Expression): Expression =
+      SpreadSteps.foldLeft[Expression](
+        BitwiseAnd(Cast(e, LongType), Literal(0xFFFFFFFFL))) {
+        case (x, (s, m)) =>
+          BitwiseAnd(BitwiseOr(x, ShiftLeft(x, Literal(s))), Literal(m))
+      }
+    BitwiseOr(spreadE(a), ShiftLeft(spreadE(b), Literal(1)))
+  }
+
   /** The identical computation as ANSI SQL over expressions `a` and `b`
     * — generated from [[SpreadSteps]], so the oracle and the engine
     * share one definition of the curve.

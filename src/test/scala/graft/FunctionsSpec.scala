@@ -19,6 +19,14 @@ class FunctionsSpec extends AnyFunSuite {
       .head()
     assert(viaSql.getLong(0) == RollingHash.hashString("hello world"))
     assert(viaSql.getDouble(1) == 11.0)
+    // z-order curve through SQL == the Column API form
+    import org.apache.spark.sql.functions.{col, lit}
+    val viaCol = spark.range(1)
+      .select(graft.sources.ZOrderLayout.zvalue(lit(123456789L),
+        lit(987654321L))).head().getLong(0)
+    val zSql = spark.sql(
+      "SELECT graft_zvalue(123456789L, 987654321L) AS z").head().getLong(0)
+    assert(zSql == viaCol)
   }
 
   test("withExtensions sessions get the functions at build time") {
