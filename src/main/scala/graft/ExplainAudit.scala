@@ -120,6 +120,13 @@ object ExplainAudit {
     // PQ: encoding + ADC run corpus-side with only the broadcast query
     // table — the corpus never shuffles before the bounded-heap shortlist
     auditNoneBelow("s_ann_pq", "TopKPerKey", "Sort [")
+    // corpus diff joins id+digest only: a full-outer join whose inputs
+    // are the md5 projections (the digest projects BELOW the exchange,
+    // so the shuffle carries 16-byte hashes, never text payloads)
+    audit("p_corpus_diff", "FullOuter", "md5")
+    // audio fingerprint pairs come from posting lists — never a product
+    auditAtMost("m_audio_fp_dup",
+      "CartesianProduct|BroadcastNestedLoopJoin", 0)
     // salted two-phase agg: exactly two hash exchanges (salted partial +
     // final), each over already-combined rows
     auditAtMost("r_agg_twophase", "Exchange hashpartitioning", 2)
