@@ -205,6 +205,23 @@ object Relational {
           max(col("version")).as("version"))
         .orderBy("k")
     },
+    // equi-width histogram: bucket index from pure floor arithmetic so
+    // any engine recomputes the same boundaries (no engine-specific
+    // histogram() UDAF); one scan + one map-side-combined aggregation.
+    // The [lo, hi] range comes from the data via a scalar subquery-free
+    // two-pass shape at scale (or fixed domain knowledge, as here).
+    "r_histogram" -> { (s, d) =>
+      val lo = 1.0; val hi = 51.0; val nb = 10
+      val w = (hi - lo) / nb
+      val b = least(greatest(
+        floor((col("l_quantity") - lo) / w), lit(0.0)), lit(nb - 1.0))
+        .cast("int")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), b.as("bucket"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "bucket")
+    },
     // z-order curve values over two range dimensions: the layout-
     // maintenance primitive (sources.ZOrderLayout) surfaced as a query
     // so the curve arithmetic itself is oracle-hash-gated — the SQL side
@@ -746,6 +763,14 @@ object Relational {
         |SELECT k, arg_max(price, version) AS price,
         |  max(version) AS version
         |FROM all_rows GROUP BY k ORDER BY k""".stripMargin,
+    "r_histogram" ->
+      """SELECT l_returnflag,
+        |  CAST(least(greatest(
+        |    floor((l_quantity - 1.0) / 5.0), 0.0), 9.0) AS INT)
+        |    AS bucket,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "r_zorder_curve" ->
       s"""SELECT event_id, user_id,
          |  ${graft.sources.ZOrderLayout.zvalueSql("user_id", "event_id")}

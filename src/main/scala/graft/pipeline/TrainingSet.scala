@@ -163,6 +163,32 @@ object TrainingSet {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis): rank
+    * docs by key = u^(1/w) where u is a DETERMINISTIC uniform from
+    * [[mixHash]] and w the doc's weight; the top-k per stratum is then
+    * an exact weighted sample — a doc with twice the weight has twice
+    * the inclusion odds, yet the draw is reproducible across runs,
+    * retries, and partitionings (the property `sample()` and `rand()`
+    * lack). Quality-weighted mixture sampling is the production use:
+    * keep k docs per language, preferring — not hard-gating — quality.
+    *
+    * One shuffle on the stratum; the rank-k cut is the same per-key
+    * top-k shape as [[stratifiedSample]]. At scale swap the window for
+    * TopKPerKey exactly as `p_domain_cap` does.
+    */
+  def weightedSample(docs: DataFrame, stratum: String, weight: Column,
+      k: Int): DataFrame = {
+    // u in (0, 1]: (mixHash + 1) / 2^32 — never 0, so pow is defined
+    val u = (mixHash(col("doc_id")) + lit(1L)).cast("double") /
+      lit(4294967296.0)
+    val key = pow(u, lit(1.0) / weight)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratum)).orderBy(key.desc, col("doc_id"))
+    docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col(stratum))
+  }
+
   /** Corpus snapshot diff: classify every doc across two crawl versions
     * as added / removed / changed by full-outer-joining content HASHES —
     * the text itself never ships through the join, only (id, 16-byte
@@ -278,6 +304,15 @@ object TrainingSet {
     },
     "p_stratified_sample" -> { (s, d) =>
       stratifiedSample(Tables.documents(s, d), "lang", 20)
+        .orderBy("lang", "doc_id")
+    },
+    // weight = n_chars: longer docs preferred proportionally. Rows-only
+    // (pow ulps may differ across engines at rank boundaries); the
+    // selection is pinned by MixtureSpec's independent driver recompute
+    // of the identical formula.
+    "p_weighted_sample" -> { (s, d) =>
+      weightedSample(Tables.spread(Tables.documents(s, d)), "lang",
+        col("n_chars").cast("double"), 20)
         .orderBy("lang", "doc_id")
     },
     // Per-domain cap, the mix-balancing gate (no source may dominate the

@@ -67,6 +67,39 @@ class MixtureSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("weightedSample equals an independent driver recompute of the " +
+      "Efraimidis-Spirakis keys, and favors heavier docs") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("p_weighted_sample")(spark, sf)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    // independent recompute: same formula, plain Scala on collected rows
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      rows.toSeq.map { case (id, _, w) =>
+        val u = (((id * 2654435761L) % 4294967296L) + 1L).toDouble /
+          4294967296.0
+        (math.pow(u, 1.0 / w), id)
+      }.sortBy { case (k, id) => (-k, id) }.take(20)
+        .map { case (_, id) => (lang, id) }
+    }.toSet
+    assert(got == want)
+    // weighting bites: the selected docs are heavier on average than the
+    // stratum mean (deterministic on this fixture)
+    val byLang = docs.groupBy(_._2)
+    byLang.foreach { case (lang, rows) =>
+      val sel = got.collect { case (l, id) if l == lang => id }
+      val wOf = rows.map(r => r._1 -> r._3).toMap
+      if (sel.size >= 10 && rows.size > 30) {
+        val selAvg = sel.toSeq.map(wOf).sum.toDouble / sel.size
+        val allAvg = rows.map(_._3).sum.toDouble / rows.size
+        assert(selAvg > allAvg,
+          s"$lang: selected avg weight $selAvg <= corpus avg $allAvg")
+      }
+    }
+  }
+
   test("count-min estimates never undercount and respect the eps bound") {
     val sf = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("t_cms_freq")(spark, sf).collect()
