@@ -315,13 +315,16 @@ object Relational {
           when(col("l_orderkey") % 3 === 0, col("l_quantity")))
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
         "qty_or_null")
+      // the spelled-out floor form, NOT round(): round-at-half on
+      // DOUBLE is the known cross-engine trap (see roundHalfUp's doc)
+      def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000.0
       val aggs = cols.flatMap(c => Seq(
         count(col(c)).as(s"${c}__n"),
         count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
         count_distinct(col(c)).as(s"${c}__distinct"),
-        round(min(col(c)), 4).as(s"${c}__min"),
-        round(max(col(c)), 4).as(s"${c}__max"),
-        round(avg(col(c)), 4).as(s"${c}__avg")))
+        r4(min(col(c))).as(s"${c}__min"),
+        r4(max(col(c))).as(s"${c}__max"),
+        r4(avg(col(c))).as(s"${c}__avg")))
       val wide = li.agg(aggs.head, aggs.tail: _*)
       val stackExpr = cols.map(c =>
         s"'$c', ${c}__n, ${c}__nulls, ${c}__distinct, " +
@@ -839,31 +842,31 @@ object Relational {
         |  SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
         |    count(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_nulls,
         |    count(DISTINCT l_quantity) AS n_distinct,
-        |    round(min(l_quantity), 4) AS "min",
-        |    round(max(l_quantity), 4) AS "max",
-        |    round(avg(l_quantity), 4) AS avg
+        |    floor(min(l_quantity) * 10000 + 0.5) / 10000.0 AS "min",
+        |    floor(max(l_quantity) * 10000 + 0.5) / 10000.0 AS "max",
+        |    floor(avg(l_quantity) * 10000 + 0.5) / 10000.0 AS avg
         |  FROM src
         |  UNION ALL
         |  SELECT 'l_extendedprice', count(l_extendedprice),
         |    count(CASE WHEN l_extendedprice IS NULL THEN 1 END),
         |    count(DISTINCT l_extendedprice),
-        |    round(min(l_extendedprice), 4),
-        |    round(max(l_extendedprice), 4),
-        |    round(avg(l_extendedprice), 4)
+        |    floor(min(l_extendedprice) * 10000 + 0.5) / 10000.0,
+        |    floor(max(l_extendedprice) * 10000 + 0.5) / 10000.0,
+        |    floor(avg(l_extendedprice) * 10000 + 0.5) / 10000.0
         |  FROM src
         |  UNION ALL
         |  SELECT 'l_discount', count(l_discount),
         |    count(CASE WHEN l_discount IS NULL THEN 1 END),
         |    count(DISTINCT l_discount),
-        |    round(min(l_discount), 4), round(max(l_discount), 4),
-        |    round(avg(l_discount), 4)
+        |    floor(min(l_discount) * 10000 + 0.5) / 10000.0, floor(max(l_discount) * 10000 + 0.5) / 10000.0,
+        |    floor(avg(l_discount) * 10000 + 0.5) / 10000.0
         |  FROM src
         |  UNION ALL
         |  SELECT 'qty_or_null', count(qty_or_null),
         |    count(CASE WHEN qty_or_null IS NULL THEN 1 END),
         |    count(DISTINCT qty_or_null),
-        |    round(min(qty_or_null), 4), round(max(qty_or_null), 4),
-        |    round(avg(qty_or_null), 4)
+        |    floor(min(qty_or_null) * 10000 + 0.5) / 10000.0, floor(max(qty_or_null) * 10000 + 0.5) / 10000.0,
+        |    floor(avg(qty_or_null) * 10000 + 0.5) / 10000.0
         |  FROM src)
         |SELECT * FROM p ORDER BY "column"""".stripMargin,
     "r_window_firstlast" ->

@@ -147,7 +147,7 @@ object Similarity {
     * brute force is asserted in PipelineSpec.
     */
   private def pqQuery(s: SparkSession, d: String): DataFrame = {
-    val dims = 64; val m = 8; val sub = dims / m; val k = 16
+    val dims = 64; val m = 8; val sub = dims / m
     val shortlist = 100
     val e = Tables.spread(Tables.embeddings(s, d))
       .select(col("vec_id"),
@@ -158,8 +158,16 @@ object Similarity {
     // a plan LITERAL so encoding/ADC stay per-row codegen expressions.
     val centRows = e
       .select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("h"))
-      .orderBy(col("h"), col("vec_id")).limit(k)
+      .orderBy(col("h"), col("vec_id")).limit(16)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
+    // k follows what the corpus could supply: on a tiny input the
+    // codebook is smaller than the nominal 16, and the argmin/ADC
+    // transforms below must iterate only the entries that exist —
+    // indexing a literal array past its end is an ANSI runtime error
+    val k = centRows.length
+    if (k == 0) return e.sparkSession.emptyDataFrame
+      .select(lit(0L).as("qid"), lit(0L).as("nid"), lit(0).as("rank"))
+      .limit(0)
     // codebook[j][c] = centroid c's j-th subvector; norms2[j][c] = its ‖·‖²
     val codebook: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
       centRows.toSeq.map(cv => cv.slice(j * sub, (j + 1) * sub).toSeq))

@@ -313,13 +313,17 @@ object TextAnalysis {
     // estimate column is seed-deterministic but not SQL-recomputable →
     // rows-only, with the one-sided-error bound pinned in MixtureSpec.
     "t_cms_freq" -> { (s, d) =>
+      // persisted: BOTH the exact top-20 and the sketch consume the
+      // tokenized corpus — without the cache the scan+split runs twice
       val words = Tables.spread(Tables.documents(s, d))
         .select(explode(split(col("text"), " ")).as("w"))
+        .persist()
       val exactTop = words.groupBy("w").agg(count(lit(1)).as("exact"))
         .orderBy(col("exact").desc, col("w")).limit(20).collect()
       val sketchBytes = words
         .agg(expr("count_min_sketch(w, 0.001d, 0.99d, 42)"))
         .head().getAs[Array[Byte]](0)
+      words.unpersist()
       val cms = org.apache.spark.util.sketch.CountMinSketch
         .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
       val rows = exactTop.toSeq.map(r => (r.getString(0), r.getLong(1),

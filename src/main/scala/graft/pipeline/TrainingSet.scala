@@ -200,14 +200,23 @@ object TrainingSet {
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
     def hashed(df: DataFrame, as: String) =
       df.select(col("doc_id"), md5(col("text")).as(as))
-    hashed(oldDocs, "oh")
-      .join(hashed(newDocs, "nh"), Seq("doc_id"), "full_outer")
+    corpusDiffHashed(hashed(oldDocs, "oh"), hashed(newDocs, "nh"))
+  }
+
+  /** The diff-classification core on PRE-HASHED frames (doc_id, oh) /
+    * (doc_id, nh) — one definition of the added/removed/changed rule,
+    * shared by the batch query and the snapshot-ingest stream
+    * ([[graft.streaming.CrawlDiffStream]], which maintains its own
+    * persisted hash table and must not re-derive the rule).
+    */
+  def corpusDiffHashed(oldHashes: DataFrame,
+      newHashes: DataFrame): DataFrame =
+    oldHashes.join(newHashes, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("oh").isNull, "added")
           .when(col("nh").isNull, "removed")
           .when(col("oh") =!= col("nh"), "changed")
           .otherwise("unchanged").as("status"))
-  }
 
   val queries: Map[String, Q] = Map(
     "p_training_set" -> { (s, d) => trainingSet(Tables.documents(s, d)) },

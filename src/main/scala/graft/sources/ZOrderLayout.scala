@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   * sortWithinPartitions.
   *
   * The z-value is pure 64-bit shift/mask arithmetic (no UDF, no RNG):
-  * each 32-bit input spreads its bits to even positions via the classic
-  * mask cascade, and the two spreads interleave. Every constant fits in
-  * a positive signed long, so any engine recomputes the curve
-  * bit-identically — the oracle SQL is generated from the SAME step
-  * list as the Column expression and cannot drift from it.
+  * each 31-bit input spreads its bits to even positions via the classic
+  * mask cascade, and the two spreads interleave into a 62-bit z. Every
+  * constant and intermediate stays a positive signed long, so any
+  * engine recomputes the curve bit-identically — the oracle SQL is
+  * generated from the SAME step list as the Column expression and
+  * cannot drift from it.
   */
 object ZOrderLayout {
   /** (shift, mask) cascade that spreads the low 32 bits of a long to
@@ -34,12 +35,23 @@ object ZOrderLayout {
     2 -> 0x3333333333333333L,
     1 -> 0x5555555555555555L)
 
+  /** Inputs clamp to 31 bits, NOT 32: with a full 32-bit second
+    * dimension, spread(b)'s top bit sits at position 62 and the final
+    * `<< 1` lands on the SIGN bit — an overflow error in ANSI SQL
+    * engines (DuckDB rejects the shift) and, where it wraps, a negative
+    * z that range-partitions all high-`b` rows before the rest,
+    * breaking curve locality exactly at the boundary. 31 bits per
+    * dimension keeps every intermediate and the final z positive in
+    * signed 64-bit everywhere.
+    */
+  private val DimMask = 0x7FFFFFFFL
+
   private def spread(c: Column): Column =
-    SpreadSteps.foldLeft(c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))) {
+    SpreadSteps.foldLeft(c.cast("long").bitwiseAND(lit(DimMask))) {
       case (x, (s, m)) => (x.bitwiseOR(shiftleft(x, s))).bitwiseAND(lit(m))
     }
 
-  /** 64-bit Morton interleave of two non-negative 32-bit dimensions
+  /** 62-bit Morton interleave of two non-negative 31-bit dimensions
     * (callers clamp/rank wider domains first): bit i of `a` lands at
     * position 2i, bit i of `b` at 2i+1.
     */
@@ -56,7 +68,7 @@ object ZOrderLayout {
     import org.apache.spark.sql.types.LongType
     def spreadE(e: Expression): Expression =
       SpreadSteps.foldLeft[Expression](
-        BitwiseAnd(Cast(e, LongType), Literal(0xFFFFFFFFL))) {
+        BitwiseAnd(Cast(e, LongType), Literal(DimMask))) {
         case (x, (s, m)) =>
           BitwiseAnd(BitwiseOr(x, ShiftLeft(x, Literal(s))), Literal(m))
       }
@@ -69,7 +81,7 @@ object ZOrderLayout {
     */
   def zvalueSql(a: String, b: String): String = {
     def spreadSql(e: String): String =
-      SpreadSteps.foldLeft(s"($e & 4294967295)") { case (x, (s, m)) =>
+      SpreadSteps.foldLeft(s"($e & $DimMask)") { case (x, (s, m)) =>
         s"(($x | ($x << $s)) & $m)"
       }
     s"(${spreadSql(a)} | (${spreadSql(b)} << 1))"

@@ -63,16 +63,10 @@ object CrawlDiffStream {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], HashSchema)
     }
-    // corpusDiff wants (doc_id, text) frames but only ever hashes them;
-    // feed it pre-hashed frames through its hash-join core directly
-    val diff = prev.withColumnRenamed("h", "oh")
-      .join(hashes.withColumnRenamed("h", "nh"), Seq("doc_id"),
-        "full_outer")
-      .select(col("doc_id"),
-        when(col("oh").isNull, "added")
-          .when(col("nh").isNull, "removed")
-          .when(col("oh") =!= col("nh"), "changed")
-          .otherwise("unchanged").as("status"))
+    // one definition of the diff rule, shared with p_corpus_diff
+    val diff = TrainingSet.corpusDiffHashed(
+        prev.withColumnRenamed("h", "oh"),
+        hashes.withColumnRenamed("h", "nh"))
       .filter(col("status") =!= "unchanged")
       .persist()
     diff.write.mode("overwrite").parquet(s"$diffPath/batch=$batchId")

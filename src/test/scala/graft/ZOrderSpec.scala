@@ -16,25 +16,29 @@ class ZOrderSpec extends AnyFunSuite {
 
   private def refInterleave(a: Long, b: Long): Long = {
     var z = 0L
-    for (i <- 0 until 32) {
+    for (i <- 0 until 31) {
       z |= ((a >> i) & 1L) << (2 * i)
       z |= ((b >> i) & 1L) << (2 * i + 1)
     }
     z
   }
 
-  test("zvalue matches a bit-by-bit reference interleave") {
+  test("zvalue matches a bit-by-bit reference interleave and stays " +
+      "non-negative at the 31-bit domain edges") {
     val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 9L),
-      (0xFFFFFFFFL, 0L), (0L, 0xFFFFFFFFL), (0xFFFFFFFFL, 0xFFFFFFFFL),
+      (0x7FFFFFFFL, 0L), (0L, 0x7FFFFFFFL), (0x7FFFFFFFL, 0x7FFFFFFFL),
       (123456789L, 987654321L),
-      // wider-than-32-bit inputs must clamp to their low 32 bits
-      (0x1234567890L, 0x9876543210L))
+      // wider-than-31-bit inputs must clamp to their low 31 bits —
+      // a full 32-bit b would shift into the sign bit (an ANSI
+      // overflow error in the generated oracle SQL)
+      (0x1234567890L, 0x9876543210L), (0xFFFFFFFFL, 0xFFFFFFFFL))
     val out = samples.toDF("a", "b")
       .select(ZOrderLayout.zvalue(col("a"), col("b"))).collect()
       .map(_.getLong(0))
     val expected = samples.map { case (a, b) =>
-      refInterleave(a & 0xFFFFFFFFL, b & 0xFFFFFFFFL) }
+      refInterleave(a & 0x7FFFFFFFL, b & 0x7FFFFFFFL) }
     assert(out.toSeq == expected)
+    assert(out.forall(_ >= 0L), "z must stay in the positive long range")
   }
 
   test("zvalue is injective on 32-bit pairs (bijection sample)") {
