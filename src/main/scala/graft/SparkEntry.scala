@@ -30,7 +30,8 @@ object SparkEntry {
     FilterQueries.queries ++ StreamAnalogs.queries ++ Relational.queries ++
       Dedup.queries ++ Similarity.queries ++ Fingerprints.allQueries ++
       TextAnalysis.queries ++ Multimodal.queries ++ EventWindows.queries ++
-      TrainingSet.queries ++ Agreement.queries ++ Bpe.queries
+      TrainingSet.queries ++ Agreement.queries ++ Bpe.queries ++
+      graft.sources.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
     FilterQueries.oracles ++ StreamAnalogs.oracles ++ Relational.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Fingerprints.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ EventWindows.oracles ++
-      TrainingSet.oracles ++ Agreement.oracles ++ Bpe.oracles
+      TrainingSet.oracles ++ Agreement.oracles ++ Bpe.oracles ++
+      graft.sources.SourceQueries.oracles
 }

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Text-format ingest (JSONL / CSV) with the corrupt-record discipline
+  * the filter core's P8 gate established: malformed lines are CAPTURED,
+  * never silently dropped and never query-killing. Real pipelines land
+  * crawls as JSONL long before anything is parquet; an engine that only
+  * reads columnar files can't sit at the front of one.
+  *
+  * Both readers take an EXPLICIT schema: schema inference is a full
+  * extra pass over 100 TB and makes the pipeline's types depend on
+  * whichever slice was sampled. PERMISSIVE mode + a named corrupt
+  * column routes bad lines to a quarantine the caller counts — the
+  * batch twin of the streaming path's parse-failure pass-through.
+  */
+object TextSources {
+  val CorruptCol = "_corrupt"
+
+  /** JSONL with quarantine column. Spark requires the corrupt column
+    * declared in the schema itself.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** CSV with header + quarantine column. */
+  def readCsv(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, "string"))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .csv(path)
+
+  /** Split a permissive read into (valid rows, quarantined raw lines).
+    *
+    * The FULL-SCHEMA parse is materialized first — and that is the
+    * semantic, not an implementation detail: under column pruning a
+    * PERMISSIVE parser never inspects unreferenced columns, so a row
+    * whose only defect sits in a pruned column would silently count as
+    * valid (Spark hard-errors on the corrupt-only-projection corner of
+    * this trap; the pruned-aggregate corner it cannot detect). A
+    * quarantine decision is a statement about the WHOLE row, so the
+    * whole row must parse. The cache bounds the cost to one parse for
+    * both sides; callers `unpersist()` the valid frame when done.
+    */
+  def partition(df: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = df.cache()
+    parsed.count()
+    (parsed.filter(col(CorruptCol).isNull).drop(CorruptCol),
+      parsed.filter(col(CorruptCol).isNotNull).select(col(CorruptCol)))
+  }
+}
