@@ -31,6 +31,7 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Fingerprints.allQueries ++
       TextAnalysis.queries ++ Multimodal.queries ++ EventWindows.queries ++
       TrainingSet.queries ++ Agreement.queries ++ Bpe.queries ++
+      CorpusOps.queries ++ KMeansOps.queries ++
       graft.sources.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,5 +41,6 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Fingerprints.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ EventWindows.oracles ++
       TrainingSet.oracles ++ Agreement.oracles ++ Bpe.oracles ++
+      CorpusOps.oracles ++ KMeansOps.oracles ++
       graft.sources.SourceQueries.oracles
 }

@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.TextAnalysis.round4HalfUp
+
+/** Corpus-level curation operators the reference has no analog for
+  * (north-star, SURVEY §2.8): statistical quality scoring with a bigram
+  * language model, canonical text normalization, and seeded
+  * deterministic shard assignment. All three are the standard front half
+  * of a web-scale training-data pipeline (CCNet-style LM filtering,
+  * normalize-before-dedup, reproducible shuffling into training shards).
+  */
+object CorpusOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(c: Column) = split(c, " ")
+
+  /** Per-doc cross-entropy under an add-one-smoothed bigram LM trained
+    * on the corpus itself — the CCNet/KenLM-shaped quality signal
+    * (boilerplate and gibberish score high, fluent text low), minus the
+    * external model file: the "LM" is two count tables built in-plan.
+    *
+    * Shape at 100 TB: one explode+groupBy per count table (map-side
+    * combined longs), then two equi-joins of the doc-bigram stream
+    * against vocabulary-sized count tables — every shuffle is keyed and
+    * bounded by vocabulary, not corpus, size. The vocab-size scalar
+    * rides a broadcast cross join, so the whole thing is ONE lazy DAG
+    * (no driver action inside the operator).
+    *
+    * logp(w₂|w₁) = log₂((c₂(w₁w₂)+1) / (c₁(w₁)+V)); output is
+    * -avg(logp) over the doc's bigrams (docs with <2 tokens have no
+    * bigrams and drop out, same as the twin). Rounded with the explicit
+    * half-up form: the avg's partial-order ulp noise sits 11 digits
+    * below the 1e-4 step.
+    */
+  def bigramCrossEntropy(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    // one explode produces (w1, bigram) pairs: zip tokens with their tail
+    val bi = docs.select(col("doc_id"),
+      explode(zip_with(slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("b"))))
+        .as("z"))
+      .select(col("doc_id"), col("z.w1").as("w1"), col("z.b").as("b"))
+    val uni = docs.select(explode(toks(col("text"))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val big = bi.groupBy("b").agg(count(lit(1)).as("c2"))
+    val vdf = uni.agg(count(lit(1)).as("vsz"))
+    bi.join(big, "b")
+      .join(uni, "w1")
+      .crossJoin(broadcast(vdf))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        round4HalfUp(-avg(log2((col("c2") + 1.0) / (col("c1") + col("vsz")))))
+          .as("ce"))
+  }
+
+  /** Canonical normal form: lowercase, strip non-alphanumerics, collapse
+    * runs of spaces, trim. Pure per-row codegen'd expressions — the
+    * pass every text pipeline runs before fingerprinting/dedup so that
+    * "The cat." and "the cat" collapse. Kept to character classes both
+    * regex dialects (Java here, RE2 in the twin) define identically.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Seeded deterministic shard assignment — the reproducible global
+    * shuffle in front of training-shard writes. shard = low nibble of
+    * md5(doc_id:seed) (16 shards here; a corpus-sized deployment raises
+    * `nShards` so one shard ≈ one executor's worth), pos = rank of the
+    * full hash within the shard. Any two runs — any engine — produce
+    * the identical (shard, pos) layout, which is what makes training
+    * order auditable. The window-per-shard is the oracle-visible twin
+    * of the production write (`repartition(n, h)` +
+    * `sortWithinPartitions(h)` — same layout, no global window).
+    */
+  def shardAssign(docs: DataFrame, seed: String): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit(":" + seed)))
+    docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard",
+        conv(substring(col("h"), 32, 1), 16, 10).cast("long"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy("shard").orderBy("h", "doc_id"))
+        .cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t_ngram_lm" -> { (s, d) =>
+      bigramCrossEntropy(Tables.spread(Tables.documents(s, d)))
+        .orderBy("doc_id")
+    },
+    "t_normalize" -> { (s, d) =>
+      val n = normalize(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"), n.as("norm"),
+        when(n === "", 0L).otherwise(size(split(n, " ")))
+          .cast("long").as("n_tokens_norm"))
+        .orderBy("doc_id")
+    },
+    "p_shard_assign" -> { (s, d) =>
+      shardAssign(Tables.documents(s, d), "graft42").orderBy("doc_id")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "t_ngram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS b
+        |  FROM toks, unnest(range(1, len(t))) u(i)),
+        |uni AS (
+        |  SELECT w1, count(*) c1
+        |  FROM (SELECT unnest(t) w1 FROM toks) GROUP BY 1),
+        |big AS (SELECT b, count(*) c2 FROM bg GROUP BY 1),
+        |v AS (SELECT count(*) vsz FROM uni)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  floor(-avg(log2((c2 + 1.0) / (c1 + vsz))) * 10000 + 0.5)
+        |    / 10000.0 AS ce
+        |FROM bg JOIN big USING (b) JOIN uni USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_normalize" ->
+      """SELECT doc_id, norm,
+        |  CAST(CASE WHEN norm = '' THEN 0
+        |       ELSE len(string_split(norm, ' ')) END AS BIGINT)
+        |    AS n_tokens_norm
+        |FROM (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text),
+        |          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "p_shard_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':graft42') AS h
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, h,
+        |    CAST(strpos('0123456789abcdef', substr(h, 32, 1)) - 1
+        |      AS BIGINT) AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM a ORDER BY doc_id""".stripMargin)
+}

@@ -224,41 +224,34 @@ object Dedup {
     // distributed path unchanged (PipelineSpec pins both paths to
     // identical output).
     //
-    // The gate PROBES with limit(maxPairs+1) instead of a full count():
-    // the probe stops as soon as the cap is exceeded, so a 100 TB pair
-    // list is never fully materialized just to learn it's too big —
-    // and on the small side the probed partitions land in the persisted
-    // cache for the collect that follows.
+    // The gate is ONE full-parallel count() over the persisted pairs —
+    // every partition scans at once and lands in the cache. (An earlier
+    // version probed with limit(maxPairs+1).collect(); CollectLimitExec
+    // executes INCREMENTALLY — a 1-partition job, then 4, then 16 —
+    // and those serial low-parallelism job barriers made the gate the
+    // most contention-sensitive step of the whole bench. The count is
+    // not wasted work at any size: on the small side the collect below
+    // reads the now-hot cache, and on the large side the distributed
+    // path needs nPairs anyway to size its partitioning. Either path
+    // materializes every pair exactly once.)
     val longIds = prs.schema.fields.take(2).forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    // Clamp BEFORE incrementing: maxPairs + 1 overflows at Long.MaxValue,
-    // which would make the probe limit 0 and silently skip clustering.
-    val probeLimit =
-      if (maxPairs >= Int.MaxValue - 1L) Int.MaxValue
-      else (maxPairs + 1L).toInt
-    // The probe COLLECTS (id pairs only — 16 bytes/row, so the cap bounds
-    // driver memory the same way the count probe did) instead of counting:
-    // on the driver path those rows ARE the union-find input, making the
-    // gate and the work a single job over the persisted pairs instead of
-    // probe-then-recollect paying the plan twice.
-    val probedRows =
-      if (longIds)
-        prs.select(col("ida"), col("idb")).limit(probeLimit).collect()
-      else Array.empty[org.apache.spark.sql.Row]
-    if (probedRows.nonEmpty && probedRows.length <= maxPairs) {
+    val nPairs = prs.count()
+    if (longIds && nPairs > 0 && nPairs <= maxPairs) {
+      // id pairs only — 16 bytes/row, so maxPairs bounds driver memory
+      // the same way a broadcast threshold does; these rows ARE the
+      // union-find input
       val out = driverClusters(spark,
-        probedRows.map(r => (r.getLong(0), r.getLong(1))))
+        prs.select(col("ida"), col("idb")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))))
       prs.unpersist()
       return out
     }
-    // Distributed path: now (and only now) pay the full count — the
-    // iteration materializes every pair anyway, and the count sizes the
-    // iteration's partitioning to the GRAPH, not the corpus: the dup
-    // graph is orders of magnitude smaller than its input, and each
-    // propagation round pays per-partition scheduling overhead times the
-    // round count. One partition per ~500k edges, floor 2.
-    val nPairs =
-      if (longIds && probedRows.isEmpty) 0L else prs.count()
+    // Distributed path: size the iteration's partitioning to the GRAPH,
+    // not the corpus — the dup graph is orders of magnitude smaller than
+    // its input, and each propagation round pays per-partition scheduling
+    // overhead times the round count. One partition per ~500k edges,
+    // floor 2.
     val parts = math.max(2, math.min(
       spark.sparkContext.defaultParallelism,
       (nPairs / 500000L).toInt + 1))

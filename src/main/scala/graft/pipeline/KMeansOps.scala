@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Lloyd's k-means over an embedding column — the topic-bucketing /
+  * corpus-curation primitive (cluster-then-sample, cluster-balanced
+  * mixtures, semantic bucketing before per-bucket dedup). North-star
+  * operator: the reference has no vector surface (SURVEY §2.8).
+  *
+  * Spark-first shape, the same contract MLlib's KMeans uses:
+  *   - centroids live on the DRIVER (k·dim doubles — broadcast-side size
+  *     class by construction) and reach executors as codegen'd literals;
+  *   - one assignment pass per iteration is a single scan with NO
+  *     shuffle (argmin over k literal score expressions);
+  *   - the recompute is one `groupBy(cluster, pos).avg` whose map-side
+  *     partial aggregation ships k·dim doubles per partition — the only
+  *     shuffle, constant-size in the corpus.
+  * At 100 TB nothing here grows with the data except the scans.
+  *
+  * Determinism contract (what makes the op oracle-checkable):
+  *   - init = the embeddings of the k smallest `vec_id`s (no RNG);
+  *   - argmin ties break toward the smaller cluster index;
+  *   - recomputed centroids are rounded to 1e-6 with the explicit
+  *     `floor(x·10⁶+0.5)/10⁶` half-up form, so the engine-dependent
+  *     partial-aggregation ORDER of `avg` (last-ulp noise) can never
+  *     flip a later assignment;
+  *   - per-element arithmetic (dot products, squared norms) is
+  *     SEQUENTIAL left-to-right double accumulation on both sides —
+  *     [[graft.functions.ArrayDot]] is a sequential loop and DuckDB's
+  *     `list_sum(list_transform(…))` was verified bit-exact against it.
+  *   - empty clusters keep their previous centroid.
+  */
+object KMeansOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Squared-distance argmin against literal centroids. Per row,
+    * argmin_j |v-c_j|² = argmin_j (|c_j|² - 2·v·c_j): |v|² is constant
+    * across j and dropping it removes one dot product per row.
+    */
+  private def assignExpr(cents: Array[Array[Double]]): Column = {
+    val scores = cents.toSeq.zipWithIndex.map { case (c, j) =>
+      // sequential sum, same order as the SQL twin's list_sum
+      var sumsq = 0.0
+      c.foreach(x => sumsq += x * x)
+      (j, lit(sumsq) - lit(2.0) *
+        VectorOps.dot(col("v"), typedLit(c.toSeq)))
+    }
+    val best = scores.map(_._2).reduce(least(_, _))
+    // foldRight: the earliest (smallest-index) cluster hitting the min
+    // wins ties — mirrors the twin's ORDER BY score, k
+    scores.foldRight(lit(-1L)) { case ((j, sc), acc) =>
+      when(sc === best, lit(j.toLong)).otherwise(acc)
+    }
+  }
+
+  /** (vec_id, cluster) after `iters` assignment passes with `iters - 1`
+    * centroid recomputes between them (so `iters = 1` is pure
+    * assignment against the deterministic seeds).
+    */
+  def kmeans(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters > 0, s"k=$k iters=$iters must be positive")
+    val v = vecs
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    // deterministic seeds: k smallest ids. TakeOrdered on the driver —
+    // k rows, the same size class as the centroids themselves.
+    var cents: Array[Array[Double]] = v.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(cents.length == k, s"need ≥ $k vectors, got ${cents.length}")
+    for (_ <- 1 until iters) {
+      val assigned = v.withColumn("cluster", assignExpr(cents))
+      // one constant-size shuffle: k·dim partial (sum, count) pairs per
+      // partition after map-side combine
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg("x").as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        // explicit half-up at 1e-6 (see determinism contract)
+        next(r.getLong(0).toInt)(r.getInt(1)) =
+          math.floor(r.getDouble(2) * 1e6 + 0.5) / 1e6
+      }
+      cents = next // empty clusters kept their previous centroid
+    }
+    v.withColumn("cluster", assignExpr(cents)).select("vec_id", "cluster")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // k=4, two assignment passes (one recompute) — small enough that the
+    // DuckDB twin can unroll the iterations, real enough to exercise
+    // seed-init, argmin, the rounded recompute, and re-assignment
+    "s_kmeans" -> { (s, d) =>
+      kmeans(Tables.spread(Tables.embeddings(s, d)), 4, 2)
+        .orderBy("vec_id")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "s_kmeans" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) k,
+        |         e AS ctr
+        |  FROM v ORDER BY vec_id LIMIT 4),
+        |s1 AS (
+        |  SELECT vec_id, k,
+        |    list_sum(list_transform(ctr, x -> x * x)) -
+        |    2 * list_sum(list_transform(range(1, len(ctr) + 1),
+        |                                i -> e[i] * ctr[i])) AS score
+        |  FROM v CROSS JOIN c0),
+        |a1 AS (
+        |  SELECT vec_id, k,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY score, k) rn
+        |  FROM s1),
+        |asg1 AS (SELECT vec_id, k AS cluster FROM a1 WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a.cluster, u.d,
+        |    floor(avg(e[d]) * 1000000 + 0.5) / 1000000.0 AS m
+        |  FROM asg1 a JOIN v USING (vec_id),
+        |       unnest(range(1, len(e) + 1)) u(d)
+        |  GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT c0.k, COALESCE(mm.ctr, c0.ctr) AS ctr
+        |  FROM c0 LEFT JOIN
+        |    (SELECT cluster AS k, list(m ORDER BY d) AS ctr
+        |     FROM m1 GROUP BY 1) mm USING (k)),
+        |s2 AS (
+        |  SELECT vec_id, k,
+        |    list_sum(list_transform(ctr, x -> x * x)) -
+        |    2 * list_sum(list_transform(range(1, len(ctr) + 1),
+        |                                i -> e[i] * ctr[i])) AS score
+        |  FROM v CROSS JOIN c1),
+        |a2 AS (
+        |  SELECT vec_id, k,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY score, k) rn
+        |  FROM s2)
+        |SELECT vec_id, k AS cluster FROM a2 WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin)
+}

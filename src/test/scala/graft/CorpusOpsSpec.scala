@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.CorpusOps
+
+/** Semantics the round-trip oracles can't pin: the LM actually ranks
+  * fluent text below gibberish, normalization edge cases, and the
+  * shard layout's balance/reproducibility properties.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  test("bigram LM scores repeated fluent text below unseen gibberish") {
+    val docs = (
+      (1 to 20).map(i => (i.toLong, "the cat sat on the mat")) :+
+        (99L, "zq xv qj wk vx kq")
+      ).toDF("doc_id", "text")
+    val ce = CorpusOps.bigramCrossEntropy(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // every bigram of the fluent doc occurs 20×; the gibberish doc's
+    // bigrams are singletons over a vocab they barely share
+    assert(ce(1L) < ce(99L),
+      s"fluent ${ce(1L)} must score below gibberish ${ce(99L)}")
+  }
+
+  test("docs with fewer than two tokens drop out (no bigrams)") {
+    val docs = Seq((1L, "solo"), (2L, "two tokens")).toDF("doc_id", "text")
+    val ids = CorpusOps.bigramCrossEntropy(docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == Set(2L))
+  }
+
+  test("normalize: case, punctuation, whitespace runs, trim") {
+    val got = Seq(
+      "  The CAT, sat!  ", "a-b_c", "!!!", "already clean")
+      .toDF("text").select(CorpusOps.normalize(col("text")))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("the cat sat", "abc", "", "already clean"))
+  }
+
+  test("shard assignment: 16 shards, positions contiguous from 1, " +
+      "deterministic, and balanced within 3x of uniform") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val a = CorpusOps.shardAssign(docs, "graft42")
+    val n = a.count()
+    val perShard = a.groupBy("shard").agg(
+      count(lit(1)).as("c"), max("pos").as("maxp"), min("pos").as("minp"))
+      .collect()
+    assert(perShard.length == 16, "md5 low nibble must hit all 16 shards")
+    perShard.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) && r.getLong(3) == 1L,
+        "pos must be a contiguous 1..count ranking per shard")
+      val c = r.getLong(1).toDouble
+      assert(c < 3.0 * n / 16 && c > n / 16 / 3.0,
+        s"shard ${r.getLong(0)} has $c of $n rows — md5 should spread")
+    }
+    // different seed ⇒ different layout (the seed is real, not decor)
+    val b = CorpusOps.shardAssign(docs, "other-seed")
+    val moved = a.as("a").join(b.as("b"), "doc_id")
+      .filter(col("a.shard") =!= col("b.shard")).count()
+    assert(moved > 0, "changing the seed must move documents")
+  }
+}
