@@ -130,6 +130,20 @@ object ExplainAudit {
     // salted two-phase agg: exactly two hash exchanges (salted partial +
     // final), each over already-combined rows
     auditAtMost("r_agg_twophase", "Exchange hashpartitioning", 2)
+    // bigram LM: every count table aggregates behind map-side partials
+    // (the shuffles carry combined longs, never token rows), and the
+    // vocab-size scalar rides a one-row broadcast cross join
+    audit("t_ngram_lm", "partial_count", "BroadcastNestedLoopJoin")
+    // k-means assignment is a shuffle-free scan: centroids are literal
+    // argmin expressions, so the returned pass has NO hash exchange
+    // (the recompute's constant-size k·dim shuffle runs inside the
+    // operator's earlier jobs, not in this plan)
+    auditAtMost("s_kmeans", "Exchange hashpartitioning", 0)
+    // normalization is pure per-row codegen — no exchange at all
+    auditAtMost("t_normalize", "Exchange hashpartitioning", 0)
+    // shard assignment: one hash exchange (the per-shard rank window);
+    // the production write twin has none
+    auditAtMost("p_shard_assign", "Exchange hashpartitioning", 1)
     // bucketed ingest joins with NO shuffle: both sides' distribution
     // comes from the bucketed layout (write once here, plan must be
     // Exchange-free)

@@ -58,6 +58,17 @@ object SourceQueries {
       val (valid, _) = TextSources.partition(
         TextSources.readCsv(s, dir, sl.schema))
       agg(valid)
+    },
+    // ORC round trip — the other columnar format Spark ships natively.
+    // No quarantine tier (a corrupt ORC stripe is a storage fault, not
+    // a data fault); the hash match proves lossless typed round-tripping
+    // through the second columnar codec.
+    "src_orc_roundtrip" -> { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_orc").toString
+      val sl = slice(s, d)
+      sl.coalesce(4).write.mode("overwrite").orc(dir)
+      agg(s.read.schema(sl.schema).orc(dir))
     })
 
   private val RoundtripSql =
@@ -70,5 +81,6 @@ object SourceQueries {
 
   val oracles: Map[String, String] = Map(
     "src_jsonl_roundtrip" -> RoundtripSql,
-    "src_csv_roundtrip" -> RoundtripSql)
+    "src_csv_roundtrip" -> RoundtripSql,
+    "src_orc_roundtrip" -> RoundtripSql)
 }
