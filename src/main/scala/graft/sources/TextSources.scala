@@ -40,6 +40,37 @@ object TextSources {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .csv(path)
 
+  /** Streaming JSONL with the same quarantine column — the continuous
+    * ingest front of the pipeline (a crawler drops JSONL files into a
+    * landing dir; the stream picks each file up exactly once via file
+    * tracking + checkpointing). Split with [[validStream]] /
+    * [[quarantineStream]]: a stream can't be cached-and-counted, so
+    * each side is its own filter over the one parse.
+    */
+  def readJsonlStream(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema.add(CorruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** Valid rows of a permissive streaming read. */
+  def validStream(df: DataFrame): DataFrame =
+    df.filter(col(CorruptCol).isNull).drop(CorruptCol)
+
+  /** Quarantined rows of a permissive streaming read: the raw line in
+    * [[CorruptCol]] plus the (all-null) data columns. The data columns
+    * are KEPT deliberately — projecting only the corrupt column would
+    * prune the read schema down to it, the corner Spark hard-rejects
+    * (`UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN`: a
+    * PERMISSIVE parser that inspects no data columns marks nothing
+    * corrupt). The batch path dodges this with its cache; a stream has
+    * no cache, so the schema itself must stay wide.
+    */
+  def quarantineStream(df: DataFrame): DataFrame =
+    df.filter(col(CorruptCol).isNotNull)
+
   /** Split a permissive read into (valid rows, quarantined raw lines).
     *
     * The FULL-SCHEMA parse is materialized first — and that is the
