@@ -13,6 +13,13 @@ import graft.Tables
   * corrupt lines quarantined instead of poisoning or killing the read.
   * (Double round-trip fidelity is pinned separately in
   * TextSourcesSpec — floats stay out of the oracle on principle.)
+  *
+  * Each query materializes its (tiny, per-event-type) aggregate on the
+  * driver, releases the parse cache, and deletes its temp directory
+  * before returning: a bench loop re-runs every query 3-4× in one
+  * session, and without the cleanup each run would pin an
+  * InMemoryRelation and leak a corpus copy on disk for the session's
+  * lifetime.
   */
 object SourceQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -22,18 +29,32 @@ object SourceQueries {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"))
 
-  private def injectGarbage(dir: String, lines: Seq[String]): Unit = {
-    val f = new java.io.File(dir, "garbage.txt")
-    val w = new java.io.PrintWriter(f, "UTF-8")
+  private def writeLines(dir: String, name: String,
+      lines: Seq[String]): Unit = {
+    val w = new java.io.PrintWriter(
+      new java.io.File(dir, name), "UTF-8")
     try lines.foreach(w.println) finally w.close()
   }
 
-  private def agg(valid: DataFrame): DataFrame =
-    valid.groupBy("event_type")
+  /** Aggregate, collect (≤ a handful of event-type rows), release the
+    * parse cache, delete the landing dir, return a local frame.
+    */
+  private def aggAndClean(s: SparkSession, valid: DataFrame,
+      release: () => Unit, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = valid.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("event_id")).as("sum_event_id"),
         count_distinct(col("user_id")).as("n_users"))
       .orderBy("event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    release()
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(dir)).deleteRecursively()
+    rows.toDF("event_type", "n", "sum_event_id", "n_users")
+  }
 
   val queries: Map[String, Q] = Map(
     "src_jsonl_roundtrip" -> { (s, d) =>
@@ -41,10 +62,11 @@ object SourceQueries {
         .createTempDirectory("graft_jsonl").toString
       val sl = slice(s, d)
       sl.coalesce(4).write.mode("overwrite").json(dir)
-      injectGarbage(dir, Seq("{not json", "\"scalar\"", "42"))
-      val (valid, _) = TextSources.partition(
+      writeLines(dir, "garbage.txt",
+        Seq("{not json", "\"scalar\"", "42"))
+      val p = TextSources.partitionWithHandle(
         TextSources.readJsonl(s, dir, sl.schema))
-      agg(valid)
+      aggAndClean(s, p.valid, () => p.release(), dir)
     },
     "src_csv_roundtrip" -> { (s, d) =>
       val dir = java.nio.file.Files
@@ -52,12 +74,17 @@ object SourceQueries {
       val sl = slice(s, d)
       sl.coalesce(4).write.mode("overwrite")
         .option("header", "true").csv(dir)
-      // a malformed row INSIDE a data file (extra schema-breaking text
-      // column count); header-less garbage files would misalign the
-      // header option, so corrupt CSV is injected as a valid-file row
-      val (valid, _) = TextSources.partition(
+      // malformed rows ride a file with the proper HEADER line (a
+      // header-less garbage file would have its first data line eaten
+      // as a header): wrong types and wrong arity must both land in
+      // quarantine, not in the aggregate
+      writeLines(dir, "garbage.csv",
+        Seq(sl.schema.fieldNames.mkString(","),
+          "not_a_number,2,click,3.5",
+          "1,2"))
+      val p = TextSources.partitionWithHandle(
         TextSources.readCsv(s, dir, sl.schema))
-      agg(valid)
+      aggAndClean(s, p.valid, () => p.release(), dir)
     },
     // ORC round trip — the other columnar format Spark ships natively.
     // No quarantine tier (a corrupt ORC stripe is a storage fault, not
@@ -68,7 +95,7 @@ object SourceQueries {
         .createTempDirectory("graft_orc").toString
       val sl = slice(s, d)
       sl.coalesce(4).write.mode("overwrite").orc(dir)
-      agg(s.read.schema(sl.schema).orc(dir))
+      aggAndClean(s, s.read.schema(sl.schema).orc(dir), () => (), dir)
     })
 
   private val RoundtripSql =

@@ -71,6 +71,18 @@ object TextSources {
   def quarantineStream(df: DataFrame): DataFrame =
     df.filter(col(CorruptCol).isNotNull)
 
+  /** A permissive read split into valid rows and quarantined raw
+    * lines, with the handle that releases the one cache both sides
+    * read from. `release()` the handle once both sides are consumed —
+    * unpersisting the DERIVED frames would be a no-op (their
+    * Filter(parsed) plans don't `sameResult` the cached plan, so the
+    * CacheManager would remove nothing).
+    */
+  final case class PartitionedRead(valid: DataFrame,
+      quarantine: DataFrame, parsed: DataFrame) {
+    def release(): Unit = parsed.unpersist()
+  }
+
   /** Split a permissive read into (valid rows, quarantined raw lines).
     *
     * The FULL-SCHEMA parse is materialized first — and that is the
@@ -81,12 +93,21 @@ object TextSources {
     * this trap; the pruned-aggregate corner it cannot detect). A
     * quarantine decision is a statement about the WHOLE row, so the
     * whole row must parse. The cache bounds the cost to one parse for
-    * both sides; callers `unpersist()` the valid frame when done.
+    * both sides; long-lived sessions `release()` the handle after
+    * consuming both sides ([[partition]] is the fire-and-forget form
+    * whose cache lives until session end).
     */
-  def partition(df: DataFrame): (DataFrame, DataFrame) = {
+  def partitionWithHandle(df: DataFrame): PartitionedRead = {
     val parsed = df.cache()
     parsed.count()
-    (parsed.filter(col(CorruptCol).isNull).drop(CorruptCol),
-      parsed.filter(col(CorruptCol).isNotNull).select(col(CorruptCol)))
+    PartitionedRead(
+      parsed.filter(col(CorruptCol).isNull).drop(CorruptCol),
+      parsed.filter(col(CorruptCol).isNotNull).select(col(CorruptCol)),
+      parsed)
+  }
+
+  def partition(df: DataFrame): (DataFrame, DataFrame) = {
+    val p = partitionWithHandle(df)
+    (p.valid, p.quarantine)
   }
 }

@@ -86,16 +86,19 @@ class KMeansSpec extends AnyFunSuite {
   }
 
   test("empty cluster keeps its previous centroid instead of crashing") {
-    // seed 1 = (100,100) attracts nothing after iteration 1 (all points
-    // cluster near origin), so its centroid must carry over
+    // vecs 0 and 1 coincide, so both seeds start at (3,3): every point
+    // ties between the clusters and the smaller index wins them ALL —
+    // cluster 1 is genuinely EMPTY in the recompute and must carry its
+    // (3,3) centroid. A buggy carry-over (zeroed centroid) would hand
+    // point 2 = (0,0) to cluster 1 on the next assignment pass.
     val vecs = Seq(
-      (0L, Array(0f, 0f)), (1L, Array(100f, 100f)),
-      (2L, Array(0.5f, 0f)), (3L, Array(0f, 0.5f)))
+      (0L, Array(3f, 3f)), (1L, Array(3f, 3f)),
+      (2L, Array(0f, 0f)), (3L, Array(6f, 6f)))
       .toDF("vec_id", "embedding")
-    val got = KMeansOps.kmeans(vecs, 2, 4).collect()
+    val got = KMeansOps.kmeans(vecs, 2, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got(1L) == 1L, "far point must still own its seed cluster")
-    assert(Seq(0L, 2L, 3L).forall(got(_) == 0L))
+    assert(got.values.forall(_ == 0L),
+      s"carried (3,3) centroid keeps every tie on cluster 0, got $got")
   }
 
   test("fewer vectors than k is a hard error, not a silent degenerate") {
