@@ -141,6 +141,14 @@ object ExplainAudit {
     auditAtMost("s_kmeans", "Exchange hashpartitioning", 0)
     // normalization is pure per-row codegen — no exchange at all
     auditAtMost("t_normalize", "Exchange hashpartitioning", 0)
+    // BM25: query terms broadcast (the corpus token stream filters
+    // map-side before any aggregation) and per-query ranking runs on
+    // the bounded heap — no sort below it
+    audit("s_bm25", "BroadcastHashJoin")
+    auditNoneBelow("s_bm25", "TopKPerKey", "Sort [")
+    // temperature sampling: the per-language rate table broadcasts back
+    // to the corpus scan — the doc side never shuffles to be sampled
+    audit("p_temperature_sample", "BroadcastHashJoin")
     // shard assignment: one hash exchange (the per-shard rank window);
     // the production write twin has none
     auditAtMost("p_shard_assign", "Exchange hashpartitioning", 1)

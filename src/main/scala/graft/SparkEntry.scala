@@ -31,7 +31,7 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Fingerprints.allQueries ++
       TextAnalysis.queries ++ Multimodal.queries ++ EventWindows.queries ++
       TrainingSet.queries ++ Agreement.queries ++ Bpe.queries ++
-      CorpusOps.queries ++ KMeansOps.queries ++
+      CorpusOps.queries ++ KMeansOps.queries ++ Retrieval.queries ++
       graft.sources.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,6 +41,6 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Fingerprints.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ EventWindows.oracles ++
       TrainingSet.oracles ++ Agreement.oracles ++ Bpe.oracles ++
-      CorpusOps.oracles ++ KMeansOps.oracles ++
+      CorpusOps.oracles ++ KMeansOps.oracles ++ Retrieval.oracles ++
       graft.sources.SourceQueries.oracles
 }

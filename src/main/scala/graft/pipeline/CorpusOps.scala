@@ -90,6 +90,55 @@ object CorpusOps {
       .select("doc_id", "shard", "pos")
   }
 
+  /** Temperature-based multilingual sampling — the multilingual-mix
+    * problem: proportional sampling drowns low-resource languages,
+    * uniform over-samples them; the standard compromise makes the
+    * SAMPLE's language shares ∝ n^α (α<1). Per-doc iid keep rates that
+    * achieve it: rate_l ∝ n_l^(α−1) (low-resource languages keep MORE
+    * of their docs), normalized so the expected sample is
+    * `targetFrac` of the corpus and capped at 1.
+    *
+    * Selection is a DETERMINISTIC hash threshold: keep doc iff the
+    * first 48 bits of md5(doc_id:seed) fall under floor(rate·2⁴⁸),
+    * compared as fixed-width lowercase hex strings (lexicographic ==
+    * numeric for fixed width, and 48 bits stay inside double-exact
+    * range on both engines). Per-row expression + one broadcast of the
+    * per-language rate table: scan throughput at any corpus size,
+    * reproducible across runs, engines, and partitionings.
+    *
+    * α=0.5 is spelled with `sqrt` (correctly-rounded by IEEE on both
+    * engines, giving bit-identical rates); other α go through `pow`,
+    * whose last-ulp behavior is not cross-engine-pinned — the
+    * oracle-checked configuration is the sqrt one.
+    */
+  def temperatureSample(docs: DataFrame, alpha: Double, seed: String,
+      targetFrac: Double = 0.25): DataFrame = {
+    def wCol(c: Column): Column =
+      if (alpha == 0.5) sqrt(c) else pow(c, alpha)
+    val counts = docs.groupBy("lang")
+      .agg(count(lit(1)).cast("double").as("c"))
+    val scal = counts.agg(
+      sum(wCol(col("c"))).as("z"), sum(col("c")).as("n"))
+    // rate_l = min(1, frac·N·n_l^(α−1)/Z) with Z = Σ n^α, written as
+    // frac·N / ((n/n^α)·Z) so every arithmetic step is the same
+    // correctly-rounded op in the SQL twin (n/n^α = n^(1−α) without pow).
+    // rate = 1 means keep-all: its threshold is the sentinel "g", which
+    // sorts above every hex digit — floor(1·2⁴⁸) needs 13 hex digits
+    // and lpad-to-12 would TRUNCATE it into a nearly-keep-none gate.
+    val rate = lit(targetFrac) * col("n") /
+      (col("c") / wCol(col("c")) * col("z"))
+    val rates = counts.crossJoin(broadcast(scal))
+      .select(col("lang"),
+        when(rate >= 1.0, lit("g")).otherwise(
+          lower(lpad(hex(floor(rate * lit(281474976710656.0))
+            .cast("long")), 12, "0"))).as("thr"))
+    docs.join(broadcast(rates), "lang")
+      .filter(substring(
+        md5(concat(col("doc_id").cast("string"), lit(":" + seed))),
+        1, 12) < col("thr"))
+      .select("doc_id", "lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "t_ngram_lm" -> { (s, d) =>
       bigramCrossEntropy(Tables.spread(Tables.documents(s, d)))
@@ -105,6 +154,10 @@ object CorpusOps {
     },
     "p_shard_assign" -> { (s, d) =>
       shardAssign(Tables.documents(s, d), "graft42").orderBy("doc_id")
+    },
+    "p_temperature_sample" -> { (s, d) =>
+      temperatureSample(Tables.documents(s, d), 0.5, "temp")
+        .orderBy("doc_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -133,6 +186,23 @@ object CorpusOps {
         |        trim(regexp_replace(regexp_replace(lower(text),
         |          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "p_temperature_sample" ->
+      """WITH cnt AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) c
+        |  FROM documents GROUP BY 1),
+        |s AS (SELECT sum(sqrt(c)) z, sum(c) n FROM cnt),
+        |r AS (
+        |  SELECT lang,
+        |    CASE WHEN 0.25 * n / (c / sqrt(c) * z) >= 1.0 THEN 'g'
+        |    ELSE lower(lpad(to_hex(CAST(floor(
+        |      0.25 * n / (c / sqrt(c) * z)
+        |        * 281474976710656.0) AS BIGINT)), 12, '0')) END AS thr
+        |  FROM cnt CROSS JOIN s)
+        |SELECT doc_id, lang
+        |FROM documents JOIN r USING (lang)
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 12)
+        |  < thr
         |ORDER BY doc_id""".stripMargin,
     "p_shard_assign" ->
       """WITH h AS (
