@@ -122,11 +122,18 @@ object CorpusOps {
     // rate_l = min(1, frac·N·n_l^(α−1)/Z) with Z = Σ n^α, written as
     // frac·N / ((n/n^α)·Z) so every arithmetic step is the same
     // correctly-rounded op in the SQL twin (n/n^α = n^(1−α) without pow).
-    // rate = 1 means keep-all: its threshold is the sentinel "g", which
+    // The rate is then PINNED to the 1e-9 half-up grid: Z is a float
+    // SUM whose association order is partial-aggregation-dependent, so
+    // the raw rate can differ in the last ulp across
+    // engines/partitionings and floor(rate·2⁴⁸) could shift by one —
+    // the same ulp class the k-means centroid rounding pins, handled
+    // the same way.
+    // rate ≥ 1 means keep-all: its threshold is the sentinel "g", which
     // sorts above every hex digit — floor(1·2⁴⁸) needs 13 hex digits
     // and lpad-to-12 would TRUNCATE it into a nearly-keep-none gate.
-    val rate = lit(targetFrac) * col("n") /
+    val rawRate = lit(targetFrac) * col("n") /
       (col("c") / wCol(col("c")) * col("z"))
+    val rate = floor(rawRate * 1e9 + 0.5) / 1e9
     val rates = counts.crossJoin(broadcast(scal))
       .select(col("lang"),
         when(rate >= 1.0, lit("g")).otherwise(
@@ -194,11 +201,13 @@ object CorpusOps {
         |s AS (SELECT sum(sqrt(c)) z, sum(c) n FROM cnt),
         |r AS (
         |  SELECT lang,
-        |    CASE WHEN 0.25 * n / (c / sqrt(c) * z) >= 1.0 THEN 'g'
+        |    CASE WHEN rate >= 1.0 THEN 'g'
         |    ELSE lower(lpad(to_hex(CAST(floor(
-        |      0.25 * n / (c / sqrt(c) * z)
-        |        * 281474976710656.0) AS BIGINT)), 12, '0')) END AS thr
-        |  FROM cnt CROSS JOIN s)
+        |      rate * 281474976710656.0) AS BIGINT)), 12, '0')) END AS thr
+        |  FROM (SELECT lang,
+        |          floor(0.25 * n / (c / sqrt(c) * z)
+        |            * 1000000000.0 + 0.5) / 1000000000.0 AS rate
+        |        FROM cnt CROSS JOIN s) pinned)
         |SELECT doc_id, lang
         |FROM documents JOIN r USING (lang)
         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 12)

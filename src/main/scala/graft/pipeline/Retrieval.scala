@@ -22,22 +22,27 @@ import graft.pipeline.TextAnalysis.round4HalfUp
   * Float contract: idf/tf-norm terms use the same literal constants
   * and evaluation shapes as the DuckDB twin (2.2 and 0.25 are spelled
   * as literals — `1.2 + 1` and `1 - 0.75` produce DIFFERENT doubles);
-  * per-doc score sums can differ in the last ulp across engines, which
-  * is the same class the entropy/LM queries already accept: output
-  * scores are rounded half-up at 1e-4 and ranking flips require a true
-  * tie, which the doc_id tiebreak resolves identically on both sides.
+  * per-doc score sums can differ in the last ulp across
+  * engines/partitionings (float adds associate in partial-aggregation
+  * order), so BOTH the rank-k cut and the output happen on the
+  * half-up-rounded 1e-4 grid — grid ties break by doc_id identically
+  * on both sides, and a cross-engine cut difference would need the
+  * true score within float noise of a grid boundary (~1e-11/value).
   */
 object Retrieval {
   type Q = (SparkSession, String) => DataFrame
 
   /** Top-k docs per query by BM25 (k1 = 1.2, b = 0.75). `queries` is
-    * (query_id, whitespace-tokenized terms).
+    * (query_id, whitespace-tokenized terms); duplicate terms within a
+    * query count ONCE (classic BM25 has no query-term-frequency factor
+    * — without the dedup a repeated term would silently double its
+    * contribution).
     */
   def bm25TopK(docs: DataFrame, queries: Seq[(Int, Seq[String])],
       k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val qt = queries.flatMap { case (id, ws) => ws.map((id, _)) }
+    val qt = queries.flatMap { case (id, ws) => ws.distinct.map((id, _)) }
       .toDF("query_id", "w")
     val qWords = qt.select("w").distinct()
     val toks = docs
@@ -49,19 +54,28 @@ object Retrieval {
     val dft = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
     val dl = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("double").as("dl"))
-    val scal = docs.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      avg(size(split(col("text"), " ")).cast("double")).as("avgdl"))
+    // corpus scalars derive from the dl projection — one tokenize
+    // expression, not a third spelled-out copy
+    val scal = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    // The rank-k CUT happens on the ROUNDED score: raw per-doc sums can
+    // differ in the last ulp across engines/partitionings (float adds
+    // associate in partial-aggregation order), and a cut on raw floats
+    // would let two docs straddling rank k swap membership between this
+    // plan and the twin. On the 1e-4 grid both engines see the same
+    // number unless the true score sits within float noise of a grid
+    // boundary (~1e-11 per value); grid ties break by doc_id
+    // identically on both sides.
     val scores = qt.join(tf, "w")
       .join(broadcast(dft), "w")
       .join(dl, "doc_id")
       .crossJoin(broadcast(scal))
       .groupBy("query_id", "doc_id")
-      .agg(sum(
+      .agg(round4HalfUp(sum(
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
           col("tf") * 2.2 /
           (col("tf") +
-            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))))
         .as("score"))
     graft.plans.TopKPerKey.topKPerKey(scores,
       Seq("query_id"), Seq(("score", true), ("doc_id", false)), k)
@@ -76,8 +90,6 @@ object Retrieval {
   val queries: Map[String, Q] = Map(
     "s_bm25" -> { (s, d) =>
       bm25TopK(Tables.spread(Tables.documents(s, d)), FixtureQueries, 10)
-        .select(col("query_id"), col("doc_id"),
-          round4HalfUp(col("score")).as("score"))
         .orderBy(col("query_id"), col("score").desc, col("doc_id"))
     })
 
@@ -105,9 +117,10 @@ object Retrieval {
         |  FROM documents),
         |sc AS (
         |  SELECT q.query_id, tf.doc_id,
-        |    sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |    floor(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
         |      * tf * 2.2
-        |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) score
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        |      * 10000 + 0.5) / 10000.0 score
         |  FROM q JOIN tf USING (w) JOIN dft USING (w)
         |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN scal
         |  GROUP BY 1, 2),
@@ -116,8 +129,7 @@ object Retrieval {
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY score DESC, doc_id) rn
         |  FROM sc)
-        |SELECT query_id, doc_id,
-        |  floor(score * 10000 + 0.5) / 10000.0 AS score
+        |SELECT query_id, doc_id, score
         |FROM rk WHERE rn <= 10
         |ORDER BY query_id, score DESC, doc_id""".stripMargin)
 }
