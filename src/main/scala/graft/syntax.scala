@@ -66,5 +66,37 @@ object syntax {
       */
     def graftPackSequences(budget: Int): DataFrame =
       pipeline.TrainingSet.packSequences(df, budget)
+
+    /** Add-one-smoothed bigram-LM cross-entropy per doc over
+      * (doc_id, text) ([[pipeline.CorpusOps.bigramCrossEntropy]]).
+      */
+    def graftBigramCrossEntropy: DataFrame =
+      pipeline.CorpusOps.bigramCrossEntropy(df)
+
+    /** Seeded deterministic (shard, pos) layout over (doc_id, …)
+      * ([[pipeline.CorpusOps.shardAssign]]).
+      */
+    def graftShardAssign(seed: String): DataFrame =
+      pipeline.CorpusOps.shardAssign(df, seed)
+
+    /** Temperature-sampled multilingual mix over (doc_id, lang, …)
+      * ([[pipeline.CorpusOps.temperatureSample]]).
+      */
+    def graftTemperatureSample(alpha: Double, seed: String,
+        targetFrac: Double = 0.25): DataFrame =
+      pipeline.CorpusOps.temperatureSample(df, alpha, seed, targetFrac)
+
+    /** Lloyd's k-means over (vec_id, embedding)
+      * ([[pipeline.KMeansOps.kmeans]]).
+      */
+    def graftKMeans(k: Int, iters: Int): DataFrame =
+      pipeline.KMeansOps.kmeans(df, k, iters)
+
+    /** BM25 top-k docs per query over (doc_id, text)
+      * ([[pipeline.Retrieval.bm25TopK]]).
+      */
+    def graftBm25TopK(queries: Seq[(Int, Seq[String])],
+        k: Int): DataFrame =
+      pipeline.Retrieval.bm25TopK(df, queries, k)
   }
 }
