@@ -149,6 +149,8 @@ object ExplainAudit {
     // temperature sampling: the per-language rate table broadcasts back
     // to the corpus scan — the doc side never shuffles to be sampled
     audit("p_temperature_sample", "BroadcastHashJoin")
+    // chunking is a pure per-row explode — no exchange at all
+    auditAtMost("p_chunk_docs", "Exchange hashpartitioning", 0)
     // shard assignment: one hash exchange (the per-shard rank window);
     // the production write twin has none
     auditAtMost("p_shard_assign", "Exchange hashpartitioning", 1)

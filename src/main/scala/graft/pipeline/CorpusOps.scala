@@ -146,6 +146,30 @@ object CorpusOps {
       .select("doc_id", "lang")
   }
 
+  /** Context-window chunking with stride — long docs become overlapping
+    * token windows (window `w`, stride `s` < w ⇒ w−s tokens of overlap),
+    * the preprocessing in front of embedding models and long-context
+    * training. Pure per-row explode of O(len/s) chunk descriptors: scan
+    * throughput, no shuffle, no state. Every doc emits ≥1 chunk (a
+    * short doc is its own chunk); chunk text is emitted as an md5 so
+    * the result stays id-sized however long the docs are — the text
+    * itself is re-derivable from (doc_id, start, n_tokens).
+    */
+  def chunkDocs(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"window=$window stride=$stride: need 0 < stride <= window")
+    val t = toks(col("text"))
+    docs
+      .select(col("doc_id"), t.as("t"),
+        explode(sequence(lit(0), greatest(size(t) - 1, lit(0)),
+          lit(stride))).as("start"))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        slice(col("t"), col("start") + 1, lit(window)).as("ct"))
+      .select(col("doc_id"), col("start"),
+        size(col("ct")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("ct"))).as("chunk_md5"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t_ngram_lm" -> { (s, d) =>
       bigramCrossEntropy(Tables.spread(Tables.documents(s, d)))
@@ -165,6 +189,10 @@ object CorpusOps {
     "p_temperature_sample" -> { (s, d) =>
       temperatureSample(Tables.documents(s, d), 0.5, "temp")
         .orderBy("doc_id")
+    },
+    "p_chunk_docs" -> { (s, d) =>
+      chunkDocs(Tables.documents(s, d), 128, 64)
+        .orderBy("doc_id", "start")
     })
 
   val oracles: Map[String, String] = Map(
@@ -194,6 +222,23 @@ object CorpusOps {
         |          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // range(0, len, 64) and sequence(0, len-1, 64) generate the same
+    // start set (every grid point ≤ len-1); list slicing is 1-based
+    // inclusive on both engines, clipped at the end
+    "p_chunk_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, CAST(i AS BIGINT) AS start
+        |  FROM toks, unnest(range(0, len(t), 64)) u(i)),
+        |ch AS (
+        |  SELECT doc_id, start,
+        |    t[start + 1 : start + 128] AS ct
+        |  FROM st)
+        |SELECT doc_id, start,
+        |  CAST(len(ct) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(ct, ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, start""".stripMargin,
     "p_temperature_sample" ->
       """WITH cnt AS (
         |  SELECT lang, CAST(count(*) AS DOUBLE) c

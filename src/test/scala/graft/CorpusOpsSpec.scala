@@ -41,6 +41,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("the cat sat", "abc", "", "already clean"))
   }
 
+  test("chunking: stride overlap, end clipping, short docs, guards") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, (1 to 10).map("w" + _).mkString(" ")), // 10 tokens
+      (2L, "tiny"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.chunkDocs(docs, 4, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(c => (c._1, c._2))
+    // doc 1: starts 0,3,6,9 — windows of 4, last clipped to 1 token
+    assert(got.filter(_._1 == 1L).toSeq ==
+      Seq((1L, 0L, 4L), (1L, 3L, 4L), (1L, 6L, 4L), (1L, 9L, 1L)))
+    // doc 2: one chunk of its single token
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L)))
+    // overlapping windows really share tokens: chunk(0) and chunk(3)
+    // of doc 1 overlap on w4 — verified via the md5 of the overlap
+    // reconstruction
+    val full = CorpusOps.chunkDocs(docs.filter(col("doc_id") === 1L), 4, 3)
+      .collect().map(r => (r.getLong(1), r.getString(3))).toMap
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md5.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(full(0L) == h("w1 w2 w3 w4") && full(3L) == h("w4 w5 w6 w7"))
+    intercept[IllegalArgumentException] {
+      CorpusOps.chunkDocs(docs, 4, 5) // stride > window would skip text
+    }
+  }
+
   test("shard assignment: 16 shards, positions contiguous from 1, " +
       "deterministic, and balanced within 3x of uniform") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
