@@ -151,6 +151,10 @@ object ExplainAudit {
     audit("p_temperature_sample", "BroadcastHashJoin")
     // chunking is a pure per-row explode — no exchange at all
     auditAtMost("p_chunk_docs", "Exchange hashpartitioning", 0)
+    // fuzzy join: candidates come from the trigram posting-list
+    // equi-join — edit distance must never run on a pair product
+    auditAtMost("r_fuzzy_join",
+      "CartesianProduct|BroadcastNestedLoopJoin", 0)
     // shard assignment: one hash exchange (the per-shard rank window);
     // the production write twin has none
     auditAtMost("p_shard_assign", "Exchange hashpartitioning", 1)
