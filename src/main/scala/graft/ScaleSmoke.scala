@@ -106,9 +106,21 @@ object ScaleSmoke {
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
 
-    // dimension tables pass through unscaled (they stay broadcast-sized
-    // at any fact scale — that is the point of a star schema)
-    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+    // customer scales WITH the facts (TPC-H scales it with SF, and
+    // r_fuzzy_join blocks on customer names — an unscaled copy would
+    // make its smoke vacuous); names regenerate from the shifted key so
+    // copies are distinct realistic names, not byte-identical dups
+    shifted(spark.read.parquet(s"$src/customer.parquet"),
+      Map("c_custkey" -> 10000000L), (d, c) =>
+      if (c == 0) d
+      else d.withColumn("c_name",
+        format_string("Customer#%09d", col("c_custkey"))))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/customer.parquet")
+
+    // true dimension tables pass through unscaled (they stay
+    // broadcast-sized at any fact scale — the point of a star schema)
+    for (t <- Seq("region", "nation", "supplier", "part"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
     new java.io.FileOutputStream(new java.io.File(fs, "_DONE")).close()

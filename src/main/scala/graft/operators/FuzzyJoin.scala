@@ -11,30 +11,46 @@ import graft.Tables
   * string matching is its 18 exact/substring filter verbs,
   * SURVEY §2.3).
   *
-  * Shape at 100 TB: character-trigram blocking — only pairs sharing at
-  * least one SUFFICIENTLY RARE trigram are enumerated (posting-list
+  * Shape at 100 TB: character q-gram blocking — only pairs sharing at
+  * least one SUFFICIENTLY RARE q-gram are enumerated (posting-list
   * equi-join, the same pattern as the shingle dedup tiers), then the
   * expensive edit-distance confirm runs on candidates only. The df cap
-  * is the skew guard: a trigram shared by every record ("Cus", "000"
-  * in id-styled names, "www" in URLs) would make its bucket quadratic,
+  * is the skew guard: a gram shared by every record ("Cus", "000" in
+  * id-styled names, "www" in URLs) would make its bucket quadratic,
   * and a pair it alone connects is all-boilerplate anyway. Recall
-  * drops only for pairs whose EVERY shared trigram is ubiquitous —
-  * and those share nothing distinctive. One shuffle for the posting
-  * lists, one for the candidate distinct; edit distance never runs on
-  * the cross product.
+  * drops only for pairs whose EVERY shared gram is ubiquitous — and
+  * those share nothing distinctive; when a GROWING corpus pushes
+  * distinctive grams over the cap, the fix is a longer q (see
+  * [[charGrams]] — the count filter bounds how long q may be for a
+  * given edit distance), never a bigger cap. One shuffle for the
+  * posting lists, one for the candidate distinct; edit distance never
+  * runs on the cross product.
   */
 object FuzzyJoin {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct character trigrams; strings shorter than 3 chars block
+  /** Distinct character q-grams; strings shorter than q chars block
     * nowhere (Spark's `sequence(1, n)` REVERSES when n < 1 — the guard
     * is load-bearing, not cosmetic).
+    *
+    * q is the recall/selectivity dial, and the q-gram COUNT FILTER says
+    * how far it can be turned: strings of lengths m₁ ≤ m₂ within edit
+    * distance d share at least (m₂ − q + 1) − d·q q-grams, so blocking
+    * is provably complete whenever that bound is positive. Longer
+    * grams are exponentially more selective — the correct response to
+    * corpus growth is raising q (3 → 5 kept the 18-char-name fixture
+    * complete for d ≤ 2 while its gram dfs stayed flat at 100× the
+    * corpus), NOT raising the df cap, which reopens the quadratic
+    * bucket the cap exists to prevent.
     */
-  def charTrigrams(c: Column): Column =
-    when(length(c) >= 3,
-      array_distinct(transform(sequence(lit(1), length(c) - 2),
-        i => c.substr(i, lit(3)))))
+  def charGrams(c: Column, q: Int): Column =
+    when(length(c) >= q,
+      array_distinct(transform(sequence(lit(1), length(c) - (q - 1)),
+        i => c.substr(i, lit(q)))))
       .otherwise(array().cast("array<string>"))
+
+  /** Backwards-compatible trigram form. */
+  def charTrigrams(c: Column): Column = charGrams(c, 3)
 
   /** (lid, rid, dist) for all cross-side pairs with edit distance ≤
     * `maxDist` among candidates sharing a trigram with combined
@@ -42,11 +58,18 @@ object FuzzyJoin {
     */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
       leftId: String, leftKey: String, rightId: String, rightKey: String,
-      maxDist: Int, maxDf: Int): DataFrame = {
+      maxDist: Int, maxDf: Int, q: Int = 3): DataFrame = {
+    // lg/rg are each referenced twice (df pass, candidate pass) and
+    // deliberately NOT persisted: at the target scale the exploded
+    // trigram stream is a multiple of the input and doesn't fit a
+    // cache — re-deriving it from the scan is the same two-pass choice
+    // jaccardPairs makes for its df cap, and the per-row explode is
+    // cheap relative to the shuffles it feeds. (Batch-sized callers
+    // that want one pass can persist their inputs around the call.)
     val lg = left.select(col(leftId).as("lid"), col(leftKey).as("lk"),
-      explode(charTrigrams(col(leftKey))).as("g"))
+      explode(charGrams(col(leftKey), q)).as("g"))
     val rg = right.select(col(rightId).as("rid"), col(rightKey).as("rk"),
-      explode(charTrigrams(col(rightKey))).as("g"))
+      explode(charGrams(col(rightKey), q)).as("g"))
     // df across BOTH sides: a trigram hot on either side floods the join
     val hot = lg.select("g").union(rg.select("g"))
       .groupBy("g").agg(count(lit(1)).as("c"))
@@ -64,9 +87,11 @@ object FuzzyJoin {
     // right side = every third customer's name with its first digit
     // dropped (a deterministic typo); the join must recover each typo's
     // source at distance 1 — plus whatever other names legitimately sit
-    // within one edit, identically on both engines. The 50-df cap drops
-    // the "Customer#0…" boilerplate trigrams, so blocking runs on the
-    // distinctive digit tails.
+    // within one edit, identically on both engines. q = 5: the count
+    // filter keeps 18-char-name blocking complete for d ≤ 2, the 50-df
+    // cap drops only the "Custo…#0000" boilerplate grams, and 5-gram
+    // dfs stay flat as the corpus grows (sf1-smoke-proven) where
+    // trigrams all went ubiquitous and blocked nothing.
     "r_fuzzy_join" -> { (s, d) =>
       val c = Tables.customer(s, d)
       val l = c.select(col("c_custkey"), col("c_name"))
@@ -75,7 +100,7 @@ object FuzzyJoin {
           concat(substring(col("c_name"), 1, 9),
             substring(col("c_name"), 11, 100)).as("typo_name"))
       fuzzyJoin(l, r, "c_custkey", "c_name", "c_custkey", "typo_name",
-        1, 50)
+        1, 50, q = 5)
         .orderBy("lid", "rid")
     })
 
@@ -89,15 +114,15 @@ object FuzzyJoin {
         |lg AS (
         |  SELECT lid, lk, g
         |  FROM l, unnest(list_distinct(list_transform(
-        |    range(1, len(lk) - 1),
-        |    i -> substr(lk, CAST(i AS INT), 3)))) u(g)
-        |  WHERE len(lk) >= 3),
+        |    range(1, len(lk) - 3),
+        |    i -> substr(lk, CAST(i AS INT), 5)))) u(g)
+        |  WHERE len(lk) >= 5),
         |rg AS (
         |  SELECT rid, rk, g
         |  FROM r, unnest(list_distinct(list_transform(
-        |    range(1, len(rk) - 1),
-        |    i -> substr(rk, CAST(i AS INT), 3)))) u(g)
-        |  WHERE len(rk) >= 3),
+        |    range(1, len(rk) - 3),
+        |    i -> substr(rk, CAST(i AS INT), 5)))) u(g)
+        |  WHERE len(rk) >= 5),
         |hot AS (
         |  SELECT g FROM (
         |    SELECT g FROM lg UNION ALL SELECT g FROM rg)

@@ -150,8 +150,11 @@ object CorpusOps {
     * token windows (window `w`, stride `s` < w ⇒ w−s tokens of overlap),
     * the preprocessing in front of embedding models and long-context
     * training. Pure per-row explode of O(len/s) chunk descriptors: scan
-    * throughput, no shuffle, no state. Every doc emits ≥1 chunk (a
-    * short doc is its own chunk); chunk text is emitted as an md5 so
+    * throughput, no shuffle, no state. Every non-null doc emits ≥1
+    * chunk (a short doc is its own chunk; null text emits nothing), and
+    * no chunk is a strict suffix of its predecessor — a window that
+    * already covered the doc end suppresses the trailing grid starts.
+    * Chunk text is emitted as an md5 so
     * the result stays id-sized however long the docs are — the text
     * itself is re-derivable from (doc_id, start, n_tokens).
     */
@@ -159,9 +162,17 @@ object CorpusOps {
     require(window > 0 && stride > 0 && stride <= window,
       s"window=$window stride=$stride: need 0 < stride <= window")
     val t = toks(col("text"))
+    // Emit grid starts only while the PREVIOUS window hasn't already
+    // reached the doc end (start < len − window + stride): a start whose
+    // predecessor covered through the end would emit a chunk that is a
+    // strict SUFFIX of the previous one — zero new tokens, pure
+    // duplicate storage/compute for every downstream consumer. Null
+    // text is dropped (no tokens, no chunks — same as the twin).
     docs
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), t.as("t"),
-        explode(sequence(lit(0), greatest(size(t) - 1, lit(0)),
+        explode(sequence(lit(0),
+          greatest(size(t) - lit(window) + lit(stride) - 1, lit(0)),
           lit(stride))).as("start"))
       .select(col("doc_id"), col("start").cast("long").as("start"),
         slice(col("t"), col("start") + 1, lit(window)).as("ct"))
@@ -222,15 +233,17 @@ object CorpusOps {
         |          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
-    // range(0, len, 64) and sequence(0, len-1, 64) generate the same
-    // start set (every grid point ≤ len-1); list slicing is 1-based
-    // inclusive on both engines, clipped at the end
+    // range(0, greatest(len-128+64, 1), 64) and
+    // sequence(0, greatest(len-128+64-1, 0), 64) generate the same
+    // start set (grid points whose previous window hasn't covered the
+    // end); list slicing is 1-based inclusive on both engines, clipped
     "p_chunk_docs" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') t FROM documents),
         |st AS (
         |  SELECT doc_id, t, CAST(i AS BIGINT) AS start
-        |  FROM toks, unnest(range(0, len(t), 64)) u(i)),
+        |  FROM toks,
+        |       unnest(range(0, greatest(len(t) - 128 + 64, 1), 64)) u(i)),
         |ch AS (
         |  SELECT doc_id, start,
         |    t[start + 1 : start + 128] AS ct

@@ -50,11 +50,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     val got = CorpusOps.chunkDocs(docs, 4, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(c => (c._1, c._2))
-    // doc 1: starts 0,3,6,9 — windows of 4, last clipped to 1 token
+    // doc 1: starts 0,3,6 — window 6 covers through token 10, so a
+    // start-9 chunk would be a strict suffix of it and must NOT emit
     assert(got.filter(_._1 == 1L).toSeq ==
-      Seq((1L, 0L, 4L), (1L, 3L, 4L), (1L, 6L, 4L), (1L, 9L, 1L)))
+      Seq((1L, 0L, 4L), (1L, 3L, 4L), (1L, 6L, 4L)))
     // doc 2: one chunk of its single token
     assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L)))
+    // null text emits nothing (no phantom md5("") chunk)
+    val withNull = Seq((9L, null: String)).toDF("doc_id", "text")
+    assert(CorpusOps.chunkDocs(withNull, 4, 3).count() == 0L)
     // overlapping windows really share tokens: chunk(0) and chunk(3)
     // of doc 1 overlap on w4 — verified via the md5 of the overlap
     // reconstruction

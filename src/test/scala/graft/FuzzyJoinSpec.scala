@@ -36,7 +36,7 @@ class FuzzyJoinSpec extends AnyFunSuite {
           substring(col("c_name"), 11, 100)).as("typo_name"))
     val planted = r.collect().map(_.getLong(0)).toSet
     val recovered = FuzzyJoin.fuzzyJoin(l, r, "c_custkey", "c_name",
-      "c_custkey", "typo_name", 1, 50)
+      "c_custkey", "typo_name", 1, 50, q = 5)
       .filter(col("lid") === col("rid"))
       .collect().map(_.getLong(0)).toSet
     // Customer#000000000..12: every trigram of these names ("Cus…",
