@@ -101,8 +101,12 @@ object ScaleSmoke {
       Map("l_orderkey" -> 100000000L))
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+    // o_custkey shifts with customer's stride so copy c's orders point
+    // at copy c's customers — within-copy join structure preserved
+    // (dangling 90% of customers would otherwise skew any
+    // orders⋈customer smoke query)
     shifted(spark.read.parquet(s"$src/orders.parquet"),
-      Map("o_orderkey" -> 100000000L))
+      Map("o_orderkey" -> 100000000L, "o_custkey" -> 10000000L))
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
 

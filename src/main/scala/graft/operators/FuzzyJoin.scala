@@ -43,17 +43,18 @@ object FuzzyJoin {
     * corpus), NOT raising the df cap, which reopens the quadratic
     * bucket the cap exists to prevent.
     */
-  def charGrams(c: Column, q: Int): Column =
+  def charGrams(c: Column, q: Int): Column = {
+    require(q >= 1, s"q=$q: gram length must be >= 1 (q = 0 grams are " +
+      "empty strings shared by every row - blocking degenerates)")
     when(length(c) >= q,
       array_distinct(transform(sequence(lit(1), length(c) - (q - 1)),
         i => c.substr(i, lit(q)))))
       .otherwise(array().cast("array<string>"))
+  }
 
-  /** Backwards-compatible trigram form. */
-  def charTrigrams(c: Column): Column = charGrams(c, 3)
 
   /** (lid, rid, dist) for all cross-side pairs with edit distance ≤
-    * `maxDist` among candidates sharing a trigram with combined
+    * `maxDist` among candidates sharing a q-gram with combined
     * document frequency ≤ `maxDf`.
     */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
@@ -61,7 +62,7 @@ object FuzzyJoin {
       maxDist: Int, maxDf: Int, q: Int = 3): DataFrame = {
     // lg/rg are each referenced twice (df pass, candidate pass) and
     // deliberately NOT persisted: at the target scale the exploded
-    // trigram stream is a multiple of the input and doesn't fit a
+    // q-gram stream is a multiple of the input and doesn't fit a
     // cache — re-deriving it from the scan is the same two-pass choice
     // jaccardPairs makes for its df cap, and the per-row explode is
     // cheap relative to the shuffles it feeds. (Batch-sized callers
@@ -70,7 +71,7 @@ object FuzzyJoin {
       explode(charGrams(col(leftKey), q)).as("g"))
     val rg = right.select(col(rightId).as("rid"), col(rightKey).as("rk"),
       explode(charGrams(col(rightKey), q)).as("g"))
-    // df across BOTH sides: a trigram hot on either side floods the join
+    // df across BOTH sides: a gram hot on either side floods the join
     val hot = lg.select("g").union(rg.select("g"))
       .groupBy("g").agg(count(lit(1)).as("c"))
       .filter(col("c") > maxDf).select("g")

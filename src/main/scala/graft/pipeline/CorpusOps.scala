@@ -201,8 +201,12 @@ object CorpusOps {
       temperatureSample(Tables.documents(s, d), 0.5, "temp")
         .orderBy("doc_id")
     },
+    // window 48 / stride 32: fixture docs run ~100 tokens, so every
+    // doc exercises the MULTI-chunk path — overlap, end clipping, and
+    // suffix suppression are all cross-engine-checked (a 128-token
+    // window would collapse the gate to one chunk per doc: vacuous)
     "p_chunk_docs" -> { (s, d) =>
-      chunkDocs(Tables.documents(s, d), 128, 64)
+      chunkDocs(Tables.documents(s, d), 48, 32)
         .orderBy("doc_id", "start")
     })
 
@@ -233,20 +237,24 @@ object CorpusOps {
         |          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
-    // range(0, greatest(len-128+64, 1), 64) and
-    // sequence(0, greatest(len-128+64-1, 0), 64) generate the same
+    // range(0, greatest(len-48+32, 1), 32) and
+    // sequence(0, greatest(len-48+32-1, 0), 32) generate the same
     // start set (grid points whose previous window hasn't covered the
-    // end); list slicing is 1-based inclusive on both engines, clipped
+    // end); list slicing is 1-based inclusive on both engines, clipped.
+    // text IS NOT NULL mirrors the Spark-side filter — DuckDB's
+    // greatest() IGNORES nulls, so a null len would otherwise become
+    // bound 1 and emit a phantom (doc_id, 0, NULL, NULL) row
     "p_chunk_docs" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |  SELECT doc_id, string_split(text, ' ') t FROM documents
+        |  WHERE text IS NOT NULL),
         |st AS (
         |  SELECT doc_id, t, CAST(i AS BIGINT) AS start
         |  FROM toks,
-        |       unnest(range(0, greatest(len(t) - 128 + 64, 1), 64)) u(i)),
+        |       unnest(range(0, greatest(len(t) - 48 + 32, 1), 32)) u(i)),
         |ch AS (
         |  SELECT doc_id, start,
-        |    t[start + 1 : start + 128] AS ct
+        |    t[start + 1 : start + 48] AS ct
         |  FROM st)
         |SELECT doc_id, start,
         |  CAST(len(ct) AS BIGINT) AS n_tokens,

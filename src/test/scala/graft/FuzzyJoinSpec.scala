@@ -39,12 +39,14 @@ class FuzzyJoinSpec extends AnyFunSuite {
       "c_custkey", "typo_name", 1, 50, q = 5)
       .filter(col("lid") === col("rid"))
       .collect().map(_.getLong(0)).toSet
-    // Customer#000000000..12: every trigram of these names ("Cus…",
-    // "000", "003", …) has df > 50, so each pair's ENTIRE shared-trigram
-    // set is capped — the exact recall boundary the operator documents
-    // (a pair whose every shared trigram is ubiquitous shares nothing
-    // distinctive). 495 of 500 planted typos must survive, and the loss
-    // set must be EXACTLY that boilerplate zone, nothing else.
+    // Customer#000000000..12: at q = 5 every gram of these names is
+    // either prefix boilerplate ("Custo", "ustom", …) or a zero-heavy
+    // digit gram like "00003"/"00012" whose df ≈ 111 (keys 3, 30-39,
+    // 300-399 all contain it) — over the 50 cap, so each pair's ENTIRE
+    // shared-gram set is capped: the exact recall boundary the operator
+    // documents (a pair whose every shared gram is ubiquitous shares
+    // nothing distinctive). 495 of 500 planted typos must survive, and
+    // the loss set must be EXACTLY that boilerplate zone, nothing else.
     val lost = planted -- recovered
     assert(lost == Set(0L, 3L, 6L, 9L, 12L),
       s"unexpected loss set $lost (recovered ${recovered.size} of " +
