@@ -90,6 +90,11 @@ object ExplainAudit {
     // span dedup joins only on the span hash — never a pair product
     auditAtMost("d_span_dup", "CartesianProduct|BroadcastNestedLoopJoin", 0)
     auditAtMost("d_span_strip", "CartesianProduct|BroadcastNestedLoopJoin", 0)
+    // prefix-filtered exact jaccard: candidate generation and full-set
+    // verification are all equi-joins — exactness must never come from
+    // a pair product
+    auditAtMost("d_jaccard_prefix",
+      "CartesianProduct|BroadcastNestedLoopJoin", 0)
     // sampled-gate agreement: the per-language cutoffs broadcast back
     audit("a_gate_agreement", "BroadcastHashJoin")
     // TopKOptimizations: the key filter written ABOVE the custom operator

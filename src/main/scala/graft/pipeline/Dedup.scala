@@ -126,6 +126,76 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact Jaccard pairs via PREFIX FILTERING — the AllPairs/PPJoin
+    * family (Bayardo et al., "Scaling Up All Pairs Similarity Search",
+    * WWW 2007; Xiao et al., "Efficient Similarity Joins for Near
+    * Duplicate Detection", WWW 2008): the scale-exact alternative to
+    * both [[jaccardPairs]] tiers. Shingles get a global rarest-first
+    * total order (document frequency asc, hash asc); a pair with
+    * Jaccard ≥ t must share a shingle inside BOTH docs' first
+    * `n − ⌈t·n⌉ + 1` ordered shingles (pigeonhole on the minimum
+    * overlap `⌈t·n⌉` each side needs with any eligible partner), so
+    * only those PREFIX shingles feed the blocking join — ~(1−t) of the
+    * rows the posting-list formulation shuffles — and, unlike the
+    * `maxDf` cap, the pruning provably loses nothing: every surviving
+    * candidate is verified against the FULL shingle sets.
+    *
+    * Scale shape: df is one count-only aggregation; per-doc ordering is
+    * one groupBy whose buffer is doc-sized; hot boilerplate shingles
+    * sort to the END of every doc's order, so they enter a prefix only
+    * when a doc has nothing rarer — the quadratic hot-shingle bucket
+    * the df cap fights never forms from boilerplate. Candidate pairs
+    * also carry a size filter (`min(na,nb) ≥ ⌈t·max(na,nb)⌉`, valid
+    * because J ≤ min/max) before the distinct. Verification fetches
+    * each candidate's full hash array by doc_id (two hash joins) and
+    * intersects in place (`array_intersect` over 64-bit hashes,
+    * codegen) — the shingle stream is never re-shuffled.
+    *
+    * Float safety: prefix lengths and the size filter use
+    * `⌈t·n − 1e-9⌉` — an ulp error in `t·n` can only WIDEN a prefix
+    * (a few extra candidates, same answer), never narrow it; the exact
+    * final Jaccard filter decides membership.
+    */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold: prefix length n - ceil(t*n) + 1 needs " +
+        "0 < t <= 1 (t = 0 degenerates to all-pairs)")
+    def safeCeil(x: Column): Column = ceil(x - lit(1e-9))
+    val spreadDocs = graft.Tables.spread(docs)
+    val exploded = spreadDocs
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("s"))
+    val dfc = exploded.groupBy("s").agg(count(lit(1)).as("dfc"))
+    // per-doc shingles sorted by the global (df, hash) order; struct
+    // sort is lexicographic by field position, and the hash tiebreak
+    // makes the order total, so every doc agrees on it
+    val ordered = exploded.join(dfc, Seq("s"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("dfc"), col("s")))).as("p"))
+      .select(col("doc_id"),
+        transform(col("p"), x => x.getField("s")).as("os"),
+        size(col("p")).cast("long").as("n"))
+    val prefixes = ordered.select(col("doc_id"), col("n"),
+      explode(slice(col("os"), lit(1),
+        (col("n") - safeCeil(lit(threshold) * col("n")) + 1)
+          .cast("int"))).as("s"))
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) >=
+            safeCeil(lit(threshold) * greatest(col("a.n"), col("b.n"))))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cands
+      .join(ordered.as("fa"), col("da") === col("fa.doc_id"))
+      .join(ordered.as("fb"), col("db") === col("fb.doc_id"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("fa.os"), col("fb.os")))
+          .cast("long").as("i"),
+        col("fa.n").as("na"), col("fb.n").as("nb"))
+      .select(col("da"), col("db"),
+        (col("i") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Incremental near-dup: Jaccard pairs where at least one side is in
     * the NEW batch — the production dedup shape. A pipeline ingesting a
     * daily slice against a 100 TB index must never enumerate index×index
@@ -482,6 +552,16 @@ object Dedup {
         .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("da", "db")
     },
+    // Prefix-filtered EXACT tier: the same pair set as d_ngram_jaccard
+    // (literally the same oracle SQL) produced from only each doc's
+    // rarest-first prefix shingles — the oracle equality PROVES the
+    // prefix pruning loses nothing, which is the property that lets it
+    // replace the recall-losing df cap at scale.
+    "d_jaccard_prefix" -> { (s, d) =>
+      prefixJaccardPairs(Tables.documents(s, d), 0.8)
+        .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("da", "db")
+    },
     // Scale-path variant: identical blocking join but shingles with
     // document frequency > 20 are dropped first, bounding every join
     // bucket (see jaccardPairs maxDf note). At sf0.01 no shingle exceeds
@@ -594,6 +674,28 @@ object Dedup {
         |SELECT cluster, doc_id AS keeper, n_members
         |FROM rk WHERE rn = 1 ORDER BY cluster""".stripMargin,
     "d_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) s
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id da, b.doc_id db, count(*) i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db,
+        |       round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = da
+        |JOIN sizes sb ON sb.doc_id = db
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        |ORDER BY da, db""".stripMargin,
+    // Same SQL as d_ngram_jaccard on purpose: the prefix-filtered path
+    // must reproduce the exact tier bit-for-bit.
+    "d_jaccard_prefix" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') t FROM documents),
         |sh AS (

@@ -37,6 +37,12 @@ object syntax {
     def graftJaccardPairs(threshold: Double, maxDf: Int = 0): DataFrame =
       pipeline.Dedup.jaccardPairs(df, threshold, maxDf)
 
+    /** Exact Jaccard pairs via rarest-first prefix filtering — no df
+      * cap, no recall loss ([[pipeline.Dedup.prefixJaccardPairs]]).
+      */
+    def graftPrefixJaccardPairs(threshold: Double): DataFrame =
+      pipeline.Dedup.prefixJaccardPairs(df, threshold)
+
     /** Connected-components clustering of an (ida, idb) pair frame
       * ([[pipeline.Dedup.dupClusters]]).
       */
