@@ -95,6 +95,14 @@ object ExplainAudit {
     // a pair product
     auditAtMost("d_jaccard_prefix",
       "CartesianProduct|BroadcastNestedLoopJoin", 0)
+    // DSIR: the bucket-bounded λ table broadcasts back to the feature
+    // stream — scoring must never shuffle the corpus against λ
+    audit("p_dsir_weights", "BroadcastHashJoin")
+    // SemDeDup: the within-cluster pair join must key on the cluster
+    // column — an unkeyed pair product would be the n² the clustering
+    // exists to avoid
+    auditAtMost("d_semdedup",
+      "CartesianProduct|BroadcastNestedLoopJoin", 0)
     // sampled-gate agreement: the per-language cutoffs broadcast back
     audit("a_gate_agreement", "BroadcastHashJoin")
     // TopKOptimizations: the key filter written ABOVE the custom operator

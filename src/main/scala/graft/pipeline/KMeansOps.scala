@@ -88,12 +88,57 @@ object KMeansOps {
     v.withColumn("cluster", assignExpr(cents)).select("vec_id", "cluster")
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): semantic dedup
+    * as k-means bucketing + within-cluster cosine pruning. A vector is
+    * dropped iff a SMALLER-id vector in the SAME semantic cluster has
+    * cosine ≥ `tau` — the deterministic greedy form of the paper's
+    * "keep one exemplar per duplicate set" (id order replaces its
+    * arbitrary scan order, so the keep set is engine-reproducible).
+    *
+    * Scale shape: this is why the clustering exists — pair enumeration
+    * is WITHIN-cluster only, so candidates are ~n²/k instead of n², and
+    * the paper's own regime grows k with the corpus (clusters stay
+    * roughly constant-sized; the per-cluster product is bounded the
+    * same way cappedPairs bounds LSH buckets). Vectors are normalized
+    * once (linear), each surviving candidate pair is a single codegen'd
+    * dot product, and the verdict frame carries ids + booleans only —
+    * which is also what makes the oracle float-robust: no float is ever
+    * emitted, and the τ compare has measured fixture margin (the
+    * d_embedding_dup threshold discipline).
+    */
+  def semDedup(vecs: DataFrame, k: Int, iters: Int,
+      tau: Double): DataFrame = {
+    val assigned = kmeans(vecs, k, iters)
+    val v = vecs
+      .select(col("vec_id"),
+        VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("nv"))
+      .join(assigned, "vec_id")
+    val dropped = v.as("a").join(v.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          VectorOps.dot(col("a.nv"), col("b.nv")) >= lit(tau))
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+      .withColumn("is_dropped", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(!col("is_dropped"), lit(true)).as("kept"))
+  }
+
   val queries: Map[String, Q] = Map(
     // k=4, two assignment passes (one recompute) — small enough that the
     // DuckDB twin can unroll the iterations, real enough to exercise
     // seed-init, argmin, the rounded recompute, and re-assignment
     "s_kmeans" -> { (s, d) =>
       kmeans(Tables.spread(Tables.embeddings(s, d)), 4, 2)
+        .orderBy("vec_id")
+    },
+    // SemDeDup over the same k=4/iters=2 deterministic clustering; τ
+    // reuses d_embedding_dup's margin-proven 0.47, so the oracle is the
+    // unrolled-kmeans CTE plus a within-cluster NOT-EXISTS
+    "d_semdedup" -> { (s, d) =>
+      semDedup(Tables.spread(Tables.embeddings(s, d)), 4, 2, 0.47)
         .orderBy("vec_id")
     })
 
@@ -140,5 +185,61 @@ object KMeansOps {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY score, k) rn
         |  FROM s2)
         |SELECT vec_id, k AS cluster FROM a2 WHERE rn = 1
-        |ORDER BY vec_id""".stripMargin)
+        |ORDER BY vec_id""".stripMargin,
+    // the s_kmeans unrolled-iteration CTE verbatim through asg, then
+    // the greedy id-order within-cluster drop rule
+    "d_semdedup" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) k,
+        |         e AS ctr
+        |  FROM v ORDER BY vec_id LIMIT 4),
+        |s1 AS (
+        |  SELECT vec_id, k,
+        |    list_sum(list_transform(ctr, x -> x * x)) -
+        |    2 * list_sum(list_transform(range(1, len(ctr) + 1),
+        |                                i -> e[i] * ctr[i])) AS score
+        |  FROM v CROSS JOIN c0),
+        |a1 AS (
+        |  SELECT vec_id, k,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY score, k) rn
+        |  FROM s1),
+        |asg1 AS (SELECT vec_id, k AS cluster FROM a1 WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a.cluster, u.d,
+        |    floor(avg(e[d]) * 1000000 + 0.5) / 1000000.0 AS m
+        |  FROM asg1 a JOIN v USING (vec_id),
+        |       unnest(range(1, len(e) + 1)) u(d)
+        |  GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT c0.k, COALESCE(mm.ctr, c0.ctr) AS ctr
+        |  FROM c0 LEFT JOIN
+        |    (SELECT cluster AS k, list(m ORDER BY d) AS ctr
+        |     FROM m1 GROUP BY 1) mm USING (k)),
+        |s2 AS (
+        |  SELECT vec_id, k,
+        |    list_sum(list_transform(ctr, x -> x * x)) -
+        |    2 * list_sum(list_transform(range(1, len(ctr) + 1),
+        |                                i -> e[i] * ctr[i])) AS score
+        |  FROM v CROSS JOIN c1),
+        |a2 AS (
+        |  SELECT vec_id, k,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY score, k) rn
+        |  FROM s2),
+        |asg AS (SELECT vec_id, k AS cluster FROM a2 WHERE rn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM embeddings a
+        |  JOIN asg aa ON aa.vec_id = a.vec_id
+        |  JOIN embeddings b ON a.vec_id < b.vec_id
+        |  JOIN asg ab ON ab.vec_id = b.vec_id
+        |              AND ab.cluster = aa.cluster
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.47)
+        |SELECT asg.vec_id, asg.cluster,
+        |  (d.vec_id IS NULL) AS kept
+        |FROM asg LEFT JOIN dropped d ON asg.vec_id = d.vec_id
+        |ORDER BY asg.vec_id""".stripMargin)
 }

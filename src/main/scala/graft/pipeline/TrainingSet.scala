@@ -218,8 +218,80 @@ object TrainingSet {
           .when(col("oh") =!= col("nh"), "changed")
           .otherwise("unchanged").as("status"))
 
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every raw
+    * doc by how much its hashed-n-gram profile looks like a TARGET
+    * distribution versus the raw corpus — the data-selection step that
+    * upsamples "looks like the domain I care about" without training a
+    * classifier. Features are unigrams + bigrams hashed into
+    * `16^nibbles` buckets; per-bucket log-likelihood ratios
+    * `λ_b = ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B))` (add-one smoothing)
+    * are scaled to INTEGER micro-units, so each doc's score
+    * `Σ c_db · λ_b` is exact BIGINT arithmetic — associative, engine-
+    * independent, oracle-checkable bit-for-bit (the t_hash_classifier
+    * discipline; ln itself is correctly rounded in both engines on
+    * identical double inputs).
+    *
+    * Scale shape: the feature stream is ~2× the token stream, folded to
+    * per-(doc, bucket) counts behind one map-side-combined shuffle; the
+    * bucket aggregations and the λ table are BUCKET-bounded (65536 rows
+    * at the default — broadcast, never a corpus shuffle), and the final
+    * score is one doc-keyed aggregation. The bucket hash is the
+    * engine-portable md5-nibble idiom shared with [[CorpusOps]]'
+    * shardAssign; a throughput deployment can swap xxhash64 in since
+    * bucket IDENTITY never enters the score, only collision structure.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+      nibbles: Int = 4): DataFrame = {
+    require(nibbles >= 1 && nibbles <= 8,
+      s"nibbles=$nibbles: bucket space 16^nibbles must fit a broadcast")
+    val buckets = math.pow(16, nibbles).toLong
+    def bucketOf(feat: Column): Column =
+      conv(substring(md5(feat), 1, nibbles), 16, 10).cast("long")
+    val base = graft.Tables.spread(docs)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), isTarget.as("tgt"),
+        split(col("text"), " ").as("t"))
+    val uni = base
+      .select(col("doc_id"), col("tgt"), explode(col("t")).as("w"))
+      .select(col("doc_id"), col("tgt"), bucketOf(col("w")).as("b"))
+    val bi = base.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("tgt"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+      .select(col("doc_id"), col("tgt"),
+        bucketOf(concat(element_at(col("t"), col("i")), lit(" "),
+          element_at(col("t"), col("i") + 1))).as("b"))
+    val feats = uni.union(bi)
+      .groupBy(col("doc_id"), col("tgt"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val raw = feats.groupBy("b").agg(sum(col("c")).as("r"))
+    val tgtC = feats.filter(col("tgt"))
+      .groupBy("b").agg(sum(col("c")).as("tc"))
+    val totals = feats.agg(sum(col("c")).as("rTot"),
+      sum(when(col("tgt"), col("c")).otherwise(lit(0L))).as("tTot"))
+    val lam = raw.join(tgtC, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor((
+          log((coalesce(col("tc"), lit(0L)) + lit(1.0)) /
+            (col("tTot") + lit(buckets.toDouble))) -
+          log((col("r") + lit(1.0)) /
+            (col("rTot") + lit(buckets.toDouble)))
+        ) * lit(1e6) + lit(0.5)).cast("long").as("lam_micro"))
+    feats.join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("lam_micro")).as("score_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p_training_set" -> { (s, d) => trainingSet(Tables.documents(s, d)) },
+    // DSIR scoring with English docs as the target distribution: the
+    // integer micro-unit scores are engine-exact, so the oracle is a
+    // full independent recomputation, hash-compared
+    "p_dsir_weights" -> { (s, d) =>
+      dsirWeights(Tables.documents(s, d), col("lang") === "en")
+        .orderBy("doc_id")
+    },
     // two synthetic crawl versions from one fixture: the "old" crawl
     // lacks doc_id ≡ 3 (mod 13) and carries a mutated text for
     // doc_id ≡ 0 (mod 5); the "new" crawl lacks doc_id ≡ 0 (mod 11)
@@ -358,6 +430,46 @@ object TrainingSet {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Full independent DSIR recomputation. The md5-nibble bucket hash is
+    // replayed per nibble (strpos over the hex alphabet — the
+    // shardAssign idiom), so hash COLLISIONS land in the same buckets in
+    // both engines; λ is floor(x*1e6 + 0.5) half-up micro-units and the
+    // doc score is pure BIGINT arithmetic — associative, so partial-agg
+    // order can't drift it.
+    "p_dsir_weights" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |uni AS (
+        |  SELECT doc_id, tgt, unnest(t) AS w FROM base),
+        |bi AS (
+        |  SELECT doc_id, tgt, t[i] || ' ' || t[i + 1] AS w
+        |  FROM base, unnest(range(1, len(t))) u(i)
+        |  WHERE len(t) >= 2),
+        |fb AS (
+        |  SELECT doc_id, tgt,
+        |    (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096 +
+        |    (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256 +
+        |    (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1) AS b
+        |  FROM (SELECT doc_id, tgt, w FROM uni
+        |        UNION ALL SELECT doc_id, tgt, w FROM bi)),
+        |feats AS (
+        |  SELECT doc_id, tgt, b, count(*) AS c FROM fb GROUP BY 1, 2, 3),
+        |raw AS (SELECT b, sum(c) AS r FROM feats GROUP BY b),
+        |tgtc AS (SELECT b, sum(c) AS tc FROM feats WHERE tgt GROUP BY b),
+        |tot AS (SELECT sum(c) AS rTot,
+        |  sum(CASE WHEN tgt THEN c ELSE 0 END) AS tTot FROM feats),
+        |lam AS (
+        |  SELECT raw.b,
+        |    CAST(floor((ln((COALESCE(tc, 0) + 1.0) / (tTot + 65536.0)) -
+        |                ln((r + 1.0) / (rTot + 65536.0)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS lam_micro
+        |  FROM raw LEFT JOIN tgtc ON raw.b = tgtc.b CROSS JOIN tot)
+        |SELECT feats.doc_id,
+        |  CAST(sum(c * lam_micro) AS BIGINT) AS score_micro
+        |FROM feats JOIN lam ON feats.b = lam.b
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "p_corpus_diff" ->
       """WITH old AS (
         |  SELECT doc_id,

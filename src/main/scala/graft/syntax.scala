@@ -43,6 +43,18 @@ object syntax {
     def graftPrefixJaccardPairs(threshold: Double): DataFrame =
       pipeline.Dedup.prefixJaccardPairs(df, threshold)
 
+    /** DSIR importance weights against a target-distribution predicate
+      * ([[pipeline.TrainingSet.dsirWeights]]).
+      */
+    def graftDsirWeights(isTarget: Column, nibbles: Int = 4): DataFrame =
+      pipeline.TrainingSet.dsirWeights(df, isTarget, nibbles)
+
+    /** SemDeDup: k-means bucketing + within-cluster cosine pruning
+      * ([[pipeline.KMeansOps.semDedup]]).
+      */
+    def graftSemDedup(k: Int, iters: Int, tau: Double): DataFrame =
+      pipeline.KMeansOps.semDedup(df, k, iters, tau)
+
     /** Connected-components clustering of an (ida, idb) pair frame
       * ([[pipeline.Dedup.dupClusters]]).
       */
