@@ -54,7 +54,7 @@ object ScaleSmoke {
     "r_join_salted", "r_pricing_summary", "r_merge_upsert",
     "t_ngram_lm", "t_normalize", "p_shard_assign", "s_kmeans",
     "s_bm25", "p_temperature_sample", "p_chunk_docs", "r_fuzzy_join",
-    "d_jaccard_prefix", "p_dsir_weights", "d_semdedup")
+    "d_jaccard_prefix", "p_dsir_weights", "d_semdedup", "t_bpe_encode")
 
   def synthesize(spark: SparkSession, src: String, out: String): Unit = {
     val fs = new java.io.File(out)

@@ -92,6 +92,33 @@ object Bpe {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
+  /** BPE ENCODING — the inference twin of [[learnMerges]]: the merge
+    * table applied in rank order (each rank one greedy non-overlapping
+    * [[applyMerge]] scan — cascades work because later ranks see
+    * earlier ranks' merged symbols), producing per-doc subword counts.
+    *
+    * Dedupe-then-weight again: the 10-deep fold chain evaluates per
+    * DISTINCT word (vocabulary-sized frame), and docs join the
+    * word → n_subwords table back on the word — the corpus is scanned,
+    * never folded per occurrence. At 100 TB the fold cost is fixed by
+    * |vocab| · |merges| regardless of corpus size; the join is one
+    * shuffle on the word (or a broadcast when the vocab fits).
+    */
+  def encode(docs: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val sym = merges.sortBy(_._1).foldLeft(split(col("w"), "")) {
+      case (c, (_, a, b, _)) => applyMerge(c, a, b)
+    }
+    val encodedVocab = words.select("w").distinct()
+      .select(col("w"), size(sym).cast("long").as("n_sub"))
+    words.join(encodedVocab, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t_bpe_merges" -> { (s, d) =>
       val merges = learnMerges(
@@ -99,6 +126,16 @@ object Bpe {
       s.createDataFrame(merges)
         .toDF("rank", "left", "right", "pair_count")
         .orderBy("rank")
+    },
+    // the full tokenizer pipeline: train 10 merges on the corpus, then
+    // encode the same corpus with them. Rows-only like t_bpe_merges
+    // (the learned table is iterative state no single SQL query can
+    // reproduce); BpeSpec pins encode against the sequential reference
+    // and the reconstruction/compression invariants
+    "t_bpe_encode" -> { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+      val merges = learnMerges(vocabulary(docs), 10)
+      encode(docs, merges).orderBy("doc_id")
     })
 
   // iterative argmax — no single-query SQL oracle; BpeSpec checks the

@@ -97,6 +97,43 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want, s"\ngot  $got\nwant $want")
   }
 
+  test("encode equals the sequential reference encode (sf0.001 corpus)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocabDf = Bpe.vocabulary(docs)
+    val merges = Bpe.learnMerges(vocabDf, 10)
+    // sequential reference: apply each merge rank in order per word
+    def seqEncode(w: String): Int = {
+      var s = w.split("").toVector
+      for ((_, a, b, _) <- merges.sortBy(_._1)) {
+        val r = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+            r += (a + b); i += 2
+          } else { r += s(i); i += 1 }
+        }
+        s = r.result()
+      }
+      s.length
+    }
+    val want = docs.select("doc_id", "text").collect()
+      .filter(r => !r.isNullAt(1))
+      .map { r =>
+        val ws = r.getString(1).split(" ").filter(_.nonEmpty)
+        (r.getLong(0), ws.length.toLong, ws.map(seqEncode(_).toLong).sum)
+      }.filter(_._2 > 0).sortBy(_._1).toSeq
+    val got = Bpe.encode(docs, merges).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // compression invariant: 10 merges can only shrink or keep the
+    // token stream vs raw characters — and on this corpus must shrink
+    val totalSub = want.map(_._3).sum
+    val totalChars = docs.select(sum(length(regexp_replace(col("text"),
+      " ", "")))).first().getLong(0)
+    assert(totalSub < totalChars,
+      s"subwords $totalSub not below chars $totalChars — merges never fired")
+  }
+
   test("distributed merge table equals the sequential reference " +
       "(sf0.001 corpus)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
