@@ -31,7 +31,7 @@ class RelationalSpec extends AnyFunSuite {
     val rowsOnly = Set("d_minhash_lsh", "d_simhash", "s_ann_lsh",
       "s_ann_ivf", "s_ann_pq", "d_embedding_dup_lsh",
       "r_approx_distinct", "p_quality_gate_approx", "t_cms_freq",
-      "t_bpe_merges", "p_weighted_sample")
+      "t_bpe_merges", "t_bpe_encode", "p_weighted_sample")
     assert(missing == rowsOnly, s"queries without oracle: $missing")
   }
 

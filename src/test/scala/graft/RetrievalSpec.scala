@@ -37,6 +37,64 @@ class RetrievalSpec extends AnyFunSuite {
       s"ubiquitous-term score should be ~0, got $q2max")
   }
 
+  test("QL: scores equal a driver recompute of the Dirichlet formula; " +
+      "length normalization and rare-term weighting hold") {
+    val fixture = Seq(
+      (1L, "table scan"),                           // both terms, short
+      (2L, "table scan pad pad pad pad pad pad"),   // both terms, padded
+      (3L, "table table table table scan"),         // spammed term
+      (4L, "rare pad"),                             // rare term (cf=1)
+      (5L, "pad pad table"))                        // common term only
+    val docs = fixture.toDF("doc_id", "text")
+    val qs = Seq(1 -> Seq("table", "scan"), 2 -> Seq("rare"),
+      3 -> Seq("table"))
+    val got = Retrieval.qlTopK(docs, qs, 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // independent sequential recompute of
+    //   Σ_present ln(1 + tf/(μ·cf/|C|)) − |q|·ln(dl + μ),  μ = 100
+    val toks = fixture.map { case (id, t) => id -> t.split(" ").toSeq }
+    val ctoks = toks.map(_._2.size).sum.toDouble
+    val cf = toks.flatMap(_._2).groupBy(identity).map {
+      case (w, os) => w -> os.size.toDouble }
+    val want = (for {
+      (qid, ws) <- qs; (id, ts) <- toks
+      tfs = ws.distinct.map(w => ts.count(_ == w)).filter(_ > 0)
+      if tfs.nonEmpty
+    } yield {
+      val s = ws.distinct.map { w =>
+        val tf = ts.count(_ == w).toDouble
+        if (tf > 0) math.log(1.0 + tf / (100.0 * (cf(w) / ctoks))) else 0.0
+      }.sum - ws.distinct.size * math.log(ts.size + 100.0)
+      (qid, id) -> (math.floor(s * 10000 + 0.5) / 10000.0)
+    }).toMap
+    assert(got == want, s"\ngot  $got\nwant $want")
+    // identical term content at 4x the length must score lower (the
+    // ln(dl+μ) length prior), and a cf=1 term must carry more evidence
+    // than a cf=6 one at comparable dl
+    assert(got((1, 1L)) > got((1, 2L)), "length prior must penalize pad")
+    assert(got((2, 4L)) > got((3, 5L)), "rare term must outweigh common")
+  }
+
+  test("RRF: consensus doc beats single-leg winners; contributions are " +
+      "the exact 1e12 DIV (60+rank) integers") {
+    // leg A ranks (10, 11, 12); leg B ranks (10, 12, 13): doc 10 is the
+    // consensus #1, docs 11/13 appear in one leg only
+    val legA = Seq((1, 10L, 3.0), (1, 11L, 2.0), (1, 12L, 1.0))
+      .toDF("query_id", "doc_id", "score")
+    val legB = Seq((1, 10L, 9.0), (1, 12L, 8.0), (1, 13L, 7.0))
+      .toDF("query_id", "doc_id", "score")
+    val got = Retrieval.rrfFuse(Seq(legA, legB), 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val c = (r: Int) => 1000000000000L / (60L + r)
+    assert(got(10L) == 2 * c(1), s"rank-1 consensus: ${got(10L)}")
+    assert(got(12L) == c(3) + c(2))
+    assert(got(11L) == c(2) && got(13L) == c(3),
+      "single-leg docs carry exactly one contribution")
+    val order = Retrieval.rrfFuse(Seq(legA, legB), 10)
+      .collect().sortBy(r => -r.getLong(2)).map(_.getLong(1)).toSeq
+    assert(order.head == 10L, s"consensus doc must fuse to #1, got $order")
+  }
+
   test("temperature sampling: per-language keep counts land on n·rate " +
       "within binomial noise, and the mix flattens vs proportional") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
