@@ -20,6 +20,51 @@ object EventWindows {
   private def fmt(c: org.apache.spark.sql.Column) =
     date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Conversion funnel: per user, stage i's timestamp is the earliest
+    * stage-i event STRICTLY AFTER the user's stage-(i-1) timestamp
+    * (ordered progression, the standard product-analytics semantics —
+    * a purchase before the signup does not count). Emits one row per
+    * stage: users reaching it and the total seconds spent converting
+    * from the previous stage (epoch-second truncation per timestamp, so
+    * the sum is an exact BIGINT).
+    *
+    * Shape at 100 TB: #stages is a human-picked constant; each step is
+    * a map-side `event_type` filter (reaches the parquet scan) followed
+    * by one min-aggregation keyed by user — the stages partition the
+    * event stream into disjoint slices, so all steps together shuffle
+    * about one full copy of the relevant events, and each step's build
+    * side shrinks monotonically (users who fell out of the funnel stop
+    * flowing). No per-user event list is ever materialized — state per
+    * user is one timestamp per stage.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least 2 stages")
+    val s0 = events.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("ts").as("t0"))
+    val times = stages.zipWithIndex.tail.foldLeft(s0) {
+      case (acc, (st, i)) =>
+        val nxt = events.filter(col("event_type") === st)
+          .join(acc.select(col("user_id"), col(s"t${i - 1}")),
+            Seq("user_id"))
+          .filter(col("ts") > col(s"t${i - 1}"))
+          .groupBy("user_id").agg(min("ts").as(s"t$i"))
+        acc.join(nxt, Seq("user_id"), "left")
+    }
+    val aggs = stages.indices.flatMap { i =>
+      Seq(count(col(s"t$i")).as(s"u$i")) ++
+        (if (i == 0) Nil
+         else Seq(coalesce(sum(col(s"t$i").cast("long") -
+           col(s"t${i - 1}").cast("long")), lit(0L)).as(s"l$i")))
+    }
+    val one = times.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = stages.zipWithIndex.map { case (st, i) =>
+      val lag = if (i == 0) "CAST(0 AS BIGINT)" else s"l$i"
+      s"${i + 1}, '$st', u$i, $lag"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${stages.size}, $stackArgs) " +
+      "AS (stage, event_type, users, lag_s)")
+  }
+
   val queries: Map[String, Q] = Map(
     // tumbling 1-hour windows per event type
     "w_tumbling" -> { (s, d) =>
@@ -39,6 +84,11 @@ object EventWindows {
         .agg(count(lit(1)).as("n"))
         .select(fmt(col("w.start")).as("window_start"), col("n"))
         .orderBy("window_start")
+    },
+    // ordered conversion funnel signup → view → click → purchase
+    "w_funnel" -> { (s, d) =>
+      funnel(Tables.events(s, d),
+        Seq("signup", "view", "click", "purchase")).orderBy("stage")
     },
     // session windows per user: 12-hour inactivity gap
     "w_session" -> { (s, d) =>
@@ -87,5 +137,45 @@ object EventWindows {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  count(*) AS n, floor(sum(value) * 100 + 0.5) / 100.0 AS total
         |FROM sessions GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin)
+        |ORDER BY user_id, session_start""".stripMargin,
+    "w_funnel" ->
+      """WITH t0 AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |t1 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) t1
+        |  FROM events e JOIN t0 ON e.user_id = t0.user_id
+        |    AND CAST(e.ts AS TIMESTAMP) > t0.t0
+        |  WHERE e.event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) t2
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |    AND CAST(e.ts AS TIMESTAMP) > t1.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) t3
+        |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |    AND CAST(e.ts AS TIMESTAMP) > t2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |base AS (
+        |  SELECT count(t0.t0) u0, count(t1.t1) u1,
+        |         count(t2.t2) u2, count(t3.t3) u3,
+        |    coalesce(CAST(sum(CAST(floor(epoch(t1.t1)) AS BIGINT)
+        |      - CAST(floor(epoch(t0.t0)) AS BIGINT)) AS BIGINT),
+        |      0) l1,
+        |    coalesce(CAST(sum(CAST(floor(epoch(t2.t2)) AS BIGINT)
+        |      - CAST(floor(epoch(t1.t1)) AS BIGINT)) AS BIGINT),
+        |      0) l2,
+        |    coalesce(CAST(sum(CAST(floor(epoch(t3.t3)) AS BIGINT)
+        |      - CAST(floor(epoch(t2.t2)) AS BIGINT)) AS BIGINT),
+        |      0) l3
+        |  FROM t0 LEFT JOIN t1 USING (user_id)
+        |    LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id))
+        |SELECT * FROM (
+        |  SELECT 1 stage, 'signup' event_type, u0 users,
+        |         CAST(0 AS BIGINT) lag_s FROM base
+        |  UNION ALL SELECT 2, 'view', u1, l1 FROM base
+        |  UNION ALL SELECT 3, 'click', u2, l2 FROM base
+        |  UNION ALL SELECT 4, 'purchase', u3, l3 FROM base)
+        |ORDER BY stage""".stripMargin)
 }

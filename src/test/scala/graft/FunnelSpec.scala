@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.EventWindows
+
+/** Ordered-progression semantics the w_funnel oracle hash can't explain
+  * on its own: stages must happen in order (an out-of-order event never
+  * counts), progression is strict (same-timestamp events don't chain),
+  * and fallout is monotone.
+  */
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+
+  test("funnel counts only in-order progressions; fallout is monotone") {
+    val events = Seq(
+      // user 1: clean signup → view → click (no purchase)
+      (1L, "signup", ts(0)), (1L, "view", ts(1)), (1L, "click", ts(2)),
+      // user 2: purchase BEFORE signup must not count; view after does
+      (2L, "purchase", ts(0)), (2L, "signup", ts(5)), (2L, "view", ts(6)),
+      // user 3: view before signup only — falls out at stage 2
+      (3L, "view", ts(0)), (3L, "signup", ts(1)),
+      // user 4: full funnel, with a decoy early click before the view
+      (4L, "signup", ts(0)), (4L, "click", ts(1)), (4L, "view", ts(2)),
+      (4L, "click", ts(3)), (4L, "purchase", ts(9)),
+      // user 5: never signs up — not in the funnel at all
+      (5L, "view", ts(0)), (5L, "click", ts(1)), (5L, "purchase", ts(2)))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventWindows
+      .funnel(events, Seq("signup", "view", "click", "purchase"))
+      .orderBy("stage").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("signup", 4L, 0L),    // users 1-4
+      ("view", 3L, 4 * 60L), // users 1, 2, 4 (user 3 viewed too early)
+      ("click", 2L, 2 * 60L), // users 1, 4 — user 4's ts(3) click, not
+      // the pre-view decoy at ts(1)
+      ("purchase", 1L, 6 * 60L))) // user 4 only: ts(9) - click ts(3)
+  }
+
+  test("strict progression: a same-timestamp next stage does not chain") {
+    val events = Seq(
+      (1L, "signup", ts(0)), (1L, "view", ts(0)),  // simultaneous
+      (2L, "signup", ts(0)), (2L, "view", ts(1)))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventWindows.funnel(events, Seq("signup", "view"))
+      .orderBy("stage").collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("signup", 2L), ("view", 1L)))
+  }
+}
