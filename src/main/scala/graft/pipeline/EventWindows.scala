@@ -65,6 +65,46 @@ object EventWindows {
       "AS (stage, event_type, users, lag_s)")
   }
 
+  /** Cohort retention: users bucketed by the epoch-week of their first
+    * `cohortType` event; a cohort's week-k cell counts members active
+    * (any event) k weeks later. Week = epoch-seconds DIV 604800 — exact
+    * integer arithmetic, no calendar-truncation semantics to disagree
+    * on across engines.
+    *
+    * Shape at 100 TB: one user-keyed min-agg for cohorts, one
+    * (user, week) distinct — activity collapses to ≤ #weeks rows per
+    * user BEFORE the join — then a cells-sized final aggregate. The
+    * matrix itself is #cohorts × #weeks: driver-trivial.
+    */
+  def cohortRetention(events: DataFrame, cohortType: String): DataFrame = {
+    val wk = expr("CAST(ts AS LONG) DIV 604800")
+    val cohorts = events.filter(col("event_type") === cohortType)
+      .groupBy("user_id").agg(min(wk).as("cw"))
+    val active = events.select(col("user_id"), wk.as("wk")).distinct()
+    active.join(cohorts, "user_id")
+      .filter(col("wk") >= col("cw"))
+      .groupBy(col("cw").as("cohort_week"),
+        (col("wk") - col("cw")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Next-event transition counts (first-order Markov structure of the
+    * event stream): for each user's ts-ordered events, count
+    * (event_type → next event_type) pairs. Ordering ties break by
+    * event_id so the lead() is deterministic. One shuffle (user-keyed
+    * window), then a #types²-sized aggregate.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("event_type"),
+        lead("event_type", 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
     // tumbling 1-hour windows per event type
     "w_tumbling" -> { (s, d) =>
@@ -84,6 +124,15 @@ object EventWindows {
         .agg(count(lit(1)).as("n"))
         .select(fmt(col("w.start")).as("window_start"), col("n"))
         .orderBy("window_start")
+    },
+    // signup-cohort weekly retention matrix
+    "w_retention" -> { (s, d) =>
+      cohortRetention(Tables.events(s, d), "signup")
+        .orderBy("cohort_week", "week_offset")
+    },
+    // first-order event-type transition counts
+    "w_transitions" -> { (s, d) =>
+      transitions(Tables.events(s, d)).orderBy("event_type", "next_type")
     },
     // ordered conversion funnel signup → view → click → purchase
     "w_funnel" -> { (s, d) =>
@@ -138,6 +187,30 @@ object EventWindows {
         |  count(*) AS n, floor(sum(value) * 100 + 0.5) / 100.0 AS total
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "w_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id,
+        |    min(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |        // 604800) cw
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |      // 604800 wk
+        |  FROM events)
+        |SELECT cw AS cohort_week, wk - cw AS week_offset,
+        |       count(*) AS n_users
+        |FROM active JOIN cohorts USING (user_id)
+        |WHERE wk >= cw
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "w_transitions" ->
+      """SELECT event_type, next_type, count(*) AS n FROM (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
     "w_funnel" ->
       """WITH t0 AS (
         |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) t0 FROM events

@@ -47,6 +47,31 @@ object TrainingSet {
       .orderBy("doc_id")
   }
 
+  /** Epoch oversampling: materialize the repeated training stream with
+    * per-source epoch factors (the "repeat high-quality sources for
+    * multiple epochs" lever of LLM data mixing — e.g. the per-dataset
+    * epoch column of LLaMA's pre-training mix, Touvron et al. 2023).
+    * Each doc appears `epochs(source)` times tagged with its epoch index
+    * 1..n; unlisted sources default to one epoch. Materializing (vs a
+    * loader-side repeat) is what makes the training order auditable —
+    * feed the output to [[graft.pipeline.CorpusOps]]' shard assignment
+    * for the physical layout.
+    *
+    * Shape at 100 TB: the factor table is a human-written config —
+    * broadcast; the explode is bounded by the max epoch factor (a small
+    * constant), so output is a constant multiple of the input with zero
+    * shuffles.
+    */
+  def epochMix(docs: DataFrame, factors: Seq[(String, Int)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val f = factors.toDF("source", "epochs")
+    docs.join(broadcast(f), Seq("source"), "left")
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), coalesce(col("epochs"), lit(1))))
+          .as("epoch"))
+  }
+
   /** Deterministic stratified sampling: k docs per stratum, chosen by
     * ranking on a content-independent hash (md5 of the id) — stable across
     * runs, retries, and partitionings, unlike `sample()` whose output
@@ -387,6 +412,13 @@ object TrainingSet {
       stratifiedSample(Tables.documents(s, d), "lang", 20)
         .orderBy("lang", "doc_id")
     },
+    // per-source epoch factors 1..3 (srcN → 1 + N mod 3), the
+    // curated-mix config a human would write
+    "p_epoch_mix" -> { (s, d) =>
+      epochMix(Tables.spread(Tables.documents(s, d)),
+        (0 until 20).map(i => (s"src$i", 1 + i % 3)))
+        .orderBy("doc_id", "epoch")
+    },
     // weight = n_chars: longer docs preferred proportionally. Rows-only
     // (pow ulps may differ across engines at rank boundaries); the
     // selection is pinned by MixtureSpec's independent driver recompute
@@ -552,6 +584,16 @@ object TrainingSet {
         |  FROM documents)
         |WHERE rk <= 20
         |ORDER BY lang, doc_id""".stripMargin,
+    "p_epoch_mix" ->
+      """WITH f(source, epochs) AS (VALUES
+        |  ('src0',1),('src1',2),('src2',3),('src3',1),('src4',2),
+        |  ('src5',3),('src6',1),('src7',2),('src8',3),('src9',1),
+        |  ('src10',2),('src11',3),('src12',1),('src13',2),('src14',3),
+        |  ('src15',1),('src16',2),('src17',3),('src18',1),('src19',2))
+        |SELECT doc_id, d.source,
+        |       unnest(generate_series(1, coalesce(epochs, 1))) AS epoch
+        |FROM documents d LEFT JOIN f USING (source)
+        |ORDER BY doc_id, epoch""".stripMargin,
     "p_domain_cap" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, row_number() OVER (
