@@ -54,7 +54,9 @@ object ScaleSmoke {
     "r_join_salted", "r_pricing_summary", "r_merge_upsert",
     "t_ngram_lm", "t_normalize", "p_shard_assign", "s_kmeans",
     "s_bm25", "p_temperature_sample", "p_chunk_docs", "r_fuzzy_join",
-    "d_jaccard_prefix", "p_dsir_weights", "d_semdedup", "t_bpe_encode")
+    "d_jaccard_prefix", "p_dsir_weights", "d_semdedup", "t_bpe_encode",
+    "s_ql", "s_rrf", "w_funnel", "w_retention", "w_transitions",
+    "p_epoch_mix")
 
   def synthesize(spark: SparkSession, src: String, out: String): Unit = {
     val fs = new java.io.File(out)

@@ -43,6 +43,39 @@ class FunnelSpec extends AnyFunSuite {
       ("purchase", 1L, 6 * 60L))) // user 4 only: ts(9) - click ts(3)
   }
 
+  test("retention: pre-signup weeks are excluded; same-week signup " +
+      "activity lands at offset 0") {
+    def wts(w: Int, s: Int = 0) =
+      new Timestamp((w * 604800L + s) * 1000L)
+    val events = Seq(
+      // u1: signs up wk10, active wk10 and wk12
+      (1L, "signup", wts(10)), (1L, "click", wts(12)),
+      // u2: active wk9 BEFORE signing up wk10 — wk9 must not count
+      (2L, "view", wts(9)), (2L, "signup", wts(10, 60)),
+      // u3: never signs up — not in any cohort
+      (3L, "view", wts(10)))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventWindows.cohortRetention(events, "signup")
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((10L, 0L, 2L), (10L, 2L, 1L)))
+  }
+
+  test("transitions: ts ties order by event_id; last events emit nothing") {
+    val events = Seq(
+      // u1: view and click share a timestamp — event_id breaks the tie
+      (1L, 1L, "view", ts(0)), (2L, 1L, "click", ts(0)),
+      (3L, 1L, "purchase", ts(1)),
+      // u2: a single event has no successor
+      (4L, 2L, "view", ts(0)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventWindows.transitions(events)
+      .orderBy("event_type", "next_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("click", "purchase", 1L), ("view", "click", 1L)))
+  }
+
   test("strict progression: a same-timestamp next stage does not chain") {
     val events = Seq(
       (1L, "signup", ts(0)), (1L, "view", ts(0)),  // simultaneous
