@@ -257,6 +257,22 @@ object TextAnalysis {
         length(col("text")).as("n_chars_text"))
         .orderBy("doc_id")
     },
+    // Vocabulary-coverage audit: per-doc out-of-vocabulary token count
+    // against a tokenizer's word list (broadcast, human-sized — a real
+    // run passes the exported vocab). Integer counts, not rates: the
+    // division belongs to the consumer, the exact numerator/denominator
+    // to the audit. Pure per-row codegen'd expressions — zero shuffles
+    // at any corpus size.
+    "t_oov_rate" -> { (s, d) =>
+      val vocab = Seq("the", "data", "join", "table", "scan", "merge",
+        "row", "key", "value", "query", "filter", "sort", "group")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        size(filter(toks(col("text")),
+          w => !w.isInCollection(vocab))).as("n_oov"))
+        .orderBy("doc_id")
+    },
     // quality scoring: length/stopword/type-token-ratio mix
     "t_quality_score" -> { (s, d) =>
       val n = tokenCount(col("text")).cast("double")
@@ -457,6 +473,14 @@ object TextAnalysis {
         |  floor(count(*) / (sum(c) * 1.0) * 10000 + 0.5) / 10000.0 AS ttr,
         |  CAST(sum(c) AS BIGINT) AS n_tokens
         |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_oov_rate" ->
+      s"""SELECT doc_id,
+         |  CAST(len($oracleToks) AS INT) AS n_tokens,
+         |  CAST(len(list_filter($oracleToks,
+         |    t -> NOT list_contains(['the','data','join','table','scan',
+         |      'merge','row','key','value','query','filter','sort',
+         |      'group'], t))) AS INT) AS n_oov
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "t_token_count" ->
       s"""SELECT doc_id,
          |  CAST(len($oracleToks) AS INT) AS n_tokens,
