@@ -159,6 +159,22 @@ object ExplainAudit {
     // the bounded heap — no sort below it
     audit("s_bm25", "BroadcastHashJoin")
     auditNoneBelow("s_bm25", "TopKPerKey", "Sort [")
+    // QL: same contract as BM25 — broadcast query terms, bounded-heap cut
+    audit("s_ql", "BroadcastHashJoin")
+    auditNoneBelow("s_ql", "TopKPerKey", "Sort [")
+    // RRF: fusion must stay pair-product-free (legs union, never join
+    // all-pairs). Exactly the legs' two ONE-ROW scalar broadcasts
+    // (avgdl/N and |C|) may plan as BroadcastNestedLoopJoin; a third
+    // would mean the fusion itself went cross-join
+    auditAtMost("s_rrf", "CartesianProduct", 0)
+    auditAtMost("s_rrf", "BroadcastNestedLoopJoin", 2)
+    audit("s_rrf", "TopKPerKey")
+    // funnel: the stage's event_type filter reaches the parquet scan
+    audit("w_funnel", "PushedFilters: [IsNotNull(event_type), " +
+      "EqualTo(event_type,signup)]")
+    // epoch mix: broadcast factor table + bounded explode — no shuffle
+    auditAtMost("p_epoch_mix", "Exchange hashpartitioning", 0)
+    audit("p_epoch_mix", "BroadcastHashJoin")
     // temperature sampling: the per-language rate table broadcasts back
     // to the corpus scan — the doc side never shuffles to be sampled
     audit("p_temperature_sample", "BroadcastHashJoin")
