@@ -116,5 +116,42 @@ object syntax {
     def graftBm25TopK(queries: Seq[(Int, Seq[String])],
         k: Int): DataFrame =
       pipeline.Retrieval.bm25TopK(df, queries, k)
+
+    /** Dirichlet query-likelihood top-k over (doc_id, text)
+      * ([[pipeline.Retrieval.qlTopK]]).
+      */
+    def graftQlTopK(queries: Seq[(Int, Seq[String])], k: Int): DataFrame =
+      pipeline.Retrieval.qlTopK(df, queries, k)
+
+    /** Reciprocal-rank fusion of this ranked list with others — each
+      * (query_id, doc_id, score) — ([[pipeline.Retrieval.rrfFuse]]).
+      */
+    def graftRrfFuse(others: Seq[DataFrame], k: Int): DataFrame =
+      pipeline.Retrieval.rrfFuse(df +: others, k)
+
+    /** Ordered conversion funnel over (user_id, event_type, ts)
+      * ([[pipeline.EventWindows.funnel]]).
+      */
+    def graftFunnel(stages: Seq[String]): DataFrame =
+      pipeline.EventWindows.funnel(df, stages)
+
+    /** Weekly cohort retention matrix over (user_id, event_type, ts)
+      * ([[pipeline.EventWindows.cohortRetention]]).
+      */
+    def graftCohortRetention(cohortType: String): DataFrame =
+      pipeline.EventWindows.cohortRetention(df, cohortType)
+
+    /** First-order event transition counts over
+      * (event_id, user_id, event_type, ts)
+      * ([[pipeline.EventWindows.transitions]]).
+      */
+    def graftTransitions: DataFrame =
+      pipeline.EventWindows.transitions(df)
+
+    /** Per-source epoch oversampling over (doc_id, source, ...)
+      * ([[pipeline.TrainingSet.epochMix]]).
+      */
+    def graftEpochMix(factors: Seq[(String, Int)]): DataFrame =
+      pipeline.TrainingSet.epochMix(df, factors)
   }
 }

@@ -37,6 +37,22 @@ class SyntaxSpec extends AnyFunSuite {
       "k", filters.FilterVerbs.GreaterThanOrEqual, "1")))
     assert(ev.graftFilterPayload(spec, col("props")).count() ==
       ev.filter(filters.FilterCompiler.compile(spec, col("props"))).count())
+
+    val stages = Seq("signup", "view", "click", "purchase")
+    assert(ev.graftFunnel(stages).collect().toSeq ==
+      pipeline.EventWindows.funnel(ev, stages).collect().toSeq)
+    assert(ev.graftCohortRetention("signup").count() ==
+      pipeline.EventWindows.cohortRetention(ev, "signup").count())
+    assert(ev.graftTransitions.count() ==
+      pipeline.EventWindows.transitions(ev).count())
+    val fq = pipeline.Retrieval.FixtureQueries
+    val legs = Seq(pipeline.Retrieval.bm25TopK(docs, fq, 10),
+      docs.graftQlTopK(fq, 10))
+    assert(legs.head.graftRrfFuse(legs.tail, 10).count() ==
+      pipeline.Retrieval.rrfFuse(legs, 10).count())
+    val factors = Seq("src0" -> 2, "src1" -> 3)
+    assert(docs.graftEpochMix(factors).count() ==
+      pipeline.TrainingSet.epochMix(docs, factors).count())
   }
 
   test("GraftExtensions injects functions, strategy, and optimizer rules") {
