@@ -186,6 +186,23 @@ object CorpusOps {
       bigramCrossEntropy(Tables.spread(Tables.documents(s, d)))
         .orderBy("doc_id")
     },
+    // Curriculum ordering: per-language LM cross-entropy deciles —
+    // bucket 0 is the "easiest" (lowest-perplexity) tenth, the order a
+    // curriculum-learning schedule feeds data in. percent_rank ties on
+    // the grid-rounded ce collapse identically on both engines; the
+    // per-lang window shares p_quality_gate's scale caveat (the
+    // sampled/approx cutoff tier is the 100 TB path, a_gate_agreement
+    // measures the drift).
+    "p_curriculum" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.spread(Tables.documents(s, d))
+      val ce = bigramCrossEntropy(docs).select(col("doc_id"), col("ce"))
+      val w = Window.partitionBy("lang").orderBy("ce")
+      docs.select(col("doc_id"), col("lang")).join(ce, "doc_id")
+        .withColumn("bucket",
+          least(floor(percent_rank().over(w) * 10), lit(9)).cast("int"))
+        .orderBy("lang", "bucket", "ce", "doc_id")
+    },
     "t_normalize" -> { (s, d) =>
       val n = normalize(col("text"))
       Tables.documents(s, d).select(
@@ -227,6 +244,28 @@ object CorpusOps {
         |    / 10000.0 AS ce
         |FROM bg JOIN big USING (b) JOIN uni USING (w1) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "p_curriculum" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS b
+        |  FROM toks, unnest(range(1, len(t))) u(i)),
+        |uni AS (
+        |  SELECT w1, count(*) c1
+        |  FROM (SELECT unnest(t) w1 FROM toks) GROUP BY 1),
+        |big AS (SELECT b, count(*) c2 FROM bg GROUP BY 1),
+        |v AS (SELECT count(*) vsz FROM uni),
+        |ce AS (
+        |  SELECT doc_id,
+        |    floor(-avg(log2((c2 + 1.0) / (c1 + vsz))) * 10000 + 0.5)
+        |      / 10000.0 AS ce
+        |  FROM bg JOIN big USING (b) JOIN uni USING (w1) CROSS JOIN v
+        |  GROUP BY doc_id)
+        |SELECT doc_id, lang, ce,
+        |  CAST(least(floor(percent_rank() OVER (
+        |    PARTITION BY lang ORDER BY ce) * 10), 9) AS INT) AS bucket
+        |FROM ce JOIN documents USING (doc_id)
+        |ORDER BY lang, bucket, ce, doc_id""".stripMargin,
     "t_normalize" ->
       """SELECT doc_id, norm,
         |  CAST(CASE WHEN norm = '' THEN 0
