@@ -172,6 +172,18 @@ object ExplainAudit {
     // funnel: the stage's event_type filter reaches the parquet scan
     audit("w_funnel", "PushedFilters: [IsNotNull(event_type), " +
       "EqualTo(event_type,signup)]")
+    // rolling active users: the observed-day filter broadcasts (never
+    // shuffles the exploded pairs against a day list), and the distinct
+    // count runs as partial-then-final HashAggregate
+    audit("w_active_users", "BroadcastHashJoin", "partial_count(distinct")
+    // anomaly flags: the heavy input collapses via a map-side partial
+    // count before any shuffle, and only the collapsed (type, hour)
+    // frame moves — one exchange into the final aggregate, one into the
+    // per-type window, nothing else
+    audit("w_anomaly", "partial_count")
+    auditAtMost("w_anomaly", "Exchange hashpartitioning", 2)
+    // readability: pure per-row expressions — no exchange at all
+    auditAtMost("t_readability", "Exchange hashpartitioning", 0)
     // epoch mix: broadcast factor table + bounded explode — no shuffle
     auditAtMost("p_epoch_mix", "Exchange hashpartitioning", 0)
     audit("p_epoch_mix", "BroadcastHashJoin")

@@ -56,7 +56,8 @@ object ScaleSmoke {
     "s_bm25", "p_temperature_sample", "p_chunk_docs", "r_fuzzy_join",
     "d_jaccard_prefix", "p_dsir_weights", "d_semdedup", "t_bpe_encode",
     "s_ql", "s_rrf", "w_funnel", "w_retention", "w_transitions",
-    "p_epoch_mix")
+    "p_epoch_mix", "w_active_users", "w_anomaly", "t_readability",
+    "p_curriculum")
 
   def synthesize(spark: SparkSession, src: String, out: String): Unit = {
     val fs = new java.io.File(out)

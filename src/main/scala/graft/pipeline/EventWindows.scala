@@ -105,6 +105,79 @@ object EventWindows {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Trailing-window distinct active users (the DAU/WAU dashboard
+    * metric): for each observed epoch-day, how many distinct users had
+    * any event in the `windowDays` days ending on it. Day = epoch-seconds
+    * DIV 86400 — exact integer bucketing, same contract as
+    * [[cohortRetention]]'s weeks.
+    *
+    * Shape at 100 TB: activity first collapses to DISTINCT (user, day) —
+    * ≤ #days rows per user — then each pair fans out to the constant
+    * `windowDays` report days it supports (a bounded explode, not a
+    * range join), and one (report_day, user)-keyed distinct-count
+    * shuffle finishes. The observed-day filter is a broadcast semi join
+    * against a ≤ #days-row frame. Nothing in the plan holds a per-day
+    * user SET in memory; the distinct is Spark's partial-then-final
+    * HashAggregate. An approximate twin at extreme scale would swap the
+    * final distinct for HLL (`approx_count_distinct`) — same first
+    * collapse, sketch-sized state — the exact tier here is what the
+    * oracle can pin.
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val day = expr("CAST(ts AS LONG) DIV 86400")
+    val pairs = events.select(col("user_id"), day.as("day")).distinct()
+    val observed = pairs.select(col("day").as("report_day")).distinct()
+    pairs
+      .select(col("user_id"), explode(
+        array((0 until windowDays).map(lit(_)): _*)).as("off"), col("day"))
+      .select(col("user_id"), (col("day") + col("off")).as("report_day"))
+      .join(broadcast(observed), Seq("report_day"), "left_semi")
+      .groupBy("report_day")
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
+  /** Event-rate anomaly flags: per (event_type, hour-bucket) counts,
+    * each tested against its trailing `baseline` OBSERVED hours (rows,
+    * not calendar hours — hours with zero events don't exist in the
+    * frame, and both engines agree on row-frame semantics). The test is
+    * the two-sigma population z-test with the division cleared out:
+    *
+    *   (b·n − S)² > sigmas² · (b·S2 − S²)     [b = baseline size,
+    *                                           S = Σxᵢ, S2 = Σxᵢ²]
+    *
+    * — pure integer arithmetic, so the FLAG DECISION is exact and
+    * engine-portable (no float z-score crossing a threshold differently
+    * under a different summation order). Operands ride DECIMAL(38,0):
+    * (b·n − S)² at n ≈ 2³¹ events/hour is ~10²², past BIGINT but far
+    * inside 38 digits. Rows with an incomplete baseline emit NULL
+    * baseline_sum and flagged=false.
+    *
+    * Shape at 100 TB: the count collapse is one map-side-partial
+    * aggregate to #types × #hours rows — driver-trivial forever — and
+    * the window runs per type over that tiny frame. The heavy input
+    * never reaches a window function.
+    */
+  def hourlyAnomalies(events: DataFrame, baseline: Int = 24,
+      sigmas: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = events
+      .groupBy(col("event_type"),
+        expr("CAST(ts AS LONG) DIV 3600").as("hour_bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour_bucket")
+      .rowsBetween(-baseline, -1)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val s = sum(col("n")).over(w)
+    val s2 = sum(col("n") * col("n")).over(w)
+    val full = count(col("n")).over(w) === baseline
+    val lhs = dec(lit(baseline)) * dec(col("n")) - dec(s)
+    val rhs = dec(lit(baseline)) * dec(s2) - dec(s) * dec(s)
+    counts.select(col("event_type"), col("hour_bucket"), col("n"),
+      when(full, s).as("baseline_sum"),
+      (full && lhs * lhs > dec(lit(sigmas * sigmas)) * rhs).as("flagged"))
+  }
+
   val queries: Map[String, Q] = Map(
     // tumbling 1-hour windows per event type
     "w_tumbling" -> { (s, d) =>
@@ -138,6 +211,15 @@ object EventWindows {
     "w_funnel" -> { (s, d) =>
       funnel(Tables.events(s, d),
         Seq("signup", "view", "click", "purchase")).orderBy("stage")
+    },
+    // trailing-7-day distinct active users per observed day
+    "w_active_users" -> { (s, d) =>
+      rollingActiveUsers(Tables.events(s, d), 7).orderBy("report_day")
+    },
+    // two-sigma hourly event-rate anomalies vs trailing 24 observed hours
+    "w_anomaly" -> { (s, d) =>
+      hourlyAnomalies(Tables.events(s, d))
+        .orderBy("event_type", "hour_bucket")
     },
     // session windows per user: 12-hour inactivity gap
     "w_session" -> { (s, d) =>
@@ -203,6 +285,43 @@ object EventWindows {
         |FROM active JOIN cohorts USING (user_id)
         |WHERE wk >= cw
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "w_active_users" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |      // 86400 AS day
+        |  FROM events),
+        |expl AS (
+        |  SELECT user_id, day + o.off AS report_day
+        |  FROM pairs CROSS JOIN
+        |    (SELECT unnest([0,1,2,3,4,5,6]) AS off) o)
+        |SELECT report_day, count(DISTINCT user_id) AS active_users
+        |FROM expl
+        |WHERE report_day IN (SELECT day FROM pairs)
+        |GROUP BY 1 ORDER BY report_day""".stripMargin,
+    "w_anomaly" ->
+      """WITH counts AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |      // 3600 AS hour_bucket,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, hour_bucket, n,
+        |    CAST(sum(n) OVER w AS BIGINT) AS s,
+        |    CAST(sum(n * n) OVER w AS BIGINT) AS s2,
+        |    count(n) OVER w AS c
+        |  FROM counts
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour_bucket, n,
+        |  CASE WHEN c = 24 THEN s END AS baseline_sum,
+        |  (c = 24 AND
+        |    (24 * CAST(n AS HUGEINT) - s) * (24 * CAST(n AS HUGEINT) - s)
+        |      > 4 * (24 * CAST(s2 AS HUGEINT)
+        |             - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)))
+        |    AS flagged
+        |FROM win ORDER BY event_type, hour_bucket""".stripMargin,
     "w_transitions" ->
       """SELECT event_type, next_type, count(*) AS n FROM (
         |  SELECT event_type,

@@ -79,6 +79,29 @@ object TextAnalysis {
 
   def round4HalfUp(c: Column): Column = roundHalfUp(c, 4)
 
+  /** Flesch–Kincaid grade level with a deterministic syllable heuristic:
+    * syllables = maximal `[aeiouy]+` runs in the lowercased text (runs
+    * can't span the space tokenizer's separators, so the text-level
+    * count equals the per-word sum without an explode), sentences =
+    * `[.!?]+` runs floored at 1. The grade is the textbook
+    * 0.39·(W/S) + 11.8·(Syl/W) − 15.59 with the arithmetic spelled
+    * identically in the oracle (same literals, same op order — the
+    * float-determinism contract of [[roundHalfUp]]) and the result
+    * grid-rounded at 1e-2. Pure per-row codegen'd regex counts — zero
+    * shuffles at any corpus size; the counts ship alongside the grade
+    * so a downstream gate can threshold on exact integers instead.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val w = tokenCount(col("text"))
+    val sents = greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
+    val syl = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+    docs.select(
+      col("doc_id"),
+      w.as("n_words"), sents.as("n_sentences"), syl.as("n_syllables"),
+      roundHalfUp(lit(0.39) * (w / sents) +
+        lit(11.8) * (syl / w) - lit(15.59), 2).as("fk_grade"))
+  }
+
   /** Hashed-feature linear classifier, fastText-shaped plumbing: each
     * token hashes to a bucket in a 2²⁰ feature space (feature-hashing, so
     * the model is fixed-size regardless of vocabulary), the bucket maps
@@ -272,6 +295,20 @@ object TextAnalysis {
         size(filter(toks(col("text")),
           w => !w.isInCollection(vocab))).as("n_oov"))
         .orderBy("doc_id")
+    },
+    // Flesch–Kincaid grade level with a deterministic syllable heuristic:
+    // syllables = maximal [aeiouy]+ runs in the lowercased text (runs
+    // can't span the space tokenizer's separators, so the text-level
+    // count equals the per-word sum without an explode), sentences =
+    // [.!?]+ runs floored at 1. The grade is the textbook
+    // 0.39·(W/S) + 11.8·(Syl/W) − 15.59 with the arithmetic spelled
+    // identically in the oracle (same literals, same op order — the
+    // float-determinism contract of round4HalfUp) and the result
+    // grid-rounded at 1e-2. Pure per-row codegen'd regex counts — zero
+    // shuffles at any corpus size; the counts ship alongside the grade
+    // so a downstream gate can threshold on exact integers instead.
+    "t_readability" -> { (s, d) =>
+      readability(Tables.documents(s, d)).orderBy("doc_id")
     },
     // quality scoring: length/stopword/type-token-ratio mix
     "t_quality_score" -> { (s, d) =>
@@ -505,6 +542,21 @@ object TextAnalysis {
         |  FROM counts)
         |WHERE rk <= 5
         |ORDER BY lang, n DESC, ngram""".stripMargin,
+    "t_readability" ->
+      s"""SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  floor((0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+         |       + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+         |       - 15.59) * 100.0 + 0.5) / 100.0 AS fk_grade
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len($oracleToks) AS INT) AS n_words,
+         |    CAST(greatest(1,
+         |      len(regexp_extract_all(text, '[.!?]+'))) AS INT)
+         |      AS n_sentences,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         |      AS INT) AS n_syllables
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "t_quality_score" ->
       s"""SELECT doc_id,
          |  floor(ttr * 10000 + 0.5) / 10000.0 AS type_token_ratio,

@@ -85,4 +85,50 @@ class FunnelSpec extends AnyFunSuite {
       .orderBy("stage").collect().map(r => (r.getString(1), r.getLong(2)))
     assert(got.toSeq == Seq(("signup", 2L), ("view", 1L)))
   }
+
+  test("rolling active users: trailing-window membership, distinct " +
+      "users, only observed days reported") {
+    def dts(d: Int, i: Int = 0) =
+      new Timestamp(d * 86400000L + i * 1000L)
+    val events = Seq(
+      (1L, "view", dts(0)), (1L, "view", dts(3)),
+      // user 2 active twice the same day — counts once
+      (2L, "click", dts(0)), (2L, "view", dts(0, 5)),
+      (3L, "view", dts(8)))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventWindows.rollingActiveUsers(events, 7)
+      .orderBy("report_day").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(
+      (0L, 2L),  // day 0: users 1, 2
+      (3L, 2L),  // days -3..3: user 1 (again) + user 2 — still distinct 2
+      (8L, 2L))) // days 2..8: user 1 (day 3) + user 3; day 0 aged out
+    // days 1, 2, 4... had no events: not report rows even though users
+    // were still "active" in their trailing windows
+  }
+
+  test("hourly anomalies: integer two-sigma test, incomplete baseline " +
+      "never flags, zero-variance baseline flags any deviation") {
+    def hts(h: Int, i: Int) =
+      new Timestamp(h * 3600000L + i * 1000L)
+    val events = (
+      // hours 0-2: 2 events each (constant baseline), hour 3: 6 (spike),
+      // hour 4: back to 2 — inside 2σ of the now-noisy baseline
+      (0 to 2).flatMap(h => Seq.tabulate(2)(i => ("click", hts(h, i)))) ++
+        Seq.tabulate(6)(i => ("click", hts(3, i))) ++
+        Seq.tabulate(2)(i => ("click", hts(4, i))))
+      .toDF("event_type", "ts")
+    val got = EventWindows.hourlyAnomalies(events, baseline = 3)
+      .orderBy("hour_bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, -1L, false),  // no baseline at all
+      (1L, 2L, -1L, false),  // 1 of 3 baseline hours
+      (2L, 2L, -1L, false),  // 2 of 3
+      // hour 3: S=6 S2=12 → variance 0, any deviation flags: (3·6−6)²=144 > 0
+      (3L, 6L, 6L, true),
+      // hour 4: S=10 S2=44 → (3·2−10)²=16 ≤ 4·(132−100)=128: not flagged
+      (4L, 2L, 10L, false)))
+  }
 }

@@ -255,6 +255,25 @@ class PipelineSpec extends AnyFunSuite {
       s"exact=${exact.size} approx=${approx.size} inter=$inter")
   }
 
+  test("readability: syllable runs, sentence floor, and negative grades " +
+      "on a hand fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world."),     // 2 words, 1 sentence, 3 vowel runs
+      (2L, "sky sky"),          // y counts as a vowel; no punctuation → 1
+      (3L, "go now! stop. ok?"), // 3 sentence runs, punct glued to words
+      (4L, "queue"))            // consecutive vowels are ONE run
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis.readability(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (2, 1, 3, 2.89),
+      (2, 1, 2, -3.01),  // grade below kindergarten: still well-defined
+      (4, 3, 4, -3.27),
+      (1, 1, 1, -3.4)))
+  }
+
   test("multimodal decode keeps partition count (mapPartitions shape)") {
     val meta = graft.pipeline.Multimodal.decodeMeta(spark, sf)
     assert(meta.rdd.getNumPartitions ==
