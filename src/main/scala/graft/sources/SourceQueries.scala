@@ -96,6 +96,28 @@ object SourceQueries {
       val sl = slice(s, d)
       sl.coalesce(4).write.mode("overwrite").orc(dir)
       aggAndClean(s, s.read.schema(sl.schema).orc(dir), () => (), dir)
+    },
+    // XML round trip — Spark 4's built-in XML source (the spark-xml
+    // lineage, SPARK-44265). Explicit schema + rowTag, PERMISSIVE like
+    // the JSONL/CSV tiers: a malformed-row file rides along and must
+    // quarantine (null row), never poison the aggregate or kill the
+    // read. The ingest shape for the feed/sitemap-style corpora a
+    // crawl pipeline actually receives.
+    "src_xml_roundtrip" -> { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_xml").toString
+      val sl = slice(s, d)
+      sl.coalesce(4).write.mode("overwrite")
+        .option("rowTag", "event").xml(dir)
+      writeLines(dir, "garbage.xml",
+        Seq("<event><event_id>not_a_number</event_id>" +
+          "<user_id>2</user_id><event_type>click</event_type>" +
+          "<value>3.5</value></event>",
+          "<event><unclosed></event"))
+      val back = s.read.option("rowTag", "event")
+        .option("mode", "PERMISSIVE").schema(sl.schema).xml(dir)
+        .filter(col("event_id").isNotNull)
+      aggAndClean(s, back, () => (), dir)
     })
 
   private val RoundtripSql =
@@ -109,5 +131,6 @@ object SourceQueries {
   val oracles: Map[String, String] = Map(
     "src_jsonl_roundtrip" -> RoundtripSql,
     "src_csv_roundtrip" -> RoundtripSql,
-    "src_orc_roundtrip" -> RoundtripSql)
+    "src_orc_roundtrip" -> RoundtripSql,
+    "src_xml_roundtrip" -> RoundtripSql)
 }
