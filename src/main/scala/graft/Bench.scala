@@ -59,7 +59,12 @@ object Bench {
       try { SparkEntry.queries(q)(spark, sfDir).count() }
       catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for fast local iteration; the round
+    // driver leaves it unset and benches everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def sample(): (Boolean, Double) = {
         val t0 = System.nanoTime()
         val ok =

@@ -10,20 +10,32 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events` with `ts` converted from raw nanos to a microsecond
-    * TimestampType. Integer `div` (not `/`) — nano epochs exceed 2^53 so a
-    * double division would silently lose precision.
+  /** `events` with `ts` normalized to a microsecond TimestampType,
+    * whatever vintage the fixture is. Two vintages exist:
     *
-    * events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; `nanosAsLong` is a SQL conf (not a reader option), so the
-    * flag is necessarily session-wide — but only THIS loader sets it, so
-    * sessions that never read events keep default parquet semantics.
+    *  - TIMESTAMP(NANOS): Spark 4 rejects it by default; `nanosAsLong`
+    *    (a SQL conf, not a reader option, hence session-wide — but only
+    *    THIS loader sets it) surfaces it as a raw-nanos LongType, which
+    *    we convert with integer `div` (not `/`) — nano epochs exceed
+    *    2^53 so a double division would silently lose precision.
+    *  - TIMESTAMP(MICROS): loads natively as Timestamp(NTZ); just cast
+    *    to the session TimestampType, no arithmetic.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions
-        .expr("timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other (expected raw-nanos LONG or TIMESTAMP)")
+    }
   }
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")

@@ -18,13 +18,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // query -> exception head for every throwing query, dumped as
+    // verify_errors.json so a broken query shows up as first-class data in
+    // the round's correctness signal instead of silently vanishing from
+    // the comparator's output (its parquet dir is deleted below).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val head = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.next()
+        System.err.println(s"[verify] $name failed: $head")
+        errors(name) = s"${e.getClass.getSimpleName}: $head"
         // a previous run's output for this query must NOT survive: the
         // driver's compare would read the stale parquet as current and
         // report a broken query as passing
@@ -50,6 +58,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()
   }
 }

@@ -151,11 +151,20 @@ object Agreement {
     "a_gate_agreement" -> { (s, d) =>
       gateAgreement(Tables.documents(s, d), 0.25).orderBy("lang")
     },
-    // Ground-truth audit tier (runs the uncapped all-pairs side, like
-    // d_ngram_jaccard — documented as NOT the 100 TB path; at scale the
-    // drift is estimated from a sampled slice with this same query).
+    // Full-corpus drift audit with a SCALE-SAFE exact side: the exact
+    // pair set comes from [[Dedup.prefixJaccardPairs]] (AllPairs/PPJoin
+    // prefix filtering — provably lossless, candidates bounded by the
+    // (1−t) prefix instead of all-pairs posting lists), the capped set
+    // from the df-capped production tier, and the drift is their
+    // symmetric difference. Identical output to the one-pass all-pairs
+    // formulation (same oracle), but the uncapped posting-list self-join
+    // — measured 82 s at sf0.1, 41% of the whole bench, quadratic in
+    // hot-shingle df at scale — is gone. [[cappedDriftOnePass]] stays
+    // available for offline audits but is deliberately not registered.
     "a_capped_pair_drift" -> { (s, d) =>
-      cappedDriftOnePass(Tables.documents(s, d), 0.8, maxDf = 2)
+      val docs = Tables.documents(s, d)
+      pairDrift(Dedup.prefixJaccardPairs(docs, 0.8),
+          Dedup.jaccardPairs(docs, 0.8, maxDf = 2))
         .orderBy("da", "db", "side")
     })
 
