@@ -216,7 +216,92 @@ object Similarity {
       .transform(topK(_, 10))
   }
 
+  /** ANN-fidelity AUDIT (same role [[Agreement.gateAgreement]] plays for
+    * quality gates): per query id, the size of the brute-force top-10,
+    * the LSH tier's top-10, and their overlap — recall made an
+    * oracle-checkable RESULT rather than only a spec assertion. This is
+    * only possible because the LSH tier is deterministic end to end:
+    * the hyperplanes are literal constants ([[planeComponent]] — pure
+    * integer mixing), so the oracle SQL regenerates the identical
+    * planes as array literals and replays signature → bucket join →
+    * cosine re-rank in DuckDB. Both engines sum dot products
+    * left-to-right in double precision, so the sign bits (and hence
+    * buckets) agree bit-for-bit.
+    */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val bf = exactAndLsh("s_ann_bruteforce")(s, d).select("qid", "nid")
+    val ann = exactAndLsh("s_ann_lsh")(s, d).select("qid", "nid")
+    val nBf = bf.groupBy("qid").agg(count(lit(1)).as("n_bf"))
+    val nAnn = ann.groupBy("qid").agg(count(lit(1)).as("n_ann"))
+    val nCommon = bf.join(ann, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_common"))
+    // brute force always ranks every query id: left joins from it
+    nBf.join(nAnn, Seq("qid"), "left")
+      .join(nCommon, Seq("qid"), "left")
+      .select(col("qid"), col("n_bf"),
+        coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .orderBy("qid")
+  }
+
+  /** DuckDB twin of [[annRecall]]: the 8×4 hyperplane family embedded as
+    * double literals (Double.toString round-trips exactly; DuckDB parses
+    * shortest-round-trip decimals back to the same IEEE double).
+    */
+  private def annRecallOracle: String = {
+    val tables = 8; val bits = 4; val dims = 64
+    def planeLit(t: Int, b: Int): String =
+      (0 until dims).map(i => planeComponent(t, b, i).toString)
+        .mkString("[", ", ", "]")
+    val sigSelects = (0 until tables).map { t =>
+      val bitTerms = (0 until bits).map { b =>
+        s"${1 << b}*(CASE WHEN list_dot_product(v, ${planeLit(t, b)})" +
+          " > 0 THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      s"  SELECT vec_id, $t AS t, $bitTerms AS sig FROM e"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sigs AS (
+       |$sigSelects),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM sigs q JOIN sigs c
+       |    ON q.t = c.t AND q.sig = c.sig AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5),
+       |lsh AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT cand.qid, cand.nid, row_number() OVER (
+       |        PARTITION BY cand.qid
+       |        ORDER BY list_cosine_similarity(eq.v, ec.v) DESC, cand.nid
+       |      ) AS rk
+       |    FROM cand
+       |    JOIN e eq ON eq.vec_id = cand.qid
+       |    JOIN e ec ON ec.vec_id = cand.nid)
+       |  WHERE rk <= 10),
+       |bf AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS nid, row_number() OVER (
+       |        PARTITION BY a.vec_id
+       |        ORDER BY list_cosine_similarity(a.embedding, b.embedding)
+       |          DESC, b.vec_id) AS rk
+       |    FROM embeddings a, embeddings b
+       |    WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id)
+       |  WHERE rk <= 10)
+       |SELECT bfc.qid, bfc.n_bf,
+       |  coalesce(annc.n_ann, 0) AS n_ann,
+       |  coalesce(cc.n_common, 0) AS n_common
+       |FROM (SELECT qid, count(*) AS n_bf FROM bf GROUP BY qid) bfc
+       |LEFT JOIN (SELECT qid, count(*) AS n_ann FROM lsh
+       |           GROUP BY qid) annc USING (qid)
+       |LEFT JOIN (SELECT bf.qid, count(*) AS n_common
+       |           FROM bf JOIN lsh USING (qid, nid)
+       |           GROUP BY bf.qid) cc USING (qid)
+       |ORDER BY qid""".stripMargin
+  }
+
   lazy val queries: Map[String, Q] = exactAndLsh ++ Map(
+    "a_ann_recall" -> { (s, d) => annRecall(s, d) },
     "s_ann_pq" -> { (s, d) => pqQuery(s, d) },
     // IVF-style ANN: 16 deterministic centroids (a corpus sample), each
     // vector assigned to its nearest cell; queries probe their top-10
@@ -259,7 +344,8 @@ object Similarity {
         .transform(topK(_, 10))
     })
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = Map(
+    "a_ann_recall" -> annRecallOracle,
     "s_ann_bruteforce" ->
       """SELECT qid, nid, rank FROM (
         |  SELECT a.vec_id AS qid, b.vec_id AS nid,

@@ -107,8 +107,25 @@ object SourceQueries {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_xml").toString
       val sl = slice(s, d)
-      sl.coalesce(4).write.mode("overwrite")
+      // Schema-evolution tier: hold the min-event_id row OUT of the bulk
+      // write and re-inject it as a hand-built v2 document carrying an
+      // extra element the schema doesn't know (`crawl_meta`, the field a
+      // crawler upgrade would add). The aggregate below can match the
+      // oracle ONLY if that evolved row parses as a valid data row —
+      // unknown elements must be ignored, not quarantine the row — so
+      // evolution tolerance is hash-checked, not just asserted.
+      val h = sl.orderBy("event_id").limit(1).collect()(0)
+      sl.filter(col("event_id") =!= h.getLong(0))
+        .coalesce(4).write.mode("overwrite")
         .option("rowTag", "event").xml(dir)
+      val valueXml =
+        if (h.isNullAt(3)) "" else s"<value>${h.getDouble(3)}</value>"
+      writeLines(dir, "evolved.xml",
+        Seq(s"<event><event_id>${h.getLong(0)}</event_id>" +
+          s"<user_id>${h.getLong(1)}</user_id>" +
+          s"<event_type>${h.getString(2)}</event_type>" + valueXml +
+          "<crawl_meta schema=\"v2\"><depth>3</depth>" +
+          "<fetched>2026-01-01</fetched></crawl_meta></event>"))
       writeLines(dir, "garbage.xml",
         Seq("<event><event_id>not_a_number</event_id>" +
           "<user_id>2</user_id><event_type>click</event_type>" +
