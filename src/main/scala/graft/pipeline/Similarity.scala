@@ -153,11 +153,14 @@ object Similarity {
       .select(col("vec_id"),
         VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
     // deterministic codebook sample, same trick as IVF: the k corpus
-    // vectors with smallest xxhash64(vec_id). k rows to the driver — the
-    // same size class as a broadcast side, and the codebook must become
-    // a plan LITERAL so encoding/ADC stay per-row codegen expressions.
+    // vectors with smallest mixHash(vec_id) — pure int64 arithmetic any
+    // engine recomputes, unlike xxhash64 (see s_ann_ivf's oracle). k rows
+    // to the driver — the same size class as a broadcast side, and the
+    // codebook must become a plan LITERAL so encoding/ADC stay per-row
+    // codegen expressions.
     val centRows = e
-      .select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("h"))
+      .select(col("vec_id"), col("v"),
+        TrainingSet.mixHash(col("vec_id")).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(16)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     // k follows what the corpus could supply: on a tiny input the
@@ -307,16 +310,23 @@ object Similarity {
     // vector assigned to its nearest cell; queries probe their top-10
     // cells and re-rank exactly within candidates. Corpus cost at scale:
     // one assignment scan + equi-join on cell id — no all-pairs product.
+    // Every step is deterministic pure arithmetic, so unlike LSH/PQ this
+    // tier carries a FULL output oracle (see `oracles`): DuckDB replays
+    // centroid sampling → cell assignment → probe → re-rank and must
+    // reproduce the (qid, nid, rank) rows bit-for-bit.
     "s_ann_ivf" -> { (s, d) =>
       val e = Tables.spread(Tables.embeddings(s, d))
         .select(col("vec_id"),
           VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
       // deterministic "training" with NO driver-side count scan: the 16
-      // corpus vectors with the smallest xxhash64(vec_id) are the
+      // corpus vectors with the smallest mixHash(vec_id) are the
       // centroids — a TakeOrderedAndProject (per-partition heaps, 16 rows
-      // to the driver), order-stable across runs/retries/partitionings.
+      // to the driver), order-stable across runs/retries/partitionings,
+      // and (unlike xxhash64) plain int64 arithmetic the oracle engine
+      // recomputes exactly.
       val cents = e
-        .select(col("vec_id"), col("v"), xxhash64(col("vec_id")).as("h"))
+        .select(col("vec_id"), col("v"),
+          TrainingSet.mixHash(col("vec_id")).as("h"))
         .orderBy(col("h"), col("vec_id")).limit(16)
         .withColumn("cid", (row_number().over(
           Window.orderBy(col("h"), col("vec_id"))) - 1).cast("int"))
@@ -344,8 +354,50 @@ object Similarity {
         .transform(topK(_, 10))
     })
 
+  /** DuckDB twin of the complete IVF pipeline. Reproducibility rests on
+    * three facts: the centroid sample is ranked by pure int64 arithmetic
+    * (mixHash), normalization and dot products are left-to-right double
+    * sums in both engines, and every tie in the argmax/rank steps breaks
+    * on an integer id.
+    */
+  private def annIvfOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding::DOUBLE[], x -> x /
+      |      sqrt(list_dot_product(embedding::DOUBLE[],
+      |                            embedding::DOUBLE[]))) AS v
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v
+      |  FROM (SELECT vec_id, v,
+      |          ((vec_id * 2654435761) % 4294967296) AS h FROM e)
+      |  ORDER BY h, vec_id LIMIT 16),
+      |assigned AS (
+      |  SELECT vec_id, v, cid AS cell FROM (
+      |    SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+      |        PARTITION BY e.vec_id
+      |        ORDER BY list_dot_product(e.v, c.v) DESC, c.cid) AS rn
+      |    FROM e CROSS JOIN cents c)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT qid, cell FROM (
+      |    SELECT q.vec_id AS qid, c.cid AS cell, row_number() OVER (
+      |        PARTITION BY q.vec_id
+      |        ORDER BY list_dot_product(q.v, c.v) DESC, c.cid) AS rn
+      |    FROM e q CROSS JOIN cents c WHERE q.vec_id < 5)
+      |  WHERE rn <= 10)
+      |SELECT qid, nid, rank FROM (
+      |  SELECT p.qid, a.vec_id AS nid, row_number() OVER (
+      |      PARTITION BY p.qid
+      |      ORDER BY list_dot_product(eq.v, a.v) DESC, a.vec_id) AS rank
+      |  FROM probes p
+      |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.qid
+      |  JOIN e eq ON eq.vec_id = p.qid)
+      |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   lazy val oracles: Map[String, String] = Map(
     "a_ann_recall" -> annRecallOracle,
+    "s_ann_ivf" -> annIvfOracle,
     "s_ann_bruteforce" ->
       """SELECT qid, nid, rank FROM (
         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
