@@ -507,6 +507,55 @@ object Dedup {
           x => x.getField("tok")), " ").as("text_stripped"))
   }
 
+  /** Per-SOURCE boilerplate removal — the C4/RefinedWeb preprocessing
+    * step that strips navigation banners, cookie notices, and footers: a
+    * token position is dropped when it sits inside an `n`-token span
+    * whose verbatim content appears in at least
+    * `max(minDocs, ceil(minFrac · |docs(source)|))` DISTINCT documents
+    * of the SAME source. Differs from [[stripDupSpans]] on both axes
+    * that matter for web corpora: the frequency bar scales with the
+    * domain (a chrome line on 50% of a site's pages is boilerplate; two
+    * pages quoting each other are near-dups, not chrome), and the span
+    * universe is partitioned by source, so one site's template never
+    * bleeds into another's.
+    *
+    * Shape at 100 TB: grams are position-free 64-bit hashes keyed
+    * (source, hash) — the df aggregation is one shuffle on that compound
+    * key; the qualifying ("hot") set is tiny by construction (only spans
+    * on ≥ minFrac of a domain's pages); the coverage explode is n×
+    * bounded and touches only hot occurrences. Per-doc reassembly sorts
+    * one doc's tokens. Nothing is quadratic in corpus or domain size.
+    */
+  def stripBoilerplate(docs: DataFrame, n: Int = 4, minFrac: Double = 0.5,
+      minDocs: Int = 2): DataFrame = {
+    val base = graft.Tables.spread(docs)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+    val nd = base.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val grams = base.filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0), size(col("t")) - n)).as("pos"), col("t"))
+      .select(col("doc_id"), col("source"), col("pos"),
+        xxhash64((0 until n).map(j =>
+          element_at(col("t"), col("pos") + j + 1)): _*).as("g"))
+    val hot = grams.select("source", "g", "doc_id").distinct()
+      .groupBy("source", "g").agg(count(lit(1)).as("dc"))
+      .join(nd, Seq("source"))
+      .filter(col("dc") >=
+        greatest(lit(minDocs.toLong), ceil(col("n_docs") * minFrac)))
+      .select("source", "g")
+    val covered = grams.join(hot, Seq("source", "g"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val toks = base
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p", "tok")))
+    toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_clean"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: duplicated delivery (doc_id < 100 re-ingested) collapses
     // on content; keeper = min doc_id. Hash-groupBy — single shuffle.
@@ -625,6 +674,28 @@ object Dedup {
     "d_span_strip" -> { (s, d) =>
       stripDupSpans(Tables.documents(s, d), 8).orderBy("doc_id")
     },
+    // Boilerplate strip, exercised as a ROUND TRIP: the fixture has no
+    // natural per-source boilerplate (max per-source 4-gram df is 2), so
+    // the query synthesizes the web reality — every doc of a source gets
+    // that source's 6-token banner prepended and 6-token footer appended
+    // (same template within a source, different across sources), then
+    // [[stripBoilerplate]] runs at minFrac=0.5. The oracle is simply the
+    // ORIGINAL text: a hash match proves the strip removed every banner/
+    // footer token (they are on 100% > 50% of the source's docs) and not
+    // one body token (spans crossing banner→body mix in per-doc text, so
+    // their df is 1 and they never qualify; the fixture's real near-dup
+    // pairs sit far under the 50% bar).
+    "d_boilerplate_strip" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val injected = docs.select(col("doc_id"), col("source"),
+        concat_ws(" ",
+          col("source"), lit("portal home nav menu search"),
+          col("text"),
+          col("source"), lit("footer terms privacy contact copyright"))
+          .as("text"))
+      stripBoilerplate(injected, n = 4, minFrac = 0.5, minDocs = 2)
+        .orderBy("doc_id")
+    },
     // Embedding cosine near-dup pairs: brute-force on the checkable scale;
     // the LSH-bucketed variant in Similarity is the 100 TB path.
     "d_embedding_dup" -> { (s, d) =>
@@ -642,6 +713,11 @@ object Dedup {
     })
 
   val oracles: Map[String, String] = Map(
+    // the round-trip contract: injected per-source banner/footer out,
+    // body text byte-identical
+    "d_boilerplate_strip" ->
+      """SELECT doc_id, text AS text_clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "d_exact_dup" ->
       """SELECT min(doc_id) AS keeper, count(*) AS copies FROM (
         |  SELECT doc_id, text FROM documents

@@ -94,6 +94,35 @@ class AgreementSpec extends AnyFunSuite {
       3L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9"), s"got $out")
   }
 
+  test("stripBoilerplate: strips per-source frequent spans only; another " +
+      "source's identical template survives below ITS threshold") {
+    import spark.implicits._
+    // source A: 4 docs, 3 of which open with the same 4-token banner
+    // (df 3 ≥ ceil(0.5·4) = 2 → boilerplate); source B: 4 docs, ONE of
+    // which carries A's banner verbatim (df 1 in B < 2 → kept — the
+    // per-source partitioning is the point of the operator)
+    val docs = Seq(
+      (1L, "A", "nav home about contact w1 w2 w3 w4"),
+      (2L, "A", "nav home about contact x1 x2 x3 x4"),
+      (3L, "A", "nav home about contact y1 y2 y3 y4"),
+      (4L, "A", "a1 a2 a3 a4 a5 a6 a7 a8"),
+      (5L, "B", "nav home about contact b1 b2 b3 b4"),
+      (6L, "B", "c1 c2 c3 c4 c5 c6 c7 c8"),
+      (7L, "B", "d1 d2 d3 d4 d5 d6 d7 d8"),
+      (8L, "B", "e1 e2 e3 e4 e5 e6 e7 e8"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.stripBoilerplate(docs, n = 4, minFrac = 0.5,
+        minDocs = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "w1 w2 w3 w4", 2L -> "x1 x2 x3 x4", 3L -> "y1 y2 y3 y4",
+      4L -> "a1 a2 a3 a4 a5 a6 a7 a8",
+      5L -> "nav home about contact b1 b2 b3 b4",
+      6L -> "c1 c2 c3 c4 c5 c6 c7 c8",
+      7L -> "d1 d2 d3 d4 d5 d6 d7 d8",
+      8L -> "e1 e2 e3 e4 e5 e6 e7 e8"), s"got $out")
+  }
+
   test("d_span_strip is consistent with d_span_dup's coverage counts") {
     val docs = Tables.documents(spark, sf)
     val origLen = docs.select(col("doc_id"),
