@@ -90,6 +90,10 @@ object ExplainAudit {
     // span dedup joins only on the span hash — never a pair product
     auditAtMost("d_span_dup", "CartesianProduct|BroadcastNestedLoopJoin", 0)
     auditAtMost("d_span_strip", "CartesianProduct|BroadcastNestedLoopJoin", 0)
+    // boilerplate strip: hot-span detection and coverage join key on
+    // (source, span hash) — never a pair product
+    auditAtMost("d_boilerplate_strip",
+      "CartesianProduct|BroadcastNestedLoopJoin", 0)
     // prefix-filtered exact jaccard: candidate generation and full-set
     // verification are all equi-joins — exactness must never come from
     // a pair product
@@ -133,6 +137,8 @@ object ExplainAudit {
     // PQ: encoding + ADC run corpus-side with only the broadcast query
     // table — the corpus never shuffles before the bounded-heap shortlist
     auditNoneBelow("s_ann_pq", "TopKPerKey", "Sort [")
+    // IVF: candidate re-rank also runs on the bounded heap, sort-free
+    auditNoneBelow("s_ann_ivf", "TopKPerKey", "Sort [")
     // corpus diff joins id+digest only: a full-outer join whose inputs
     // are the md5 projections (the digest projects BELOW the exchange,
     // so the shuffle carries 16-byte hashes, never text payloads)

@@ -112,21 +112,6 @@ object Similarity {
         .transform(topK(_, 10))
     })
 
-  /** (vector → nearest-centroid cell) assignment for IVF: broadcast the
-    * centroid batch, argmax cosine per vector. One corpus scan.
-    */
-  private def assignCells(vectors: DataFrame, centroids: DataFrame,
-      out: String): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
-    vectors.join(broadcast(centroids))
-      .select(col("vec_id"), col("v"),
-        col("cid"), VectorOps.dot(col("v"), col("cv")).as("csim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid").as(out))
-  }
-
   /** Product-quantization ANN (the memory-bounded scale path: IVF bounds
     * WHICH vectors a query touches, PQ bounds what each touched vector
     * COSTS — m code bytes instead of 4·dims, so a 100 TB vector corpus's
@@ -323,35 +308,57 @@ object Similarity {
       // centroids — a TakeOrderedAndProject (per-partition heaps, 16 rows
       // to the driver), order-stable across runs/retries/partitionings,
       // and (unlike xxhash64) plain int64 arithmetic the oracle engine
-      // recomputes exactly.
-      val cents = e
+      // recomputes exactly. Collected to plan LITERALS (the same move as
+      // s_kmeans/PQ): assignment becomes a per-row argmax expression, so
+      // the corpus is never cross-joined against the centroid table nor
+      // shuffled through a per-vector window — at scale that join+window
+      // form moves n·k rows; this form moves zero.
+      val centRows = e
         .select(col("vec_id"), col("v"),
           TrainingSet.mixHash(col("vec_id")).as("h"))
         .orderBy(col("h"), col("vec_id")).limit(16)
-        .withColumn("cid", (row_number().over(
-          Window.orderBy(col("h"), col("vec_id"))) - 1).cast("int"))
-        .select(col("cid"), col("v").as("cv"))
-      val assigned = assignCells(e, cents, "cell")
-      val queries = e.filter(col("vec_id") < 5)
-      // probe top-10 cells per query. nprobe is THE recall/cost dial: this
-      // fixture's embeddings are near-uniform noise (top cosine ≈ 0.51),
-      // so recall ≈ fraction of cells probed; clustered real corpora get
-      // the same recall from far fewer probes. 10/16 here keeps the
-      // recall spec honest instead of relying on a lucky centroid draw.
-      val probes = queries.join(broadcast(cents))
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("cid"), VectorOps.dot(col("v"), col("cv")).as("csim"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("csim").desc,
-            col("cid"))))
-        .filter(col("rn") <= 10)
-        .select(col("qid"), col("qv"), col("cid").as("cell"))
-      assigned.join(broadcast(probes), Seq("cell"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"),
-          VectorOps.dot(col("qv"), col("v")).as("c"))
-        .dropDuplicates("qid", "nid")
-        .transform(topK(_, 10))
+        .select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val k = centRows.length
+      if (k == 0) {
+        e.sparkSession.emptyDataFrame
+          .select(lit(0L).as("qid"), lit(0L).as("nid"), lit(0).as("rank"))
+          .limit(0)
+      } else {
+        val cbLit = typedlit(centRows)
+        // dots[c] = dot(v, centroid_c); cell = first index attaining the
+        // max (array_position compares the max against its own element —
+        // the same double, so exact equality is safe; first-match ties
+        // to the smaller cid, identical to the oracle's `dot DESC, cid`)
+        val dots = transform(sequence(lit(0), lit(k - 1)), c =>
+          VectorOps.dot(col("v"), element_at(cbLit, c + 1)))
+        val assigned = e.withColumn("dots", dots)
+          .select(col("vec_id"), col("v"),
+            (array_position(col("dots"), array_max(col("dots"))) - 1)
+              .cast("int").as("cell"))
+        // probe top-10 cells per query. nprobe is THE recall/cost dial:
+        // this fixture's embeddings are near-uniform noise (top cosine
+        // ≈ 0.51), so recall ≈ fraction of cells probed; clustered real
+        // corpora get the same recall from far fewer probes. 10/16 keeps
+        // the recall spec honest instead of relying on a lucky draw.
+        // The cell ranking is an array_sort over k structs — per-row,
+        // no window, no shuffle; (-dot, cid) ascending ≡ dot desc, cid.
+        val probeCells = slice(array_sort(
+          transform(sequence(lit(0), lit(k - 1)), c =>
+            struct((-element_at(col("dots"), c + 1)).as("nd"),
+              c.as("cid")))), 1, math.min(10, k))
+        val probes = e.filter(col("vec_id") < 5)
+          .withColumn("dots", dots)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            explode(transform(probeCells, x => x.getField("cid")))
+              .as("cell"))
+        // assignment is unique per vector, so (qid, nid) cannot repeat —
+        // no dedup needed between the cell join and the bounded heap
+        assigned.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            VectorOps.dot(col("qv"), col("v")).as("c"))
+          .transform(topK(_, 10))
+      }
     })
 
   /** DuckDB twin of the complete IVF pipeline. Reproducibility rests on
