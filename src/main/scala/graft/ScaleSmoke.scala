@@ -57,7 +57,8 @@ object ScaleSmoke {
     "d_jaccard_prefix", "p_dsir_weights", "d_semdedup", "t_bpe_encode",
     "s_ql", "s_rrf", "w_funnel", "w_retention", "w_transitions",
     "p_epoch_mix", "w_active_users", "w_anomaly", "t_readability",
-    "p_curriculum")
+    "p_curriculum", "d_boilerplate_strip", "a_ann_recall",
+    "a_capped_pair_drift", "p_source_rank")
 
   def synthesize(spark: SparkSession, src: String, out: String): Unit = {
     val fs = new java.io.File(out)
@@ -137,6 +138,10 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    // optional 3rd arg: comma-separated query subset (re-time just the
+    // queries a round changed instead of the full hour-long sweep)
+    val only: Option[Set[String]] =
+      args.lift(2).map(_.split(",").toSet)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -155,7 +160,7 @@ object ScaleSmoke {
         "w_session", "s_ann_ivf"))
       try time(q, src) catch { case _: Throwable => () }
     println(f"${"query"}%-24s ${"sf0.1"}%8s ${"sf1"}%10s ${"ratio"}%7s  rows1")
-    Queries.foreach { q =>
+    Queries.filter(q => only.forall(_.contains(q))).foreach { q =>
       try {
         val (tSmall, _) = time(q, src)
         val (tBig, nBig) = time(q, out)

@@ -32,7 +32,7 @@ object SparkEntry {
       TextAnalysis.queries ++ Multimodal.queries ++ EventWindows.queries ++
       TrainingSet.queries ++ Agreement.queries ++ Bpe.queries ++
       CorpusOps.queries ++ KMeansOps.queries ++ Retrieval.queries ++
-      graft.operators.FuzzyJoin.queries ++
+      GraphRank.queries ++ graft.operators.FuzzyJoin.queries ++
       graft.sources.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,6 +43,6 @@ object SparkEntry {
       TextAnalysis.oracles ++ Multimodal.oracles ++ EventWindows.oracles ++
       TrainingSet.oracles ++ Agreement.oracles ++ Bpe.oracles ++
       CorpusOps.oracles ++ KMeansOps.oracles ++ Retrieval.oracles ++
-      graft.operators.FuzzyJoin.oracles ++
+      GraphRank.oracles ++ graft.operators.FuzzyJoin.oracles ++
       graft.sources.SourceQueries.oracles
 }
