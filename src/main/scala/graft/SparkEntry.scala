@@ -30,7 +30,7 @@ object SparkEntry {
     FilterQueries.queries ++ StreamAnalogs.queries ++ Relational.queries ++
       Dedup.queries ++ Similarity.queries ++ Fingerprints.allQueries ++
       TextAnalysis.queries ++ Multimodal.queries ++ EventWindows.queries ++
-      TrainingSet.queries ++ Agreement.queries ++ Bpe.queries ++
+      TrainingSet.queries ++ Agreement.queries ++ Bpe.queries ++ Unigram.queries ++
       CorpusOps.queries ++ KMeansOps.queries ++ Retrieval.queries ++
       GraphRank.queries ++ graft.operators.FuzzyJoin.queries ++
       graft.sources.SourceQueries.queries
@@ -41,7 +41,7 @@ object SparkEntry {
     FilterQueries.oracles ++ StreamAnalogs.oracles ++ Relational.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Fingerprints.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ EventWindows.oracles ++
-      TrainingSet.oracles ++ Agreement.oracles ++ Bpe.oracles ++
+      TrainingSet.oracles ++ Agreement.oracles ++ Bpe.oracles ++ Unigram.oracles ++
       CorpusOps.oracles ++ KMeansOps.oracles ++ Retrieval.oracles ++
       GraphRank.oracles ++ graft.operators.FuzzyJoin.oracles ++
       graft.sources.SourceQueries.oracles
