@@ -153,6 +153,9 @@ object ExplainAudit {
     // (the shuffles carry combined longs, never token rows), and the
     // vocab-size scalar rides a one-row broadcast cross join
     audit("t_ngram_lm", "partial_count", "BroadcastNestedLoopJoin")
+    // domain-LM scoring keeps the same contract with the target-trained
+    // tables (left joins on the bigram/unigram keys, scalar broadcast)
+    audit("p_lm_domain_score", "partial_count", "BroadcastNestedLoopJoin")
     // k-means assignment is a shuffle-free scan: centroids are literal
     // argmin expressions, so the returned pass has NO hash exchange
     // (the recompute's constant-size k·dim shuffle runs inside the

@@ -58,7 +58,8 @@ object ScaleSmoke {
     "s_ql", "s_rrf", "w_funnel", "w_retention", "w_transitions",
     "p_epoch_mix", "w_active_users", "w_anomaly", "t_readability",
     "p_curriculum", "d_boilerplate_strip", "a_ann_recall",
-    "a_capped_pair_drift", "p_source_rank")
+    "a_capped_pair_drift", "p_source_rank", "p_lm_domain_score",
+    "t_unigram_train", "t_unigram_encode")
 
   def synthesize(spark: SparkSession, src: String, out: String): Unit = {
     val fs = new java.io.File(out)

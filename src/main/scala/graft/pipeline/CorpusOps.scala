@@ -59,6 +59,46 @@ object CorpusOps {
           .as("ce"))
   }
 
+  /** The CCNet deployment shape of the bigram LM: count tables trained
+    * on a TARGET slice (the high-quality/in-domain corpus), every doc
+    * scored against them — in-domain text scores low cross-entropy,
+    * out-of-domain high, and the score RANKS the crawl for filtering.
+    * Differs from [[bigramCrossEntropy]] (self-trained) in the joins:
+    * a scored doc's n-gram may be absent from the target tables, so
+    * both lookups are left joins with add-one smoothing absorbing the
+    * zero (log2(1/(0+vsz)) for a fully-unseen bigram — finite, large).
+    *
+    * Same scale shape as the self-trained form: count tables are
+    * vocabulary-bounded aggregations of the TARGET (typically the small
+    * side — a curated corpus), the crawl is scanned once and joined on
+    * the bigram/unigram keys; the vocab-size scalar rides a one-row
+    * broadcast cross join.
+    */
+  def bigramCrossEntropyAgainst(target: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    def bigrams(df: DataFrame) = df.select(col("doc_id"),
+      explode(zip_with(slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("b"))))
+        .as("z"))
+      .select(col("doc_id"), col("z.w1").as("w1"), col("z.b").as("b"))
+    val uni = target.select(explode(toks(col("text"))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val big = bigrams(target).groupBy("b").agg(count(lit(1)).as("c2"))
+    val vdf = uni.agg(count(lit(1)).as("vsz"))
+    bigrams(docs)
+      .join(big, Seq("b"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vdf))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        round4HalfUp(-avg(log2(
+          (coalesce(col("c2"), lit(0L)) + 1.0) /
+            (coalesce(col("c1"), lit(0L)) + col("vsz")))))
+          .as("ce"))
+  }
+
   /** Canonical normal form: lowercase, strip non-alphanumerics, collapse
     * runs of spaces, trim. Pure per-row codegen'd expressions — the
     * pass every text pipeline runs before fingerprinting/dedup so that
@@ -186,6 +226,14 @@ object CorpusOps {
       bigramCrossEntropy(Tables.spread(Tables.documents(s, d)))
         .orderBy("doc_id")
     },
+    // domain-LM filtering, the CCNet deployment: target = the English
+    // slice, every doc scored against ITS statistics — the in-domain/
+    // out-of-domain ranking signal
+    "p_lm_domain_score" -> { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+      bigramCrossEntropyAgainst(docs.filter(col("lang") === "en"), docs)
+        .orderBy("doc_id")
+    },
     // Curriculum ordering: per-language LM cross-entropy deciles —
     // bucket 0 is the "easiest" (lowest-perplexity) tenth, the order a
     // curriculum-learning schedule feeds data in. percent_rank ties on
@@ -243,6 +291,30 @@ object CorpusOps {
         |  floor(-avg(log2((c2 + 1.0) / (c1 + vsz))) * 10000 + 0.5)
         |    / 10000.0 AS ce
         |FROM bg JOIN big USING (b) JOIN uni USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "p_lm_domain_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |ttoks AS (
+        |  SELECT doc_id, string_split(text, ' ') t FROM documents
+        |  WHERE lang = 'en'),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS b
+        |  FROM toks, unnest(range(1, len(t))) u(i)),
+        |tbg AS (
+        |  SELECT t[i] || ' ' || t[i + 1] AS b
+        |  FROM ttoks, unnest(range(1, len(t))) u(i)),
+        |uni AS (
+        |  SELECT w1, count(*) c1
+        |  FROM (SELECT unnest(t) w1 FROM ttoks) GROUP BY 1),
+        |big AS (SELECT b, count(*) c2 FROM tbg GROUP BY 1),
+        |v AS (SELECT count(*) vsz FROM uni)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  floor(-avg(log2((coalesce(c2, 0) + 1.0)
+        |    / (coalesce(c1, 0) + vsz))) * 10000 + 0.5)
+        |    / 10000.0 AS ce
+        |FROM bg LEFT JOIN big USING (b) LEFT JOIN uni USING (w1)
+        |CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "p_curriculum" ->
       """WITH toks AS (

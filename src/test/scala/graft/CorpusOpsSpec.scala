@@ -13,6 +13,8 @@ class CorpusOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.get
   import spark.implicits._
 
+  private val sf = "/root/testdata/sf0.001"
+
   test("bigram LM scores repeated fluent text below unseen gibberish") {
     val docs = (
       (1 to 20).map(i => (i.toLong, "the cat sat on the mat")) :+
@@ -24,6 +26,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     // bigrams are singletons over a vocab they barely share
     assert(ce(1L) < ce(99L),
       s"fluent ${ce(1L)} must score below gibberish ${ce(99L)}")
+  }
+
+  test("domain LM: in-target text scores below out-of-domain, unseen " +
+      "bigrams stay finite") {
+    val target = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (50L, "the cat sat on the mat"), // pure in-domain
+      (60L, "zq xv qj wk vx kq")) // every bigram unseen by the target
+      .toDF("doc_id", "text")
+    val ce = CorpusOps.bigramCrossEntropyAgainst(target, docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(ce(50L) < ce(60L),
+      s"in-domain ${ce(50L)} must score below ood ${ce(60L)}")
+    assert(!ce(60L).isInfinite && !ce(60L).isNaN)
+  }
+
+  test("domain LM on the fixture: the en target slice is enriched in " +
+      "the low-cross-entropy half") {
+    val docs = Tables.documents(spark, sf)
+    val scored = CorpusOps.bigramCrossEntropyAgainst(
+        docs.filter(col("lang") === "en"), docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val half = scored.count() / 2
+    val lowHalfEn = scored.orderBy("ce").limit(half.toInt)
+      .filter(col("lang") === "en").count().toDouble / half
+    val overallEn = scored.filter(col("lang") === "en").count().toDouble /
+      scored.count()
+    assert(lowHalfEn > overallEn,
+      s"en share in low-ce half $lowHalfEn must exceed base rate $overallEn")
   }
 
   test("docs with fewer than two tokens drop out (no bigrams)") {
