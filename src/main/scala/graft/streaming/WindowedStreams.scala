@@ -73,6 +73,60 @@ object WindowedStreams {
     * Near-dup (MinHash) stays batch-side — it needs corpus-wide candidate
     * joins, which is a compaction job, not a per-record stream decision.
     */
+  /** CCNet-deployment domain-LM gate for a record stream: each payload's
+    * bigram cross-entropy against count tables trained on the STATIC
+    * `target` corpus; records above `maxCe` (out-of-domain) drop. The
+    * trained model — unigram/bigram count maps + vocab size — is a
+    * driver-held artifact broadcast to executors, exactly how CCNet
+    * ships its KenLM binary to workers; it is vocabulary-bounded (never
+    * corpus-sized), the same size class as the engine's codebooks. The
+    * scoring itself is stateless per record, so the stream trivially
+    * equals the batch operator
+    * ([[graft.pipeline.CorpusOps.bigramCrossEntropyAgainst]]) under any
+    * batch split — StreamingWindowSpec pins the agreement at the
+    * operator's own 1e-4 rounding grain. Records with fewer than two
+    * tokens have no bigrams and drop, matching the batch semantics.
+    */
+  def domainScoreGate(records: DataFrame, target: DataFrame,
+      maxCe: Double): DataFrame = {
+    val spark = target.sparkSession
+    import spark.implicits._
+    val uni = target.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    val big = target.select(col("text"))
+      .select(explode(expr(
+        "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1)," +
+          " slice(split(text, ' '), 2, size(split(text, ' ')) - 1)," +
+          " (a, b) -> concat(a, ' ', b))")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    val vsz = uni.size
+    val bcU = spark.sparkContext.broadcast(uni)
+    val bcB = spark.sparkContext.broadcast(big)
+    records
+      .withColumn("text", col("data").cast("string"))
+      .select(col("sequenceNumber"), col("partitionKey"), col("text"))
+      .as[(String, String, String)]
+      .flatMap { case (seq, key, text) =>
+        val t = text.split(" ")
+        if (t.length < 2) None
+        else {
+          var s = 0.0
+          var i = 0
+          while (i < t.length - 1) {
+            val c2 = bcB.value.getOrElse(t(i) + " " + t(i + 1), 0L)
+            val c1 = bcU.value.getOrElse(t(i), 0L)
+            s += math.log((c2 + 1.0) / (c1 + vsz)) / math.log(2.0)
+            i += 1
+          }
+          val ce = math.floor(-s / (t.length - 1) * 10000 + 0.5) / 10000.0
+          if (ce <= maxCe) Some((seq, key, text, ce)) else None
+        }
+      }
+      .toDF("sequenceNumber", "partitionKey", "text", "ce")
+  }
+
   def qualityGate(records: DataFrame, minQuality: Double,
       lateness: String): DataFrame =
     records

@@ -153,5 +153,37 @@ object syntax {
       */
     def graftEpochMix(factors: Seq[(String, Int)]): DataFrame =
       pipeline.TrainingSet.epochMix(df, factors)
+
+    /** Per-source boilerplate (template chrome) removal over
+      * (doc_id, source, text) ([[pipeline.Dedup.stripBoilerplate]]).
+      */
+    def graftStripBoilerplate(n: Int = 4, minFrac: Double = 0.5,
+        minDocs: Int = 2): DataFrame =
+      pipeline.Dedup.stripBoilerplate(df, n, minFrac, minDocs)
+
+    /** PageRank domain ranking over (doc_id, source, text): edges from
+      * cross-source shared spans ([[pipeline.GraphRank]]).
+      */
+    def graftSourceRank(iters: Int = 10, damping: Double = 0.85)
+        : DataFrame = {
+      val nodes = df.select(
+        org.apache.spark.sql.functions.col("source").as("node")).distinct()
+      pipeline.GraphRank.pageRank(nodes,
+        pipeline.GraphRank.sourceEdges(df), iters, damping)
+    }
+
+    /** Domain-LM cross-entropy of each (doc_id, text) row against count
+      * tables trained on `target`
+      * ([[pipeline.CorpusOps.bigramCrossEntropyAgainst]]).
+      */
+    def graftDomainScore(target: DataFrame): DataFrame =
+      pipeline.CorpusOps.bigramCrossEntropyAgainst(target, df)
+
+    /** Unigram-LM (SentencePiece hard-EM) piece table learned from the
+      * corpus's word vocabulary ([[pipeline.Unigram.train]]).
+      */
+    def graftUnigramTable(vocabSize: Int = 512,
+        rounds: Int = 3): Seq[(String, Long)] =
+      pipeline.Unigram.train(pipeline.Bpe.vocabulary(df), vocabSize, rounds)
   }
 }

@@ -107,6 +107,45 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(streamed.size < 12L * 10L)
   }
 
+  test("streaming domain-LM gate: in-domain passes, OOD drops, ce equals " +
+      "the batch operator across batch splits") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wdomain").toString
+    val base = 1700000000L
+    val target = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val inD = "the cat sat on the mat"
+    val ood = "zq xv qj wk vx kq"
+    def body(seq: String, text: String, t: Long) =
+      KinesisRecord(text.getBytes("UTF-8"), "k", seq,
+        new Timestamp(t * 1000), "None")
+    // two separate writes → two files → the file stream delivers them
+    // in separate micro-batches; stateless scoring must not care
+    writeRecords(dir, Seq(body("1", inD, base), body("2", ood, base + 1)))
+    writeRecords(dir, Seq(body("3", inD, base + 2),
+      body("4", "solo", base + 3))) // <2 tokens → dropped
+    val stream = spark.readStream.schema(KinesisRecord.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    // thresholds sit between the two scores: in-domain ≈ 1.1 bits
+    // (every bigram seen 20×), OOD ≈ 2.32 (-log2(1/vsz), vsz = 5)
+    val q = WindowedStreams.domainScoreGate(stream, target, maxCe = 2.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wdomain").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("wdomain").collect()
+      .map(r => r.getAs[String]("sequenceNumber") ->
+        r.getAs[Double]("ce")).toMap
+    // OOD ce on this target: every bigram unseen, every unigram unseen
+    // except none → -log2(1/vsz)... must exceed the gate; in-domain low
+    assert(out.keySet == Set("1", "3"), s"got ${out.keySet}")
+    // the stream's ce equals the batch operator's at the 1e-4 grain
+    val batchCe = graft.pipeline.CorpusOps
+      .bigramCrossEntropyAgainst(target,
+        Seq((1L, inD)).toDF("doc_id", "text"))
+      .collect()(0).getDouble(2)
+    assert(out("1") == batchCe, s"stream ${out("1")} vs batch $batchCe")
+  }
+
   test("streaming quality gate filters low-quality and exact-dup payloads") {
     val dir = Files.createTempDirectory("wquality").toString
     val base = 1700000000L
