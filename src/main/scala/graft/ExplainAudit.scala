@@ -99,6 +99,10 @@ object ExplainAudit {
     // a pair product
     auditAtMost("d_jaccard_prefix",
       "CartesianProduct|BroadcastNestedLoopJoin", 0)
+    // triplet mining composes the prefix tier with a broadcast bucket
+    // join — still no pair product anywhere
+    auditAtMost("p_contrastive_triplets",
+      "CartesianProduct|BroadcastNestedLoopJoin", 0)
     // DSIR: the bucket-bounded λ table broadcasts back to the feature
     // stream — scoring must never shuffle the corpus against λ
     audit("p_dsir_weights", "BroadcastHashJoin")

@@ -59,7 +59,7 @@ object ScaleSmoke {
     "p_epoch_mix", "w_active_users", "w_anomaly", "t_readability",
     "p_curriculum", "d_boilerplate_strip", "a_ann_recall",
     "a_capped_pair_drift", "p_source_rank", "p_lm_domain_score",
-    "t_unigram_train", "t_unigram_encode")
+    "t_unigram_train", "t_unigram_encode", "p_contrastive_triplets")
 
   def synthesize(spark: SparkSession, src: String, out: String): Unit = {
     val fs = new java.io.File(out)

@@ -72,6 +72,45 @@ object TrainingSet {
           .as("epoch"))
   }
 
+  /** Contrastive triplet mining — the data-prep step of embedding/
+    * retriever training (SimCSE/DPR-style): (anchor, positive) pairs
+    * are the corpus's exact near-dup pairs (the lossless PPJoin prefix
+    * tier, so positives are REAL paraphrase-grade neighbors, not
+    * hash-approximate ones), and each anchor draws a deterministic
+    * pseudo-random NEGATIVE via bucketed hashing: doc ids bucket by
+    * `mixHash mod nb`; an anchor's negative is the smallest candidate
+    * in bucket `(mixHash(anchor)+offset) mod nb` that is neither
+    * endpoint of the pair. Everything re-derives from ids alone —
+    * partition-independent, retry-stable, engine-portable.
+    *
+    * Shape at 100 TB: the pair tier is the prefix filter's bounded
+    * candidate join; the bucket table is 3 rows per bucket via the
+    * bounded-heap [[graft.plans.TopKPerKey]] (never a per-bucket
+    * collect) and broadcasts. Triplets whose negative bucket cannot
+    * supply a distinct doc (only when a bucket holds < 3 docs that all
+    * collide with the pair) drop, deterministically — at corpus scale
+    * buckets hold n/nb docs and this never fires.
+    */
+  def contrastiveTriplets(docs: DataFrame, threshold: Double = 0.8,
+      nb: Int = 16, offset: Int = 7): DataFrame = {
+    val pairs = Dedup.prefixJaccardPairs(docs, threshold)
+      .select(col("da").as("anchor"), col("db").as("positive"))
+    val bucketed = docs.select(col("doc_id"),
+      pmod(mixHash(col("doc_id")), lit(nb.toLong)).as("bk"))
+    val mins = graft.plans.TopKPerKey
+      .topKPerKey(bucketed, Seq("bk"), Seq(("doc_id", false)), 3)
+      .groupBy("bk").agg(sort_array(collect_list("doc_id")).as("cand"))
+    pairs
+      .withColumn("bk",
+        pmod(mixHash(col("anchor")) + lit(offset.toLong), lit(nb.toLong)))
+      .join(broadcast(mins), Seq("bk"), "left")
+      .withColumn("negative", try_element_at(
+        filter(col("cand"),
+          c => c =!= col("anchor") && c =!= col("positive")), lit(1)))
+      .filter(col("negative").isNotNull)
+      .select("anchor", "positive", "negative")
+  }
+
   /** Deterministic stratified sampling: k docs per stratum, chosen by
     * ranking on a content-independent hash (md5 of the id) — stable across
     * runs, retries, and partitionings, unlike `sample()` whose output
@@ -310,6 +349,10 @@ object TrainingSet {
 
   val queries: Map[String, Q] = Map(
     "p_training_set" -> { (s, d) => trainingSet(Tables.documents(s, d)) },
+    "p_contrastive_triplets" -> { (s, d) =>
+      contrastiveTriplets(Tables.documents(s, d))
+        .orderBy("anchor", "positive")
+    },
     // DSIR scoring with English docs as the target distribution: the
     // integer micro-unit scores are engine-exact, so the oracle is a
     // full independent recomputation, hash-compared
@@ -462,6 +505,43 @@ object TrainingSet {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // pair tier = the prefix-jaccard oracle's CTEs; negatives re-derived
+    // from ids by the same Knuth-hash bucket arithmetic
+    "p_contrastive_triplets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) s
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id da, b.doc_id db, count(*) i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da AS anchor, db AS positive FROM inter
+        |  JOIN sizes sa ON sa.doc_id = da
+        |  JOIN sizes sb ON sb.doc_id = db
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |mins AS (
+        |  SELECT bk, list_sort(list(doc_id)) AS cand FROM (
+        |    SELECT doc_id,
+        |      ((doc_id * 2654435761) % 4294967296) % 16 AS bk,
+        |      row_number() OVER (
+        |        PARTITION BY ((doc_id * 2654435761) % 4294967296) % 16
+        |        ORDER BY doc_id) AS rn
+        |    FROM documents)
+        |  WHERE rn <= 3 GROUP BY bk)
+        |SELECT anchor, positive, negative FROM (
+        |  SELECT anchor, positive,
+        |    list_filter(cand,
+        |      c -> c <> anchor AND c <> positive)[1] AS negative
+        |  FROM pairs LEFT JOIN mins
+        |    ON mins.bk = (((anchor * 2654435761) % 4294967296) + 7) % 16)
+        |WHERE negative IS NOT NULL
+        |ORDER BY anchor, positive""".stripMargin,
     // Full independent DSIR recomputation. The md5-nibble bucket hash is
     // replayed per nibble (strpos over the hex alphabet — the
     // shardAssign idiom), so hash COLLISIONS land in the same buckets in

@@ -132,4 +132,36 @@ class MixtureSpec extends AnyFunSuite {
     val w = (bucket * 40503L) % 2001L - 1000L
     assert(rows.find(_._1 == 2L).get._2 == w)
   }
+
+  test("contrastive triplets: negative is a third doc, assignment is " +
+      "partition-independent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TrainingSet.contrastiveTriplets(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    val t = run(docs)
+    assert(t.nonEmpty, "fixture near-dup pairs must yield triplets")
+    t.foreach { case (a, p, n) =>
+      assert(n != a && n != p, s"negative $n collides in ($a, $p)")
+    }
+    // identical triplets from a different physical layout
+    assert(run(docs.repartition(7)) == t)
+  }
+
+  test("contrastive triplets: a negative bucket that can only offer the " +
+      "pair's own endpoints drops the triplet, not the invariant") {
+    // one bucket (nb = 1): candidates are the 3 smallest ids overall.
+    // With exactly the pair's docs in the corpus, no third doc exists —
+    // the triplet must drop rather than emit a degenerate negative.
+    val two = Seq((1L, "x y z w v u t s r q"), (2L, "x y z w v u t s r q"))
+      .toDF("doc_id", "text")
+    assert(TrainingSet.contrastiveTriplets(two, nb = 1).count() == 0)
+    // add a third doc: the same pair now carries it as the negative
+    val three = two.union(Seq((3L, "totally different words here now"))
+      .toDF("doc_id", "text"))
+    val t = TrainingSet.contrastiveTriplets(three, nb = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t.toSeq == Seq((1L, 2L, 3L)), s"got ${t.toSeq}")
+  }
 }
