@@ -73,6 +73,10 @@ object GraphRank {
       val inMass = contribEdges
         .join(ranks, contribEdges("src") === ranks("node"))
         .groupBy("dst").agg(sum(col("rank") * col("frac")).as("ic"))
+      // one eager checkpoint per round; batching 3 rounds between
+      // checkpoints re-benched within host noise of this form (±15%,
+      // overlapping ranges across JVMs), so the simpler
+      // bounded-lineage-by-construction form stays
       ranks = nodes.join(inMass, nodes("node") === inMass("dst"), "left")
         .select(col("node"),
           (lit(base) + lit(d) * coalesce(col("ic"), lit(0.0))).as("rank"))
