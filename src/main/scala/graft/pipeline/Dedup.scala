@@ -525,6 +525,10 @@ object Dedup {
     * on ≥ minFrac of a domain's pages); the coverage explode is n×
     * bounded and touches only hot occurrences. Per-doc reassembly sorts
     * one doc's tokens. Nothing is quadratic in corpus or domain size.
+    *
+    * Every input doc_id appears in the output: a document whose entire
+    * token range is boilerplate-covered comes back with `text_clean = ""`
+    * rather than being dropped.
     */
   def stripBoilerplate(docs: DataFrame, n: Int = 4, minFrac: Double = 0.5,
       minDocs: Int = 2): DataFrame = {
@@ -549,11 +553,17 @@ object Dedup {
       .distinct()
     val toks = base
       .select(col("doc_id"), posexplode(col("t")).as(Seq("p", "tok")))
-    toks.join(covered, Seq("doc_id", "p"), "left_anti")
+    val cleaned = toks.join(covered, Seq("doc_id", "p"), "left_anti")
       .groupBy("doc_id")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("p"), col("tok")))),
           x => x.getField("tok")), " ").as("text_clean"))
+    // A doc whose every position is boilerplate-covered has no surviving
+    // token row — rejoin the doc_id universe so it yields an empty
+    // text_clean instead of silently vanishing from the output.
+    base.select("doc_id").join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -679,18 +689,23 @@ object Dedup {
     // the query synthesizes the web reality — every doc of a source gets
     // that source's 6-token banner prepended and 6-token footer appended
     // (same template within a source, different across sources), then
-    // [[stripBoilerplate]] runs at minFrac=0.5. The oracle is simply the
-    // ORIGINAL text: a hash match proves the strip removed every banner/
-    // footer token (they are on 100% > 50% of the source's docs) and not
-    // one body token (spans crossing banner→body mix in per-doc text, so
-    // their df is 1 and they never qualify; the fixture's real near-dup
-    // pairs sit far under the 50% bar).
+    // [[stripBoilerplate]] runs at minFrac=0.5. A per-doc UNIQUE sentinel
+    // token is placed at each banner→body and body→footer seam, so every
+    // 4-gram crossing a seam contains a df-1 token BY CONSTRUCTION — the
+    // round trip no longer depends on the fixture's body-edge tokens
+    // being diverse within a source. The oracle is the original text
+    // wrapped in the same sentinels: a hash match proves the strip
+    // removed every banner/footer token (on 100% > 50% of the source's
+    // docs) and not one body or sentinel token (the fixture's real
+    // near-dup pairs sit far under the 50% bar).
     "d_boilerplate_strip" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val injected = docs.select(col("doc_id"), col("source"),
         concat_ws(" ",
           col("source"), lit("portal home nav menu search"),
+          concat(lit("s"), col("doc_id")),
           col("text"),
+          concat(lit("e"), col("doc_id")),
           col("source"), lit("footer terms privacy contact copyright"))
           .as("text"))
       stripBoilerplate(injected, n = 4, minFrac = 0.5, minDocs = 2)
@@ -714,9 +729,10 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     // the round-trip contract: injected per-source banner/footer out,
-    // body text byte-identical
+    // per-doc seam sentinels + body text byte-identical
     "d_boilerplate_strip" ->
-      """SELECT doc_id, text AS text_clean
+      """SELECT doc_id,
+        |  concat_ws(' ', 's' || doc_id, text, 'e' || doc_id) AS text_clean
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d_exact_dup" ->
       """SELECT min(doc_id) AS keeper, count(*) AS copies FROM (

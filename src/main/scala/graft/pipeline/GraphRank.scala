@@ -86,14 +86,16 @@ object GraphRank {
   }
 
   val queries: Map[String, Q] = Map(
-    // rank rounded to 6 decimals: double sums differ between engines
-    // only in the last couple of ulps (~1e-15 here), far under the
-    // rounding grain, while real rank differences sit at 1e-3
+    // rank rounded to 4 decimals: cross-engine double sums differ only
+    // in the last couple of ulps (~1e-15 here) and Spark's partial-agg
+    // order is partition-dependent, so the grain is kept coarse enough
+    // (1e-4) that a rounding-boundary landing is astronomically
+    // unlikely, while real rank differences still sit at 1e-3
     "p_source_rank" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val nodes = docs.select(col("source").as("node")).distinct()
       pageRank(nodes, sourceEdges(docs))
-        .select(col("node").as("source"), round(col("rank"), 6).as("rank"))
+        .select(col("node").as("source"), round(col("rank"), 4).as("rank"))
         .orderBy("source")
     })
 
@@ -134,7 +136,7 @@ object GraphRank {
        |  SELECT node, 1.0/(SELECT count(*) FROM nodes) AS rank
        |  FROM nodes),
        |$rounds
-       |SELECT node AS source, round(rank, 6) AS rank
+       |SELECT node AS source, round(rank, 4) AS rank
        |FROM r$iters ORDER BY source""".stripMargin
   }
 

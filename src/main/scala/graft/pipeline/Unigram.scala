@@ -152,9 +152,15 @@ object Unigram {
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
+    // Eagerly materialize the vocabulary-sized segmentation frame and cut
+    // its lineage so the score broadcast can be destroyed here rather than
+    // leaking for the life of the session (train destroys per-round; this
+    // is the inference twin's equivalent hygiene).
     val segmented = words.select("w").distinct().as[String]
       .map(w => (w, viterbi(w, bc.value, maxPieceLen).size.toLong))
       .toDF("w", "n_pieces")
+      .localCheckpoint(true)
+    bc.destroy()
     words.join(segmented, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"))
