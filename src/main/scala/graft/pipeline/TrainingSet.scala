@@ -462,10 +462,14 @@ object TrainingSet {
         (0 until 20).map(i => (s"src$i", 1 + i % 3)))
         .orderBy("doc_id", "epoch")
     },
-    // weight = n_chars: longer docs preferred proportionally. Rows-only
-    // (pow ulps may differ across engines at rank boundaries); the
-    // selection is pinned by MixtureSpec's independent driver recompute
-    // of the identical formula.
+    // weight = n_chars: longer docs preferred proportionally. Oracle:
+    // the E-S key's integer hash part is exact in both engines and the
+    // only cross-engine noise is <=2 pow ulps (~1e-16), which can flip
+    // membership only when the rank-20/21 keys are that close —
+    // MixtureSpec's boundary-gap guard asserts the fixture keeps every
+    // stratum's boundary gap > 1e-12, so a regeneration that created a
+    // dangerous boundary fails the SPEC loudly instead of flaking the
+    // oracle.
     "p_weighted_sample" -> { (s, d) =>
       weightedSample(Tables.spread(Tables.documents(s, d)), "lang",
         col("n_chars").cast("double"), 20)
@@ -663,6 +667,22 @@ object TrainingSet {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 20
+        |ORDER BY lang, doc_id""".stripMargin,
+    // same mixHash + u^(1/w) formula; only (doc_id, lang) is emitted, so
+    // pow-ulp noise matters only at the rank boundary, which the
+    // MixtureSpec gap guard keeps provably wide on the fixture
+    "p_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang,
+        |    pow((((doc_id * 2654435761) % 4294967296) + 1)
+        |          / 4294967296.0,
+        |        1.0 / n_chars) AS k
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY k DESC, doc_id) AS rk
+        |  FROM keyed)
+        |SELECT doc_id, lang FROM r WHERE rk <= 20
         |ORDER BY lang, doc_id""".stripMargin,
     "p_epoch_mix" ->
       """WITH f(source, epochs) AS (VALUES

@@ -100,6 +100,32 @@ class MixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSample rank-20/21 key gap is wide enough that the DuckDB " +
+      "oracle cannot flake on pow ulps (boundary guard per stratum)") {
+    // cross-engine pow differs by <=2 ulps (~4e-16 on keys in (0,1]);
+    // demand 4 orders of magnitude of margin at every selection
+    // boundary so a fixture regeneration that lands two keys close
+    // together fails HERE, loudly, not as an oracle hash flake
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.Tables.documents(spark, sf)
+        .select("doc_id", "lang", "n_chars").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      docs.groupBy(_._2).foreach { case (lang, rows) =>
+        val keys = rows.toSeq.map { case (id, _, w) =>
+          val u = (((id * 2654435761L) % 4294967296L) + 1L).toDouble /
+            4294967296.0
+          math.pow(u, 1.0 / w)
+        }.sorted(Ordering[Double].reverse)
+        if (keys.size > 20) {
+          val gap = keys(19) - keys(20)
+          assert(gap > 1e-12,
+            s"$sf $lang: rank-20/21 key gap $gap <= 1e-12 — " +
+              "p_weighted_sample oracle is at ulp risk on this fixture")
+        }
+      }
+    }
+  }
+
   test("count-min estimates never undercount and respect the eps bound") {
     val sf = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("t_cms_freq")(spark, sf).collect()
