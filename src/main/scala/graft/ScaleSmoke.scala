@@ -34,32 +34,20 @@ import org.apache.spark.sql.functions._
   *     axis a stream at scale actually grows along.
   */
 object ScaleSmoke {
-  // Production-tier queries (the ones that exist at 100 TB). The exact
-  // ground-truth tiers (d_ngram_jaccard maxDf=0, d_embedding_dup,
-  // s_ann_bruteforce) are EXCLUDED by design: they are documented as
-  // oracle-only and quadratic.
-  val Queries = Seq(
-    "d_ngram_jaccard_capped", "d_dup_clusters", "d_incremental_dedup",
-    "d_fingerprint_dup", "d_exact_dup", "d_simhash", "d_minhash_lsh",
-    "d_embedding_dup_lsh", "s_ann_ivf", "s_ann_lsh",
-    "p_training_set", "p_quality_gate", "p_domain_cap",
-    "p_decontaminate_bloom", "d_span_dup", "d_span_strip",
-    "a_gate_agreement",
-    "t_heavy_hitters", "t_top_ngrams", "t_informativeness",
-    "t_hash_classifier", "s_ann_pq", "p_hash_split", "p_token_mixture",
-    "p_corpus_diff", "m_audio_fp_dup", "r_zorder_curve",
-    "t_bpe_merges", "t_cms_freq", "r_profile",
-    "w_session", "w_sliding", "w_tumbling", "ckpt_max_seq",
-    "r_join_asof", "r_subqueries",
-    "r_join_salted", "r_pricing_summary", "r_merge_upsert",
-    "t_ngram_lm", "t_normalize", "p_shard_assign", "s_kmeans",
-    "s_bm25", "p_temperature_sample", "p_chunk_docs", "r_fuzzy_join",
-    "d_jaccard_prefix", "p_dsir_weights", "d_semdedup", "t_bpe_encode",
-    "s_ql", "s_rrf", "w_funnel", "w_retention", "w_transitions",
-    "p_epoch_mix", "w_active_users", "w_anomaly", "t_readability",
-    "p_curriculum", "d_boilerplate_strip", "a_ann_recall",
-    "a_capped_pair_drift", "p_source_rank", "p_lm_domain_score",
-    "t_unigram_train", "t_unigram_encode", "p_contrastive_triplets")
+  // EXCLUDED by design: the exact ground-truth tiers documented as
+  // oracle-only and quadratic — they exist to prove the production
+  // tiers lossless at checkable scale, not to run at 100 TB
+  // (d_embedding_dup_clusters consumes d_embedding_dup's brute-force
+  // pair set, so it is in the same class).
+  val Excluded = Set("d_ngram_jaccard", "d_embedding_dup",
+    "d_embedding_dup_clusters", "s_ann_bruteforce")
+
+  // Every registered query except the documented-quadratic set, DERIVED
+  // from the registry so a new operator is smoke-covered the round it
+  // lands instead of waiting for a hand-list edit (the same
+  // self-auditing move as CoverageTotalsSpec).
+  def Queries: Seq[String] =
+    SparkEntry.queries.keys.toSeq.filterNot(Excluded).sorted
 
   def synthesize(spark: SparkSession, src: String, out: String): Unit = {
     val fs = new java.io.File(out)

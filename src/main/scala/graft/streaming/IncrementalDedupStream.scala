@@ -76,7 +76,7 @@ object IncrementalDedupStream {
   /** Like [[readParts]] but keeps the `batch` partition column (via
     * basePath), for readers that filter on entry age.
     */
-  private def readPartsWithBatch(spark: SparkSession, root: String,
+  private[streaming] def readPartsWithBatch(spark: SparkSession, root: String,
       exclude: Long, schema: StructType): DataFrame = {
     val ps = parts(spark, root, exclude)
     val withBatch = StructType(schema.fields :+
