@@ -31,10 +31,12 @@ class RelationalSpec extends AnyFunSuite {
     // in the named specs instead (PipelineSpec, BpeSpec, UnigramSpec).
     // s_ann_ivf left this list in round 6: its centroid sampling moved
     // to the engine-portable Knuth hash, so it carries a full oracle.
+    // p_weighted_sample left in round 7: its Efraimidis–Spirakis keys
+    // became exact integer math with a DuckDB twin.
     val rowsOnly = Set("d_minhash_lsh", "d_simhash", "s_ann_lsh",
       "s_ann_pq", "d_embedding_dup_lsh",
       "r_approx_distinct", "p_quality_gate_approx", "t_cms_freq",
-      "t_bpe_merges", "t_bpe_encode", "p_weighted_sample",
+      "t_bpe_merges", "t_bpe_encode",
       "t_unigram_train", "t_unigram_encode")
     assert(missing == rowsOnly, s"queries without oracle: $missing")
   }
