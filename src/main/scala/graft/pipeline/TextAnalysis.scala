@@ -139,6 +139,63 @@ object TextAnalysis {
       lit(0.3) * least(n / 100.0, lit(1.0))
   }
 
+  /** The Gopher rule battery's stopword list (Rae et al. 2021, App. A1):
+    * a doc must contain at least two of these to pass `ok_stopwords`.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document-quality rule battery (Rae et al. 2021,
+    * App. A1.1) — the standard pre-training heuristic gate: word-count
+    * bounds, mean-word-length band, symbol-to-word ratio, bulleted- and
+    * ellipsis-line fractions, alphabetic-word fraction, stopword
+    * presence. Complements [[qualityScore]] (a composite score) and
+    * `t_repetition` (the repetition half of the Gopher rules) with the
+    * structural half.
+    *
+    * Every ratio threshold is INTEGER cross-multiplication
+    * (`10·symbols ≤ words` instead of `symbols/words ≤ 0.1`), so each
+    * flag — and therefore the oracle hash — is exact in any engine: no
+    * float division ever happens, the t_hash_classifier discipline.
+    * Words are the non-empty `[ \n]`-separated runs, lines the non-empty
+    * newline-separated runs (explicit empty-filter on BOTH, because
+    * engines disagree on trailing-empty split semantics). Pure per-row
+    * codegen'd expressions: zero exchanges at any corpus size.
+    */
+  def gopherRules(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    def nonEmpty(a: Column): Column = filter(a, s => s =!= "")
+    val words = nonEmpty(split(text, "[ \n]"))
+    val lines = nonEmpty(split(text, "\n"))
+    val w = size(words).cast("long")
+    val l = greatest(lit(1), size(lines)).cast("long")
+    val sumLen = aggregate(words, lit(0L), (acc, t) => acc + length(t))
+    val nHash = (length(text) - length(translate(text, "#", ""))).cast("long")
+    val nEll = size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0)))
+      .cast("long")
+    val nBullet = size(filter(lines, ln => ln.substr(lit(1), lit(2)) === "- "))
+      .cast("long")
+    val nEllLine = size(filter(lines, ln =>
+      length(ln) >= 3 && ln.substr(length(ln) - 2, lit(3)) === "..."))
+      .cast("long")
+    val nAlpha = size(filter(words, t => t.rlike("[a-z]"))).cast("long")
+    val nStop = size(filter(array(GopherStopwords.map(lit): _*),
+      sw => array_contains(words, sw))).cast("long")
+    val okWords = w >= 50L && w <= 100000L
+    val okLen = lit(3L) * w <= sumLen && sumLen <= lit(10L) * w
+    val okSym = lit(10L) * (nHash + nEll) <= w
+    val okBullet = lit(10L) * nBullet <= lit(9L) * l
+    val okEllLine = lit(10L) * nEllLine <= lit(3L) * l
+    val okAlpha = lit(10L) * nAlpha >= lit(8L) * w
+    val okStop = nStop >= 2L
+    docs.select(col("doc_id"), w.as("n_words"), l.as("n_lines"),
+      okWords.as("ok_word_count"), okLen.as("ok_mean_word_len"),
+      okSym.as("ok_symbol_ratio"), okBullet.as("ok_bullet_lines"),
+      okEllLine.as("ok_ellipsis_lines"), okAlpha.as("ok_alpha_words"),
+      okStop.as("ok_stopwords"),
+      (okWords && okLen && okSym && okBullet && okEllLine && okAlpha &&
+        okStop).as("keep"))
+  }
+
   /** ALL word-trigram occurrences (Dedup.shingles dedups for Jaccard; the
     * repetition signals need the multiplicities). Same short-doc guard.
     */
@@ -384,6 +441,28 @@ object TextAnalysis {
       s.createDataFrame(rows).toDF("w", "exact", "est")
         .orderBy(col("exact").desc, col("w"))
     },
+    // Gopher structural-rule battery. The fixture corpus is clean
+    // single-line prose, so (the t_pii_redact pattern) the query plants
+    // deterministic structure keyed on doc_id % 7 before measuring:
+    // bulleted-list docs, ellipsis-heavy docs, symbol-wrapped tokens,
+    // multi-line docs, and numeric (non-alphabetic) tokens — both
+    // engines synthesize the identical dirty text, and every rule flag
+    // exercises both outcomes across the corpus.
+    "t_gopher_rules" -> { (s, d) =>
+      val m = pmod(col("doc_id"), lit(7))
+      val enriched =
+        when(m === 0, concat(lit("- "),
+          regexp_replace(col("text"), lit(" scan "), lit(" scan\n- "))))
+          .when(m === 1,
+            regexp_replace(col("text"), lit(" table "), lit(" table...\n")))
+          .when(m === 2,
+            regexp_replace(col("text"), lit(" value "), lit(" #value# ")))
+          .when(m === 3, regexp_replace(col("text"), lit(" a "), lit("\n")))
+          .when(m === 4,
+            regexp_replace(col("text"), lit(" key "), lit(" 42 ")))
+          .otherwise(col("text"))
+      gopherRules(Tables.documents(s, d), enriched).orderBy("doc_id")
+    },
     // model-based quality filter plumbing: label on the exact integer
     // weight-sum (no float-boundary flake), rounded mean score for audit
     "t_hash_classifier" -> { (s, d) =>
@@ -594,6 +673,63 @@ object TextAnalysis {
          |      t -> list_contains(['le','les','des'], t))) AS fr
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    // every flag is an integer cross-multiplication over counts both
+    // engines derive from the identical synthesized text — no float ever
+    // enters, so the hash compare is exact. DuckDB regexp_replace needs
+    // the explicit 'g' flag to match Spark's replace-all semantics.
+    "t_gopher_rules" ->
+      s"""WITH enr AS (
+         |  SELECT doc_id,
+         |    CASE CAST(doc_id % 7 AS INT)
+         |      WHEN 0 THEN '- ' || regexp_replace(text, ' scan ',
+         |        ' scan' || chr(10) || '- ', 'g')
+         |      WHEN 1 THEN regexp_replace(text, ' table ',
+         |        ' table...' || chr(10), 'g')
+         |      WHEN 2 THEN regexp_replace(text, ' value ', ' #value# ', 'g')
+         |      WHEN 3 THEN regexp_replace(text, ' a ', chr(10), 'g')
+         |      WHEN 4 THEN regexp_replace(text, ' key ', ' 42 ', 'g')
+         |      ELSE text END AS t
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, t,
+         |    list_filter(string_split_regex(t, '[ \\n]'), x -> x <> '')
+         |      AS words,
+         |    list_filter(string_split_regex(t, '\\n'), x -> x <> '')
+         |      AS lines
+         |  FROM enr),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST(len(words) AS BIGINT) AS w,
+         |    CAST(greatest(1, len(lines)) AS BIGINT) AS l,
+         |    CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0)
+         |      AS BIGINT) AS sumlen,
+         |    CAST(len(t) - len(replace(t, '#', '')) AS BIGINT) AS n_hash,
+         |    CAST(len(regexp_extract_all(t, '\\.\\.\\.')) AS BIGINT)
+         |      AS n_ell,
+         |    CAST(len(list_filter(lines, x -> substr(x, 1, 2) = '- '))
+         |      AS BIGINT) AS n_bul,
+         |    CAST(len(list_filter(lines, x -> len(x) >= 3
+         |      AND substr(x, len(x) - 2, 3) = '...')) AS BIGINT) AS n_elline,
+         |    CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(
+         |      ['the','be','to','of','and','that','have','with'],
+         |      s -> list_contains(words, s))) AS BIGINT) AS n_stop
+         |  FROM m)
+         |SELECT doc_id, w AS n_words, l AS n_lines,
+         |  (w >= 50 AND w <= 100000) AS ok_word_count,
+         |  (3 * w <= sumlen AND sumlen <= 10 * w) AS ok_mean_word_len,
+         |  (10 * (n_hash + n_ell) <= w) AS ok_symbol_ratio,
+         |  (10 * n_bul <= 9 * l) AS ok_bullet_lines,
+         |  (10 * n_elline <= 3 * l) AS ok_ellipsis_lines,
+         |  (10 * n_alpha >= 8 * w) AS ok_alpha_words,
+         |  (n_stop >= 2) AS ok_stopwords,
+         |  ((w >= 50 AND w <= 100000) AND
+         |   (3 * w <= sumlen AND sumlen <= 10 * w) AND
+         |   (10 * (n_hash + n_ell) <= w) AND (10 * n_bul <= 9 * l) AND
+         |   (10 * n_elline <= 3 * l) AND (10 * n_alpha >= 8 * w) AND
+         |   (n_stop >= 2)) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     // the classifier's integer pipeline spelled out verbatim; the mean
     // is the only float op, rounded with the shared floor(x·10⁴+0.5)
     // form (valid for negative scores too: both engines floor toward -∞)
