@@ -32,6 +32,7 @@ object SparkEntry {
       TextAnalysis.queries ++ Multimodal.queries ++ EventWindows.queries ++
       TrainingSet.queries ++ Agreement.queries ++ Bpe.queries ++ Unigram.queries ++
       CorpusOps.queries ++ KMeansOps.queries ++ Retrieval.queries ++
+      Classifier.queries ++
       GraphRank.queries ++ graft.operators.FuzzyJoin.queries ++
       graft.sources.SourceQueries.queries
 
@@ -43,6 +44,7 @@ object SparkEntry {
       TextAnalysis.oracles ++ Multimodal.oracles ++ EventWindows.oracles ++
       TrainingSet.oracles ++ Agreement.oracles ++ Bpe.oracles ++ Unigram.oracles ++
       CorpusOps.oracles ++ KMeansOps.oracles ++ Retrieval.oracles ++
+      Classifier.oracles ++
       GraphRank.oracles ++ graft.operators.FuzzyJoin.oracles ++
       graft.sources.SourceQueries.oracles
 }
