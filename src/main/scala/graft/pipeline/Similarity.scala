@@ -204,6 +204,93 @@ object Similarity {
       .transform(topK(_, 10))
   }
 
+  /** IVF-PQ combined tier — the FAISS-standard 100 TB ANN shape: IVF
+    * bounds WHICH vectors a query touches (probe the top-10 of 16
+    * cells), PQ bounds what each touched vector COSTS (ADC table
+    * lookups on m=8 code bytes instead of a 64-float dot), and the
+    * ADC top-`shortlist` goes through exact re-rank. Composes the two
+    * existing tiers' machinery — the mixHash centroid sample collected
+    * to plan literals, per-row argmax cell assignment, per-row argmin
+    * PQ encoding, broadcast probe join — so the corpus is never
+    * cross-joined or windowed: one assignment+encode scan, one
+    * cell-equi-join, two bounded-heap reductions.
+    *
+    * Unlike the standalone PQ tier (rows-only), this one carries a
+    * FULL oracle: every step is deterministic double/int arithmetic
+    * (mixHash sample, left-to-right subspace dots, integer-id tie
+    * breaks, an EXPLICIT 8-term ADC addition chain matching the fold
+    * order), so DuckDB replays sample → assign → encode → probe → ADC
+    * → shortlist → re-rank and must reproduce (qid, nid, rank)
+    * bit-for-bit.
+    */
+  private def ivfpqQuery(s: SparkSession, d: String): DataFrame = {
+    val dims = 64; val m = 8; val sub = dims / m
+    val shortlist = 60
+    val e = Tables.spread(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
+    val centRows = e
+      .select(col("vec_id"), col("v"),
+        TrainingSet.mixHash(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(16)
+      .select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val k = centRows.length
+    if (k == 0) return e.sparkSession.emptyDataFrame
+      .select(lit(0L).as("qid"), lit(0L).as("nid"), lit(0).as("rank"))
+      .limit(0)
+    val cbFull = typedlit(centRows)
+    val codebook: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
+      centRows.map(cv => cv.slice(j * sub, (j + 1) * sub)))
+    val norms2: Seq[Seq[Double]] = codebook.map(_.map(cs =>
+      cs.map(x => x * x).sum))
+    val cbLit = typedlit(codebook)
+    val n2Lit = typedlit(norms2)
+    def subDot(v: Column, j: Column, c: Column): Column =
+      aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0), (acc, i) =>
+        acc + element_at(v, j * sub + i + 1) *
+          element_at(element_at(element_at(cbLit, j + 1), c + 1), i + 1))
+    val dots = transform(sequence(lit(0), lit(k - 1)), c =>
+      VectorOps.dot(col("v"), element_at(cbFull, c + 1)))
+    val codes = transform(sequence(lit(0), lit(m - 1)), j => {
+      val dists = transform(sequence(lit(0), lit(k - 1)), c =>
+        element_at(element_at(n2Lit, j + 1), c + 1) -
+          lit(2.0) * subDot(col("v"), j, c))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+    val assigned = e.withColumn("dots", dots)
+      .select(col("vec_id"),
+        (array_position(col("dots"), array_max(col("dots"))) - 1)
+          .cast("int").as("cell"),
+        codes.as("codes"))
+    val probeCells = slice(array_sort(
+      transform(sequence(lit(0), lit(k - 1)), c =>
+        struct((-element_at(col("dots"), c + 1)).as("nd"),
+          c.as("cid")))), 1, math.min(10, k))
+    val qtab = transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(sequence(lit(0), lit(k - 1)), c =>
+        subDot(col("qv"), j, c)))
+    val probes = e.filter(col("vec_id") < 5)
+      .withColumn("dots", dots)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(transform(probeCells, x => x.getField("cid"))).as("cell"))
+      .withColumn("qtab", qtab)
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(element_at(col("qtab"), j + 1),
+            element_at(col("codes"), j + 1) + 1)).as("adc"))
+    val short = graft.plans.TopKPerKey.topKPerKey(cand,
+      Seq("qid"), Seq(("adc", true), ("nid", false)), shortlist)
+    short
+      .join(e.select(col("vec_id").as("nid"), col("v")), "nid")
+      .join(broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))), "qid")
+      .select(col("qid"), col("nid"),
+        VectorOps.dot(col("qv"), col("v")).as("c"))
+      .transform(topK(_, 10))
+  }
+
   /** ANN-fidelity AUDIT (same role [[Agreement.gateAgreement]] plays for
     * quality gates): per query id, the size of the brute-force top-10,
     * the LSH tier's top-10, and their overlap — recall made an
@@ -291,6 +378,7 @@ object Similarity {
   lazy val queries: Map[String, Q] = exactAndLsh ++ Map(
     "a_ann_recall" -> { (s, d) => annRecall(s, d) },
     "s_ann_pq" -> { (s, d) => pqQuery(s, d) },
+    "s_ann_ivfpq" -> { (s, d) => ivfpqQuery(s, d) },
     // IVF-style ANN: 16 deterministic centroids (a corpus sample), each
     // vector assigned to its nearest cell; queries probe their top-10
     // cells and re-rank exactly within candidates. Corpus cost at scale:
@@ -402,9 +490,91 @@ object Similarity {
       |  JOIN e eq ON eq.vec_id = p.qid)
       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** DuckDB twin of the complete IVF-PQ pipeline. Adds to the IVF
+    * oracle's determinism facts: subspace slices/dots are the same
+    * left-to-right folds (list_slice + list_dot_product), the PQ argmin
+    * ties break on integer cid exactly like `array_position`-of-min,
+    * and the 8-term ADC sum is an EXPLICIT addition chain — the same
+    * association order as the engine's left fold.
+    */
+  private def annIvfPqOracle: String = {
+    val m = 8; val sub = 8
+    val adcChain = (1 to m).map(j =>
+      s"qtab[$j][codes[$j] + 1]").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> x /
+       |      sqrt(list_dot_product(embedding::DOUBLE[],
+       |                            embedding::DOUBLE[]))) AS v
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v
+       |  FROM (SELECT vec_id, v,
+       |          ((vec_id * 2654435761) % 4294967296) AS h FROM e)
+       |  ORDER BY h, vec_id LIMIT 16),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT e.vec_id, c.cid, row_number() OVER (
+       |        PARTITION BY e.vec_id
+       |        ORDER BY list_dot_product(e.v, c.v) DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |pj AS (
+       |  SELECT vec_id, j, cid,
+       |    list_dot_product(cb, cb) - 2 * list_dot_product(sv, cb) AS dist
+       |  FROM (
+       |    SELECT e.vec_id, r.j, c.cid,
+       |      list_slice(e.v, r.j * $sub + 1, r.j * $sub + $sub) AS sv,
+       |      list_slice(c.v, r.j * $sub + 1, r.j * $sub + $sub) AS cb
+       |    FROM e CROSS JOIN range($m) r(j) CROSS JOIN cents c)),
+       |codes AS (
+       |  SELECT vec_id, list(code ORDER BY j) AS codes FROM (
+       |    SELECT vec_id, j, cid AS code, row_number() OVER (
+       |        PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+       |    FROM pj) WHERE rn = 1 GROUP BY vec_id),
+       |probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.vec_id AS qid, c.cid AS cell, row_number() OVER (
+       |        PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.v, c.v) DESC, c.cid) AS rn
+       |    FROM e q CROSS JOIN cents c WHERE q.vec_id < 5)
+       |  WHERE rn <= 10),
+       |qt AS (
+       |  SELECT qid, list(tab ORDER BY j) AS qtab FROM (
+       |    SELECT qid, j, list(dot ORDER BY cid) AS tab FROM (
+       |      SELECT q.vec_id AS qid, r.j, c.cid,
+       |        list_dot_product(
+       |          list_slice(q.v, r.j * $sub + 1, r.j * $sub + $sub),
+       |          list_slice(c.v, r.j * $sub + 1, r.j * $sub + $sub)) AS dot
+       |      FROM e q CROSS JOIN range($m) r(j) CROSS JOIN cents c
+       |      WHERE q.vec_id < 5)
+       |    GROUP BY qid, j)
+       |  GROUP BY qid),
+       |adc AS (
+       |  SELECT p.qid, a.vec_id AS nid, $adcChain AS adc
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.qid
+       |  JOIN codes USING (vec_id)
+       |  JOIN qt ON qt.qid = p.qid),
+       |short AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (
+       |        PARTITION BY qid ORDER BY adc DESC, nid) AS rn
+       |    FROM adc) WHERE rn <= 60)
+       |SELECT qid, nid, rank FROM (
+       |  SELECT s.qid, s.nid, row_number() OVER (
+       |      PARTITION BY s.qid
+       |      ORDER BY list_dot_product(eq.v, en.v) DESC, s.nid) AS rank
+       |  FROM short s
+       |  JOIN e eq ON eq.vec_id = s.qid
+       |  JOIN e en ON en.vec_id = s.nid)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
   lazy val oracles: Map[String, String] = Map(
     "a_ann_recall" -> annRecallOracle,
     "s_ann_ivf" -> annIvfOracle,
+    "s_ann_ivfpq" -> annIvfPqOracle,
     "s_ann_bruteforce" ->
       """SELECT qid, nid, rank FROM (
         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
