@@ -291,6 +291,44 @@ object Similarity {
       .transform(topK(_, 10))
   }
 
+  /** Int8 scalar quantization of the embedding corpus (FAISS SQ8 — the
+    * serving-memory lever BEFORE structure tricks: 4× smaller than
+    * float32 with near-lossless recall, composable under IVF/PQ).
+    * Per-dimension affine map: q = floor((x − min_j)·255/(max_j −
+    * min_j)), clamped to 255 at the top edge because a·255/a is not
+    * exactly 255.0 in floating point.
+    *
+    * Scale shape: the per-dim min/max table is ONE dims-bounded
+    * aggregate (64 rows — the driver-artifact class, collected to plan
+    * literals like the IVF centroids), then quantization is a per-row
+    * codegen'd transform: scan throughput at any corpus size. Exact
+    * oracle: min/max are order-independent SELECTIONS of existing float
+    * values and the affine arithmetic is the same correctly-rounded
+    * double ops in both engines, so every code agrees bit-for-bit.
+    */
+  private def quantizeInt8(s: SparkSession, d: String): DataFrame = {
+    val dims = 64
+    val e = Tables.spread(Tables.embeddings(s, d))
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val stats = e.select(posexplode(col("v")).as(Seq("j", "x")))
+      .groupBy("j").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("j").collect()
+    if (stats.isEmpty) return e.sparkSession.emptyDataFrame
+      .select(lit(0L).as("vec_id"), lit(0).as("dim"), lit(0L).as("q"))
+      .limit(0)
+    require(stats.length == dims, s"expected $dims dims, got ${stats.length}")
+    val mn = typedlit(stats.map(_.getDouble(1)).toSeq)
+    val mx = typedlit(stats.map(_.getDouble(2)).toSeq)
+    val qarr = transform(col("v"), (x, i) => {
+      val lo = element_at(mn, i + 1)
+      val hi = element_at(mx, i + 1)
+      when(hi === lo, lit(0L)).otherwise(
+        least(lit(255L), floor((x - lo) * lit(255.0) / (hi - lo))))
+    })
+    e.select(col("vec_id"), posexplode(qarr).as(Seq("dim", "q")))
+      .orderBy("vec_id", "dim")
+  }
+
   /** ANN-fidelity AUDIT (same role [[Agreement.gateAgreement]] plays for
     * quality gates): per query id, the size of the brute-force top-10,
     * the LSH tier's top-10, and their overlap — recall made an
@@ -379,6 +417,7 @@ object Similarity {
     "a_ann_recall" -> { (s, d) => annRecall(s, d) },
     "s_ann_pq" -> { (s, d) => pqQuery(s, d) },
     "s_ann_ivfpq" -> { (s, d) => ivfpqQuery(s, d) },
+    "s_quantize_int8" -> { (s, d) => quantizeInt8(s, d) },
     // IVF-style ANN: 16 deterministic centroids (a corpus sample), each
     // vector assigned to its nearest cell; queries probe their top-10
     // cells and re-rank exactly within candidates. Corpus cost at scale:
@@ -575,6 +614,19 @@ object Similarity {
     "a_ann_recall" -> annRecallOracle,
     "s_ann_ivf" -> annIvfOracle,
     "s_ann_ivfpq" -> annIvfPqOracle,
+    "s_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, CAST(j AS INT) AS j, v[j + 1] AS x
+        |  FROM e, unnest(range(64)) u(j)),
+        |st AS (SELECT j, min(x) AS mn, max(x) AS mx FROM x GROUP BY j)
+        |SELECT vec_id, x.j AS dim,
+        |  CASE WHEN mx = mn THEN 0
+        |       ELSE least(255, CAST(floor((x - mn) * 255.0 / (mx - mn))
+        |         AS BIGINT)) END AS q
+        |FROM x JOIN st USING (j)
+        |ORDER BY vec_id, dim""".stripMargin,
     "s_ann_bruteforce" ->
       """SELECT qid, nid, rank FROM (
         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
