@@ -138,7 +138,66 @@ object Fingerprints {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every token `k`-gram, slide a
+    * window of `w` consecutive hashes, and in each full window select the
+    * RIGHTMOST minimal hash. The guarantees that make this the standard
+    * local fingerprinting scheme: any shared substring of ≥ w+k−1 tokens
+    * contributes at least one IDENTICAL selected fingerprint in both docs
+    * (detection), and the expected density is 2/(w+1) — a fixed-rate
+    * sample of the corpus that is position-robust, unlike a fixed-stride
+    * pick.
+    *
+    * Engine-portable by construction: the gram hash is `md5` (present in
+    * both engines) compared as its fixed-width hex string — lexicographic
+    * order on 32 lowercase hex chars IS numeric order on the 128-bit
+    * value, the p_temperature_sample discipline. The rightmost-minimum
+    * pick is an ORDER-INDEPENDENT fold over the window's (hash, pos)
+    * structs (smaller hash wins, equal hash → larger pos), so no
+    * assumption about collect_list frame order ever enters; the oracle
+    * reproduces the same pick as a band-join + argmax, and the hash
+    * compare is exact.
+    *
+    * Shape at scale: one hash exchange on doc_id for the per-doc window
+    * (the only shuffle), a w-element array per row during selection,
+    * DISTINCT on the (doc, pos)-keyed selection output — ~2n/(w+1) rows,
+    * never the gram stream. Docs with fewer than k+w−1 tokens have no
+    * full window and are absent (standard winnowing domain).
+    */
+  def winnow(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= k)
+    val grams = base
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("t")) - k)).as("pos"), col("t"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", (0 until k).map(j =>
+          element_at(col("t"), col("pos") + j + 1)): _*)).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), 0)
+    // zero element "g" sorts above every hex hash (hex alphabet ends 'f')
+    val zero = struct(lit("g").as("h"), lit(-1).as("pos"))
+    grams
+      .withColumn("lst", collect_list(struct(col("h"), col("pos"))).over(win))
+      .filter(col("pos") >= w - 1) // positions are contiguous ⇒ full window
+      .withColumn("best", aggregate(col("lst"), zero, (acc, x) =>
+        when(x.getField("h") < acc.getField("h") ||
+          (x.getField("h") === acc.getField("h") &&
+            x.getField("pos") > acc.getField("pos")), x).otherwise(acc)))
+      .select(col("doc_id"), col("best").getField("pos").as("pos"),
+        col("best").getField("h").as("fp"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
+    // Winnowing document-fingerprint index: the local-fingerprinting
+    // counterpart to the global [[RollingHash]] content fingerprint —
+    // full oracle (md5 grams, band-join argmax twin).
+    "d_winnow_fingerprint" -> { (s, d) =>
+      winnow(Tables.documents(s, d)).orderBy("doc_id", "pos")
+    },
     // MinHash-LSH near-dup candidates (est. Jaccard ≥ 0.5). Approximate —
     // rows-only driver check; recall vs exact Jaccard in PipelineSpec.
     "d_minhash_lsh" -> { (s, d) =>
@@ -221,8 +280,35 @@ object Fingerprints {
     ((s: org.apache.spark.sql.SparkSession, d: String) =>
       embeddingDupLsh(s, d)))
 
-  // Approximate operators — deliberately no SQL oracle (driver records
-  // rows-only checks); accuracy is asserted against exact ground truth in
-  // PipelineSpec instead.
-  val oracles: Map[String, String] = Map.empty
+  // The LSH/SimHash operators are approximate — deliberately no SQL oracle
+  // (driver records rows-only checks); accuracy is asserted against exact
+  // ground truth in PipelineSpec instead. Winnowing IS deterministic
+  // arithmetic, so it gets a full oracle: the rightmost-minimum pick is
+  // re-derived as min-over-trailing-window + a 4-wide band join taking the
+  // max position among hash matches — order-independent in both engines,
+  // md5 hex strings compare identically.
+  val oracles: Map[String, String] = Map(
+    "d_winnow_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |    md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+        |      AS h
+        |  FROM toks, unnest(range(1, len(t) - 4 + 2)) AS u(i)
+        |  WHERE len(t) >= 4),
+        |w AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, pos AS e,
+        |      min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        |    FROM g)
+        |  WHERE e >= 3),
+        |sel AS (
+        |  SELECT w.doc_id, w.e, w.wmin, max(g.pos) AS pos
+        |  FROM w JOIN g ON g.doc_id = w.doc_id AND g.pos >= w.e - 3
+        |    AND g.pos <= w.e AND g.h = w.wmin
+        |  GROUP BY 1, 2, 3)
+        |SELECT DISTINCT doc_id, pos, wmin AS fp
+        |FROM sel ORDER BY doc_id, pos""".stripMargin)
 }

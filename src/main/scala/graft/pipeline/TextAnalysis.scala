@@ -196,6 +196,38 @@ object TextAnalysis {
         okStop).as("keep"))
   }
 
+  /** C4 line-level cleaning rules (Raffel et al. 2020, §2.2) — the OTHER
+    * canonical heuristic battery next to Gopher's ([[gopherRules]]): where
+    * Gopher judges the whole document, C4 first judges each LINE and then
+    * the page from what survived. A line is retained iff it ends in a
+    * terminal punctuation mark (`.` `!` `?` `"`), carries at least five
+    * words, and does not mention "javascript" (the boilerplate tell C4
+    * calls out); the page is kept iff it contains neither the "lorem
+    * ipsum" placeholder nor a curly brace (code tell) and at least three
+    * lines survived. Emits the retained-line text so the operator is the
+    * TRANSFORMATION, not just the gate.
+    *
+    * Same cross-engine discipline as [[gopherRules]]: counts are exact
+    * integers, string predicates are dialect-portable (`$`-anchored
+    * character class, substring containment), empty-kept docs join to ''
+    * in both engines. Pure per-row codegen'd expressions — zero exchanges
+    * at any corpus size.
+    */
+  def c4Rules(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    def nonEmpty(a: Column): Column = filter(a, s => s =!= "")
+    val lines = nonEmpty(split(text, "\n"))
+    val kept = filter(lines, ln =>
+      ln.rlike("[.!?\"]$") &&
+        size(nonEmpty(split(ln, " "))) >= 5 &&
+        !ln.contains("javascript"))
+    val keepPage = !text.contains("lorem ipsum") && !text.contains("{") &&
+      size(kept) >= 3
+    docs.select(col("doc_id"),
+      size(lines).as("n_lines"), size(kept).as("n_kept"),
+      keepPage.as("keep_page"),
+      array_join(kept, "\n").as("text_clean"))
+  }
+
   /** ALL word-trigram occurrences (Dedup.shingles dedups for Jaccard; the
     * repetition signals need the multiplicities). Same short-doc guard.
     */
@@ -392,6 +424,33 @@ object TextAnalysis {
         Seq("lang"), Seq(("n", true), ("ngram", false)), 5)
         .orderBy(col("lang"), col("n").desc, col("ngram"))
     },
+    // Per-source distinctive keywords — tf-idf-family ranking with an
+    // INTEGER-EXACT rarity weight: score = tf · ((10⁶·N) div df), where df
+    // counts the sources containing the word and N the sources overall.
+    // The classic log-idf weights rarity as ln(N/df); the integer N/df
+    // weight ranks identically for any fixed df and keeps every score a
+    // BIGINT, so the cross-engine hash is exact (the t_hash_classifier
+    // discipline — no float ln at a rounding boundary can flip a rank).
+    // Shape at scale: tf is one (source, word) shuffle, df one
+    // vocabulary-sized aggregate off tf's output, N a one-row broadcast
+    // ride, ranking the bounded-heap TopKPerKey — a hot source is never
+    // fully sorted.
+    "t_tfidf_keywords" -> { (s, d) =>
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      val tf = toks.groupBy("source", "word").agg(count(lit(1)).as("tf"))
+      // tf rows are distinct (source, word) ⇒ count per word = source-df
+      val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val nSrc = Tables.documents(s, d)
+        .agg(countDistinct(col("source")).as("n_src"))
+      val scored = tf.join(df_, "word").crossJoin(broadcast(nSrc))
+        .withColumn("score_micro",
+          expr("tf * ((1000000 * n_src) DIV df)"))
+        .select("source", "word", "tf", "df", "score_micro")
+      graft.plans.TopKPerKey.topKPerKey(scored,
+        Seq("source"), Seq(("score_micro", true), ("word", false)), 5)
+        .orderBy(col("source"), col("score_micro").desc, col("word"))
+    },
     "t_lang_id" -> { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"), col("lang").as("labeled"),
@@ -462,6 +521,25 @@ object TextAnalysis {
             regexp_replace(col("text"), lit(" key "), lit(" 42 ")))
           .otherwise(col("text"))
       gopherRules(Tables.documents(s, d), enriched).orderBy("doc_id")
+    },
+    // C4 line-level rule battery. The fixture is single-line unpunctuated
+    // prose, so the query first sentences-izes it (every " merge " becomes
+    // ".\n" — both engines see identical line structure) and then plants
+    // one page-level tell per doc_id%5 class: the lorem-ipsum placeholder,
+    // a javascript boilerplate line, a curly-brace code fragment, a clean
+    // terminal sentence, and an untouched (non-punctuated) tail — so every
+    // line rule and every page rule fires both ways across the corpus.
+    "t_c4_rules" -> { (s, d) =>
+      val base = regexp_replace(col("text"), lit(" merge "), lit(".\n"))
+      val m = pmod(col("doc_id"), lit(5))
+      val enriched = concat(base,
+        when(m === 0, lit(" lorem ipsum."))
+          .when(m === 1,
+            lit("\nplease enable javascript to view this page."))
+          .when(m === 2, lit(" { padding }"))
+          .when(m === 3, lit(" end of the document."))
+          .otherwise(lit("")))
+      c4Rules(Tables.documents(s, d), enriched).orderBy("doc_id")
     },
     // model-based quality filter plumbing: label on the exact integer
     // weight-sum (no float-boundary flake), rounded mean score for audit
@@ -730,6 +808,60 @@ object TextAnalysis {
          |   (10 * n_elline <= 3 * l) AND (10 * n_alpha >= 8 * w) AND
          |   (n_stop >= 2)) AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+    // identical synthesized line structure, then pure integer counts and
+    // substring/anchor predicates — the hash compare is exact. DuckDB's
+    // array_to_string returns NULL (not '') on an empty list, unlike
+    // Spark's array_join — the coalesce pins the empty-kept doc to ''.
+    // integer DIV in both engines (Spark DIV ≡ DuckDB //): exact BIGINT
+    // scores, deterministic (score DESC, word) total order per source
+    "t_tfidf_keywords" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |tf AS (
+         |  SELECT source, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(DISTINCT source) AS n_src FROM documents),
+         |scored AS (
+         |  SELECT source, word, tf, df,
+         |    tf * ((1000000 * n_src) // df) AS score_micro
+         |  FROM tf JOIN df USING (word) CROSS JOIN n),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY source ORDER BY score_micro DESC, word) AS rn
+         |  FROM scored)
+         |SELECT source, word, tf, df, score_micro
+         |FROM r WHERE rn <= 5
+         |ORDER BY source, score_micro DESC, word""".stripMargin,
+    "t_c4_rules" ->
+      s"""WITH enr AS (
+         |  SELECT doc_id,
+         |    regexp_replace(text, ' merge ', '.' || chr(10), 'g') ||
+         |    CASE CAST(doc_id % 5 AS INT)
+         |      WHEN 0 THEN ' lorem ipsum.'
+         |      WHEN 1 THEN chr(10) ||
+         |        'please enable javascript to view this page.'
+         |      WHEN 2 THEN ' { padding }'
+         |      WHEN 3 THEN ' end of the document.'
+         |      ELSE '' END AS t
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, t,
+         |    list_filter(string_split(t, chr(10)), x -> x <> '') AS lines,
+         |    list_filter(
+         |      list_filter(string_split(t, chr(10)), x -> x <> ''),
+         |      x -> regexp_matches(x, '[.!?"]$$')
+         |        AND len(list_filter(string_split(x, ' '), w -> w <> ''))
+         |          >= 5
+         |        AND NOT contains(x, 'javascript')) AS kept
+         |  FROM enr)
+         |SELECT doc_id,
+         |  CAST(len(lines) AS INT) AS n_lines,
+         |  CAST(len(kept) AS INT) AS n_kept,
+         |  (NOT contains(t, 'lorem ipsum') AND NOT contains(t, '{')
+         |    AND len(kept) >= 3) AS keep_page,
+         |  coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+         |FROM k ORDER BY doc_id""".stripMargin,
     // the classifier's integer pipeline spelled out verbatim; the mean
     // is the only float op, rounded with the shared floor(x·10⁴+0.5)
     // form (valid for negative scores too: both engines floor toward -∞)
