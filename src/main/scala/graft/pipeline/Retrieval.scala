@@ -164,7 +164,91 @@ object Retrieval {
       Seq("query_id"), Seq(("rrf", true), ("doc_id", false)), k)
   }
 
+  /** One retrieval candidate carried into the MMR fold: its relevance
+    * rank, id, and distinct-token set.
+    */
+  case class MmrCand(rel_rank: Int, doc_id: Long, ts: Seq[String])
+
+  /** MMR re-ranking (Carbonell & Goldstein, SIGIR 1998 — Maximal
+    * Marginal Relevance): greedily re-order a retrieval top-k so each
+    * pick balances relevance against redundancy with what is already
+    * picked — the diversification step between "top-k by score" and a
+    * result list (or a training batch) that covers the topic instead of
+    * repeating its best-scoring phrasing five times:
+    *
+    *   next = argmax_d  λ·rel(d) − (1−λ)·max_{s∈Sel} sim(d, s)
+    *
+    * INTEGER-EXACT contract (λ = 0.3, the classic diversity-leaning
+    * setting, spelled as integer weights 3/7 with the common factor 10
+    * scaled out — λ = ½ would be DEGENERATE here: rank-based relevance
+    * steps in exact 10⁶ strides while sim spans [0, 10⁶], so redundancy
+    * could only ever TIE a one-rank gap, never beat it): rel(d) = k+1 −
+    * BM25 rank (the grid-rounded, doc_id-tie-broken rank — every input
+    * is engine-stable), sim = distinct-token Jaccard in micro-units via
+    * integer division, so each greedy score is `3·rel·10⁶ − 7·max_sim`
+    * — a BIGINT both engines order identically, ties by doc_id. The DuckDB
+    * twin unrolls the m−1 greedy rounds as chained CTEs (the unrolled-
+    * kmeans discipline) and the whole selection hash-matches.
+    *
+    * Shape at scale: the candidate lists are k-bounded (human-sized) —
+    * after [[bm25TopK]]'s broadcast-filtered scoring, ONE row per query
+    * reaches the greedy fold, which runs as a typed map over the
+    * grouped k-candidate array (the documented per-row-imperative
+    * exception, bounded by k² token-set intersections per query — never
+    * a corpus-sized loop; the corpus-scale work all happened inside the
+    * retrieval leg).
+    */
+  def mmrDiversify(docs: DataFrame, queries: Seq[(Int, Seq[String])],
+      k: Int = 10, m: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val top = bm25TopK(docs, queries, k)
+      .withColumn("rel_rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id"))))
+    val dt = docs.select(col("doc_id"),
+      array_sort(array_distinct(split(col("text"), " "))).as("ts"))
+    val grouped = top.join(dt, "doc_id")
+      .select(col("query_id"), col("rel_rank"), col("doc_id"), col("ts"))
+      .groupBy("query_id")
+      .agg(collect_list(struct(col("rel_rank"), col("doc_id"), col("ts")))
+        .as("cs"))
+      .select(col("query_id").as("_1"), col("cs").as("_2"))
+      .as[(Int, Seq[MmrCand])]
+    grouped.flatMap { case (q, cs) =>
+      def sim(a: Seq[String], b: Seq[String]): Long = {
+        val sa = a.toSet
+        val inter = b.count(sa)
+        val union = sa.size + b.size - inter
+        if (union == 0) 0L else 1000000L * inter / union
+      }
+      val out = Seq.newBuilder[(Int, Long, Int)]
+      var selected = Vector.empty[MmrCand]
+      var remaining = cs.sortBy(_.doc_id)
+      var r = 1
+      while (r <= m && remaining.nonEmpty) {
+        val best = remaining.minBy { c =>
+          val maxSim =
+            if (selected.isEmpty) 0L
+            else selected.map(s => sim(c.ts, s.ts)).max
+          (3L * (k + 1 - c.rel_rank) * 1000000L - 7L * maxSim) * -1L ->
+            c.doc_id
+        }
+        out += ((q, best.doc_id, r))
+        selected :+= best
+        remaining = remaining.filterNot(_.doc_id == best.doc_id)
+        r += 1
+      }
+      out.result()
+    }.toDF("query_id", "doc_id", "mmr_rank")
+      .orderBy("query_id", "mmr_rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s_mmr_diversify" -> { (s, d) =>
+      mmrDiversify(Tables.spread(Tables.documents(s, d)), FixtureQueries)
+    },
     "s_bm25" -> { (s, d) =>
       bm25TopK(Tables.spread(Tables.documents(s, d)), FixtureQueries, 10)
         .orderBy(col("query_id"), col("score").desc, col("doc_id"))
@@ -183,7 +267,99 @@ object Retrieval {
         .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
     })
 
+  /** The MMR twin: replay the BM25 ranking (the s_bm25/s_rrf CTE block),
+    * then unroll the greedy selection — round 1 is the rank-1 doc, each
+    * later round scores the not-yet-selected candidates as
+    * `rel·10⁶ − max(sim to selected)` (exact BIGINTs: micro-unit Jaccard
+    * via integer division) and picks the (score DESC, doc_id) winner —
+    * the unrolled-kmeans discipline, so the whole selection hash-matches.
+    */
+  private def mmrOracle: String = {
+    val rounds = (2 to 5).map { r =>
+      val prev = (1 until r).map(i => s"SELECT * FROM s$i")
+        .mkString(" UNION ALL ")
+      s""",
+         |u$r AS ($prev),
+         |m$r AS (
+         |  SELECT c.query_id, c.doc_id,
+         |    3 * (11 - c.rel_rank) * 1000000 - 7 * max(p.sim) AS score
+         |  FROM cand c
+         |  JOIN u$r s ON s.query_id = c.query_id
+         |  JOIN pairs p ON p.query_id = c.query_id AND p.da = c.doc_id
+         |    AND p.db = s.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM u$r sx
+         |    WHERE sx.query_id = c.query_id AND sx.doc_id = c.doc_id)
+         |  GROUP BY c.query_id, c.doc_id, c.rel_rank),
+         |s$r AS (
+         |  SELECT query_id, doc_id, $r AS r FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, doc_id) rn
+         |    FROM m$r) WHERE rn = 1)""".stripMargin
+    }.mkString
+    val all = (1 to 5).map(i => s"SELECT * FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH q(query_id, w) AS (VALUES
+       |  (1,'table'),(1,'scan'),(1,'merge'),
+       |  (2,'hash'),(2,'join'),(2,'spark'),
+       |  (3,'window'),(3,'sort'),(3,'batch')),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) w
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, w, CAST(count(*) AS DOUBLE) tf
+       |  FROM toks JOIN (SELECT DISTINCT w FROM q) USING (w)
+       |  GROUP BY 1, 2),
+       |dft AS (SELECT w, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY 1),
+       |dl AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) dl
+       |  FROM documents),
+       |scal AS (
+       |  SELECT CAST(count(*) AS DOUBLE) n_docs,
+       |    avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) avgdl
+       |  FROM documents),
+       |sc AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    floor(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * tf * 2.2
+       |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+       |      * 10000 + 0.5) / 10000.0 score
+       |  FROM q JOIN tf USING (w) JOIN dft USING (w)
+       |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN scal
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score DESC, doc_id) rn
+       |  FROM sc),
+       |cand AS (
+       |  SELECT query_id, doc_id, CAST(rn AS INT) AS rel_rank
+       |  FROM rk WHERE rn <= 10),
+       |dt AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) ts
+       |  FROM documents),
+       |pr AS (
+       |  SELECT c1.query_id, c1.doc_id da, c2.doc_id db,
+       |    len(list_filter(a.ts, x -> list_contains(b.ts, x))) it,
+       |    len(a.ts) ua, len(b.ts) ub
+       |  FROM cand c1 JOIN cand c2 ON c1.query_id = c2.query_id
+       |    AND c1.doc_id <> c2.doc_id
+       |  JOIN dt a ON a.doc_id = c1.doc_id
+       |  JOIN dt b ON b.doc_id = c2.doc_id),
+       |pairs AS (
+       |  SELECT query_id, da, db,
+       |    CASE WHEN ua + ub - it = 0 THEN 0
+       |         ELSE (1000000 * it) // (ua + ub - it) END AS sim
+       |  FROM pr),
+       |s1 AS (SELECT query_id, doc_id, 1 AS r FROM cand WHERE rel_rank = 1)
+       |$rounds
+       |SELECT query_id, doc_id, CAST(r AS INT) AS mmr_rank
+       |FROM ($all)
+       |ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "s_mmr_diversify" -> mmrOracle,
     "s_bm25" ->
       """WITH q(query_id, w) AS (VALUES
         |  (1,'table'),(1,'scan'),(1,'merge'),
