@@ -451,6 +451,66 @@ object TextAnalysis {
         Seq("source"), Seq(("score_micro", true), ("word", false)), 5)
         .orderBy(col("source"), col("score_micro").desc, col("word"))
     },
+    // First-occurrence n-gram novelty — the corpus-freshness curve dedup
+    // and curriculum work read: in doc_id (crawl) order, what fraction of
+    // each doc's distinct trigrams has never been seen before? High
+    // novelty = frontier content; novelty collapsing toward zero across
+    // a crawl = the corpus is saturating (the diagnostic that tells you
+    // MORE CRAWLING stopped buying new data). INTEGER end-to-end
+    // (micro-unit fraction via integer DIV). Shape at scale: one gram
+    // shuffle for min(doc_id), one gram-keyed join back, per-doc
+    // aggregate — nothing pairwise, nothing corpus².
+    "t_ngram_novelty" -> { (s, d) =>
+      val sh = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("g"))
+      val first = sh.groupBy("g").agg(min("doc_id").as("fdoc"))
+      sh.join(first, "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
+          sum(when(col("fdoc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_micro",
+          expr("(1000000 * n_novel) DIV n_grams"))
+        .orderBy("doc_id")
+    },
+    // Char-trigram language-ID — the PROFILE-BASED tier the marker-word
+    // t_lang_id scaladoc promises (Cavnar & Trenkle 1994's n-gram
+    // profiles, the fastText/langdetect mechanism): per-language top-20
+    // char-trigram profiles trained IN-PLAN from the labeled corpus
+    // (the train-then-apply discipline of t_classifier_train — a real
+    // deployment trains on a labeled seed corpus and broadcasts the
+    // profile table exactly like this), then each doc scores by distinct-
+    // trigram overlap with every profile; deterministic argmax (count
+    // DESC, lang ASC), profile-less docs → 'und'. All integer counts —
+    // exact oracle. Shape: one (lang, gram) shuffle for profiles (top-20
+    // through the bounded heap), profiles broadcast (|langs|·20 rows),
+    // one distinct + per-doc aggregate — linear everywhere.
+    "t_charngram_langid" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.spread(Tables.documents(s, d))
+      val grams = when(length(col("text")) >= 3,
+        transform(sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))
+      val tri = docs.select(col("doc_id"), col("lang"),
+        explode(grams).as("g"))
+      val lc = tri.groupBy("lang", "g").agg(count(lit(1)).as("n"))
+      val prof = graft.plans.TopKPerKey.topKPerKey(lc,
+        Seq("lang"), Seq(("n", true), ("g", false)), 20)
+        .select(col("lang").as("plang"), col("g"))
+      val docg = tri.select("doc_id", "g").distinct()
+      val sc = docg.join(broadcast(prof), "g")
+        .groupBy("doc_id", "plang").agg(count(lit(1)).as("n"))
+      val pred = sc.withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(col("n").desc, col("plang"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("plang").as("pred"))
+      docs.select(col("doc_id"), col("lang").as("labeled"))
+        .join(pred, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("labeled"),
+          coalesce(col("pred"), lit("und")).as("predicted"))
+        .orderBy("doc_id")
+    },
     "t_lang_id" -> { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"), col("lang").as("labeled"),
@@ -812,6 +872,51 @@ object TextAnalysis {
     // substring/anchor predicates — the hash compare is exact. DuckDB's
     // array_to_string returns NULL (not '') on an empty list, unlike
     // Spark's array_join — the coalesce pins the empty-kept doc to ''.
+    // min(doc_id) is an exact integer selection; counts and the
+    // micro-fraction are BIGINT with integer DIV — hash-exact
+    "t_ngram_novelty" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(t) - 2, 1) + 1),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) g
+         |  FROM toks WHERE len(t) >= 3),
+         |f AS (SELECT g, min(doc_id) fdoc FROM sh GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN fdoc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  (1000000 * CAST(sum(CASE WHEN fdoc = doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT)) // CAST(count(*) AS BIGINT) AS novelty_micro
+         |FROM sh JOIN f USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // profile training and scoring are pure integer counts; the argmax
+    // and the top-20 cut share the engine's (n DESC, key ASC) total order
+    "t_charngram_langid" ->
+      s"""WITH tri AS (
+         |  SELECT doc_id, lang, unnest(list_transform(
+         |    range(1, len(text) - 2 + 1), i -> substr(text, i, 3))) g
+         |  FROM documents WHERE len(text) >= 3),
+         |lc AS (SELECT lang, g, count(*) n FROM tri GROUP BY 1, 2),
+         |prof AS (
+         |  SELECT lang AS plang, g FROM (
+         |    SELECT lang, g, row_number() OVER (
+         |      PARTITION BY lang ORDER BY n DESC, g) rn FROM lc)
+         |  WHERE rn <= 20),
+         |docg AS (SELECT DISTINCT doc_id, g FROM tri),
+         |sc AS (
+         |  SELECT doc_id, plang, count(*) n
+         |  FROM docg JOIN prof USING (g) GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT doc_id, plang FROM (
+         |    SELECT doc_id, plang, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY n DESC, plang) rn FROM sc)
+         |  WHERE rn = 1)
+         |SELECT d.doc_id, d.lang AS labeled,
+         |  coalesce(p.plang, 'und') AS predicted
+         |FROM documents d LEFT JOIN pred p ON p.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // integer DIV in both engines (Spark DIV ≡ DuckDB //): exact BIGINT
     // scores, deterministic (score DESC, word) total order per source
     "t_tfidf_keywords" ->
