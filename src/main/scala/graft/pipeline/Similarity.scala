@@ -478,7 +478,42 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Chunk→document mean pooling — the aggregation step of every
+    * long-document embedding pipeline (a doc longer than the encoder's
+    * window embeds as chunks — p_chunk_docs' output shape — and serves
+    * as ONE vector: the mean of its chunk embeddings). Groups here are
+    * the fixture convention `vec_id DIV 5` (five consecutive chunk
+    * vectors per document), chunk order `vec_id % 5`.
+    *
+    * Float-determinism discipline: the per-dim sum is an EXPLICIT
+    * chunk-indexed left fold — ((((c₀+c₁)+c₂)+c₃)+c₄, absent chunks
+    * exactly 0.0) — never an unordered SUM, so both engines add
+    * identical doubles in identical order and the raw pooled doubles
+    * hash-match bit-for-bit (the unrolled-kmeans contract, no rounding
+    * grid needed). One (group, dim)-keyed shuffle; output is group×dims
+    * rows, 5× smaller than its input — the plan a 100 TB chunk corpus
+    * wants (pool BEFORE the ANN index, not after).
+    */
+  private def embedPool(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(s, d))
+      .select(expr("vec_id DIV 5").as("group_id"),
+        pmod(col("vec_id"), lit(5)).cast("int").as("chunk"),
+        VectorOps.asDouble(col("embedding")).as("v"))
+    val x = e.select(col("group_id"), col("chunk"),
+      posexplode(col("v")).as(Seq("dim", "x")))
+    val terms = (0 until 5).map(i =>
+      coalesce(max(when(col("chunk") === i, col("x"))), lit(0.0)))
+    x.groupBy("group_id", "dim")
+      .agg(terms.reduceLeft(_ + _).as("sum5"),
+        count(lit(1)).as("n_chunks"))
+      .select(col("group_id"), col("dim"),
+        (col("sum5") / col("n_chunks").cast("double")).as("pooled"),
+        col("n_chunks"))
+      .orderBy("group_id", "dim")
+  }
+
   lazy val queries: Map[String, Q] = exactAndLsh ++ Map(
+    "s_embed_pool" -> { (s, d) => embedPool(s, d) },
     "s_margin_mining" -> { (s, d) => marginMining(Tables.embeddings(s, d)) },
     "a_ann_recall" -> { (s, d) => annRecall(s, d) },
     "s_ann_pq" -> { (s, d) => pqQuery(s, d) },
@@ -693,6 +728,28 @@ object Similarity {
         |         AS BIGINT)) END AS q
         |FROM x JOIN st USING (j)
         |ORDER BY vec_id, dim""".stripMargin,
+    // same explicit chunk-indexed fold and division — the raw doubles
+    // are bit-identical, so the hash compare needs no rounding grid
+    "s_embed_pool" ->
+      """WITH e AS (
+        |  SELECT vec_id // 5 AS group_id, CAST(vec_id % 5 AS INT) AS chunk,
+        |         embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT group_id, chunk, CAST(j AS INT) AS dim, v[j + 1] AS x
+        |  FROM e, unnest(range(64)) u(j)),
+        |g AS (
+        |  SELECT group_id, dim,
+        |    ((((coalesce(max(CASE WHEN chunk = 0 THEN x END), 0.0)
+        |      + coalesce(max(CASE WHEN chunk = 1 THEN x END), 0.0))
+        |      + coalesce(max(CASE WHEN chunk = 2 THEN x END), 0.0))
+        |      + coalesce(max(CASE WHEN chunk = 3 THEN x END), 0.0))
+        |      + coalesce(max(CASE WHEN chunk = 4 THEN x END), 0.0)) AS sum5,
+        |    CAST(count(*) AS BIGINT) AS n_chunks
+        |  FROM x GROUP BY 1, 2)
+        |SELECT group_id, dim, sum5 / CAST(n_chunks AS DOUBLE) AS pooled,
+        |  n_chunks
+        |FROM g ORDER BY group_id, dim""".stripMargin,
     // the margin arithmetic replayed end-to-end: same sides, same k-NN
     // rank windows, same EXPLICIT ((c1+c2)+c3)+c4 fold, same ratio —
     // ranks compare exactly (the bruteforce float contract)

@@ -349,6 +349,32 @@ object TrainingSet {
 
   val queries: Map[String, Q] = Map(
     "p_training_set" -> { (s, d) => trainingSet(Tables.documents(s, d)) },
+    // Soft dedup — the dedupe-then-WEIGHT alternative to dropping: every
+    // doc keeps weight 10⁶ // |its near-dup cluster| (singletons 10⁶), so
+    // a 4-way duplicated page contributes once in expectation under
+    // weighted sampling instead of 4× (hard-drop loses the evidence that
+    // duplication ~ importance; downweighting keeps the distribution the
+    // dedup literature's repetition ablations actually want). Rides the
+    // SAME production cluster machinery as d_dup_clusters (df-capped
+    // jaccard pairs → connected components) plus one cluster-size
+    // aggregate and a doc-keyed left join — integer micro-units, so the
+    // recursive-CTE oracle extends to an exact weight hash.
+    "p_soft_dedup_weights" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.dupClusters(
+        Dedup.jaccardPairs(docs, 0.8, maxDf = 20)
+          .select(col("da").as("ida"), col("db").as("idb")))
+      val sizes = clusters.groupBy("cluster")
+        .agg(count(lit(1)).as("csize"))
+      docs.select(col("doc_id"))
+        .join(clusters.join(sizes, "cluster").select("doc_id", "csize"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("csize"), lit(1L)).as("cluster_size"),
+          expr("1000000 DIV coalesce(csize, CAST(1 AS BIGINT))")
+            .as("weight_micro"))
+        .orderBy("doc_id")
+    },
     "p_contrastive_triplets" -> { (s, d) =>
       contrastiveTriplets(Tables.documents(s, d))
         .orderBy("anchor", "positive")
@@ -521,6 +547,47 @@ object TrainingSet {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the d_dup_clusters recursive-CTE component oracle, extended by a
+    // cluster-size aggregate and a doc-keyed left join; integer DIV makes
+    // the weights hash-exact
+    "p_soft_dedup_weights" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) s
+        |  FROM toks WHERE len(t) >= 3),
+        |dfc AS (SELECT s, count(*) c FROM sh0 GROUP BY s),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfc USING(s)
+        |       WHERE c <= 20),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id da, b.doc_id db, count(*) i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da, db FROM inter
+        |  JOIN sizes sa ON sa.doc_id = da
+        |  JOIN sizes sb ON sb.doc_id = db
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (
+        |  SELECT da AS s, db AS t FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.t, reach.r FROM reach JOIN edges e ON reach.id = e.s),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster
+        |       FROM reach GROUP BY id),
+        |cs AS (SELECT cluster, count(*) csize FROM cl GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(cs.csize, 1) AS BIGINT) AS cluster_size,
+        |  1000000 // CAST(coalesce(cs.csize, 1) AS BIGINT) AS weight_micro
+        |FROM documents d
+        |LEFT JOIN cl ON cl.doc_id = d.doc_id
+        |LEFT JOIN cs ON cs.cluster = cl.cluster
+        |ORDER BY d.doc_id""".stripMargin,
     // pair tier = the prefix-jaccard oracle's CTEs; negatives re-derived
     // from ids by the same Knuth-hash bucket arithmetic
     "p_contrastive_triplets" ->
