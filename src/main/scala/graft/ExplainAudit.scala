@@ -182,6 +182,43 @@ object ExplainAudit {
     auditAtMost("s_rrf", "CartesianProduct", 0)
     auditAtMost("s_rrf", "BroadcastNestedLoopJoin", 2)
     audit("s_rrf", "TopKPerKey")
+    // C4 line rules: pure per-row codegen like the Gopher battery
+    auditAtMost("t_c4_rules", "Exchange hashpartitioning", 0)
+    // tf-idf keywords: N rides a one-row broadcast cross join and the
+    // per-source cut runs on the bounded heap — no sort feeds it
+    audit("t_tfidf_keywords", "TopKPerKey", "BroadcastNestedLoopJoin")
+    auditNoneBelow("t_tfidf_keywords", "TopKPerKey", "Sort [")
+    // winnowing: the per-doc window and the selection dedup are the only
+    // hash exchanges — the gram stream never joins itself
+    auditAtMost("d_winnow_fingerprint", "Exchange hashpartitioning", 2)
+    // margin mining: the anchor batch broadcasts against the corpus scan
+    // (nested-loop by design — the condition is a non-equi guard) and
+    // penalties/ranking run on the bounded heap; never a shuffled product
+    audit("s_margin_mining", "BroadcastNestedLoopJoin", "TopKPerKey")
+    auditAtMost("s_margin_mining", "CartesianProduct", 0)
+    // MMR: corpus-scale work stays in the BM25 leg (broadcast query
+    // terms, bounded-heap cut); the greedy fold sees k rows per query
+    audit("s_mmr_diversify", "BroadcastHashJoin", "TopKPerKey")
+    auditAtMost("s_mmr_diversify", "CartesianProduct", 0)
+    // novelty: first-occurrence is min(doc_id) behind a map-side partial
+    // — the gram shuffle carries combined longs, never raw occurrences
+    audit("t_ngram_novelty", "partial_min")
+    // char-trigram lang-ID: the trained profile table broadcasts back;
+    // the corpus side never shuffles to be scored
+    audit("t_charngram_langid", "BroadcastHashJoin", "TopKPerKey")
+    // pooling: ONE (group, dim) exchange; the output is 5× smaller than
+    // the input, which is the point of pooling before the ANN index
+    auditAtMost("s_embed_pool", "Exchange hashpartitioning", 1)
+    // containment: ordered pairs come from posting lists like the
+    // jaccard tiers — never a pair product
+    auditAtMost("d_containment_dup",
+      "CartesianProduct|BroadcastNestedLoopJoin", 0)
+    // SCD2: the per-doc run windows share one doc_id exchange; the run
+    // grouping adds at most one more
+    auditAtMost("p_scd2_history", "Exchange hashpartitioning", 2)
+    // soft dedup: the cluster-size table is component-count sized and
+    // broadcasts back onto the doc spine
+    audit("p_soft_dedup_weights", "BroadcastHashJoin")
     // funnel: the stage's event_type filter reaches the parquet scan
     audit("w_funnel", "PushedFilters: [IsNotNull(event_type), " +
       "EqualTo(event_type,signup)]")

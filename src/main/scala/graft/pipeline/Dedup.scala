@@ -126,6 +126,71 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: C(A→B) = |∩|/|shingles(A)|
+    * ≥ threshold — the detector Jaccard structurally misses: a wire
+    * story, boilerplate notice, or quoted document EMBEDDED in a larger
+    * page has tiny Jaccard (the wrapper dilutes the union) but
+    * containment ≈ 1. Broder's original resemblance/containment pairing
+    * (Broder 1997) — dedup pipelines need both directions.
+    *
+    * Same posting-list formulation and df-cap discipline as
+    * [[jaccardPairs]] (ONE explode+shuffle, pairs from posting lists,
+    * hot shingles dropped rows-first with per-doc size adjustment), but
+    * pairs are ORDERED (da=contained, db=container) and the filter
+    * cross-multiplies against the CONTAINED side's size only:
+    * `100·i ≥ pct·n(A)`, integer-exact. Docs under `minShingles` are
+    * excluded — every 4-shingle fragment is "contained" in everything
+    * at threshold 0.9, which is noise, not signal.
+    */
+  def containmentPairs(docs: DataFrame, pct: Int = 90, maxDf: Int = 0,
+      minShingles: Int = 5): DataFrame = {
+    val spreadDocs = graft.Tables.spread(docs)
+    val exploded = spreadDocs
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("s"))
+    val rawSizes = spreadDocs.select(col("doc_id"),
+      size(shingleHashes(col("text"))).cast("long").as("n0"))
+    val (keptRows, sizes) =
+      if (maxDf <= 0) (exploded, rawSizes.withColumnRenamed("n0", "n"))
+      else {
+        val hot = exploded.groupBy("s").agg(count(lit(1)).as("dfc"))
+          .filter(col("dfc") > maxDf).select("s")
+        val drops = exploded.join(hot, Seq("s"))
+          .groupBy("doc_id").agg(count(lit(1)).as("dropped"))
+        val szs = rawSizes.join(drops, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (col("n0") - coalesce(col("dropped"), lit(0L))).as("n"))
+        (exploded.join(hot, Seq("s"), "left_anti"), szs)
+      }
+    // enumerate each UNORDERED pair once (half the shuffle of emitting
+    // both directions through the heavy groupBy), then test containment
+    // in both directions on the joined row — |∩| is symmetric
+    val inter = keptRows
+      .groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("da"), col("ids"))
+      .select(col("da"), explode(col("ids")).as("db"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    val sa = sizes.select(col("doc_id").as("ida"), col("n").as("na"))
+    val sb = sizes.select(col("doc_id").as("idb"), col("n").as("nb"))
+    val both = inter.join(sa, col("da") === col("ida"))
+      .join(sb, col("db") === col("idb"))
+    // both directions in ONE pass (a union of filtered branches would
+    // evaluate the whole pair subtree twice): a bounded 2× explode per
+    // joined pair row, then the direction-specific containment test
+    both
+      .select(col("i"), explode(array(
+        struct(col("da").as("contained"), col("db").as("container"),
+          col("na").as("n")),
+        struct(col("db").as("contained"), col("da").as("container"),
+          col("nb").as("n")))).as("x"))
+      .filter(col("x.n") >= minShingles &&
+        col("i") * 100 >= lit(pct) * col("x.n"))
+      .select(col("x.contained").as("contained"),
+        col("x.container").as("container"),
+        expr("(1000000 * i) DIV x.n").as("containment_micro"))
+  }
+
   /** Exact Jaccard pairs via PREFIX FILTERING — the AllPairs/PPJoin
     * family (Bayardo et al., "Scaling Up All Pairs Similarity Search",
     * WWW 2007; Xiao et al., "Efficient Similarity Joins for Near
@@ -672,6 +737,23 @@ object Dedup {
         .withColumnRenamed("doc_id", "vec_id")
         .orderBy("vec_id")
     },
+    // Asymmetric containment pairs — the embedded-document detector.
+    // The fixture corpus has no planted wrappers, so the query re-ingests
+    // the first 50 docs WRAPPED (verbatim text + appended chrome tail,
+    // the m_binary_dup re-ingest pattern): each original is then fully
+    // contained (10⁶ micro) in its wrapper while their Jaccard is
+    // diluted. Runs the production df-capped tier; integer cross-
+    // multiplied threshold and micro-unit output → exact oracle.
+    "d_containment_dup" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val wrapped = Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"),
+            lit(" wrapper chrome navigation footer columns appended"))
+            .as("text"))
+      containmentPairs(docs.unionByName(wrapped), 90, maxDf = 20)
+        .orderBy("contained", "container")
+    },
     // Exact-substring (span) dedup measurement: per-doc count of token
     // positions inside an 8-token span shared verbatim with another doc.
     // The hash-vs-string oracle equality re-proves the no-collision
@@ -884,6 +966,42 @@ object Dedup {
         |  SELECT e.t, reach.r FROM reach JOIN edges e ON reach.id = e.s)
         |SELECT id AS doc_id, min(r) AS cluster
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // string shingles stand in for the engine's 64-bit hashes (the
+    // no-collision assumption the jaccard oracles already prove); the
+    // wrapped re-ingest, the df cap with per-doc size adjustment, and
+    // the integer containment test are replayed verbatim
+    "d_containment_dup" ->
+      """WITH docs0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    text || ' wrapper chrome navigation footer columns appended'
+        |  FROM documents WHERE doc_id < 50),
+        |toks AS (SELECT doc_id, string_split(text, ' ') t FROM docs0),
+        |sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) s
+        |  FROM toks WHERE len(t) >= 3),
+        |dfc AS (SELECT s, count(*) c FROM sh0 GROUP BY s),
+        |sh AS (SELECT doc_id, s FROM sh0 JOIN dfc USING (s)
+        |       WHERE c <= 20),
+        |drops AS (
+        |  SELECT doc_id, count(*) dropped FROM sh0 JOIN dfc USING (s)
+        |  WHERE c > 20 GROUP BY doc_id),
+        |sizes0 AS (SELECT doc_id, count(*) n0 FROM sh0 GROUP BY doc_id),
+        |sizes AS (
+        |  SELECT doc_id, n0 - coalesce(dropped, 0) AS n
+        |  FROM sizes0 LEFT JOIN drops USING (doc_id)),
+        |inter AS (
+        |  SELECT a.doc_id da, b.doc_id db, count(*) i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da AS contained, db AS container,
+        |  (1000000 * i) // n AS containment_micro
+        |FROM inter JOIN sizes sa ON sa.doc_id = da
+        |WHERE n >= 5 AND i * 100 >= 90 * n
+        |ORDER BY contained, container""".stripMargin,
     "d_span_dup" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') t FROM documents),

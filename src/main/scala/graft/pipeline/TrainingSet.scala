@@ -401,6 +401,47 @@ object TrainingSet {
         .filter(col("status") =!= "unchanged")
         .orderBy("doc_id")
     },
+    // SCD2 content history over crawl snapshots — the lakehouse
+    // materialization downstream of p_corpus_diff's change feed: one row
+    // per (doc, content run) with [valid_from, valid_to] version bounds
+    // and a current flag, so "what did the corpus look like at version
+    // v" and "which docs changed between crawls" are plain filters over
+    // the history table instead of N-way snapshot joins. Three synthetic
+    // versions from the fixture (v1 edits doc_id≡0 (mod 7), v2
+    // additionally edits ≡0 (mod 5) and DELETES ≡2 (mod 17) — deletions
+    // close a run below the latest version, so is_current goes false
+    // without any tombstone special-case). Runs are lag-change windows +
+    // a running change-count — per-doc windows over 3 rows, one hash
+    // exchange; at scale versions arrive incrementally and the window
+    // spans each doc's run tail only.
+    "p_scd2_history" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))
+      val e1 = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" edit1"))).otherwise(col("text"))
+      val e2 = when(col("doc_id") % 5 === 0, concat(e1, lit(" edit2")))
+        .otherwise(e1)
+      val snaps =
+        base.select(lit(0).as("version"), col("doc_id"),
+          md5(col("text")).as("h"))
+          .unionByName(base.select(lit(1).as("version"), col("doc_id"),
+            md5(e1).as("h")))
+          .unionByName(base.filter(col("doc_id") % 17 =!= 2)
+            .select(lit(2).as("version"), col("doc_id"), md5(e2).as("h")))
+      val w = Window.partitionBy("doc_id").orderBy("version")
+      val runs = snaps
+        .withColumn("chg", when(lag(col("h"), 1).over(w).isNull ||
+          lag(col("h"), 1).over(w) =!= col("h"), 1).otherwise(0))
+        .withColumn("run", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      runs.groupBy(col("doc_id"), col("run"), col("h").as("content_md5"))
+        .agg(min(col("version")).as("valid_from"),
+          max(col("version")).as("valid_to"))
+        .select(col("doc_id"), col("content_md5"), col("valid_from"),
+          col("valid_to"), (col("valid_to") === 2).as("is_current"))
+        .orderBy("doc_id", "valid_from")
+    },
     "p_hash_split" -> { (s, d) =>
       hashSplit(Tables.spread(Tables.documents(s, d)))
         .orderBy("split", "lang")
@@ -682,6 +723,35 @@ object TrainingSet {
         |FROM old FULL OUTER JOIN new USING (doc_id)
         |WHERE oh IS NULL OR nh IS NULL OR oh != nh
         |ORDER BY doc_id""".stripMargin,
+    // identical synthesized versions, identical lag/run windows; md5 and
+    // the integer version bounds make the history hash-exact
+    "p_scd2_history" ->
+      """WITH v1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' edit1' ELSE text END t
+        |  FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN t || ' edit2' ELSE t END t
+        |  FROM v1 WHERE doc_id % 17 <> 2),
+        |snaps AS (
+        |  SELECT 0 AS version, doc_id, md5(text) h FROM documents
+        |  UNION ALL SELECT 1, doc_id, md5(t) FROM v1
+        |  UNION ALL SELECT 2, doc_id, md5(t) FROM v2),
+        |r AS (
+        |  SELECT *, CASE WHEN lag(h) OVER w IS NULL
+        |                   OR lag(h) OVER w <> h THEN 1 ELSE 0 END chg
+        |  FROM snaps WINDOW w AS (PARTITION BY doc_id ORDER BY version)),
+        |runs AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY doc_id ORDER BY version
+        |    ROWS UNBOUNDED PRECEDING) run
+        |  FROM r)
+        |SELECT doc_id, h AS content_md5,
+        |  CAST(min(version) AS INT) AS valid_from,
+        |  CAST(max(version) AS INT) AS valid_to,
+        |  max(version) = 2 AS is_current
+        |FROM runs GROUP BY doc_id, run, h
+        |ORDER BY doc_id, valid_from""".stripMargin,
     // mixHash spelled out as the same BIGINT arithmetic; DuckDB's
     // count/sum widths cast back to Spark's LONG
     "p_hash_split" ->
