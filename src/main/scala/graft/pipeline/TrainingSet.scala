@@ -442,6 +442,56 @@ object TrainingSet {
           col("valid_to"), (col("valid_to") === 2).as("is_current"))
         .orderBy("doc_id", "valid_from")
     },
+    // Multi-signal quality ENSEMBLE — the FineWeb/Dolma gating pattern:
+    // independent heuristic families VOTE and the gate keeps docs with a
+    // supermajority, so no single family's blind spot decides alone.
+    // Four signals, every one already integer-exact: the Gopher
+    // battery's LENGTH/SHAPE core over the RAW text (word-count bounds,
+    // mean-word-length band, alphabetic fraction — the symbol/bullet/
+    // stopword rules are web-junk detectors that are constant on the
+    // clean fixture, so they carry no vote information here; a web
+    // deployment swaps the full `keep` back in), the hashed-feature
+    // model score's sign, a repetition screen (duplicated-trigram mass ≤ 4%
+    // AND top-trigram mass ≤ 8%, cross-multiplied), and a corpus-
+    // relative informativeness screen (mean distinct-trigram df ≤ 2 —
+    // boilerplate shared corpus-wide fails it). keep = votes ≥ 3.
+    // Shape: three per-row signal columns + one df-join signal, all
+    // joined on the doc spine — the df build is the only vocabulary
+    // shuffle, shared with t_informativeness's plan.
+    "p_quality_ensemble" -> { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+      val structural = TextAnalysis.gopherRules(docs)
+        .select(col("doc_id"),
+          (col("ok_word_count") && col("ok_mean_word_len") &&
+            col("ok_alpha_words")).as("v_structural"))
+      val model = docs.select(col("doc_id"),
+        (TextAnalysis.hashClassifierWeightSum(col("text")) >= 0L)
+          .as("v_model"))
+      val rep = docs
+        .select(col("doc_id"),
+          explode(TextAnalysis.trigramOccurrences(col("text")))
+            .as("ngram"))
+        .groupBy("doc_id", "ngram").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(sum("n").as("s"),
+          count(lit(1)).as("dst"), max("n").as("mx"))
+        .select(col("doc_id"),
+          (lit(25) * (col("s") - col("dst")) <= col("s") &&
+            lit(25) * col("mx") <= lit(2) * col("s")).as("v_repetition"))
+      val sh = docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"))).as("ngram"))
+      val dfr = sh.groupBy("ngram").agg(count(lit(1)).as("c"))
+      val info = sh.join(dfr, "ngram").groupBy("doc_id")
+        .agg(sum("c").as("dsum"), count(lit(1)).as("nd"))
+        .select(col("doc_id"),
+          (col("dsum") <= lit(2) * col("nd")).as("v_informative"))
+      structural.join(model, "doc_id").join(rep, "doc_id")
+        .join(info, "doc_id")
+        .withColumn("votes", col("v_structural").cast("int") +
+          col("v_model").cast("int") + col("v_repetition").cast("int") +
+          col("v_informative").cast("int"))
+        .withColumn("keep", col("votes") >= 3)
+        .orderBy("doc_id")
+    },
     "p_hash_split" -> { (s, d) =>
       hashSplit(Tables.spread(Tables.documents(s, d)))
         .orderBy("split", "lang")
@@ -722,6 +772,83 @@ object TrainingSet {
         |       ELSE 'unchanged' END AS status
         |FROM old FULL OUTER JOIN new USING (doc_id)
         |WHERE oh IS NULL OR nh IS NULL OR oh != nh
+        |ORDER BY doc_id""".stripMargin,
+    // all four vote families recomputed verbatim (Gopher flags over RAW
+    // text, classifier integer sum, cross-multiplied repetition screens,
+    // the df-join informativeness bound) — every vote is exact
+    "p_quality_ensemble" ->
+      """WITH m AS (
+        |  SELECT doc_id, text AS t,
+        |    list_filter(string_split_regex(text, '[ \n]'), x -> x <> '')
+        |      AS words,
+        |    list_filter(string_split_regex(text, '\n'), x -> x <> '')
+        |      AS lines
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS w,
+        |    CAST(greatest(1, len(lines)) AS BIGINT) AS l,
+        |    CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0)
+        |      AS BIGINT) AS sumlen,
+        |    CAST(len(t) - len(replace(t, '#', '')) AS BIGINT) AS n_hash,
+        |    CAST(len(regexp_extract_all(t, '\.\.\.')) AS BIGINT) AS n_ell,
+        |    CAST(len(list_filter(lines, x -> substr(x, 1, 2) = '- '))
+        |      AS BIGINT) AS n_bul,
+        |    CAST(len(list_filter(lines, x -> len(x) >= 3
+        |      AND substr(x, len(x) - 2, 3) = '...')) AS BIGINT) AS n_ell2,
+        |    CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(
+        |      ['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(words, s))) AS BIGINT) AS n_stop
+        |  FROM m),
+        |vs AS (
+        |  SELECT doc_id,
+        |    ((w >= 50 AND w <= 100000)
+        |     AND (3 * w <= sumlen AND sumlen <= 10 * w)
+        |     AND (10 * n_alpha >= 8 * w)) AS v_structural
+        |  FROM g),
+        |vm AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(string_split(text, ' '), w ->
+        |      ((((length(w) * 31 + ascii(substr(w, 1, 1)) * 7
+        |          + ascii(substr(w, -1, 1))) * 2654435761)
+        |        % 1048576) * 40503) % 2001 - 1000)) AS BIGINT) >= 0
+        |      AS v_model
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, len(t) - 2 + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ngram
+        |  FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)
+        |  WHERE len(t) >= 3),
+        |rc AS (
+        |  SELECT doc_id, sum(n) s, count(*) d, max(n) mx FROM (
+        |    SELECT doc_id, ngram, count(*) n FROM occ GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |vr AS (
+        |  SELECT doc_id,
+        |    (25 * (s - d) <= s AND 25 * mx <= 2 * s) AS v_repetition
+        |  FROM rc),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) ngram
+        |  FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)
+        |  WHERE len(t) >= 3),
+        |dfc AS (SELECT ngram, count(*) c FROM sh GROUP BY 1),
+        |vi AS (
+        |  SELECT doc_id, (sum(c) <= 2 * count(*)) AS v_informative
+        |  FROM sh JOIN dfc USING (ngram) GROUP BY doc_id)
+        |SELECT doc_id, v_structural, v_model, v_repetition, v_informative,
+        |  CAST(v_structural AS INT) + CAST(v_model AS INT)
+        |    + CAST(v_repetition AS INT) + CAST(v_informative AS INT)
+        |    AS votes,
+        |  (CAST(v_structural AS INT) + CAST(v_model AS INT)
+        |    + CAST(v_repetition AS INT) + CAST(v_informative AS INT) >= 3)
+        |    AS keep
+        |FROM vs JOIN vm USING (doc_id) JOIN vr USING (doc_id)
+        |  JOIN vi USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // identical synthesized versions, identical lag/run windows; md5 and
     // the integer version bounds make the history hash-exact
