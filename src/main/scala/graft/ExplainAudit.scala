@@ -249,6 +249,25 @@ object ExplainAudit {
     // shard assignment: one hash exchange (the per-shard rank window);
     // the production write twin has none
     auditAtMost("p_shard_assign", "Exchange hashpartitioning", 1)
+    // band join: the bucket trick must turn the pure inequality into an
+    // equi-join — a bare |Δt|<=δ condition would plan as a nested-loop
+    // product over the full pair space
+    auditAtMost("r_join_band",
+      "CartesianProduct|BroadcastNestedLoopJoin", 0)
+    audit("r_join_band", "HashJoin")
+    // JL projection is a pure map stage: ZERO computational shuffles
+    // (the presentation orderBy is a range partitioning, not hash)
+    auditAtMost("s_random_projection", "Exchange hashpartitioning", 0)
+    // zipf fit: the bounded-heap cap must sit between the count and the
+    // rank window, so the window never sorts more than 100 rows/source
+    audit("t_zipf_fit", "TopKPerKey")
+    // robust outlier gate: per-source stats ride back via broadcast —
+    // the doc scan is never reshuffled to meet its own statistics
+    audit("t_length_outliers", "BroadcastHashJoin")
+    // contamination matrix: distinct-collapsed (source, fp) self-join is
+    // all equi-joins — never a pair product
+    auditAtMost("a_source_overlap",
+      "CartesianProduct|BroadcastNestedLoopJoin", 0)
     // bucketed ingest joins with NO shuffle: both sides' distribution
     // comes from the bucketed layout (write once here, plan must be
     // Exchange-free)

@@ -32,8 +32,9 @@ object SparkEntry {
       TextAnalysis.queries ++ Multimodal.queries ++ EventWindows.queries ++
       TrainingSet.queries ++ Agreement.queries ++ Bpe.queries ++ Unigram.queries ++
       CorpusOps.queries ++ KMeansOps.queries ++ Retrieval.queries ++
-      Classifier.queries ++
+      Classifier.queries ++ Projection.queries ++
       GraphRank.queries ++ graft.operators.FuzzyJoin.queries ++
+      graft.operators.BandJoin.queries ++
       graft.sources.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,7 +45,8 @@ object SparkEntry {
       TextAnalysis.oracles ++ Multimodal.oracles ++ EventWindows.oracles ++
       TrainingSet.oracles ++ Agreement.oracles ++ Bpe.oracles ++ Unigram.oracles ++
       CorpusOps.oracles ++ KMeansOps.oracles ++ Retrieval.oracles ++
-      Classifier.oracles ++
+      Classifier.oracles ++ Projection.oracles ++
       GraphRank.oracles ++ graft.operators.FuzzyJoin.oracles ++
+      graft.operators.BandJoin.oracles ++
       graft.sources.SourceQueries.oracles
 }

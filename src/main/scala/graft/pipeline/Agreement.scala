@@ -166,7 +166,36 @@ object Agreement {
       pairDrift(Dedup.prefixJaccardPairs(docs, 0.8),
           Dedup.jaccardPairs(docs, 0.8, maxDf = 2))
         .orderBy("da", "db", "side")
+    },
+    // Cross-source contamination matrix: for every source pair, how many
+    // distinct winnowing fingerprints they share — the audit that tells
+    // you two "independent" crawls are actually mirroring each other
+    // (and that a benchmark source leaked into a training source)
+    // BEFORE composition weights are chosen. Shape at scale: the
+    // (source, fp) frame is DISTINCT-collapsed first, so each
+    // fingerprint's posting list is bounded by |sources| regardless of
+    // how many documents carry it — the self-join emits at most
+    // |sources|²/2 rows per fingerprint and the result is
+    // |sources|²-sized. Nothing here scales with corpus size except
+    // the one winnow pass (2n/(w+1) fingerprints, one doc_id shuffle).
+    "a_source_overlap" -> { (s, d) =>
+      sourceOverlap(Tables.documents(s, d)).orderBy("src_a", "src_b")
     })
+
+  /** (src_a, src_b, n_shared_fp) for src_a < src_b — distinct winnowing
+    * fingerprints shared by each source pair (see the a_source_overlap
+    * scaladoc above for the scale argument).
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val fp = Fingerprints.winnow(docs)
+      .join(Tables.spread(docs).select("doc_id", "source"), "doc_id")
+      .select("source", "fp").distinct()
+    fp.select(col("source").as("src_a"), col("fp"))
+      .join(fp.select(col("source").as("src_b"), col("fp")), "fp")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared_fp"))
+  }
 
   private val pairCtes =
     """WITH toks AS (
@@ -242,5 +271,19 @@ object Agreement {
         |FROM capped c
         |WHERE NOT EXISTS (SELECT 1 FROM exact e
         |                  WHERE e.da = c.da AND e.db = c.db)
-        |ORDER BY da, db, side""".stripMargin))
+        |ORDER BY da, db, side""".stripMargin),
+    // reuses the winnow oracle verbatim as a subquery, so the two
+    // queries can never disagree about what a fingerprint is
+    "a_source_overlap" ->
+      s"""WITH wfp AS (
+         |  SELECT * FROM (
+         |${Fingerprints.oracles("d_winnow_fingerprint")}
+         |  ) q),
+         |fs AS (
+         |  SELECT DISTINCT d.source, w.fp
+         |  FROM wfp w JOIN documents d USING (doc_id))
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  count(*) AS n_shared_fp
+         |FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -613,11 +613,110 @@ object TextAnalysis {
             (col("n").cast("double") * 1000.0)).as("score"),
           when(col("ws") >= 0, "pos").otherwise("neg").as("label"))
         .orderBy("doc_id")
+    },
+    // Zipf-slope fit per source — the corpus-health diagnostic: natural
+    // text follows freq ∝ rank^s with s ≈ −1; a much flatter slope
+    // flags template/boilerplate spam (few types dominating), a much
+    // steeper one flags id-like noise (all types near-unique). Least
+    // squares of ln f on ln rank over each source's top-100 types, the
+    // slope assembled from explicit Σ terms so both engines run the
+    // IDENTICAL formula (regr_slope's internal update order differs
+    // across engines). Shape at scale: one (source, word) count
+    // shuffle, then the bounded-heap TopKPerKey caps every source at
+    // 100 rows BEFORE the window rank — the fit itself touches
+    // 100·|sources| rows however large the corpus.
+    "t_zipf_fit" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Tables.spread(Tables.documents(s, d))
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("f"))
+      val types = w.groupBy("source").agg(count(lit(1)).as("n_types"))
+      val top = graft.plans.TopKPerKey.topKPerKey(w,
+        Seq("source"), Seq(("f", true), ("word", false)), 100)
+      // ranks are deterministic under ties (word tiebreak), and tied
+      // frequencies pair the same y multiset with the same rank set
+      // either way — the fit is tie-order-proof
+      val xy = top.withColumn("rk", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(col("f").desc, col("word"))))
+        .select(col("source"), log(col("rk")).as("x"),
+          log(col("f")).as("y"))
+      xy.groupBy("source").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("source"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 4)
+            .as("zipf_slope"))
+        .join(types, "source")
+        .orderBy("source")
+    },
+    // Robust length-outlier gate — median/MAD per source (the robust
+    // twin of mean/σ: one 10⁶-char page can't drag the threshold the
+    // way it drags a mean). Exact interpolated percentiles so the
+    // DuckDB median()/mad() pair reproduces them bit-for-bit (integer
+    // inputs ⇒ every median is a .0 or .5, exact in double). Shape at
+    // scale: the exact sort-based percentile here is the ORACLE-GRADE
+    // audit tier; the production gate swaps in approx_percentile on
+    // the same two-phase frame (per-source stats are |sources|-sized
+    // either way, broadcast back for the flag pass).
+    "t_length_outliers" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars"))
+      val med = docs.groupBy("source")
+        .agg(expr("percentile(n_chars, 0.5)").as("med_chars"))
+      val dev = docs.join(broadcast(med), "source")
+        .withColumn("dv", abs(col("n_chars") - col("med_chars")))
+      val mad = dev.groupBy("source")
+        .agg(expr("percentile(dv, 0.5)").as("mad_chars"))
+      dev.join(broadcast(mad), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          first(col("med_chars")).as("med_chars"),
+          first(col("mad_chars")).as("mad_chars"),
+          sum(when(col("dv") > lit(3.0) * col("mad_chars"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("source")
     })
 
   private val oracleToks = "string_split(text, ' ')"
 
   val oracles: Map[String, String] = Map(
+    "t_zipf_fit" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |f AS (SELECT source, word, count(*) AS f FROM w GROUP BY 1, 2),
+        |types AS (SELECT source, count(*) AS n_types FROM f GROUP BY 1),
+        |top AS (
+        |  SELECT source, f, row_number() OVER (
+        |    PARTITION BY source ORDER BY f DESC, word) AS rk
+        |  FROM f QUALIFY rk <= 100),
+        |xy AS (SELECT source, ln(rk) AS x, ln(f) AS y FROM top),
+        |agg AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT a.source,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS zipf_slope,
+        |  t.n_types
+        |FROM agg a JOIN types t USING (source)
+        |ORDER BY source""".stripMargin,
+    "t_length_outliers" ->
+      """WITH s1 AS (
+        |  SELECT source, median(n_chars) AS med, mad(n_chars) AS madv
+        |  FROM documents GROUP BY 1),
+        |dev AS (
+        |  SELECT d.source, abs(d.n_chars - s1.med) AS dv, s1.med, s1.madv
+        |  FROM documents d JOIN s1 USING (source))
+        |SELECT source, count(*) AS n_docs,
+        |  any_value(med) AS med_chars, any_value(madv) AS mad_chars,
+        |  CAST(sum(CASE WHEN dv > 3.0 * madv THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev GROUP BY source
+        |ORDER BY source""".stripMargin,
     // The custom RollingHash expression (h := h*31 + byte, natural Long
     // wraparound) re-derived with HUGEINT modular arithmetic: chars fold
     // through a recursive CTE, (h*31 + c) mod 2^64 each step (h < 2^64

@@ -146,4 +146,31 @@ class AgreementSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
     assert(bloom == exact)
   }
+
+  test("a_source_overlap: a fingerprint planted in three sources scores " +
+      "all three pairs once; per-source duplicates never double-count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the shared 7-token phrase yields identical winnow fingerprints in
+    // every doc that carries it; fillers are per-doc unique words
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"u1a u1b $shared u1c u1d", "s1"),
+      (2L, s"u2a u2b $shared u2c u2d", "s1"), // same source dup: 1 fp
+      (3L, s"u3a u3b $shared u3c u3d", "s2"),
+      (4L, s"u4a u4b $shared u4c u4d", "s3"),
+      (5L, "v5a v5b v5c v5d v5e v5f v5g v5h v5i", "s4") // no overlap
+    ).toDF("doc_id", "text", "source")
+    val got = graft.pipeline.Agreement.sourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // every cross-source pair among {s1, s2, s3} shares ≥ 1 fp; s4 none
+    assert(got.intersect(Set(("s1","s2"), ("s1","s3"), ("s2","s3")))
+      .size == 3)
+    assert(!got.exists(p => p._1 == "s4" || p._2 == "s4"))
+    // registered query is non-empty on the real fixture and symmetric-
+    // free (src_a < src_b always)
+    val real = SparkEntry.queries("a_source_overlap")(spark, sf).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(r => r.getString(0) < r.getString(1)))
+  }
 }
