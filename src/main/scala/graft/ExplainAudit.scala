@@ -268,6 +268,8 @@ object ExplainAudit {
     // all equi-joins — never a pair product
     auditAtMost("a_source_overlap",
       "CartesianProduct|BroadcastNestedLoopJoin", 0)
+    // hilbert curve expression participates in whole-stage codegen
+    audit("r_hilbert_curve", "*(")
     // bucketed ingest joins with NO shuffle: both sides' distribution
     // comes from the bucketed layout (write once here, plan must be
     // Exchange-free)

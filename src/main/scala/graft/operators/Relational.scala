@@ -234,6 +234,18 @@ object Relational {
             .as("z"))
         .orderBy("z", "event_id")
     },
+    // Hilbert curve values — z-order's better-locality sibling
+    // (sources.HilbertLayout / functions.HilbertValue, a codegen'd
+    // Catalyst expression); oracle = one unrolled CTE per level,
+    // GENERATED from the same constants the expression compiles from
+    "r_hilbert_curve" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"),
+          graft.sources.HilbertLayout.hvalue(col("user_id"), col("event_id"))
+            .as("h"))
+        .orderBy("h", "event_id")
+    },
     // ---- set ops
     "r_union" -> { (s, d) =>
       val c = Tables.customer(s, d)
@@ -780,6 +792,15 @@ object Relational {
          |    AS z
          |FROM events WHERE user_id < 50
          |ORDER BY z, event_id""".stripMargin,
+    "r_hilbert_curve" -> {
+      val (ctes, last) = graft.sources.HilbertLayout.hvalueCtes(
+        "(SELECT event_id, user_id, user_id AS x, event_id AS y " +
+          "FROM events WHERE user_id < 50) q",
+        Seq("event_id", "user_id"))
+      s"""WITH $ctes
+         |SELECT event_id, user_id, d AS h FROM $last
+         |ORDER BY h, event_id""".stripMargin
+    },
     "r_union" ->
       """SELECT DISTINCT c_custkey FROM (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
