@@ -221,10 +221,75 @@ object CorpusOps {
         md5(concat_ws(" ", col("ct"))).as("chunk_md5"))
   }
 
+  /** DoReMi-style iterative domain reweighting (Xie et al. 2023,
+    * deterministic engine twin): the data-mixing answer to "how much of
+    * each source should the training set draw?" learned from the data
+    * instead of hand-tuned. Each round trains the bigram reference LM
+    * on a weight-proportional deterministic sample of the corpus,
+    * scores EVERY doc against it, and multiplicatively boosts domains
+    * with above-average cross-entropy (excess loss — the domains the
+    * current mixture models worst get more weight, DoReMi's
+    * group-DRO step); the returned mixture is the round-average, as in
+    * the paper. Simplifications vs the paper, documented: the proxy /
+    * reference models are the engine's bigram LM rather than trained
+    * transformers, and the baseline is the cross-domain mean loss.
+    *
+    * Deterministic end to end: sampling is an xxhash64(doc_id, round)
+    * threshold (rate = weight·|domains|, floored at 5% so no domain's
+    * sample collapses), the LM is exact integer counts, and the weight
+    * arithmetic runs on the driver over one |domains|-row collect per
+    * round — the BPE-loop discipline (driver state is
+    * vocabulary/domain-sized, NEVER corpus-sized; `require`-guarded).
+    * Shape at 100 TB: `rounds` corpus scans (sample + score), each
+    * shuffling vocabulary-bounded count tables; domain count and round
+    * count are constants.
+    */
+  def doremiWeights(docs: DataFrame, rounds: Int = 3,
+      eta: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val domains = docs.select("source").distinct()
+      .as[String].collect().sorted
+    require(domains.length <= 1000,
+      s"${domains.length} domains: driver-side weight state is only " +
+        "domain-sized if the domain column is coarse (source, not URL)")
+    var w = domains.map(_ -> 1.0 / domains.length).toMap
+    val acc = scala.collection.mutable.Map(domains.map(_ -> 0.0): _*)
+    for (r <- 1 to rounds) {
+      val rate = domains.map(d =>
+        d -> math.max(0.05, math.min(1.0, w(d) * domains.length))).toMap
+      val rateCol = domains.foldLeft(lit(0.0)) { (acc0, dm) =>
+        when(col("source") === dm, lit(rate(dm))).otherwise(acc0) }
+      val sample = docs.filter(
+        pmod(xxhash64(col("doc_id"), lit(r)), lit(1000000L))
+          .cast("double") < rateCol * 1e6)
+      val ce = bigramCrossEntropyAgainst(sample, docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source").agg(avg(col("ce")).as("dce"))
+        .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+      val base = domains.map(d => ce.getOrElse(d, 0.0)).sum / domains.length
+      val boosted = domains.map(d =>
+        d -> w(d) * math.exp(eta * (ce.getOrElse(d, 0.0) - base)))
+      val z = boosted.map(_._2).sum
+      w = boosted.map { case (d, v) => d -> v / z }.toMap
+      domains.foreach(d => acc(d) += w(d) / rounds)
+    }
+    domains.toSeq.map(d => (d, BigDecimal(acc(d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("source", "weight")
+  }
+
   val queries: Map[String, Q] = Map(
     "t_ngram_lm" -> { (s, d) =>
       bigramCrossEntropy(Tables.spread(Tables.documents(s, d)))
         .orderBy("doc_id")
+    },
+    // iterative trainer state (multi-round sample→train→score loop) —
+    // rows-only like the BPE/unigram tiers; DoremiSpec pins an exact
+    // single-round reference + multi-round invariants
+    "p_doremi_weights" -> { (s, d) =>
+      doremiWeights(Tables.spread(Tables.documents(s, d)))
+        .orderBy("source")
     },
     // domain-LM filtering, the CCNet deployment: target = the English
     // slice, every doc scored against ITS statistics — the in-domain/

@@ -37,7 +37,11 @@ class RelationalSpec extends AnyFunSuite {
       "s_ann_pq", "d_embedding_dup_lsh",
       "r_approx_distinct", "p_quality_gate_approx", "t_cms_freq",
       "t_bpe_merges", "t_bpe_encode",
-      "t_unigram_train", "t_unigram_encode")
+      "t_unigram_train", "t_unigram_encode",
+      // multi-round sample→train→score loop (DoReMi) — iterative
+      // trainer state like the BPE/unigram tiers; DoremiSpec pins an
+      // exact single-round reference + multi-round invariants
+      "p_doremi_weights")
     assert(missing == rowsOnly, s"queries without oracle: $missing")
   }
 
