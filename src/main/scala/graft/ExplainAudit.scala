@@ -270,6 +270,9 @@ object ExplainAudit {
       "CartesianProduct|BroadcastNestedLoopJoin", 0)
     // hilbert curve expression participates in whole-stage codegen
     audit("r_hilbert_curve", "*(")
+    // gap-fill: the calendar grid rides broadcasts (one-row bounds +
+    // type list) — densifying never reshuffles the fact aggregate
+    audit("w_gapfill", "BroadcastHashJoin")
     // bucketed ingest joins with NO shuffle: both sides' distribution
     // comes from the bucketed layout (write once here, plan must be
     // Exchange-free)

@@ -178,7 +178,39 @@ object EventWindows {
       (full && lhs * lhs > dec(lit(sigmas * sigmas)) * rhs).as("flagged"))
   }
 
+  /** Hourly gap-fill: per-type counts on a COMPLETE hour grid, missing
+    * hours as honest zeros — the resample step every downstream
+    * time-series consumer (anomaly baselines, rate charts, forecast
+    * features) silently assumes; a groupBy alone emits nothing for an
+    * empty hour and a zero-traffic outage becomes invisible. Shape at
+    * scale: one hash aggregate over the events (the only corpus-sized
+    * stage); the grid is |types| × |hours| — generated from a one-row
+    * min/max broadcast and a broadcast-joined distinct-type list, so
+    * densifying adds NO shuffle of the fact stream, and at any corpus
+    * size the grid stays calendar-sized, not data-sized.
+    */
+  def gapFillHourly(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select(col("event_type"),
+      date_trunc("hour", col("ts")).as("h"))
+    val counts = ev.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n0"))
+    val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("h"))
+    grid.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), fmt(col("h")).as("hour"),
+        coalesce(col("n0"), lit(0L)).as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // hourly resample with zero-filled gaps (grid from the data's own
+    // min/max hour — calendar-sized, never data-sized)
+    "w_gapfill" -> { (s, d) =>
+      gapFillHourly(Tables.events(s, d)).orderBy("event_type", "hour")
+    },
     // tumbling 1-hour windows per event type
     "w_tumbling" -> { (s, d) =>
       Tables.events(s, d)
@@ -235,6 +267,24 @@ object EventWindows {
     })
 
   val oracles: Map[String, String] = Map(
+    "w_gapfill" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('hour', ts) h FROM events),
+        |counts AS (
+        |  SELECT event_type, h, count(*) n FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT min(h) h0, max(h) h1 FROM ev),
+        |hours AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        |grid AS (
+        |  SELECT t.event_type, hours.h
+        |  FROM (SELECT DISTINCT event_type FROM ev) t, hours)
+        |SELECT grid.event_type,
+        |  strftime(grid.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  coalesce(counts.n, 0) AS n
+        |FROM grid LEFT JOIN counts
+        |  ON counts.event_type = grid.event_type AND counts.h = grid.h
+        |ORDER BY 1, 2""".stripMargin,
     "w_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |         AS window_start,
