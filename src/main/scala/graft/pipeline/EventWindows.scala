@@ -189,13 +189,22 @@ object EventWindows {
     * densifying adds NO shuffle of the fact stream, and at any corpus
     * size the grid stays calendar-sized, not data-sized.
     */
-  def gapFillHourly(ev0: DataFrame): DataFrame = {
-    val ev = ev0.select(col("event_type"),
-      date_trunc("hour", col("ts")).as("h"))
-    val counts = ev.groupBy("event_type", "h")
-      .agg(count(lit(1)).as("n0"))
-    val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-    val grid = ev.select("event_type").distinct()
+  def gapFillHourly(ev0: DataFrame): DataFrame =
+    densifyHourly(hourlyCounts(ev0))
+
+  /** The corpus-sized half: one hash aggregate to (type, hour, n). */
+  def hourlyCounts(ev0: DataFrame): DataFrame =
+    ev0.select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("n0"))
+
+  /** The calendar-sized half: densify a (type, hour, n) table onto the
+    * complete grid spanned by ITS OWN min/max hour. Shared verbatim by
+    * the batch operator and [[graft.streaming.GapFillStream]]'s view,
+    * so the streaming twin cannot drift from the batch grid semantics.
+    */
+  def densifyHourly(counts: DataFrame): DataFrame = {
+    val bounds = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = counts.select("event_type").distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
         explode(sequence(col("h0"), col("h1"),
