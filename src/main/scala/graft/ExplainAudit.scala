@@ -273,6 +273,9 @@ object ExplainAudit {
     // gap-fill: the calendar grid rides broadcasts (one-row bounds +
     // type list) — densifying never reshuffles the fact aggregate
     audit("w_gapfill", "BroadcastHashJoin")
+    // ema inherits the same densify shape; the smoothing window runs on
+    // the calendar-sized frame
+    audit("w_ema", "BroadcastHashJoin")
     // bucketed ingest joins with NO shuffle: both sides' distribution
     // comes from the bucketed layout (write once here, plan must be
     // Exchange-free)

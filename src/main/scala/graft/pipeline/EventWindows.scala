@@ -214,11 +214,51 @@ object EventWindows {
         coalesce(col("n0"), lit(0L)).as("n"))
   }
 
+  /** Truncated exponential moving average over the GAP-FILLED hourly
+    * series (composition: smoothing a sparse groupBy output instead
+    * would silently skip empty hours and decay against the wrong
+    * clock). Adjusted-EMA form over the trailing `K` hours with decay
+    * 0.7, kept INTEGER-EXACT: weight of the element `rev` hours back in
+    * an m-row window is 7^rev·10^(m−1−rev), folded oldest→newest by the
+    * recurrence (N, D, p) ← (7N + p·x, 7D + p, 10p), so
+    * ema = N/D is one exact-BIGINT division and the 1e-4-grid result is
+    * engine-identical — no pow() ulp drift, the kNN-mean/MMR integer
+    * discipline. Shape at scale: runs entirely on the calendar-sized
+    * densified frame; the only corpus-sized stage is the count
+    * aggregate it inherits from [[hourlyCounts]].
+    */
+  def emaHourly(ev0: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dense = densifyHourly(hourlyCounts(ev0))
+      .select(col("event_type"), col("hour"), col("n"),
+        (unix_timestamp(to_timestamp(col("hour"))) / 3600L).cast("long")
+          .as("idx"))
+    val w = Window.partitionBy("event_type").orderBy("idx")
+      .rowsBetween(-(k - 1), 0)
+    val zero = struct(lit(0L).as("num"), lit(0L).as("den"),
+      lit(1L).as("p"))
+    dense
+      .withColumn("lst", collect_list(col("n")).over(w))
+      .withColumn("acc", aggregate(col("lst"), zero, (acc, x) =>
+        struct(
+          (acc.getField("num") * 7L + acc.getField("p") * x).as("num"),
+          (acc.getField("den") * 7L + acc.getField("p")).as("den"),
+          (acc.getField("p") * 10L).as("p"))))
+      .select(col("event_type"), col("hour"), col("n"),
+        round(col("acc.num").cast("double") /
+          col("acc.den").cast("double"), 4).as("ema"))
+  }
+
   val queries: Map[String, Q] = Map(
     // hourly resample with zero-filled gaps (grid from the data's own
     // min/max hour — calendar-sized, never data-sized)
     "w_gapfill" -> { (s, d) =>
       gapFillHourly(Tables.events(s, d)).orderBy("event_type", "hour")
+    },
+    // EMA-smoothed hourly rates over the densified grid (integer-exact
+    // truncated decay — see emaHourly)
+    "w_ema" -> { (s, d) =>
+      emaHourly(Tables.events(s, d)).orderBy("event_type", "hour")
     },
     // tumbling 1-hour windows per event type
     "w_tumbling" -> { (s, d) =>
@@ -293,6 +333,52 @@ object EventWindows {
         |  coalesce(counts.n, 0) AS n
         |FROM grid LEFT JOIN counts
         |  ON counts.event_type = grid.event_type AND counts.h = grid.h
+        |ORDER BY 1, 2""".stripMargin,
+    // the closed form of the fold: the element `rev` hours back in an
+    // m-row window carries weight 7^rev · 10^(m−1−rev) (exact-BIGINT
+    // literals), so the windowed pair join + the power lookup replays
+    // the engine's (7N+px, 7D+p, 10p) recurrence term-for-term
+    "w_ema" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('hour', ts) h FROM events),
+        |counts AS (
+        |  SELECT event_type, h, count(*) n FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT min(h) h0, max(h) h1 FROM ev),
+        |hours AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        |grid AS (
+        |  SELECT t.event_type, hours.h
+        |  FROM (SELECT DISTINCT event_type FROM ev) t, hours),
+        |dense AS (
+        |  SELECT grid.event_type, grid.h, coalesce(counts.n, 0) AS n,
+        |    CAST(epoch(grid.h) / 3600 AS BIGINT) AS idx
+        |  FROM grid LEFT JOIN counts
+        |    ON counts.event_type = grid.event_type AND counts.h = grid.h),
+        |lo AS (SELECT event_type, min(idx) AS idx0 FROM dense GROUP BY 1),
+        |pw AS (SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (1, 7, 10), (2, 49, 100), (3, 343, 1000), (4, 2401, 10000),
+        |  (5, 16807, 100000), (6, 117649, 1000000),
+        |  (7, 823543, 10000000)) t(i, p7, p10)),
+        |terms AS (
+        |  SELECT t.event_type, t.h, s.n AS x, (t.idx - s.idx) AS rev,
+        |    least(t.idx - lo.idx0 + 1, 8) AS m
+        |  FROM dense t
+        |  JOIN lo USING (event_type)
+        |  JOIN dense s ON s.event_type = t.event_type
+        |    AND s.idx BETWEEN t.idx - 7 AND t.idx),
+        |agg AS (
+        |  SELECT event_type, h,
+        |    sum(x * a.p7 * b.p10) AS num, sum(a.p7 * b.p10) AS den
+        |  FROM terms
+        |  JOIN pw a ON a.i = rev
+        |  JOIN pw b ON b.i = m - 1 - rev
+        |  GROUP BY 1, 2)
+        |SELECT d.event_type, strftime(d.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  d.n, round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS ema
+        |FROM dense d JOIN agg
+        |  ON agg.event_type = d.event_type AND agg.h = d.h
         |ORDER BY 1, 2""".stripMargin,
     "w_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

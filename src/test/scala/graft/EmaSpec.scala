@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.EventWindows
+
+/** EMA semantics the oracle hash can't explain alone: hand-computed
+  * values through the integer recurrence (including partial windows at
+  * the series head), zero-filled gap hours genuinely decaying the
+  * average, and the full-window steady state.
+  */
+class EmaSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  test("hand-computed adjusted-EMA values, partial windows included") {
+    // type "c": hours 10..13, counts [2, 0, 1, 0] — the grid's right
+    // edge (hour 13) comes from the OTHER type's event, so c's trailing
+    // hour is a genuine zero-filled gap decaying the average
+    val ev = Seq(
+      ("c", "2024-03-01 10:05:00"), ("c", "2024-03-01 10:55:00"),
+      ("c", "2024-03-01 12:30:00"), ("d", "2024-03-01 13:30:00"))
+      .toDF("event_type", "ts0")
+      .select($"event_type", $"ts0".cast("timestamp").as("ts"))
+    val got = EventWindows.emaHourly(ev)
+      .filter($"event_type" === "c").collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    // recurrence (N, D, p) <- (7N + p·x, 7D + p, 10p), oldest first:
+    // t=10: N=2,   D=1    -> 2.0
+    // t=11: N=14,  D=17   -> 0.8235
+    // t=12: N=198, D=219  -> 0.9041
+    // t=13: N=1386,D=2533 -> 0.5472
+    assert(got("2024-03-01 10:00:00") == ((2L, 2.0)))
+    assert(got("2024-03-01 11:00:00") == ((0L, 0.8235)))
+    assert(got("2024-03-01 12:00:00") == ((1L, 0.9041)))
+    assert(got("2024-03-01 13:00:00") == ((0L, 0.5472)))
+  }
+
+  test("constant series is a fixed point at any window fill level") {
+    val ev = (0 until 12).flatMap(h => Seq.tabulate(3)(m =>
+        ("c", f"2024-03-01 $h%02d:${m * 7}%02d:00")))
+      .toDF("event_type", "ts0")
+      .select($"event_type", $"ts0".cast("timestamp").as("ts"))
+    val got = EventWindows.emaHourly(ev).collect().map(_.getDouble(3))
+    assert(got.forall(_ == 3.0), s"constant 3/hour must give ema 3: " +
+      got.mkString(","))
+  }
+
+  test("registered query: one ema row per grid cell, smoothing bounded " +
+      "by the window's min/max") {
+    val d = "/root/testdata/sf0.001"
+    val gf = SparkEntry.queries("w_gapfill")(spark, d).count()
+    val rows = SparkEntry.queries("w_ema")(spark, d).collect()
+    assert(rows.length.toLong == gf, "ema must cover the full grid")
+    assert(rows.forall { r =>
+      val ema = r.getDouble(3)
+      ema >= 0.0 && ema <= 60.0
+    })
+  }
+}
