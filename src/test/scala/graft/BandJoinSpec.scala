@@ -56,6 +56,34 @@ class BandJoinSpec extends AnyFunSuite {
     assert(byLid(2L).head.isNullAt(1))
   }
 
+  test("differential property: 30 random (timestamps, delta) configs " +
+      "all agree with the naive cross-filter, pairs exactly once") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 30) {
+      val delta = Seq(1L, 7L, 100L, 3600L)(rnd.nextInt(4))
+      def ts(): Long = {
+        // mix boundary multiples of delta, near-boundary values, and
+        // raw draws across both signs
+        val base = (rnd.nextLong() % (delta * 20))
+        rnd.nextInt(3) match {
+          case 0 => base - base % delta          // exact bucket edge
+          case 1 => base - base % delta + delta  // next edge
+          case _ => base
+        }
+      }
+      val l = Seq.tabulate(12)(i => (i.toLong, ts()))
+      val r = Seq.tabulate(12)(i => (100L + i, ts()))
+      val got = BandJoin.bandJoin(
+          l.toDF("lid", "lus"), r.toDF("rid", "rus"), "lus", "rus", delta)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+      assert(got.length == got.toSet.size,
+        s"trial $trial (δ=$delta): duplicated pair")
+      assert(got.toSet == naive(l, r, delta),
+        s"trial $trial (δ=$delta): pair sets diverge")
+    }
+  }
+
   test("registered query: zero-click purchases appear with count 0 and " +
       "counts match a naive recompute") {
     val d = "/root/testdata/sf0.001"

@@ -78,6 +78,24 @@ class HilbertSpec extends AnyFunSuite {
     }
   }
 
+  test("differential property: random 16-bit pairs through the " +
+      "DataFrame (codegen) path round-trip the independent inverse") {
+    val rnd = new scala.util.Random(11)
+    val bits = 16
+    val samples = Seq.tabulate(500) { i =>
+      (i.toLong, rnd.nextLong().abs & 0xFFFFL, rnd.nextLong().abs & 0xFFFFL)
+    }
+    val got = samples.toDF("id", "x", "y")
+      .select(col("id"),
+        HilbertValue.hilbert_value(col("x"), col("y"), bits).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    samples.foreach { case (id, x, y) =>
+      assert(d2xy(got(id), bits) == ((x, y)),
+        s"($x, $y) -> d=${got(id)} does not invert")
+      assert(got(id) >= 0 && got(id) < (1L << 32))
+    }
+  }
+
   test("hilbert files are tight on BOTH dims and no looser than z-order " +
       "at the same file count") {
     val grid = spark.range(4096).select(
