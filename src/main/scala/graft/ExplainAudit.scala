@@ -276,6 +276,13 @@ object ExplainAudit {
     // ema inherits the same densify shape; the smoothing window runs on
     // the calendar-sized frame
     audit("w_ema", "BroadcastHashJoin")
+    // nearest join: band pairs stream into the bounded-heap top-1 —
+    // never a nested-loop product, never a per-key sort
+    auditAtMost("r_join_nearest",
+      "CartesianProduct|BroadcastNestedLoopJoin", 0)
+    audit("r_join_nearest", "TopKPerKey")
+    // projection recall: both rankings through the bounded heap
+    audit("a_projection_recall", "TopKPerKey")
     // bucketed ingest joins with NO shuffle: both sides' distribution
     // comes from the bucketed layout (write once here, plan must be
     // Exchange-free)

@@ -76,6 +76,29 @@ object BandJoin {
         .groupBy(col("purchase_event"))
         .agg(count(col("click_event")).as("n_nearby_clicks"))
         .orderBy("purchase_event")
+    },
+    // Nearest-neighbor temporal join: THE closest click within ±60 s of
+    // each purchase (ties → smaller click id) — the "nearest reading"
+    // lookup as-of joins can't express (as-of looks only backward).
+    // Composition: band join bounds the candidates, then the
+    // bounded-heap TopKPerKey takes k=1 per purchase with NO per-key
+    // sort — the reduction streams, never materializing the band pairs.
+    "r_join_nearest" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val delta = 60L * 1000000L
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_event"),
+          unix_micros(col("ts")).as("lus"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_event"),
+          unix_micros(col("ts")).as("rus"))
+      val pairs = bandJoin(p, c, "lus", "rus", delta)
+        .select(col("purchase_event"), col("click_event"),
+          abs(col("lus") - col("rus")).as("adt_us"))
+      graft.plans.TopKPerKey.topKPerKey(pairs,
+        Seq("purchase_event"),
+        Seq(("adt_us", false), ("click_event", false)), 1)
+        .orderBy("purchase_event")
     })
 
   val oracles: Map[String, String] = Map(
@@ -90,5 +113,21 @@ object BandJoin {
         |  WHERE event_type = 'click')
         |SELECT p.pe AS purchase_event, count(c.ce) AS n_nearby_clicks
         |FROM p LEFT JOIN c ON abs(p.us - c.us) <= 60000000
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r_join_nearest" ->
+      """WITH p AS (
+        |  SELECT event_id pe, epoch_us(ts) us FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id ce, epoch_us(ts) us FROM events
+        |  WHERE event_type = 'click'),
+        |pairs AS (
+        |  SELECT p.pe, c.ce, abs(p.us - c.us) adt
+        |  FROM p JOIN c ON abs(p.us - c.us) <= 60000000)
+        |SELECT pe AS purchase_event, ce AS click_event, adt AS adt_us
+        |FROM (
+        |  SELECT pe, ce, adt, row_number() OVER (
+        |    PARTITION BY pe ORDER BY adt, ce) rk
+        |  FROM pairs)
+        |WHERE rk = 1 ORDER BY purchase_event""".stripMargin)
 }

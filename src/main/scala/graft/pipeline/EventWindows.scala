@@ -227,9 +227,15 @@ object EventWindows {
     * densified frame; the only corpus-sized stage is the count
     * aggregate it inherits from [[hourlyCounts]].
     */
-  def emaHourly(ev0: DataFrame, k: Int = 8): DataFrame = {
+  def emaHourly(ev0: DataFrame, k: Int = 8): DataFrame =
+    emaFromCounts(hourlyCounts(ev0), k)
+
+  /** EMA over an already-aggregated (event_type, h, n0) counts frame —
+    * shared verbatim with [[graft.streaming.GapFillStream.emaView]].
+    */
+  def emaFromCounts(counts: DataFrame, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dense = densifyHourly(hourlyCounts(ev0))
+    val dense = densifyHourly(counts)
       .select(col("event_type"), col("hour"), col("n"),
         (unix_timestamp(to_timestamp(col("hour"))) / 3600L).cast("long")
           .as("idx"))

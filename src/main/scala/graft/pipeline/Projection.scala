@@ -53,7 +53,52 @@ object Projection {
       VectorOps.dot(v, signs) / math.sqrt(k.toDouble)
     }: _*)
 
+  /** Projection-fidelity audit — JL recall as an oracle-checked RESULT
+    * (the a_ann_recall discipline applied to the projection): per
+    * query, how much of the exact 64-dim cosine top-10 survives when
+    * ranking runs on the 16-dim projected vectors instead. Both sides
+    * are deterministic arithmetic (the sign matrix is literals), so a
+    * DuckDB twin replays project → rank → overlap and the counts
+    * hash-match; the measured recall is what a user of the k/4-cost
+    * tier actually trades away. On THIS fixture that is a lot (~1/10):
+    * the vectors are isotropic noise, so "neighbors" are statistical
+    * accidents separated by ~1/√d cosine gaps that 16 dims cannot
+    * resolve — the documented worst case. What survives projection is
+    * STRUCTURE: the planted near-duplicate pairs keep high projected
+    * cosine (ProjectionSpec pins this), which is why the projection
+    * tier fronts dedup/clustering, not noise-floor top-k ranking.
+    */
+  def projectionRecall(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("p", project(col("v")))
+    def topK(scored: DataFrame): DataFrame =
+      graft.plans.TopKPerKey.topKPerKey(scored, Seq("qid"),
+        Seq(("c", true), ("nid", false)), 10).select("qid", "nid")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("p").as("qp"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+    val exact = topK(pairs.select(col("qid"), col("vec_id").as("nid"),
+      (VectorOps.dot(col("qv"), col("v")) /
+        (sqrt(VectorOps.dot(col("qv"), col("qv"))) *
+          sqrt(VectorOps.dot(col("v"), col("v"))))).as("c")))
+    val proj = topK(pairs.select(col("qid"), col("vec_id").as("nid"),
+      (VectorOps.dot(col("qp"), col("p")) /
+        (sqrt(VectorOps.dot(col("qp"), col("qp"))) *
+          sqrt(VectorOps.dot(col("p"), col("p"))))).as("c")))
+    val nCommon = exact.join(proj, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_common"))
+    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(nCommon, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a_projection_recall" -> ((s, d) => projectionRecall(s, d)),
     // one row per (vec_id, output dim) so the oracle hash covers every
     // projected coordinate, not a summary of them
     "s_random_projection" -> { (s, d) =>
@@ -67,10 +112,11 @@ object Projection {
         .orderBy("vec_id", "dim")
     })
 
+  private def signLit(j: Int): String =
+    (0 until InDims).map(i => signComponent(j, i).toString)
+      .mkString("[", ", ", "]")
+
   private def oracleSqlText: String = {
-    def signLit(j: Int): String =
-      (0 until InDims).map(i => signComponent(j, i).toString)
-        .mkString("[", ", ", "]")
     val dims = (0 until OutDims).map { j =>
       s"  SELECT vec_id, $j AS dim, round(list_dot_product(v, " +
         s"${signLit(j)}) / sqrt(${OutDims}.0), 4) + 0.0 AS proj FROM e"
@@ -82,6 +128,45 @@ object Projection {
        |ORDER BY vec_id, dim""".stripMargin
   }
 
+  /** DuckDB twin of [[projectionRecall]]: the identical literal sign
+    * matrix projects every vector in SQL, both rankings replay, and
+    * the overlap counts hash-match.
+    */
+  private def recallOracleSql: String = {
+    val projList = (0 until OutDims).map(j =>
+      s"list_dot_product(v, ${signLit(j)}) / sqrt(${OutDims}.0)")
+      .mkString("[", ",\n    ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pe AS (
+       |  SELECT vec_id,
+       |    $projList AS p
+       |  FROM e),
+       |exact AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT a.vec_id qid, b.vec_id nid, row_number() OVER (
+       |      PARTITION BY a.vec_id
+       |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id)
+       |      AS rk
+       |    FROM e a, e b WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id)
+       |  WHERE rk <= 10),
+       |proj AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT a.vec_id qid, b.vec_id nid, row_number() OVER (
+       |      PARTITION BY a.vec_id
+       |      ORDER BY list_cosine_similarity(a.p, b.p) DESC, b.vec_id)
+       |      AS rk
+       |    FROM pe a, pe b WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id)
+       |  WHERE rk <= 10)
+       |SELECT ec.qid, ec.n_exact, coalesce(cc.n_common, 0) AS n_common
+       |FROM (SELECT qid, count(*) n_exact FROM exact GROUP BY qid) ec
+       |LEFT JOIN (SELECT exact.qid, count(*) n_common
+       |           FROM exact JOIN proj USING (qid, nid)
+       |           GROUP BY exact.qid) cc USING (qid)
+       |ORDER BY qid""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "s_random_projection" -> oracleSqlText)
+    "s_random_projection" -> oracleSqlText,
+    "a_projection_recall" -> recallOracleSql)
 }

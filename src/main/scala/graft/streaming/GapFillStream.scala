@@ -46,4 +46,16 @@ object GapFillStream {
       .groupBy("event_type", "h").agg(sum(col("n0")).as("n0"))
     EventWindows.densifyHourly(counts)
   }
+
+  /** The smoothed answer — shaped exactly like `w_ema`. Same shared-
+    * machinery argument: the summed increments ARE an hourlyCounts
+    * frame, and [[EventWindows.emaFromCounts]] is the identical code
+    * path the batch operator runs, so stream ≡ batch holds by
+    * construction for any split (EmaStream part of GapFillStreamSpec).
+    */
+  def emaView(spark: SparkSession, outPath: String): DataFrame = {
+    val counts = readPartsWithBatch(spark, outPath, -1L, CountSchema)
+      .groupBy("event_type", "h").agg(sum(col("n0")).as("n0"))
+    EventWindows.emaFromCounts(counts)
+  }
 }

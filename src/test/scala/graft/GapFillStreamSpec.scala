@@ -19,7 +19,8 @@ class GapFillStreamSpec extends AnyFunSuite {
       .map(r => s"${r.getString(0)}|${r.getString(1)}|${r.getLong(2)}")
       .sorted.toSeq
 
-  test("3-way split-stream view == batch w_gapfill on the fixture") {
+  test("3-way split-stream view == batch w_gapfill on the fixture, " +
+      "and the smoothed view == batch w_ema") {
     val d = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, d)
     val out = java.nio.file.Files
@@ -29,6 +30,12 @@ class GapFillStreamSpec extends AnyFunSuite {
         ev.filter(pmod(col("event_id"), lit(3)) === b), b.toLong, out)
     assert(canon(GapFillStream.view(spark, out)) ==
       canon(EventWindows.gapFillHourly(ev)))
+    def canonEma(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("event_type", "hour", "n", "ema").collect()
+        .map(r => s"${r.getString(0)}|${r.getString(1)}|" +
+          s"${r.getLong(2)}|${r.getDouble(3)}").sorted.toSeq
+    assert(canonEma(GapFillStream.emaView(spark, out)) ==
+      canonEma(EventWindows.emaHourly(ev)))
   }
 
   test("a late batch with OLDER hours extends the grid retroactively; " +

@@ -54,6 +54,36 @@ class ProjectionSpec extends AnyFunSuite {
       s"pair distortion outside [0.1, 5]: min=${ratios.min} max=${ratios.max}")
   }
 
+  test("planted near-duplicate pairs SURVIVE projection (high projected " +
+      "cosine) even though noise-floor top-k rankings do not — the " +
+      "structure-vs-noise contract the audit documents") {
+    // the fixture embeddings are isotropic noise (max pairwise cosine
+    // ≈ 0.48), so plant the structure: 20 base vectors, each with a
+    // lightly-perturbed twin (cosine > 0.95 by construction)
+    val rnd = new scala.util.Random(5)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val bases = Seq.tabulate(20)(i => (i.toLong, vec()))
+    val twins = bases.map { case (i, v) =>
+      (i + 100L, v.map(_ + 0.15 * rnd.nextGaussian()))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val projected = (bases ++ twins).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), Projection.project(col("v")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    bases.zip(twins).foreach { case ((i, v), (j, w)) =>
+      val rawC = cos(v, w)
+      assert(rawC > 0.9, s"construction check: raw cosine $rawC")
+      val pc = cos(projected(i), projected(j))
+      assert(pc > 0.6,
+        s"pair ($i, $j): projected cosine $pc lost the planted dup")
+    }
+  }
+
   test("registered query emits k rows per vector, matching a local " +
       "recompute of the first vector") {
     val d = "/root/testdata/sf0.001"
