@@ -283,6 +283,9 @@ object ExplainAudit {
     audit("r_join_nearest", "TopKPerKey")
     // projection recall: both rankings through the bounded heap
     audit("a_projection_recall", "TopKPerKey")
+    // Q8-style 8-way star: dims ride broadcasts, the fact carries the
+    // only real shuffles
+    audit("r_market_share", "BroadcastHashJoin")
     // bucketed ingest joins with NO shuffle: both sides' distribution
     // comes from the bucketed layout (write once here, plan must be
     // Exchange-free)

@@ -234,6 +234,45 @@ object Relational {
             .as("z"))
         .orderBy("z", "event_id")
     },
+    // TPC-H Q8-style market share: of all ECONOMY-part revenue sold to
+    // AMERICA-region customers, what fraction per order-year came from
+    // NATION_1 suppliers — the classic 8-way star: the lineitem fact
+    // carries the only real shuffles (orders, customer equi-joins);
+    // part/supplier/nation/region ride broadcasts; the nation table
+    // joins TWICE under different roles (customer's region gate vs
+    // supplier's share bucket)
+    "r_market_share" -> { (s, d) =>
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))
+      val america = broadcast(n1
+        .join(Tables.region(s, d).filter(col("r_name") === "AMERICA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("cn_key"))
+      val vol = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(america, col("c_nationkey") === col("cn_key"))
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+        .select(year(col("o_orderdate")).as("o_year"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("volume"),
+          col("supp_nation"))
+      vol.groupBy("o_year")
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_1",
+            col("volume")).otherwise(lit(0.0))) / sum(col("volume")), 4)
+            .as("mkt_share"),
+          round(sum(col("volume")), 2).as("total_volume"))
+        .orderBy("o_year")
+    },
     // Hilbert curve values — z-order's better-locality sibling
     // (sources.HilbertLayout / functions.HilbertValue, a codegen'd
     // Catalyst expression); oracle = one unrolled CTE per level,
@@ -792,6 +831,25 @@ object Relational {
          |    AS z
          |FROM events WHERE user_id < 50
          |ORDER BY z, event_id""".stripMargin,
+    "r_market_share" ->
+      """WITH vol AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY')
+        |SELECT o_year,
+        |  round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+        |                 ELSE 0.0 END) / sum(volume), 4) AS mkt_share,
+        |  round(sum(volume), 2) AS total_volume
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
     "r_hilbert_curve" -> {
       val (ctes, last) = graft.sources.HilbertLayout.hvalueCtes(
         "(SELECT event_id, user_id, user_id AS x, event_id AS y " +
