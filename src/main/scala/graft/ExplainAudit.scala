@@ -286,6 +286,9 @@ object ExplainAudit {
     // Q8-style 8-way star: dims ride broadcasts, the fact carries the
     // only real shuffles
     audit("r_market_share", "BroadcastHashJoin")
+    // ema-anomaly shares the densify shape; lag/compare on the
+    // calendar-sized frame
+    audit("w_ema_anomaly", "BroadcastHashJoin")
     // bucketed ingest joins with NO shuffle: both sides' distribution
     // comes from the bucketed layout (write once here, plan must be
     // Exchange-free)

