@@ -116,5 +116,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((id, info, builder))
     }
     new graft.plans.TopKExtensions()(e)
+    // rescue naive |a − b| <= δ joins from the nested-loop product
+    e.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }

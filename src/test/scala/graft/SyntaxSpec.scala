@@ -60,7 +60,7 @@ class SyntaxSpec extends AnyFunSuite {
     new functions.GraftExtensions()(e)
     import org.apache.spark.sql.graftshim.Bridge
     assert(Bridge.extensionOptimizerRules(e, spark).toSet ==
-      plans.TopKOptimizations.rules.toSet)
+      plans.TopKOptimizations.rules.toSet + plans.BandJoinRewrite)
     assert(Bridge.extensionStrategies(e, spark)
       .contains(plans.TopKPerKeyStrategy))
   }
