@@ -98,6 +98,21 @@ object GraftFunctions {
         // definition (sources.ZOrderLayout.SpreadSteps)
         val e = arity("graft_zvalue", 2)(exprs)
         graft.sources.ZOrderLayout.zvalueExpr(e(0), e(1))
+      }),
+    (FunctionIdentifier("graft_hilbert_value"),
+      new ExpressionInfo(classOf[HilbertValue].getName,
+        "graft_hilbert_value"),
+      (exprs: Seq[Expression]) => {
+        // fixed 16-bit curve, the HilbertLayout contract — a SQL-surface
+        // `bits` argument would let two call sites silently disagree on
+        // the curve a layout was written with
+        val e = arity("graft_hilbert_value", 2)(exprs)
+        HilbertValue(
+          org.apache.spark.sql.catalyst.expressions.Cast(e(0),
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.catalyst.expressions.Cast(e(1),
+            org.apache.spark.sql.types.LongType),
+          graft.sources.HilbertLayout.Bits)
       }))
 
   /** Register on a live session (idempotent). */

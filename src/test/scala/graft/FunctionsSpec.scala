@@ -27,6 +27,16 @@ class FunctionsSpec extends AnyFunSuite {
     val zSql = spark.sql(
       "SELECT graft_zvalue(123456789L, 987654321L) AS z").head().getLong(0)
     assert(zSql == viaCol)
+    // hilbert curve through SQL == the Column API form (fixed 16-bit
+    // curve, the HilbertLayout contract)
+    val hCol = spark.range(1)
+      .select(graft.functions.HilbertValue.hilbert_value(
+        lit(12345L), lit(54321L), graft.sources.HilbertLayout.Bits))
+      .head().getLong(0)
+    val hSql = spark.sql(
+      "SELECT graft_hilbert_value(12345L, 54321L) AS h").head().getLong(0)
+    assert(hSql == hCol)
+    assert(hSql == graft.functions.HilbertValue.xy2d(12345L, 54321L, 16))
   }
 
   test("withExtensions sessions get the functions at build time") {
