@@ -63,6 +63,43 @@ object WindowedStreams {
       .select(col("k"), col("l_seq"), col("r_seq"))
   }
 
+  /** Stream-STREAM band join with NO key: left records matched to ANY
+    * right record within ±`deltaSec` — cross-stream temporal
+    * correlation ("what else happened near this?"). Structured
+    * Streaming REFUSES a stream-stream join without an equality
+    * predicate (state has nothing to key on), so the pure
+    * |Δt| ≤ δ condition is inexpressible as written; the δ-bucket
+    * quantization of [[graft.operators.BandJoin]] manufactures the
+    * missing equality — left rows key on their bucket, right rows
+    * replicate into bucket±1 — and the exactly-once matching argument
+    * carries over unchanged. The event-time bounds in the residual
+    * double as the state-cleanup contract: each side's buffered rows
+    * drop once the other side's watermark passes their bucket.
+    */
+  def bandJoinStream(left: DataFrame, right: DataFrame, lateness: String,
+      deltaSec: Long): DataFrame = {
+    require(deltaSec > 0, s"deltaSec=$deltaSec must be positive")
+    val l = left
+      .withWatermark("approximateArrivalTimestamp", lateness)
+      .select(col("sequenceNumber").as("l_seq"),
+        col("approximateArrivalTimestamp").as("l_ts"))
+      .withColumn("lband",
+        floor(unix_timestamp(col("l_ts")) / deltaSec).cast("long"))
+    val r = right
+      .withWatermark("approximateArrivalTimestamp", lateness)
+      .select(col("sequenceNumber").as("r_seq"),
+        col("approximateArrivalTimestamp").as("r_ts"))
+      .withColumn("rband0",
+        floor(unix_timestamp(col("r_ts")) / deltaSec).cast("long"))
+      .withColumn("rband", explode(array(
+        col("rband0") - 1, col("rband0"), col("rband0") + 1)))
+      .drop("rband0")
+    l.join(r, col("lband") === col("rband") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $deltaSec SECONDS") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $deltaSec SECONDS"))
+      .select(col("l_seq"), col("r_seq"))
+  }
+
   /** Streaming ingest filter for a training-data pipeline: decode the
     * payload, gate on quality and EXACT content dup (same rolling-hash
     * fingerprint seen within the watermark horizon ⇒ suppressed with

@@ -107,6 +107,36 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(streamed.size < 12L * 10L)
   }
 
+  test("keyless stream-stream band join equals the naive batch " +
+      "cross-filter (the bucket equality is what makes the otherwise-" +
+      "rejected no-equi-key stream-stream join plannable)") {
+    val ldir = Files.createTempDirectory("bjleft").toString
+    val rdir = Files.createTempDirectory("bjright").toString
+    val base = 1700000000L
+    // DIFFERENT keys on both sides — matching is purely temporal; right
+    // events straddle bucket boundaries relative to the lefts
+    writeRecords(ldir, (0 until 8).map(i =>
+      rec(s"lk$i", s"L$i", base + i * 130)))
+    writeRecords(rdir, (0 until 20).map(i =>
+      rec(s"rk$i", s"R$i", base + 25 + i * 45)))
+    val ls = spark.readStream.schema(KinesisRecord.schema).parquet(ldir)
+    val rs = spark.readStream.schema(KinesisRecord.schema).parquet(rdir)
+    val q = WindowedStreams.bandJoinStream(ls, rs, "1 minute", 60L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bjoin").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("bjoin").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamed.size == streamed.toSeq.length, "no duplicate pairs")
+    // naive reference: every (L, R) with |Δt| <= 60s
+    val naive = (for {
+      i <- 0 until 8; j <- 0 until 20
+      if math.abs((i * 130) - (25 + j * 45)) <= 60
+    } yield (s"L$i", s"R$j")).toSet
+    assert(streamed == naive)
+    assert(naive.nonEmpty)
+  }
+
   test("streaming domain-LM gate: in-domain passes, OOD drops, ce equals " +
       "the batch operator across batch splits") {
     import spark.implicits._
