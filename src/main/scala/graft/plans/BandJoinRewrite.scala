@@ -23,48 +23,103 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * predicate as residual.
   *
   * Fires only when it is the difference between a product and a hash
-  * join: inner / left_outer joins whose condition has a
-  * `|a − b| ≤/< δ` conjunct over integral single-side expressions and
-  * NO cross-side equality conjunct (with one, Spark already plans a
-  * hash join and the band is a cheap residual). The rewritten join
-  * carries the bucket equality, so the rule cannot re-fire on its own
-  * output.
+  * join: inner / left_outer joins whose condition bounds `a − b` in
+  * BOTH directions over integral single-side expressions — the
+  * `|a − b| ≤/< δ` spelling or the two-conjunct BETWEEN family
+  * (`a ≤ b + δ && a ≥ b − δ`, `a − b ≤ δ && b − a ≤ δ`, strict forms
+  * tightened by 1; asymmetric bounds bucket on the larger δ with the
+  * originals as residual) — and NO cross-side equality conjunct (with
+  * one, Spark already plans a hash join and the band is a cheap
+  * residual). The rewritten join carries the bucket equality, so the
+  * rule cannot re-fire on its own output.
   */
 object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def isIntegral(e: Expression): Boolean =
     e.dataType == LongType || e.dataType == IntegerType
 
-  /** (leftSideExpr, rightSideExpr, δ) for a `|a − b| ≤ δ` or `< δ`
-    * conjunct whose operands resolve one per side.
+  private def litLong(l: Literal): Option[Long] = l.value match {
+    case i: java.lang.Integer => Some(i.longValue)
+    case i: java.lang.Long => Some(i.longValue)
+    case _ => None
+  }
+
+  private def goodOperand(e: Expression): Boolean =
+    isIntegral(e) && e.deterministic
+
+  /** Directed bounds `x − y ≤ δ` extracted from one conjunct, in every
+    * common spelling: `abs(x − y) ≤ δ` (both directions at once),
+    * `x − y ≤ δ`, `x ≤ y + δ`, `x ≥ y − δ`, each also in the
+    * literal-first and strict (`<`, integral ⇒ δ−1) forms.
     */
-  private def bandConjunct(c: Expression, left: LogicalPlan,
-      right: LogicalPlan): Option[(Expression, Expression, Long)] = {
-    def sides(a: Expression, b: Expression): Option[(Expression, Expression)] =
-      if (a.references.subsetOf(left.outputSet) &&
-        b.references.subsetOf(right.outputSet)) Some((a, b))
-      else if (b.references.subsetOf(left.outputSet) &&
-        a.references.subsetOf(right.outputSet)) Some((b, a))
-      else None
-    val (diff, lim) = c match {
-      case LessThanOrEqual(Abs(d, _), l: Literal) => (Some(d), Some(l))
-      case LessThan(Abs(d, _), l: Literal) => (Some(d), Some(l))
-      case GreaterThanOrEqual(l: Literal, Abs(d, _)) => (Some(d), Some(l))
-      case GreaterThan(l: Literal, Abs(d, _)) => (Some(d), Some(l))
-      case _ => (None, None)
+  private def bounds(c: Expression): Seq[(Expression, Expression, Long)] = {
+    // normalize to (lhs ≤ rhs) pairs, strict inequalities tightened
+    val le: Seq[(Expression, Expression, Long)] = c match {
+      case LessThanOrEqual(a, b) => Seq((a, b, 0L))
+      case LessThan(a, b) => Seq((a, b, -1L))
+      case GreaterThanOrEqual(a, b) => Seq((b, a, 0L))
+      case GreaterThan(a, b) => Seq((b, a, -1L))
+      case _ => Seq.empty
     }
-    for {
-      Subtract(a, b, _) <- diff
-      if isIntegral(a) && isIntegral(b) && a.deterministic && b.deterministic
-      l <- lim
-      delta <- l.value match {
-        case i: java.lang.Integer => Some(i.longValue)
-        case i: java.lang.Long => Some(i.longValue)
-        case _ => None
+    le.flatMap { case (lhs, rhs, adj) =>
+      (lhs, rhs) match {
+        // abs(x − y) ≤ δ ⇒ both directions
+        case (Abs(Subtract(x, y, _), _), l: Literal)
+            if goodOperand(x) && goodOperand(y) =>
+          litLong(l).toSeq.flatMap(d =>
+            Seq((x, y, d + adj), (y, x, d + adj)))
+        // x − y ≤ δ
+        case (Subtract(x, y, _), l: Literal)
+            if goodOperand(x) && goodOperand(y) =>
+          litLong(l).toSeq.map(d => (x, y, d + adj))
+        // x ≤ y + δ  /  x ≤ δ + y
+        case (x, Add(y, l: Literal, _)) if goodOperand(x) && goodOperand(y) =>
+          litLong(l).toSeq.map(d => (x, y, d + adj))
+        case (x, Add(l: Literal, y, _)) if goodOperand(x) && goodOperand(y) =>
+          litLong(l).toSeq.map(d => (x, y, d + adj))
+        // x ≤ y − δ   (x − y ≤ −δ; negative bound, kept for max())
+        case (x, Subtract(y, l: Literal, _))
+            if goodOperand(x) && goodOperand(y) =>
+          litLong(l).toSeq.map(d => (x, y, -d + adj))
+        // y − δ ≤ x   (y − x ≤ δ)
+        case (Subtract(y, l: Literal, _), x)
+            if goodOperand(x) && goodOperand(y) =>
+          litLong(l).toSeq.map(d => (y, x, d + adj))
+        // y + δ ≤ x   (y − x ≤ −δ)
+        case (Add(y, l: Literal, _), x)
+            if goodOperand(x) && goodOperand(y) =>
+          litLong(l).toSeq.map(d => (y, x, -d + adj))
+        case (Add(l: Literal, y, _), x)
+            if goodOperand(x) && goodOperand(y) =>
+          litLong(l).toSeq.map(d => (y, x, -d + adj))
+        case _ => Seq.empty
       }
+    }
+  }
+
+  /** (leftSideExpr, rightSideExpr, δ) once the conjuncts contain BOTH
+    * directed bounds `a − b ≤ δ₁` and `b − a ≤ δ₂` for the same
+    * cross-side pair — δ = max(δ₁, δ₂) covers the asymmetric case and
+    * the original conjuncts stay as the residual.
+    */
+  private def bandFromConjuncts(conjuncts: Seq[Expression],
+      left: LogicalPlan, right: LogicalPlan)
+      : Option[(Expression, Expression, Long)] = {
+    val all = conjuncts.flatMap(bounds)
+    def side(a: Expression, p: LogicalPlan): Boolean =
+      a.references.nonEmpty && a.references.subsetOf(p.outputSet)
+    // orient every bound as (leftExpr, rightExpr, δ on left−right)
+    val fwd = all.collect {
+      case (x, y, d) if side(x, left) && side(y, right) => (x, y, d) }
+    val bwd = all.collect {
+      case (x, y, d) if side(x, right) && side(y, left) => (y, x, d) }
+    (for {
+      (ls, rs, d1) <- fwd.iterator
+      (ls2, rs2, d2) <- bwd.iterator
+      if ls.semanticEquals(ls2) && rs.semanticEquals(rs2)
+      delta = math.max(d1, d2)
       if delta > 0
-      (ls, rs) <- sides(a, b)
-    } yield (ls, rs, delta)
+    } yield (ls, rs, delta)).nextOption()
   }
 
   private def hasCrossEquality(conjuncts: Seq[Expression],
@@ -93,8 +148,7 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           left.resolved && right.resolved => {
       val conjuncts = splitConjunctivePredicates(cond)
       if (hasCrossEquality(conjuncts, left, right)) j
-      else conjuncts.iterator
-        .flatMap(bandConjunct(_, left, right)).take(1).toList match {
+      else bandFromConjuncts(conjuncts, left, right).toList match {
         case (ls, rs, delta) :: Nil =>
           val lb = Alias(bucket(ls, delta), "__lband")()
           val newLeft = Project(left.output :+ lb, left)

@@ -64,6 +64,31 @@ class BandJoinRuleSpec extends AnyFunSuite {
       s"lid=4 must appear exactly once unmatched: $rows")
   }
 
+  test("the BETWEEN spelling (two conjuncts, no abs) fires too, " +
+      "including asymmetric bounds") {
+    def q = l.join(r,
+      col("lus") <= col("rus") + lit(90L) &&
+        col("lus") >= col("rus") - lit(30L))
+      .select("lid", "rid")
+    val naive = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val (rows, plan) = withRule {
+      val df = q
+      (df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet,
+        df.queryExecution.executedPlan.toString)
+    }
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"rule did not fire on the BETWEEN form:\n${plan.take(1500)}")
+    assert(rows == naive)
+    // asymmetric reference: lus − rus ∈ [−30, 90]
+    val want = (for {
+      (lid, lus) <- Seq((1L, -150L), (2L, 0L), (3L, 60L), (4L, 1000L))
+      (rid, rus) <- Seq((10L, -90L), (11L, 1L), (12L, 120L), (13L, 5000L))
+      if lus - rus >= -30L && lus - rus <= 90L
+    } yield (lid, rid)).toSet
+    assert(rows == want)
+  }
+
   test("an equi-join with a band residual is left alone (already a " +
       "hash join — the rewrite would only add overhead)") {
     val le = Seq((1L, 0L, "k1")).toDF("lid", "lus", "lk")
