@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join,
   LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DayTimeIntervalType, IntegerType,
+  LongType, TimestampType}
 
 /** Optimizer rule that rescues naive band joins: a user who writes
   *
@@ -28,7 +29,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * `|a − b| ≤/< δ` spelling or the two-conjunct BETWEEN family
   * (`a ≤ b + δ && a ≥ b − δ`, `a − b ≤ δ && b − a ≤ δ`, strict forms
   * tightened by 1; asymmetric bounds bucket on the larger δ with the
-  * originals as residual) — and NO cross-side equality conjunct (with
+  * originals as residual). Operands may be integral expressions or
+  * raw TIMESTAMP columns with INTERVAL arithmetic (`ts ≤ ts2 +
+  * INTERVAL δ && …`, `abs(ts − ts2) ≤ INTERVAL δ`) — timestamps
+  * bucket on unix_micros with the interval's microsecond bound. Never
+  * fires with a cross-side equality conjunct present (with
   * one, Spark already plans a hash join and the band is a cheap
   * residual). The rewritten join carries the bucket equality, so the
   * rule cannot re-fire on its own output.
@@ -45,7 +50,16 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def goodOperand(e: Expression): Boolean =
-    isIntegral(e) && e.deterministic
+    (isIntegral(e) || e.dataType == TimestampType) && e.deterministic
+
+  /** Micros of a day-time interval literal (stored as a Long). */
+  private def intervalMicros(l: Literal): Option[Long] = l.dataType match {
+    case _: DayTimeIntervalType => l.value match {
+      case i: java.lang.Long => Some(i.longValue)
+      case _ => None
+    }
+    case _ => None
+  }
 
   /** Directed bounds `x − y ≤ δ` extracted from one conjunct, in every
     * common spelling: `abs(x − y) ≤ δ` (both directions at once),
@@ -92,6 +106,22 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case (Add(l: Literal, y, _), x)
             if goodOperand(x) && goodOperand(y) =>
           litLong(l).toSeq.map(d => (y, x, -d + adj))
+        // timestamp spellings — bounds in MICROS (buckets use
+        // unix_micros, so the unit lines up):
+        // |ts_x − ts_y| ≤ INTERVAL δ
+        case (Abs(SubtractTimestamps(x, y, _, _), _), l: Literal)
+            if goodOperand(x) && goodOperand(y) =>
+          intervalMicros(l).toSeq.flatMap(d =>
+            Seq((x, y, d + adj), (y, x, d + adj)))
+        // ts_x ≤ ts_y + INTERVAL δ (a negative δ covers the `− INTERVAL`
+        // spelling — the parser folds it into an interval literal)
+        case (x, TimestampAddInterval(y, l: Literal, _))
+            if goodOperand(x) && goodOperand(y) =>
+          intervalMicros(l).toSeq.map(d => (x, y, d + adj))
+        // ts_y + INTERVAL δ ≤ ts_x  (y − x ≤ −δ)
+        case (TimestampAddInterval(y, l: Literal, _), x)
+            if goodOperand(x) && goodOperand(y) =>
+          intervalMicros(l).toSeq.map(d => (y, x, -d + adj))
         case _ => Seq.empty
       }
     }
@@ -135,10 +165,16 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Floor division as exact integer arithmetic (pre-epoch values land
     * in the bucket below zero, same contract as BandJoin.floorDiv).
+    * Timestamps bucket on their microsecond count — the unit the
+    * interval bounds carry.
     */
   private def bucket(e: Expression, delta: Long): Expression = {
     val d = Literal(delta)
-    val el = if (e.dataType == LongType) e else Cast(e, LongType)
+    val el = e.dataType match {
+      case TimestampType => UnixMicros(e)
+      case LongType => e
+      case _ => Cast(e, LongType)
+    }
     IntegralDivide(Subtract(el, Pmod(el, d)), d)
   }
 

@@ -89,6 +89,31 @@ class BandJoinRuleSpec extends AnyFunSuite {
     assert(rows == want)
   }
 
+  test("timestamp columns with INTERVAL arithmetic fire too — the " +
+      "spelling event pipelines actually write") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val lt = Seq((1L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-01 02:00:00"))).toDF("lid", "lts")
+    val rt = Seq((10L, ts("2024-01-01 00:00:45")),
+      (11L, ts("2024-01-01 01:59:00")),
+      (12L, ts("2024-01-01 05:00:00"))).toDF("rid", "rts")
+    def q = lt.join(rt,
+      col("lts") <= col("rts") + expr("INTERVAL 60 SECONDS") &&
+        col("lts") >= col("rts") - expr("INTERVAL 60 SECONDS"))
+      .select("lid", "rid")
+    val naive = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val (rows, plan) = withRule {
+      val df = q
+      (df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet,
+        df.queryExecution.executedPlan.toString)
+    }
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"rule did not fire on INTERVAL timestamps:\n${plan.take(1500)}")
+    assert(rows == naive)
+    assert(rows == Set((1L, 10L), (2L, 11L)))
+  }
+
   test("an equi-join with a band residual is left alone (already a " +
       "hash join — the rewrite would only add overhead)") {
     val le = Seq((1L, 0L, "k1")).toDF("lid", "lus", "lk")
