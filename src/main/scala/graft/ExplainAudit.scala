@@ -289,6 +289,8 @@ object ExplainAudit {
     // ema-anomaly shares the densify shape; lag/compare on the
     // calendar-sized frame
     audit("w_ema_anomaly", "BroadcastHashJoin")
+    // interleave: one source-keyed rank window, nothing else shuffles
+    auditAtMost("p_interleave_sources", "Exchange hashpartitioning", 1)
     // bucketed ingest joins with NO shuffle: both sides' distribution
     // comes from the bucketed layout (write once here, plan must be
     // Exchange-free)

@@ -279,6 +279,38 @@ object CorpusOps {
       .toDF("source", "weight")
   }
 
+  /** Deterministic source-interleaved global ordering: doc at
+    * within-source hash rank r (0-based) of source with alphabetical
+    * index i sits at position r·|sources| + i — consecutive positions
+    * cycle through the sources until one exhausts (its later slots stay
+    * empty gaps; a loader sorts by pos, gaps are harmless). The
+    * anti-clumping guarantee: any prefix of k·|sources| positions holds
+    * AT MOST k docs of any single source. Shape at scale: one
+    * source-keyed rank window (the p_shard_assign shape — production
+    * twin is repartition + sortWithinPartitions on the hash), the
+    * source index a driver-collected |sources|-bounded literal map.
+    */
+  def interleaveSources(docs: DataFrame, seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sources = docs.select("source").distinct()
+      .as[String].collect().sorted
+    require(sources.length <= 1000,
+      s"${sources.length} sources: the interleave index is only " +
+        "driver-sized for a coarse source column")
+    val idx = sources.zipWithIndex.toMap
+    val idxCol = sources.foldLeft(lit(-1L)) { (acc, s0) =>
+      when(col("source") === s0, lit(idx(s0).toLong)).otherwise(acc) }
+    val h = md5(concat(col("doc_id").cast("string"), lit(":" + seed)))
+    docs.select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy("h", "doc_id")))
+      .select(col("doc_id"), col("source"),
+        ((col("r") - 1) * lit(sources.length.toLong) + idxCol)
+          .cast("long").as("pos"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t_ngram_lm" -> { (s, d) =>
       bigramCrossEntropy(Tables.spread(Tables.documents(s, d)))
@@ -326,6 +358,14 @@ object CorpusOps {
     },
     "p_shard_assign" -> { (s, d) =>
       shardAssign(Tables.documents(s, d), "graft42").orderBy("doc_id")
+    },
+    // source-interleaved training order (anti-clumping): global
+    // position r·|sources| + source_index round-robins the sources, so
+    // no shard prefix is a long run of one domain — the training-order
+    // diversity knob next to p_shard_assign's pure hash shuffle
+    "p_interleave_sources" -> { (s, d) =>
+      interleaveSources(Tables.spread(Tables.documents(s, d)), "wv7")
+        .orderBy("doc_id")
     },
     "p_temperature_sample" -> { (s, d) =>
       temperatureSample(Tables.documents(s, d), 0.5, "temp")
@@ -454,6 +494,21 @@ object CorpusOps {
         |FROM documents JOIN r USING (lang)
         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 12)
         |  < thr
+        |ORDER BY doc_id""".stripMargin,
+    "p_interleave_sources" ->
+      """WITH si AS (
+        |  SELECT source, row_number() OVER (ORDER BY source) - 1
+        |    AS src_idx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |n AS (SELECT count(*) AS ns FROM si),
+        |r AS (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':wv7'), doc_id) AS r
+        |  FROM documents)
+        |SELECT r.doc_id, r.source,
+        |  CAST((r.r - 1) * n.ns + si.src_idx AS BIGINT) AS pos
+        |FROM r JOIN si USING (source) CROSS JOIN n
         |ORDER BY doc_id""".stripMargin,
     "p_shard_assign" ->
       """WITH h AS (

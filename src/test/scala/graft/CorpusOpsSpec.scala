@@ -127,4 +127,27 @@ class CorpusOpsSpec extends AnyFunSuite {
       .filter(col("a.shard") =!= col("b.shard")).count()
     assert(moved > 0, "changing the seed must move documents")
   }
+
+  test("interleave: positions unique, every k·|sources| prefix holds at " +
+      "most k docs per source, and the first cycle is one of each") {
+    val rows = SparkEntry.queries("p_interleave_sources")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = rows.map(_._2).distinct.length
+    assert(rows.map(_._3).distinct.length == rows.length,
+      "positions must be unique")
+    val byPos = rows.sortBy(_._3)
+    // first cycle: n distinct sources (no source has < 1 doc here)
+    assert(byPos.take(n).map(_._2).distinct.length == n)
+    // anti-clumping bound for every full-cycle prefix
+    for (k <- Seq(1, 3, 7, 15)) {
+      val prefix = byPos.takeWhile(_._3 < k.toLong * n)
+      prefix.groupBy(_._2).foreach { case (src, xs) =>
+        assert(xs.length <= k, s"prefix k=$k holds ${xs.length} of $src")
+      }
+    }
+    // deterministic across runs
+    val again = SparkEntry.queries("p_interleave_sources")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSet == again.toSet)
+  }
 }
