@@ -97,7 +97,78 @@ object Projection {
       .orderBy("qid")
   }
 
+  /** One-pass covariance stats for the embedding column via the native
+    * [[graft.functions.CovSketch]] aggregate — the input to PCA,
+    * whitening, and Mahalanobis-style outlier scoring. The distributed
+    * work is ONE ObjectHashAggregate with map-side partials shuffling
+    * ~17 KB buffers; everything after runs on the collected
+    * (1 + d + d(d+1)/2)-double row (driver-bounded by construction —
+    * the codebook discipline).
+    */
+  def covStats(s: SparkSession, d: String): Array[Double] =
+    Tables.spread(Tables.embeddings(s, d))
+      .agg(graft.functions.CovSketch.cov_sketch(
+        VectorOps.asDouble(col("embedding")), InDims).as("st"))
+      .head().getSeq[Double](0).toArray
+
+  /** Leading eigenpair of the covariance by driver-side power iteration
+    * (100 steps from the normalized ones vector — deterministic, no
+    * RNG; sign fixed by making the largest-|loading| component
+    * positive). The 64×64 eigenproblem is driver-trivial; the corpus
+    * only ever feeds the one-pass covariance aggregate.
+    */
+  def pcaTop(stats: Array[Double], d: Int): (Array[Double], Double) = {
+    val c = Array.ofDim[Double](d, d)
+    graft.functions.CovSketch.covEntries(stats, d).foreach {
+      case (i, j, v) => c(i)(j) = v; c(j)(i) = v
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    def matVec(x: Array[Double]): Array[Double] = {
+      val y = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var s = 0.0; var j = 0
+        while (j < d) { s += c(i)(j) * x(j); j += 1 }
+        y(i) = s; i += 1
+      }
+      y
+    }
+    for (_ <- 1 to 100) {
+      val y = matVec(v)
+      val n = math.sqrt(y.map(x => x * x).sum)
+      v = y.map(_ / n)
+    }
+    val lambda = v.zip(matVec(v)).map { case (a, b) => a * b }.sum
+    val k = v.indices.maxBy(i => math.abs(v(i)))
+    if (v(k) < 0) v = v.map(-_)
+    (v, lambda)
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble + 0.0
+
+  private def CovSketch_entries(s: SparkSession,
+      d: String): Seq[(Int, Int, Double)] =
+    graft.functions.CovSketch.covEntries(covStats(s, d), InDims)
+      .map { case (i, j, c) => (i, j, r6(c)) }
+
   val queries: Map[String, Q] = Map(
+    // upper-triangle covariance entries — full oracle (the aggregate's
+    // sums replayed as plain SQL aggregations)
+    "s_covariance" -> { (s, d) =>
+      import s.implicits._
+      CovSketch_entries(s, d).toDF("i", "j", "cov").orderBy("i", "j")
+    },
+    // leading principal component — driver eigen step on the same
+    // collected stats; rows-only (100 power steps have no SQL twin),
+    // PcaSpec pins the eigen residual + invariants
+    "s_pca_top" -> { (s, d) =>
+      import s.implicits._
+      val (v, lambda) = pcaTop(covStats(s, d), InDims)
+      v.zipWithIndex.map { case (x, i) => (i, r6(x), r6(lambda)) }
+        .toSeq.toDF("dim", "loading", "eigval").orderBy("dim")
+    },
     "a_projection_recall" -> ((s, d) => projectionRecall(s, d)),
     // one row per (vec_id, output dim) so the oracle hash covers every
     // projected coordinate, not a summary of them
@@ -168,5 +239,18 @@ object Projection {
 
   val oracles: Map[String, String] = Map(
     "s_random_projection" -> oracleSqlText,
-    "a_projection_recall" -> recallOracleSql)
+    "a_projection_recall" -> recallOracleSql,
+    // the aggregate's sums replayed as plain SQL: cov = E[xy] − E[x]E[y]
+    "s_covariance" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, u.i AS i1, v[u.i] AS xi
+        |  FROM e, unnest(range(1, 65)) u(i))
+        |SELECT CAST(a.i1 - 1 AS INT) AS i, CAST(b.i1 - 1 AS INT) AS j,
+        |  round(sum(a.xi * b.xi) / count(*) -
+        |    (sum(a.xi) / count(*)) * (sum(b.xi) / count(*)), 6) + 0.0
+        |    AS cov
+        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i1 <= b.i1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

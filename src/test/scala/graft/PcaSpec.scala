@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.CovSketch
+import graft.pipeline.{Projection, VectorOps}
+
+/** Covariance aggregate + PCA: the one-pass buffer must equal a hand
+  * computation and be layout-independent; the power-iteration eigenpair
+  * must recover a planted dominant direction on synthetic data and stay
+  * a deterministic unit vector with a small residual on the fixture.
+  */
+class PcaSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  test("cov buffer equals a hand computation and survives repartitioning") {
+    val vecs = Seq(
+      Array(1.0, 2.0, 3.0), Array(2.0, 4.0, 0.0),
+      Array(0.0, 0.0, 6.0), Array(-1.0, 2.0, 3.0))
+    val df = vecs.map(v => Tuple1(v.toSeq)).toDF("v")
+    def stats(d: org.apache.spark.sql.DataFrame): Seq[(Int, Int, Double)] =
+      CovSketch.covEntries(
+        d.agg(CovSketch.cov_sketch(col("v"), 3).as("st"))
+          .head().getSeq[Double](0).toArray, 3)
+        .map { case (i, j, c) => (i, j,
+          BigDecimal(c).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble) }
+    val got = stats(df)
+    // hand covariance: cov(i,j) = E[xi·xj] − E[xi]E[xj]
+    val n = vecs.length.toDouble
+    def mean(i: Int) = vecs.map(_(i)).sum / n
+    def cov(i: Int, j: Int) =
+      vecs.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j)
+    got.foreach { case (i, j, c) =>
+      assert(math.abs(c - cov(i, j)) < 1e-9, s"cov($i,$j): $c")
+    }
+    assert(stats(df.repartition(7)) == got,
+      "stats must be layout-independent at the rounding grain")
+  }
+
+  test("power iteration recovers a planted dominant direction") {
+    val rnd = new scala.util.Random(3)
+    val d = 16
+    val u = Array.tabulate(d)(i => math.sin(i + 1.0))
+    val un = math.sqrt(u.map(x => x * x).sum)
+    val dir = u.map(_ / un)
+    // x = α·g·dir + small noise, α >> noise ⇒ top eigvec ≈ dir
+    val vecs = Seq.fill(400) {
+      val g = rnd.nextGaussian() * 5.0
+      Array.tabulate(d)(i => g * dir(i) + 0.1 * rnd.nextGaussian())
+    }
+    val df = vecs.map(v => Tuple1(v.toSeq)).toDF("v")
+    val stats = df.agg(CovSketch.cov_sketch(col("v"), d).as("st"))
+      .head().getSeq[Double](0).toArray
+    val (v, lambda) = Projection.pcaTop(stats, d)
+    val cos = v.zip(dir).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos) > 0.99,
+      s"planted direction not recovered: |cos| = ${math.abs(cos)}")
+    assert(lambda > 20.0 && lambda < 30.0, // α² = 25 ± noise
+      s"eigenvalue $lambda should approximate the planted variance 25")
+  }
+
+  test("fixture eigenpair: unit norm, sign convention, determinism, " +
+      "residual bounded, eigenvalue at least the average eigenvalue") {
+    val stats = Projection.covStats(spark, "/root/testdata/sf0.001")
+    val (v, lambda) = Projection.pcaTop(stats, Projection.InDims)
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    val k = v.indices.maxBy(i => math.abs(v(i)))
+    assert(v(k) > 0, "sign convention: largest-|loading| positive")
+    val (v2, l2) = Projection.pcaTop(stats, Projection.InDims)
+    assert(v.toSeq == v2.toSeq && lambda == l2)
+    // residual ‖Cv − λv‖ — isotropic-noise spectra converge slowly, so
+    // the bound is generous but still excludes nonsense
+    val c = Array.ofDim[Double](Projection.InDims, Projection.InDims)
+    CovSketch.covEntries(stats, Projection.InDims).foreach {
+      case (i, j, x) => c(i)(j) = x; c(j)(i) = x }
+    val cv = c.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+    val resid = math.sqrt(cv.zip(v)
+      .map { case (a, b) => (a - lambda * b) * (a - lambda * b) }.sum)
+    assert(resid < 0.5 * lambda, s"residual $resid vs λ=$lambda")
+    val trace = (0 until Projection.InDims).map(i => c(i)(i)).sum
+    assert(lambda >= trace / Projection.InDims,
+      s"λ=$lambda below the average eigenvalue ${trace / 64}")
+  }
+
+  test("the covariance aggregate plans with map-side partials (the " +
+      "registered query's frame is driver-local, so the gate lives here)") {
+    val df = Tables.spread(Tables.embeddings(spark,
+        "/root/testdata/sf0.001"))
+      .agg(CovSketch.cov_sketch(
+        VectorOps.asDouble(col("embedding")), 64).as("st"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_covsketch"),
+      s"no map-side partial:\n${plan.take(800)}")
+    assert(plan.contains("ObjectHashAggregate"))
+  }
+
+  test("registered queries: covariance is symmetric-consistent and " +
+      "pca loads one row per dim") {
+    val d = "/root/testdata/sf0.001"
+    val covRows = SparkEntry.queries("s_covariance")(spark, d).collect()
+    assert(covRows.length == 64 * 65 / 2)
+    val pca = SparkEntry.queries("s_pca_top")(spark, d).collect()
+    assert(pca.length == 64)
+    assert(pca.map(_.getDouble(2)).distinct.length == 1)
+  }
+}

@@ -41,7 +41,11 @@ class RelationalSpec extends AnyFunSuite {
       // multi-round sample→train→score loop (DoReMi) — iterative
       // trainer state like the BPE/unigram tiers; DoremiSpec pins an
       // exact single-round reference + multi-round invariants
-      "p_doremi_weights")
+      "p_doremi_weights",
+      // 100 driver-side power-iteration steps have no SQL twin; the
+      // covariance input IS oracle-checked (s_covariance) and PcaSpec
+      // pins planted-direction recovery + eigen invariants
+      "s_pca_top")
     assert(missing == rowsOnly, s"queries without oracle: $missing")
   }
 
