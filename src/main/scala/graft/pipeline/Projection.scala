@@ -148,6 +148,98 @@ object Projection {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .toDouble + 0.0
 
+  /** Gauss–Jordan inverse with partial pivoting — deterministic (no
+    * RNG, fixed elimination order), driver-side on the d×d covariance.
+    * A tiny ridge (1e-9·I) guards rank deficiency from degenerate
+    * fixtures; documented, not hidden — it perturbs scores at the 1e-7
+    * level, far under the 1e-4 output grain.
+    */
+  def inverse(m0: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = m0.length
+    val a = Array.tabulate(d, d)((i, j) =>
+      m0(i)(j) + (if (i == j) 1e-9 else 0.0))
+    val inv = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var col = 0
+    while (col < d) {
+      var piv = col
+      var r = col + 1
+      while (r < d) {
+        if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r
+        r += 1
+      }
+      val t = a(col); a(col) = a(piv); a(piv) = t
+      val ti = inv(col); inv(col) = inv(piv); inv(piv) = ti
+      val p = a(col)(col)
+      require(math.abs(p) > 1e-300, s"singular at column $col")
+      var j = 0
+      while (j < d) { a(col)(j) /= p; inv(col)(j) /= p; j += 1 }
+      var i = 0
+      while (i < d) {
+        if (i != col) {
+          val f = a(i)(col)
+          if (f != 0.0) {
+            var k = 0
+            while (k < d) {
+              a(i)(k) -= f * a(col)(k)
+              inv(i)(k) -= f * inv(col)(k)
+              k += 1
+            }
+          }
+        }
+        i += 1
+      }
+      col += 1
+    }
+    inv
+  }
+
+  /** (μ, C⁻¹) from the covariance stats — the literal artifacts the
+    * Mahalanobis query embeds into the plan, so per-row scoring is a
+    * fused d² quadratic form with nothing random at runtime.
+    */
+  def mahalanobisArtifacts(stats: Array[Double],
+      d: Int): (Array[Double], Array[Array[Double]]) = {
+    val n = stats(0)
+    val mu = Array.tabulate(d)(i => stats(1 + i) / n)
+    val c = Array.ofDim[Double](d, d)
+    graft.functions.CovSketch.covEntries(stats, d).foreach {
+      case (i, j, v) => c(i)(j) = v; c(j)(i) = v
+    }
+    (mu, inverse(c))
+  }
+
+  /** Top-k embedding outliers by Mahalanobis distance — the
+    * covariance-aware radius that catches vectors inflated along
+    * LOW-variance directions a plain L2 norm misses (corrupt encoder
+    * outputs, wrong-modality rows). One CovSketch pass for the stats,
+    * then one scan scoring each row against the literal (μ, C⁻¹)
+    * artifacts, top-k through the bounded heap.
+    */
+  def mahalanobisTop(embeddings: DataFrame, k: Int): DataFrame = {
+    val s = embeddings.sparkSession
+    val dims = InDims
+    val stats = embeddings
+      .agg(graft.functions.CovSketch.cov_sketch(
+        VectorOps.asDouble(col("embedding")), dims).as("st"))
+      .head().getSeq[Double](0).toArray
+    val (mu, inv) = mahalanobisArtifacts(stats, dims)
+    val muLit = array(mu.map(lit(_)): _*)
+    val cen = zip_with(VectorOps.asDouble(col("embedding")), muLit,
+      (x, m) => x - m)
+    val score = (0 until dims).map { i =>
+      val row = array(inv(i).map(lit(_)): _*)
+      element_at(col("cen"), i + 1) * VectorOps.dot(col("cen"), row)
+    }.reduce(_ + _)
+    val scored = embeddings
+      .select(col("vec_id"), cen.as("cen"))
+      .select(col("vec_id"), round(score, 4).as("score"))
+    graft.plans.TopKPerKey.topKPerKey(
+      scored.withColumn("g", lit(0)),
+      Seq("g"), Seq(("score", true), ("vec_id", false)), k)
+      .select("vec_id", "score")
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
   private def CovSketch_entries(s: SparkSession,
       d: String): Seq[(Int, Int, Double)] =
     graft.functions.CovSketch.covEntries(covStats(s, d), InDims)
@@ -168,6 +260,14 @@ object Projection {
       val (v, lambda) = pcaTop(covStats(s, d), InDims)
       v.zipWithIndex.map { case (x, i) => (i, r6(x), r6(lambda)) }
         .toSeq.toDF("dim", "loading", "eigval").orderBy("dim")
+    },
+    // Mahalanobis embedding-outlier gate — rows-only: μ/C⁻¹ are
+    // DATA-dependent driver artifacts, so no static SQL twin exists
+    // (the covariance input is oracle-checked via s_covariance, and
+    // PcaSpec pins the scores against an exact in-memory recompute +
+    // the low-variance-direction catch L2 misses)
+    "s_mahalanobis" -> { (s, d) =>
+      mahalanobisTop(Tables.spread(Tables.embeddings(s, d)), 20)
     },
     "a_projection_recall" -> ((s, d) => projectionRecall(s, d)),
     // one row per (vec_id, output dim) so the oracle hash covers every

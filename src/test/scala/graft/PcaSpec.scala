@@ -98,6 +98,54 @@ class PcaSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"))
   }
 
+  test("mahalanobis scores match an exact in-memory recompute from the " +
+      "same stats (bit-level: identical fold order), top-20 included") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("s_mahalanobis")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val stats = Projection.covStats(spark, d)
+    val (mu, inv) = Projection.mahalanobisArtifacts(stats, 64)
+    val vecs = Tables.embeddings(spark, d)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val want = vecs.map { case (id, x) =>
+      val cen = Array.tabulate(64)(i => x(i) - mu(i))
+      val score = (0 until 64).map { i =>
+        var dp = 0.0; var j = 0
+        while (j < 64) { dp += cen(j) * inv(i)(j); j += 1 }
+        cen(i) * dp
+      }.reduceLeft(_ + _)
+      (id, BigDecimal(score).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(x => (-x._2, x._1)).take(20)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("mahalanobis catches a low-variance-direction outlier that a " +
+      "plain L2 radius ranks as unremarkable") {
+    val rnd = new scala.util.Random(9)
+    val base = Seq.tabulate(300) { i =>
+      val v = Array.tabulate(64)(j =>
+        if (j == 63) 0.01 * rnd.nextGaussian() else rnd.nextGaussian())
+      (i.toLong, v)
+    }
+    // the outlier: tiny everywhere EXCEPT a 1.0 kick along the
+    // variance-0.0001 dimension — its L2 norm (~1) is far BELOW the
+    // typical ~8 of its peers
+    val outlier = (999L, Array.tabulate(64)(j => if (j == 63) 1.0 else 0.0))
+    val df = (base :+ outlier)
+      .map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val top = Projection.mahalanobisTop(df, 5).collect()
+      .map(_.getLong(0))
+    assert(top.head == 999L,
+      s"low-variance outlier must rank first: ${top.toSeq}")
+    val l2Top = df.select(col("vec_id"),
+        VectorOps.dot(col("embedding"), col("embedding")).as("n2"))
+      .orderBy(col("n2").desc).limit(50).collect().map(_.getLong(0))
+    assert(!l2Top.contains(999L),
+      "the same vector must look unremarkable to a plain L2 radius")
+  }
+
   test("registered queries: covariance is symmetric-consistent and " +
       "pca loads one row per dim") {
     val d = "/root/testdata/sf0.001"

@@ -45,7 +45,11 @@ class RelationalSpec extends AnyFunSuite {
       // 100 driver-side power-iteration steps have no SQL twin; the
       // covariance input IS oracle-checked (s_covariance) and PcaSpec
       // pins planted-direction recovery + eigen invariants
-      "s_pca_top")
+      "s_pca_top",
+      // μ/C⁻¹ are data-dependent driver artifacts — no static SQL twin
+      // can exist; PcaSpec pins an exact in-memory recompute + the
+      // low-variance-direction catch L2 misses
+      "s_mahalanobis")
     assert(missing == rowsOnly, s"queries without oracle: $missing")
   }
 
