@@ -185,5 +185,38 @@ object syntax {
     def graftUnigramTable(vocabSize: Int = 512,
         rounds: Int = 3): Seq[(String, Long)] =
       pipeline.Unigram.train(pipeline.Bpe.vocabulary(df), vocabSize, rounds)
+
+    /** Pure interval (band) join against `right` — |left(leftUs) −
+      * right(rightUs)| ≤ deltaUs, no equi-key
+      * ([[operators.BandJoin.bandJoin]]).
+      */
+    def graftBandJoin(right: DataFrame, leftUs: String, rightUs: String,
+        deltaUs: Long, joinType: String = "inner"): DataFrame =
+      operators.BandJoin.bandJoin(df, right, leftUs, rightUs, deltaUs,
+        joinType)
+
+    /** DoReMi-style learned domain mixture over (doc_id, source, text)
+      * ([[pipeline.CorpusOps.doremiWeights]]).
+      */
+    def graftDoremiWeights(rounds: Int = 3, eta: Double = 0.5): DataFrame =
+      pipeline.CorpusOps.doremiWeights(df, rounds, eta)
+
+    /** Source-interleaved deterministic training order
+      * ([[pipeline.CorpusOps.interleaveSources]]).
+      */
+    def graftInterleaveSources(seed: String): DataFrame =
+      pipeline.CorpusOps.interleaveSources(df, seed)
+
+    /** Zero-filled hourly resample of (event_type, ts) rows
+      * ([[pipeline.EventWindows.gapFillHourly]]).
+      */
+    def graftGapFillHourly: DataFrame =
+      pipeline.EventWindows.gapFillHourly(df)
+
+    /** Top-k Mahalanobis embedding outliers of (vec_id, embedding)
+      * rows ([[pipeline.Projection.mahalanobisTop]]).
+      */
+    def graftMahalanobisTop(k: Int): DataFrame =
+      pipeline.Projection.mahalanobisTop(df, k)
   }
 }

@@ -53,6 +53,20 @@ class SyntaxSpec extends AnyFunSuite {
     val factors = Seq("src0" -> 2, "src1" -> 3)
     assert(docs.graftEpochMix(factors).count() ==
       pipeline.TrainingSet.epochMix(docs, factors).count())
+    // round-7 facade entries
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pe"), unix_micros(col("ts")).as("lus"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("ce"), unix_micros(col("ts")).as("rus"))
+    assert(p.graftBandJoin(c, "lus", "rus", 60000000L).count() ==
+      operators.BandJoin.bandJoin(p, c, "lus", "rus", 60000000L).count())
+    assert(docs.graftInterleaveSources("wv7").collect().toSet ==
+      pipeline.CorpusOps.interleaveSources(docs, "wv7").collect().toSet)
+    assert(ev.graftGapFillHourly.count() ==
+      pipeline.EventWindows.gapFillHourly(ev).count())
+    val emb = Tables.embeddings(spark, sf)
+    assert(emb.graftMahalanobisTop(5).collect().toSeq ==
+      pipeline.Projection.mahalanobisTop(emb, 5).collect().toSeq)
   }
 
   test("GraftExtensions injects functions, strategy, and optimizer rules") {
