@@ -291,6 +291,9 @@ object ExplainAudit {
     audit("w_ema_anomaly", "BroadcastHashJoin")
     // interleave: one source-keyed rank window, nothing else shuffles
     auditAtMost("p_interleave_sources", "Exchange hashpartitioning", 1)
+    // cusum shares the densify shape; the scan folds the calendar-sized
+    // series per type
+    audit("w_cusum", "BroadcastHashJoin")
     // (s_covariance's aggregate runs at query-construction time — its
     // registered frame is a driver-local relation, so the map-side-
     // partial plan shape is asserted in PcaSpec instead of here)

@@ -255,11 +255,57 @@ object EventWindows {
           col("acc.den").cast("double"), 4).as("ema"))
   }
 
+  /** CUSUM change-point detection over the gap-filled hourly series
+    * (Page 1954 — the sequential test that catches a SUSTAINED rate
+    * shift long before any single hour trips a spike test, and the
+    * complement of w_ema_anomaly's instantaneous flags): per type,
+    * S_t = max(0, S_{t−1} + x_t − μ − k) accumulates evidence that the
+    * rate sits above μ + k; S_t > 5μ flags. INTEGER-EXACT end to end —
+    * counts in micro-units, μ = (10⁶·Σx) DIV m, slack k = μ DIV 2 —
+    * so the recurrence is the same BIGINT everywhere and the oracle
+    * replays it as a recursive CTE. The scan is a per-type fold over
+    * the CALENDAR-sized series (the documented bounded exception — the
+    * corpus only feeds the count aggregate), zeros from gap-fill
+    * correctly draining S during quiet hours.
+    */
+  def cusumHourly(ev0: DataFrame): DataFrame = {
+    val dense = densifyHourly(hourlyCounts(ev0))
+    val stats = dense.groupBy("event_type")
+      .agg((lit(1000000L) * sum(col("n"))).as("tot"),
+        count(lit(1)).as("m"))
+      .select(col("event_type"), expr("tot DIV m").as("mu"))
+    val lst = dense.join(broadcast(stats), "event_type")
+      .groupBy(col("event_type"), col("mu"))
+      .agg(sort_array(collect_list(
+        struct(col("hour"), col("n")))).as("xs"))
+      .withColumn("k", expr("mu DIV 2"))
+    val zero = array()
+      .cast("array<struct<hour:string,n:bigint,s:bigint>>")
+    lst
+      .withColumn("sc", aggregate(col("xs"), zero, (acc, x) => {
+        val prev = when(size(acc) === 0, lit(0L))
+          .otherwise(element_at(acc, -1).getField("s"))
+        val s = greatest(lit(0L),
+          prev + x.getField("n") * lit(1000000L) - col("mu") - col("k"))
+        concat(acc, array(struct(
+          x.getField("hour").as("hour"),
+          x.getField("n").as("n"), s.as("s"))))
+      }))
+      .select(col("event_type"), col("mu"), explode(col("sc")).as("e"))
+      .select(col("event_type"), col("e.hour").as("hour"),
+        col("e.n").as("n"), col("e.s").as("s_micro"),
+        (col("e.s") > lit(5L) * col("mu")).as("flagged"))
+  }
+
   val queries: Map[String, Q] = Map(
     // hourly resample with zero-filled gaps (grid from the data's own
     // min/max hour — calendar-sized, never data-sized)
     "w_gapfill" -> { (s, d) =>
       gapFillHourly(Tables.events(s, d)).orderBy("event_type", "hour")
+    },
+    // CUSUM sustained-shift flags over the densified series
+    "w_cusum" -> { (s, d) =>
+      cusumHourly(Tables.events(s, d)).orderBy("event_type", "hour")
     },
     // EMA-smoothed hourly rates over the densified grid (integer-exact
     // truncated decay — see emaHourly)
@@ -342,7 +388,10 @@ object EventWindows {
   /** Shared CTE chain for the w_ema / w_ema_anomaly oracles — through
     * the `agg` (num, den) frame; callers append their final SELECT.
     */
-  private val EmaCtes =
+  /** The densified-grid CTE chain (through `dense`) shared by every
+    * oracle that consumes the gap-filled hourly series.
+    */
+  private val DenseCtes =
     """WITH ev AS (
       |  SELECT event_type, date_trunc('hour', ts) h FROM events),
       |counts AS (
@@ -358,7 +407,11 @@ object EventWindows {
       |  SELECT grid.event_type, grid.h, coalesce(counts.n, 0) AS n,
       |    CAST(epoch(grid.h) / 3600 AS BIGINT) AS idx
       |  FROM grid LEFT JOIN counts
-      |    ON counts.event_type = grid.event_type AND counts.h = grid.h),
+      |    ON counts.event_type = grid.event_type AND counts.h = grid.h)"""
+      .stripMargin
+
+  private val EmaCtes = DenseCtes +
+    """,
       |lo AS (SELECT event_type, min(idx) AS idx0 FROM dense GROUP BY 1),
       |pw AS (SELECT * FROM (VALUES
       |  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
@@ -399,6 +452,34 @@ object EventWindows {
         |FROM grid LEFT JOIN counts
         |  ON counts.event_type = grid.event_type AND counts.h = grid.h
         |ORDER BY 1, 2""".stripMargin,
+    // the CUSUM recurrence replayed as a recursive CTE over the shared
+    // dense grid — identical BIGINT arithmetic step for step (the
+    // RECURSIVE marker retrofits onto the shared chain's WITH)
+    "w_cusum" -> (DenseCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |st AS (
+        |  SELECT event_type, (1000000 * sum(n)) // count(*) AS mu
+        |  FROM dense GROUP BY 1),
+        |seq AS (
+        |  SELECT d.event_type, d.h, d.n, row_number() OVER (
+        |    PARTITION BY d.event_type ORDER BY d.idx) AS rn
+        |  FROM dense d),
+        |rec AS (
+        |  SELECT s.event_type, s.rn, s.h, s.n,
+        |    GREATEST(CAST(0 AS BIGINT),
+        |      s.n * 1000000 - st.mu - st.mu // 2) AS s
+        |  FROM seq s JOIN st USING (event_type) WHERE s.rn = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.rn, s.h, s.n,
+        |    GREATEST(CAST(0 AS BIGINT),
+        |      r.s + s.n * 1000000 - st.mu - st.mu // 2) AS s
+        |  FROM rec r
+        |  JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+        |  JOIN st ON st.event_type = s.event_type)
+        |SELECT r.event_type, strftime(r.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  r.n, r.s AS s_micro, r.s > 5 * st.mu AS flagged
+        |FROM rec r JOIN st ON st.event_type = r.event_type
+        |ORDER BY 1, 2""".stripMargin),
     // the closed form of the fold: the element `rev` hours back in an
     // m-row window carries weight 7^rev · 10^(m−1−rev) (exact-BIGINT
     // literals), so the windowed pair join + the power lookup replays

@@ -75,6 +75,34 @@ class EmaSpec extends AnyFunSuite {
       Seq("event_type", "hour", "n", "flagged"))
   }
 
+  test("cusum: a sustained rate shift accumulates to a flag with the " +
+      "expected lag, the baseline stays at zero, and quiet hours drain") {
+    // 20 hours at 1/hour, then 10 hours at 10/hour: μ = 4e6 micro,
+    // slack k = 2e6 ⇒ baseline drift 1e6−6e6 < 0 (S pinned at 0),
+    // shift drift +4e6/hour vs threshold 5μ = 2e7 ⇒ first flag at
+    // shift hour +5 (index 25)
+    def hts(h: Int, m: Int): String =
+      f"2024-03-0${1 + h / 24}%d ${h % 24}%02d:$m%02d:00"
+    val ev = ((0 until 20).map(h => Seq(("c", hts(h, 30))))
+      ++ (20 until 30).map(h => Seq.tabulate(10)(m =>
+        ("c", hts(h, m * 5))))).flatten
+      .toDF("event_type", "ts0")
+      .select($"event_type", $"ts0".cast("timestamp").as("ts"))
+    val rows = EventWindows.cusumHourly(ev)
+      .orderBy("hour").collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getBoolean(4)))
+    assert(rows.take(20).forall(x => x._2 == 0L && !x._3),
+      s"baseline must pin S at 0: ${rows.take(20).toSeq}")
+    val flagIdx = rows.indexWhere(_._3)
+    assert(flagIdx == 25, s"first flag at shift+5, got index $flagIdx")
+    assert(rows.drop(25).forall(_._3), "flags persist while shift holds")
+    // exact recurrence check on the shifted region: S grows 4e6/hour
+    (20 until 30).foreach { i =>
+      assert(rows(i)._2 == 4000000L * (i - 19),
+        s"S at $i: ${rows(i)._2}")
+    }
+  }
+
   test("registered query: one ema row per grid cell, smoothing bounded " +
       "by the window's min/max") {
     val d = "/root/testdata/sf0.001"
