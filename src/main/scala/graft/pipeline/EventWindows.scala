@@ -268,8 +268,14 @@ object EventWindows {
     * corpus only feeds the count aggregate), zeros from gap-fill
     * correctly draining S during quiet hours.
     */
-  def cusumHourly(ev0: DataFrame): DataFrame = {
-    val dense = densifyHourly(hourlyCounts(ev0))
+  def cusumHourly(ev0: DataFrame): DataFrame =
+    cusumFromCounts(hourlyCounts(ev0))
+
+  /** CUSUM over an already-aggregated counts frame — shared verbatim
+    * with [[graft.streaming.GapFillStream.cusumView]].
+    */
+  def cusumFromCounts(counts: DataFrame): DataFrame = {
+    val dense = densifyHourly(counts)
     val stats = dense.groupBy("event_type")
       .agg((lit(1000000L) * sum(col("n"))).as("tot"),
         count(lit(1)).as("m"))

@@ -58,4 +58,15 @@ object GapFillStream {
       .groupBy("event_type", "h").agg(sum(col("n0")).as("n0"))
     EventWindows.emaFromCounts(counts)
   }
+
+  /** The sustained-shift answer — shaped exactly like `w_cusum` (note
+    * μ is series-relative, so a batch that extends the series can
+    * retroactively re-evaluate earlier flags: exactly what the batch
+    * operator would say on the union, which is the twin contract).
+    */
+  def cusumView(spark: SparkSession, outPath: String): DataFrame = {
+    val counts = readPartsWithBatch(spark, outPath, -1L, CountSchema)
+      .groupBy("event_type", "h").agg(sum(col("n0")).as("n0"))
+    EventWindows.cusumFromCounts(counts)
+  }
 }

@@ -36,6 +36,13 @@ class GapFillStreamSpec extends AnyFunSuite {
           s"${r.getLong(2)}|${r.getDouble(3)}").sorted.toSeq
     assert(canonEma(GapFillStream.emaView(spark, out)) ==
       canonEma(EventWindows.emaHourly(ev)))
+    def canonCusum(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("event_type", "hour", "n", "s_micro", "flagged")
+        .collect().map(r => s"${r.getString(0)}|${r.getString(1)}|" +
+          s"${r.getLong(2)}|${r.getLong(3)}|${r.getBoolean(4)}")
+        .sorted.toSeq
+    assert(canonCusum(GapFillStream.cusumView(spark, out)) ==
+      canonCusum(EventWindows.cusumHourly(ev)))
   }
 
   test("a late batch with OLDER hours extends the grid retroactively; " +
