@@ -274,7 +274,7 @@ object CorpusOps {
     val tok = docs.select(col("doc_id"), col("source"),
       explode(t).as("w1")).persist()
     var w = domains.map(_ -> 1.0 / domains.length).toMap
-    val acc = scala.collection.mutable.Map(domains.map(_ -> 0.0): _*)
+    val acc = scala.collection.mutable.Map(domains.map(_ -> 0.0).toSeq: _*)
     for (r <- 1 to rounds) {
       val rate = domains.map(d =>
         d -> math.max(0.05, math.min(1.0, w(d) * domains.length))).toMap

@@ -223,11 +223,11 @@ object Projection {
         VectorOps.asDouble(col("embedding")), dims).as("st"))
       .head().getSeq[Double](0).toArray
     val (mu, inv) = mahalanobisArtifacts(stats, dims)
-    val muLit = array(mu.map(lit(_)): _*)
+    val muLit = array(mu.toSeq.map(lit(_)): _*)
     val cen = zip_with(VectorOps.asDouble(col("embedding")), muLit,
       (x, m) => x - m)
     val score = (0 until dims).map { i =>
-      val row = array(inv(i).map(lit(_)): _*)
+      val row = array(inv(i).toSeq.map(lit(_)): _*)
       element_at(col("cen"), i + 1) * VectorOps.dot(col("cen"), row)
     }.reduce(_ + _)
     val scored = embeddings

@@ -40,7 +40,7 @@ object PartitionedLayout {
     import org.apache.spark.sql.functions._
     val out =
       if (coalesceOutput) {
-        val salt = pmod(xxhash64(struct(df.columns.map(col): _*)),
+        val salt = pmod(xxhash64(struct(df.columns.toSeq.map(col): _*)),
           lit(filesPerDir.toLong))
         df.repartition(cols.map(col) :+ salt: _*)
       } else df

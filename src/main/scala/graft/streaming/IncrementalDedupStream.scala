@@ -67,7 +67,7 @@ object IncrementalDedupStream {
     if (ps.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else spark.read.parquet(ps: _*)
-      .select(schema.fieldNames.map(col): _*)
+      .select(schema.fieldNames.toSeq.map(col): _*)
   }
 
   private val TombSchema = StructType(Seq(
@@ -84,7 +84,7 @@ object IncrementalDedupStream {
     if (ps.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], withBatch)
     else spark.read.option("basePath", root).parquet(ps: _*)
-      .select((schema.fieldNames :+ "batch").map(col): _*)
+      .select((schema.fieldNames.toSeq :+ "batch").map(col): _*)
       .withColumn("batch", col("batch").cast("long"))
   }
 
@@ -234,7 +234,7 @@ object IncrementalDedupStream {
       // localCheckpoint materializes the survivors before the overwrite
       // truncates the files the plan was reading from
       spark.read.parquet(part)
-        .select(schema.fieldNames.map(col): _*)
+        .select(schema.fieldNames.toSeq.map(col): _*)
         .join(broadcast(tombs.filter(col("up_to") > b).select("doc_id")),
           Seq("doc_id"), "left_anti")
         .localCheckpoint(true)

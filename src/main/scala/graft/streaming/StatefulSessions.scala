@@ -82,7 +82,7 @@ object StatefulSessions {
           if (state.hasTimedOut) {
             val out = state.getOption.map(s =>
               ClosedSession(key, new Timestamp(s.start),
-                new Timestamp(s.lastTs), s.n)).toIterator
+                new Timestamp(s.lastTs), s.n)).iterator
             state.remove()
             out
           } else {
