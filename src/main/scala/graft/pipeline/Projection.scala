@@ -216,28 +216,33 @@ object Projection {
     * artifacts, top-k through the bounded heap.
     */
   def mahalanobisTop(embeddings: DataFrame, k: Int): DataFrame = {
-    val s = embeddings.sparkSession
     val dims = InDims
     val stats = embeddings
       .agg(graft.functions.CovSketch.cov_sketch(
         VectorOps.asDouble(col("embedding")), dims).as("st"))
       .head().getSeq[Double](0).toArray
     val (mu, inv) = mahalanobisArtifacts(stats, dims)
-    val muLit = array(mu.toSeq.map(lit(_)): _*)
-    val cen = zip_with(VectorOps.asDouble(col("embedding")), muLit,
-      (x, m) => x - m)
-    val score = (0 until dims).map { i =>
-      val row = array(inv(i).toSeq.map(lit(_)): _*)
-      element_at(col("cen"), i + 1) * VectorOps.dot(col("cen"), row)
-    }.reduce(_ + _)
-    val scored = embeddings
-      .select(col("vec_id"), cen.as("cen"))
-      .select(col("vec_id"), round(score, 4).as("score"))
+    val scored = scoreFrame(embeddings, mu, inv)
     graft.plans.TopKPerKey.topKPerKey(
       scored.withColumn("g", lit(0)),
       Seq("g"), Seq(("score", true), ("vec_id", false)), k)
       .select("vec_id", "score")
       .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  /** (vec_id, score) for every row — the shared scoring stage. */
+  def scoreFrame(embeddings: DataFrame, mu: Array[Double],
+      inv: Array[Array[Double]]): DataFrame = {
+    val muLit = array(mu.toSeq.map(lit(_)): _*)
+    val cen = zip_with(VectorOps.asDouble(col("embedding")), muLit,
+      (x, m) => x - m)
+    val score = (0 until mu.length).map { i =>
+      val row = array(inv(i).toSeq.map(lit(_)): _*)
+      element_at(col("cen"), i + 1) * VectorOps.dot(col("cen"), row)
+    }.reduce(_ + _)
+    embeddings
+      .select(col("vec_id"), cen.as("cen"))
+      .select(col("vec_id"), round(score, 4).as("score"))
   }
 
   private def CovSketch_entries(s: SparkSession,

@@ -100,6 +100,21 @@ object WindowedStreams {
       .select(col("l_seq"), col("r_seq"))
   }
 
+  /** Streaming Mahalanobis ingest gate for an embedding stream
+    * (vec_id, embedding): drop records scoring above `maxScore`
+    * against BATCH-trained (μ, C⁻¹) artifacts — the train-batch-side /
+    * apply-stream-side split of [[graft.pipeline.Projection
+    * .mahalanobisTop]], same deployment shape as the domain-LM gate
+    * (CCNet ships KenLM to workers; this ships a d + d² double
+    * artifact). Stateless per-record scoring through the SAME
+    * [[graft.pipeline.Projection.scoreFrame]] the batch operator uses,
+    * so stream ≡ batch at the 1e-4 grain under any split.
+    */
+  def embeddingOutlierGate(records: DataFrame, mu: Array[Double],
+      inv: Array[Array[Double]], maxScore: Double): DataFrame =
+    graft.pipeline.Projection.scoreFrame(records, mu, inv)
+      .filter(col("score") <= maxScore)
+
   /** Streaming ingest filter for a training-data pipeline: decode the
     * payload, gate on quality and EXACT content dup (same rolling-hash
     * fingerprint seen within the watermark horizon ⇒ suppressed with

@@ -107,6 +107,29 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(streamed.size < 12L * 10L)
   }
 
+  test("streaming embedding-outlier gate equals the batch filter on " +
+      "the same broadcast artifacts, and genuinely drops records") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val dir = Files.createTempDirectory("mgate").toString
+    emb.write.mode("overwrite").parquet(dir)
+    val stats = graft.pipeline.Projection.covStats(spark, d)
+    val (mu, inv) = graft.pipeline.Projection
+      .mahalanobisArtifacts(stats, 64)
+    val st = spark.readStream.schema(emb.schema).parquet(dir)
+    val q = WindowedStreams.embeddingOutlierGate(st, mu, inv, 70.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mgate").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("mgate").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val batch = WindowedStreams.embeddingOutlierGate(emb, mu, inv, 70.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    assert(streamed.size < emb.count(), "the gate must drop something")
+  }
+
   test("keyless stream-stream band join equals the naive batch " +
       "cross-filter (the bucket equality is what makes the otherwise-" +
       "rejected no-equi-key stream-stream join plannable)") {
