@@ -306,6 +306,28 @@ object Relational {
           .select(col("o_custkey")))
         .orderBy("o_custkey")
     },
+    // multiset (bag) variants — EXCEPT ALL / INTERSECT ALL keep
+    // per-row multiplicity arithmetic (max(m−n, 0) / min(m, n)), the
+    // semantics dedup-by-distinct silently destroys; aggregated so the
+    // result pins the multiplicities, not just membership
+    "r_except_all" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+        .exceptAll(o.filter(col("o_orderpriority") === "5-LOW")
+          .select(col("o_custkey")))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy("o_custkey")
+    },
+    "r_intersect_all" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+        .intersectAll(o.filter(col("o_orderpriority") === "5-LOW")
+          .select(col("o_custkey")))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy("o_custkey")
+    },
     // ---- rollup / cube (SURVEY §2.5 engine extensions)
     "r_rollup" -> { (s, d) =>
       Tables.customer(s, d)
@@ -875,6 +897,18 @@ object Relational {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
         |ORDER BY o_custkey""".stripMargin,
+    "r_except_all" ->
+      """SELECT o_custkey, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "r_intersect_all" ->
+      """SELECT o_custkey, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "r_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         |       round(sum(c_acctbal), 2) AS total_bal
