@@ -631,7 +631,60 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** The full dedup CASCADE as one attrition report — the funnel every
+    * production pipeline runs and every data card publishes: raw →
+    * exact (md5 keep-min) → near-dup (capped-jaccard clusters,
+    * keep-min per component) → containment (embedded-document drops).
+    * Each stage runs on the PREVIOUS stage's survivors (shingle dfs
+    * are survivor-relative, matching how a real cascade re-profiles
+    * after each cut), and each stage's machinery is the registered
+    * operator's own (jaccardPairs / dupClusters / containmentPairs) —
+    * the report can't disagree with the tiers it summarizes. Output:
+    * (stage, n_docs), 4 rows.
+    */
+  def dedupReport(docs0: DataFrame): DataFrame = {
+    val spark = docs0.sparkSession
+    import spark.implicits._
+    val raw = Tables.spread(docs0).select("doc_id", "text")
+    // planted enrichment (the d_exact_dup / d_containment_dup injection
+    // discipline — the raw fixture has no exact copies or embedded
+    // docs, so the cascade's first and third cuts would be vacuous):
+    // exact copies of docs < 50, and WRAPPED copies of docs 50..99
+    // padded with 40 doc-unique tokens — unique so the df cap keeps
+    // them and jaccard drops below 0.8 (not caught at stage 2) while
+    // the original stays ≥ 90% contained (caught at stage 3)
+    val base = raw
+      .union(raw.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      .union(raw.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" "), concat_ws(" ",
+            transform(sequence(lit(1), lit(40)), k =>
+              concat(lit("w"), col("doc_id"), lit("x"), k))))
+            .as("text")))
+    val keep1 = base.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val s1 = base.join(keep1, Seq("doc_id"), "left_semi").persist()
+    val pairs = jaccardPairs(s1, 0.8, maxDf = 20)
+      .select(col("da").as("ida"), col("db").as("idb"))
+    val drop2 = dupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster")).select("doc_id")
+    val s2 = s1.join(drop2, Seq("doc_id"), "left_anti").persist()
+    val drop3 = containmentPairs(s2, 90, 20)
+      .select(col("contained").as("doc_id")).distinct()
+    val s3 = s2.join(drop3, Seq("doc_id"), "left_anti")
+    val out = Seq(
+      ("0_raw", base.count()), ("1_exact", s1.count()),
+      ("2_near", s2.count()), ("3_containment", s3.count()))
+      .toDF("stage", "n_docs")
+    s1.unpersist(); s2.unpersist()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "p_dedup_report" -> { (s, d) =>
+      dedupReport(Tables.documents(s, d)).orderBy("stage")
+    },
     // Exact dedup: duplicated delivery (doc_id < 100 re-ingested) collapses
     // on content; keeper = min doc_id. Hash-groupBy — single shuffle.
     "d_exact_dup" -> { (s, d) =>
@@ -810,6 +863,96 @@ object Dedup {
     })
 
   val oracles: Map[String, String] = Map(
+    // the cascade replayed stage for stage: exact keep-min, then the
+    // d_dup_clusters pipeline on stage-1 survivors, then the
+    // d_containment_dup test on stage-2 survivors — survivor-relative
+    // dfs, same caps/thresholds as the Spark operators
+    "p_dedup_report" ->
+      """WITH RECURSIVE
+        |base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |    text || ' ' || array_to_string(list_transform(range(1, 41),
+        |      k -> 'w' || doc_id || 'x' || k), ' ')
+        |  FROM documents WHERE doc_id >= 50 AND doc_id < 100),
+        |m AS (SELECT md5(text) h, min(doc_id) k FROM base
+        |      GROUP BY 1),
+        |s1 AS (
+        |  SELECT d.doc_id, d.text FROM base d
+        |  JOIN m ON md5(d.text) = m.h AND d.doc_id = m.k),
+        |toks AS (SELECT doc_id, string_split(text, ' ') t FROM s1),
+        |sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) s
+        |  FROM toks WHERE len(t) >= 3),
+        |dfc AS (SELECT s, count(*) c FROM sh0 GROUP BY s),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfc USING(s)
+        |       WHERE c <= 20),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id da, b.doc_id db, count(*) i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da, db FROM inter
+        |  JOIN sizes sa ON sa.doc_id = da
+        |  JOIN sizes sb ON sb.doc_id = db
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (
+        |  SELECT da AS s, db AS t FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.t, reach.r FROM reach JOIN edges e ON reach.id = e.s),
+        |clus AS (SELECT id AS doc_id, min(r) AS cluster
+        |         FROM reach GROUP BY id),
+        |s2 AS (
+        |  SELECT s1.doc_id, s1.text FROM s1
+        |  WHERE s1.doc_id NOT IN (
+        |    SELECT doc_id FROM clus WHERE doc_id <> cluster)),
+        |toks2 AS (SELECT doc_id, string_split(text, ' ') t FROM s2),
+        |sh20 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) s
+        |  FROM toks2 WHERE len(t) >= 3),
+        |dfc2 AS (SELECT s, count(*) c FROM sh20 GROUP BY s),
+        |sh2 AS (SELECT doc_id, s FROM sh20 JOIN dfc2 USING (s)
+        |        WHERE c <= 20),
+        |drops2 AS (
+        |  SELECT doc_id, count(*) dropped FROM sh20 JOIN dfc2 USING (s)
+        |  WHERE c > 20 GROUP BY doc_id),
+        |sizes20 AS (SELECT doc_id, count(*) n0 FROM sh20 GROUP BY doc_id),
+        |sizes2 AS (
+        |  SELECT doc_id, n0 - coalesce(dropped, 0) AS n
+        |  FROM sizes20 LEFT JOIN drops2 USING (doc_id)),
+        |inter2 AS (
+        |  SELECT a.doc_id da, b.doc_id db, count(*) i
+        |  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cont AS (
+        |  SELECT da AS contained FROM inter2
+        |  JOIN sizes2 sa ON sa.doc_id = da
+        |  WHERE sa.n >= 5 AND 100 * i >= 90 * sa.n
+        |  UNION
+        |  SELECT db FROM inter2
+        |  JOIN sizes2 sb ON sb.doc_id = db
+        |  WHERE sb.n >= 5 AND 100 * i >= 90 * sb.n),
+        |s3 AS (
+        |  SELECT doc_id FROM s2
+        |  WHERE doc_id NOT IN (SELECT contained FROM cont))
+        |SELECT stage, n_docs FROM (
+        |  SELECT '0_raw' AS stage,
+        |    (SELECT count(*) FROM base) AS n_docs
+        |  UNION ALL SELECT '1_exact', (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT '2_near', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT '3_containment', (SELECT count(*) FROM s3))
+        |ORDER BY stage""".stripMargin,
     // the round-trip contract: injected per-source banner/footer out,
     // per-doc seam sentinels + body text byte-identical
     "d_boilerplate_strip" ->
