@@ -625,6 +625,44 @@ object TextAnalysis {
     // shuffle, then the bounded-heap TopKPerKey caps every source at
     // 100 rows BEFORE the window rank — the fit itself touches
     // 100·|sources| rows however large the corpus.
+    // Heaps'-law fit — the third corpus-law diagnostic next to the
+    // Zipf slope and the novelty curve: vocabulary growth V(n) ≈ K·n^β
+    // in crawl (doc_id) order, β ≈ 0.4–0.6 for natural text; β near 1
+    // flags id-like noise (every token new), β near 0 flags template
+    // saturation. Least squares of ln V on ln n over per-doc cumulative
+    // checkpoints, explicit Σ-term slope (the t_zipf_fit discipline).
+    // The cumulative window is the oracle-visible twin of the
+    // production two-pass prefix sum (range-partition + per-partition
+    // offsets — the shardAssign window-vs-production note); everything
+    // before it is one (word → min doc) shuffle, vocabulary-bounded.
+    "t_heaps_fit" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val newTypes = toks.groupBy("w").agg(min("doc_id").as("fdoc"))
+        .groupBy(col("fdoc").as("doc_id")).agg(count(lit(1)).as("nv"))
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val xy = perDoc.join(newTypes, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("nt"),
+          coalesce(col("nv"), lit(0L)).as("nv"))
+        .select(log(sum(col("nt")).over(w)).as("x"),
+          log(sum(col("nv")).over(w)).as("y"))
+      xy.agg(count(lit(1)).cast("double").as("m"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(
+          round((col("m") * col("sxy") - col("sx") * col("sy")) /
+            (col("m") * col("sxx") - col("sx") * col("sx")), 4)
+            .as("beta"),
+          round((col("sy") - ((col("m") * col("sxy") -
+            col("sx") * col("sy")) /
+            (col("m") * col("sxx") - col("sx") * col("sx"))) *
+            col("sx")) / col("m"), 4).as("ln_k"),
+          col("m").cast("long").as("n_points"))
+    },
     "t_zipf_fit" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val w = Tables.spread(Tables.documents(s, d))
@@ -684,6 +722,31 @@ object TextAnalysis {
   private val oracleToks = "string_split(text, ' ')"
 
   val oracles: Map[String, String] = Map(
+    "t_heaps_fit" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |perdoc AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY 1),
+        |newt AS (
+        |  SELECT fdoc AS doc_id, count(*) AS nv FROM (
+        |    SELECT w, min(doc_id) AS fdoc FROM toks GROUP BY w)
+        |  GROUP BY 1),
+        |cum AS (
+        |  SELECT ln(sum(p.nt) OVER (ORDER BY p.doc_id
+        |      ROWS UNBOUNDED PRECEDING)) AS x,
+        |    ln(sum(coalesce(n.nv, 0)) OVER (ORDER BY p.doc_id
+        |      ROWS UNBOUNDED PRECEDING)) AS y
+        |  FROM perdoc p LEFT JOIN newt n USING (doc_id)),
+        |agg AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS m, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+        |  FROM cum)
+        |SELECT
+        |  round((m*sxy - sx*sy) / (m*sxx - sx*sx), 4) AS beta,
+        |  round((sy - ((m*sxy - sx*sy) / (m*sxx - sx*sx)) * sx) / m, 4)
+        |    AS ln_k,
+        |  CAST(m AS BIGINT) AS n_points
+        |FROM agg""".stripMargin,
     "t_zipf_fit" ->
       """WITH w AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS word

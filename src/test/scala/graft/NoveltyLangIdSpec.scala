@@ -1,5 +1,63 @@
 package graft
 
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Heaps'-law fit: β must hit its theoretical extremes on engineered
+  * corpora (≈1 when every token is globally unique — vocabulary grows
+  * with the corpus; ≈0 when the vocabulary is fixed — instant
+  * saturation), and the fixture value must equal an independent
+  * in-memory recompute of the cumulative log-log regression.
+  */
+class HeapsFitSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def beta(rows: Seq[(Long, String)]): Double = {
+    val df = rows.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.lit(1L))
+    val dir = java.nio.file.Files.createTempDirectory("heaps").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // reuse the registered query against the synthetic dir: the other
+    // tables aren't touched by t_heaps_fit
+    SparkEntry.queries("t_heaps_fit")(spark, dir)
+      .head().getDouble(0)
+  }
+
+  test("all-unique corpus fits beta ~ 1; fixed-vocab corpus ~ 0") {
+    val unique = (1L to 40L).map(d =>
+      (d, (1 to 20).map(k => s"u${d}x$k").mkString(" ")))
+    assert(math.abs(beta(unique) - 1.0) < 0.01)
+    val fixed = (1L to 40L).map(d => (d, "aa bb cc dd ee ff gg hh"))
+    val b0 = beta(fixed)
+    assert(b0 >= 0.0 && b0 < 0.05, s"fixed vocab must saturate: $b0")
+  }
+
+  test("fixture beta equals an in-memory recompute") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("t_heaps_fit")(spark, d).head()
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    var (cn, cv) = (0L, 0L)
+    val xy = docs.map { case (_, t) =>
+      val ws = t.split(" ")
+      cn += ws.length
+      ws.foreach(w => if (seen.add(w)) cv += 1)
+      (math.log(cn.toDouble), math.log(cv.toDouble))
+    }
+    val m = xy.length.toDouble
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val b = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert(math.abs(got.getDouble(0) - b) < 1e-3)
+    assert(got.getLong(2) == docs.length)
+  }
+}
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
