@@ -202,7 +202,19 @@ object EventWindows {
     * the batch operator and [[graft.streaming.GapFillStream]]'s view,
     * so the streaming twin cannot drift from the batch grid semantics.
     */
-  def densifyHourly(counts: DataFrame): DataFrame = {
+  def densifyHourly(counts: DataFrame): DataFrame =
+    densifyHourlyTs(counts)
+      .select(col("event_type"), fmt(col("h")).as("hour"), col("n"))
+
+  /** Timestamp-typed densify — the form the downstream time-series
+    * operators (EMA, CUSUM) consume, so they derive the hour index
+    * from the TIMESTAMP itself. Re-parsing the formatted string is
+    * only correct in fixed-offset session zones: in a DST zone the
+    * fall-back hour renders two distinct hours to the same string,
+    * which would silently break the window frame. The public
+    * [[densifyHourly]] formats at the query edge only.
+    */
+  def densifyHourlyTs(counts: DataFrame): DataFrame = {
     val bounds = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val grid = counts.select("event_type").distinct()
       .crossJoin(broadcast(bounds))
@@ -210,7 +222,7 @@ object EventWindows {
         explode(sequence(col("h0"), col("h1"),
           expr("interval 1 hour"))).as("h"))
     grid.join(counts, Seq("event_type", "h"), "left")
-      .select(col("event_type"), fmt(col("h")).as("hour"),
+      .select(col("event_type"), col("h"),
         coalesce(col("n0"), lit(0L)).as("n"))
   }
 
@@ -235,10 +247,9 @@ object EventWindows {
     */
   def emaFromCounts(counts: DataFrame, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dense = densifyHourly(counts)
-      .select(col("event_type"), col("hour"), col("n"),
-        (unix_timestamp(to_timestamp(col("hour"))) / 3600L).cast("long")
-          .as("idx"))
+    val dense = densifyHourlyTs(counts)
+      .select(col("event_type"), col("h"), col("n"),
+        expr("CAST(unix_timestamp(h) AS BIGINT) DIV 3600").as("idx"))
     val w = Window.partitionBy("event_type").orderBy("idx")
       .rowsBetween(-(k - 1), 0)
     val zero = struct(lit(0L).as("num"), lit(0L).as("den"),
@@ -250,7 +261,7 @@ object EventWindows {
           (acc.getField("num") * 7L + acc.getField("p") * x).as("num"),
           (acc.getField("den") * 7L + acc.getField("p")).as("den"),
           (acc.getField("p") * 10L).as("p"))))
-      .select(col("event_type"), col("hour"), col("n"),
+      .select(col("event_type"), fmt(col("h")).as("hour"), col("n"),
         round(col("acc.num").cast("double") /
           col("acc.den").cast("double"), 4).as("ema"))
   }
@@ -260,47 +271,66 @@ object EventWindows {
     * shift long before any single hour trips a spike test, and the
     * complement of w_ema_anomaly's instantaneous flags): per type,
     * S_t = max(0, S_{t−1} + x_t − μ − k) accumulates evidence that the
-    * rate sits above μ + k; S_t > 5μ flags. INTEGER-EXACT end to end —
-    * counts in micro-units, μ = (10⁶·Σx) DIV m, slack k = μ DIV 2 —
-    * so the recurrence is the same BIGINT everywhere and the oracle
-    * replays it as a recursive CTE. The scan is a per-type fold over
-    * the CALENDAR-sized series (the documented bounded exception — the
-    * corpus only feeds the count aggregate), zeros from gap-fill
-    * correctly draining S during quiet hours.
+    * rate sits above μ + k; S_t > h·μ flags. INTEGER-EXACT end to end —
+    * counts in micro-units, μ = (10⁶·Σx) DIV m, slack k = μ DIV
+    * slackDiv — so the recurrence is the same BIGINT everywhere.
+    *
+    * COMPUTED IN CLOSED FORM, not as a fold: with yₜ = 10⁶·xₜ − μ − k
+    * and prefix Pₜ = Σ_{j≤t} yⱼ, the recurrence telescopes to
+    * Sₜ = Pₜ − least(0, min_{j≤t} Pⱼ) — one running-sum window plus one
+    * running-min window over the same (type, hour) ordering. Both
+    * engines evaluate the identical two window functions (no array
+    * fold, no recursive CTE — the round-7 red row traced to
+    * WITH RECURSIVE environment sensitivity in the comparator), one
+    * sort serves both frames, and the calendar-sized series never
+    * materializes as a per-type array. The corpus only feeds the count
+    * aggregate.
     */
   def cusumHourly(ev0: DataFrame): DataFrame =
     cusumFromCounts(hourlyCounts(ev0))
 
   /** CUSUM over an already-aggregated counts frame — shared verbatim
     * with [[graft.streaming.GapFillStream.cusumView]].
+    *
+    * @param slackDiv   slack k = μ DIV slackDiv (Page's reference
+    *                   value; default μ/2)
+    * @param hMult      decision interval — flag when S > hMult·μ
+    * @param twoSided   also run the downward test Lₜ = max(0,
+    *                   Lₜ₋₁ + μ − k − 10⁶·xₜ) (detects a sustained
+    *                   rate DROP — e.g. a silent outage that never
+    *                   trips a spike test); emits lo_micro /
+    *                   flagged_lo columns
     */
-  def cusumFromCounts(counts: DataFrame): DataFrame = {
-    val dense = densifyHourly(counts)
+  def cusumFromCounts(counts: DataFrame, slackDiv: Long = 2L,
+      hMult: Long = 5L, twoSided: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(slackDiv >= 1L, "slackDiv must be >= 1")
+    require(hMult >= 1L, "hMult must be >= 1")
+    val dense = densifyHourlyTs(counts)
     val stats = dense.groupBy("event_type")
       .agg((lit(1000000L) * sum(col("n"))).as("tot"),
         count(lit(1)).as("m"))
       .select(col("event_type"), expr("tot DIV m").as("mu"))
-    val lst = dense.join(broadcast(stats), "event_type")
-      .groupBy(col("event_type"), col("mu"))
-      .agg(sort_array(collect_list(
-        struct(col("hour"), col("n")))).as("xs"))
-      .withColumn("k", expr("mu DIV 2"))
-    val zero = array()
-      .cast("array<struct<hour:string,n:bigint,s:bigint>>")
-    lst
-      .withColumn("sc", aggregate(col("xs"), zero, (acc, x) => {
-        val prev = when(size(acc) === 0, lit(0L))
-          .otherwise(element_at(acc, -1).getField("s"))
-        val s = greatest(lit(0L),
-          prev + x.getField("n") * lit(1000000L) - col("mu") - col("k"))
-        concat(acc, array(struct(
-          x.getField("hour").as("hour"),
-          x.getField("n").as("n"), s.as("s"))))
-      }))
-      .select(col("event_type"), col("mu"), explode(col("sc")).as("e"))
-      .select(col("event_type"), col("e.hour").as("hour"),
-        col("e.n").as("n"), col("e.s").as("s_micro"),
-        (col("e.s") > lit(5L) * col("mu")).as("flagged"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val k = expr(s"mu DIV $slackDiv")
+    val base = dense.join(broadcast(stats), "event_type")
+      .withColumn("y", col("n") * lit(1000000L) - col("mu") - k)
+      .withColumn("p", sum(col("y")).over(w))
+      .withColumn("s",
+        col("p") - least(lit(0L), min(col("p")).over(w)))
+    val hi = Seq(col("s").as("s_micro"),
+      (col("s") > lit(hMult) * col("mu")).as("flagged"))
+    val lo = if (!twoSided) Nil else Seq(
+      col("sl").as("lo_micro"),
+      (col("sl") > lit(hMult) * col("mu")).as("flagged_lo"))
+    val withLo = if (!twoSided) base else base
+      .withColumn("yl", col("mu") - k - col("n") * lit(1000000L))
+      .withColumn("pl", sum(col("yl")).over(w))
+      .withColumn("sl",
+        col("pl") - least(lit(0L), min(col("pl")).over(w)))
+    withLo.select(Seq(col("event_type"), fmt(col("h")).as("hour"),
+      col("n")) ++ hi ++ lo: _*)
   }
 
   val queries: Map[String, Q] = Map(
@@ -312,6 +342,13 @@ object EventWindows {
     // CUSUM sustained-shift flags over the densified series
     "w_cusum" -> { (s, d) =>
       cusumHourly(Tables.events(s, d)).orderBy("event_type", "hour")
+    },
+    // two-sided CUSUM with an explicit (k, h) parameterization — the
+    // downward test catches a sustained rate DROP (silent outage)
+    "w_cusum_twosided" -> { (s, d) =>
+      cusumFromCounts(hourlyCounts(Tables.events(s, d)),
+        slackDiv = 4L, hMult = 4L, twoSided = true)
+        .orderBy("event_type", "hour")
     },
     // EMA-smoothed hourly rates over the densified grid (integer-exact
     // truncated decay — see emaHourly)
@@ -458,34 +495,52 @@ object EventWindows {
         |FROM grid LEFT JOIN counts
         |  ON counts.event_type = grid.event_type AND counts.h = grid.h
         |ORDER BY 1, 2""".stripMargin,
-    // the CUSUM recurrence replayed as a recursive CTE over the shared
-    // dense grid — identical BIGINT arithmetic step for step (the
-    // RECURSIVE marker retrofits onto the shared chain's WITH)
-    "w_cusum" -> (DenseCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    // the CUSUM recurrence in CLOSED FORM — Sₜ = Pₜ − least(0, min Pⱼ)
+    // over running-sum/running-min windows; the same two window
+    // functions the engine runs, no recursion anywhere
+    "w_cusum" -> (DenseCtes +
       """,
         |st AS (
         |  SELECT event_type, (1000000 * sum(n)) // count(*) AS mu
         |  FROM dense GROUP BY 1),
-        |seq AS (
-        |  SELECT d.event_type, d.h, d.n, row_number() OVER (
-        |    PARTITION BY d.event_type ORDER BY d.idx) AS rn
-        |  FROM dense d),
-        |rec AS (
-        |  SELECT s.event_type, s.rn, s.h, s.n,
-        |    GREATEST(CAST(0 AS BIGINT),
-        |      s.n * 1000000 - st.mu - st.mu // 2) AS s
-        |  FROM seq s JOIN st USING (event_type) WHERE s.rn = 1
-        |  UNION ALL
-        |  SELECT s.event_type, s.rn, s.h, s.n,
-        |    GREATEST(CAST(0 AS BIGINT),
-        |      r.s + s.n * 1000000 - st.mu - st.mu // 2) AS s
-        |  FROM rec r
-        |  JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
-        |  JOIN st ON st.event_type = s.event_type)
-        |SELECT r.event_type, strftime(r.h, '%Y-%m-%d %H:%M:%S') AS hour,
-        |  r.n, r.s AS s_micro, r.s > 5 * st.mu AS flagged
-        |FROM rec r JOIN st ON st.event_type = r.event_type
-        |ORDER BY 1, 2""".stripMargin),
+        |pre AS (
+        |  SELECT d.event_type, d.h, d.n, d.idx, st.mu,
+        |    sum(d.n * 1000000 - st.mu - st.mu // 2) OVER (
+        |      PARTITION BY d.event_type ORDER BY d.idx) AS p
+        |  FROM dense d JOIN st USING (event_type)),
+        |cs AS (
+        |  SELECT event_type, h, n, mu,
+        |    p - least(CAST(0 AS BIGINT), min(p) OVER (
+        |      PARTITION BY event_type ORDER BY idx)) AS s
+        |  FROM pre)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  n, s AS s_micro, s > 5 * mu AS flagged
+        |FROM cs ORDER BY 1, 2""".stripMargin),
+    // two-sided variant at (k = μ/4, h = 4μ): the low side is the
+    // mirrored closed form over y' = μ − k − 10⁶·n
+    "w_cusum_twosided" -> (DenseCtes +
+      """,
+        |st AS (
+        |  SELECT event_type, (1000000 * sum(n)) // count(*) AS mu
+        |  FROM dense GROUP BY 1),
+        |pre AS (
+        |  SELECT d.event_type, d.h, d.n, d.idx, st.mu,
+        |    sum(d.n * 1000000 - st.mu - st.mu // 4) OVER (
+        |      PARTITION BY d.event_type ORDER BY d.idx) AS p,
+        |    sum(st.mu - st.mu // 4 - d.n * 1000000) OVER (
+        |      PARTITION BY d.event_type ORDER BY d.idx) AS pl
+        |  FROM dense d JOIN st USING (event_type)),
+        |cs AS (
+        |  SELECT event_type, h, n, mu,
+        |    p - least(CAST(0 AS BIGINT), min(p) OVER (
+        |      PARTITION BY event_type ORDER BY idx)) AS s,
+        |    pl - least(CAST(0 AS BIGINT), min(pl) OVER (
+        |      PARTITION BY event_type ORDER BY idx)) AS sl
+        |  FROM pre)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  n, s AS s_micro, s > 4 * mu AS flagged,
+        |  sl AS lo_micro, sl > 4 * mu AS flagged_lo
+        |FROM cs ORDER BY 1, 2""".stripMargin),
     // the closed form of the fold: the element `rev` hours back in an
     // m-row window carries weight 7^rev · 10^(m−1−rev) (exact-BIGINT
     // literals), so the windowed pair join + the power lookup replays

@@ -103,6 +103,47 @@ class EmaSpec extends AnyFunSuite {
     }
   }
 
+  test("two-sided cusum: a sustained rate DROP accumulates on the low " +
+      "side with the expected lag, and (k, h) are honored") {
+    // 20 hours at 10/hour then 10 hours at 0/hour: μ = (1e6·200) DIV 30
+    // = 6666666 micro; k = μ DIV 4 = 1666666. During the outage the
+    // low side grows μ−k = 5000000/hour vs threshold 4μ = 26666664 ⇒
+    // first low flag at outage hour +6 (index 25), and the low side is
+    // pinned at 0 while traffic is healthy (10e6 > μ−k). The high side
+    // drifts +1666668/hour during the dense stretch (flags 15..19) and
+    // drains −8333332/hour once the outage starts — so the two sides
+    // flag disjoint hour sets.
+    def hts(h: Int, m: Int): String =
+      f"2024-03-0${1 + h / 24}%d ${h % 24}%02d:$m%02d:00"
+    // the gap-fill grid spans the data's own min/max hour, so a
+    // sentinel "quiet" type holds the grid open through the outage
+    val ev2 = (((0 until 20).map(h => Seq.tabulate(10)(m =>
+        ("c", hts(h, m * 5)))))
+      ++ (20 until 30).map(h => Seq(("quiet", hts(h, 0))))).flatten
+      .toDF("event_type", "ts0")
+      .select($"event_type", $"ts0".cast("timestamp").as("ts"))
+    val r2 = EventWindows.cusumFromCounts(
+        EventWindows.hourlyCounts(ev2),
+        slackDiv = 4L, hMult = 4L, twoSided = true)
+      .filter($"event_type" === "c")
+      .orderBy("hour").collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getBoolean(4),
+        r.getLong(5), r.getBoolean(6)))
+    assert(r2.length == 30, s"grid must span all 30 hours: ${r2.length}")
+    // μ = (1e6·200) DIV 30 = 6666666, k = 1666666, 4μ = 26666664
+    assert(r2.take(20).forall(_._4 == 0L),
+      "low side pinned at 0 during healthy traffic")
+    (20 until 30).foreach { i =>
+      assert(r2(i)._4 == 5000000L * (i - 19),
+        s"low S at $i: ${r2(i)._4}")
+    }
+    val loFlagIdx = r2.indexWhere(_._5)
+    assert(loFlagIdx == 25, s"first low flag at outage+6, got $loFlagIdx")
+    assert(r2.drop(25).forall(_._5), "low flags persist")
+    assert(!r2.exists(x => x._3 && x._5),
+      "no hour flags both directions")
+  }
+
   test("registered query: one ema row per grid cell, smoothing bounded " +
       "by the window's min/max") {
     val d = "/root/testdata/sf0.001"
