@@ -291,9 +291,14 @@ object ExplainAudit {
     audit("w_ema_anomaly", "BroadcastHashJoin")
     // interleave: one source-keyed rank window, nothing else shuffles
     auditAtMost("p_interleave_sources", "Exchange hashpartitioning", 1)
-    // cusum shares the densify shape; the scan folds the calendar-sized
-    // series per type
+    // cusum shares the densify shape; the closed-form windows run on
+    // the calendar-sized frame per type
     audit("w_cusum", "BroadcastHashJoin")
+    // diag mahalanobis: scoring is one scan against literal artifacts,
+    // top-k through the bounded heap — no join, no product
+    audit("s_mahalanobis_diag", "TopKPerKey")
+    auditAtMost("s_mahalanobis_diag",
+      "CartesianProduct|BroadcastNestedLoopJoin", 0)
     // (s_covariance's aggregate runs at query-construction time — its
     // registered frame is a driver-local relation, so the map-side-
     // partial plan shape is asserted in PcaSpec instead of here)

@@ -107,6 +107,11 @@ object CovSketch {
     */
   def covEntries(stats: Array[Double], d: Int): Seq[(Int, Int, Double)] = {
     val n = stats(0)
+    // an empty frame yields n = 0 and every entry 0/0 = NaN, which
+    // would surface downstream as an obscure singular-matrix failure
+    // in the inverse instead of a clear message here
+    require(n > 0,
+      s"cov_sketch saw no rows of the declared dimension d=$d")
     var p = 1 + d
     val out = Seq.newBuilder[(Int, Int, Double)]
     var i = 0

@@ -31,10 +31,14 @@ object BandJoin {
 
   /** Floor division of a (possibly negative) bigint column — subtract
     * the non-negative `pmod` remainder first so pre-epoch timestamps
-    * land in the bucket BELOW zero, not truncated toward it.
+    * land in the bucket BELOW zero, not truncated toward it. The final
+    * division must be INTEGRAL (`div`): Column `/` on longs is double
+    * division, exact only below 2^53 — bucketing would silently drift
+    * at extreme magnitudes, and BandJoinRewrite's IntegralDivide path
+    * would bucket the same value differently.
     */
   private def floorDiv(us: Column, width: Long): Column =
-    ((us - pmod(us, lit(width))) / width).cast("long")
+    call_function("div", us - pmod(us, lit(width)), lit(width))
 
   /** All (left, right) pairs with `|left(leftUs) − right(rightUs)| <=
     * deltaUs`, microsecond columns, no equi-key. `joinType` `inner` or

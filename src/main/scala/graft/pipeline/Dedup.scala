@@ -653,6 +653,10 @@ object Dedup {
     // padded with 40 doc-unique tokens — unique so the df cap keeps
     // them and jaccard drops below 0.8 (not caught at stage 2) while
     // the original stays ≥ 90% contained (caught at stage 3)
+    // persist the 3-branch union: it feeds the raw count, the exact
+    // keep-list, AND s1's semi join — unpersisted, each of those
+    // re-reads the fixture and rebuilds the union (3 extra scans and
+    // ~half the operator's round-7 runtime)
     val base = raw
       .union(raw.filter(col("doc_id") < 50)
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
@@ -662,6 +666,7 @@ object Dedup {
             transform(sequence(lit(1), lit(40)), k =>
               concat(lit("w"), col("doc_id"), lit("x"), k))))
             .as("text")))
+      .persist()
     val keep1 = base.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val s1 = base.join(keep1, Seq("doc_id"), "left_semi").persist()
@@ -673,11 +678,14 @@ object Dedup {
     val drop3 = containmentPairs(s2, 90, 20)
       .select(col("contained").as("doc_id")).distinct()
     val s3 = s2.join(drop3, Seq("doc_id"), "left_anti")
+    // stage counts in DEPENDENCY order: each action materializes the
+    // cache the next one's lineage reads, so the four jobs never
+    // re-execute an uncached stage
     val out = Seq(
       ("0_raw", base.count()), ("1_exact", s1.count()),
       ("2_near", s2.count()), ("3_containment", s3.count()))
       .toDF("stage", "n_docs")
-    s1.unpersist(); s2.unpersist()
+    base.unpersist(); s1.unpersist(); s2.unpersist()
     out
   }
 

@@ -80,14 +80,20 @@ object Projection {
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("p").as("qp"))
     val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+    // ranking runs on the 1e-6-ROUNDED cosine (ties broken by nid):
+    // the two engines compute the cosine by different formulas
+    // (dot/(‖·‖‖·‖) here, list_cosine_similarity there), and an ulp
+    // difference at the rank-10 boundary would flip the overlap counts
+    // — the round-before-compare discipline applied to the ranking key
+    // itself, not just the output
     val exact = topK(pairs.select(col("qid"), col("vec_id").as("nid"),
-      (VectorOps.dot(col("qv"), col("v")) /
+      round(VectorOps.dot(col("qv"), col("v")) /
         (sqrt(VectorOps.dot(col("qv"), col("qv"))) *
-          sqrt(VectorOps.dot(col("v"), col("v"))))).as("c")))
+          sqrt(VectorOps.dot(col("v"), col("v")))), 6).as("c")))
     val proj = topK(pairs.select(col("qid"), col("vec_id").as("nid"),
-      (VectorOps.dot(col("qp"), col("p")) /
+      round(VectorOps.dot(col("qp"), col("p")) /
         (sqrt(VectorOps.dot(col("qp"), col("qp"))) *
-          sqrt(VectorOps.dot(col("p"), col("p"))))).as("c")))
+          sqrt(VectorOps.dot(col("p"), col("p")))), 6).as("c")))
     val nCommon = exact.join(proj, Seq("qid", "nid"))
       .groupBy("qid").agg(count(lit(1)).as("n_common"))
     exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
@@ -200,6 +206,8 @@ object Projection {
   def mahalanobisArtifacts(stats: Array[Double],
       d: Int): (Array[Double], Array[Array[Double]]) = {
     val n = stats(0)
+    require(n > 0,
+      s"cov_sketch saw no rows of the declared dimension d=$d")
     val mu = Array.tabulate(d)(i => stats(1 + i) / n)
     val c = Array.ofDim[Double](d, d)
     graft.functions.CovSketch.covEntries(stats, d).foreach {
@@ -223,6 +231,48 @@ object Projection {
       .head().getSeq[Double](0).toArray
     val (mu, inv) = mahalanobisArtifacts(stats, dims)
     val scored = scoreFrame(embeddings, mu, inv)
+    graft.plans.TopKPerKey.topKPerKey(
+      scored.withColumn("g", lit(0)),
+      Seq("g"), Seq(("score", true), ("vec_id", false)), k)
+      .select("vec_id", "score")
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  /** Top-k outliers by DIAGONAL Mahalanobis distance — the
+    * variance-normalized z-score radius Σ(xᵢ−μᵢ)²/σᵢ², the standard
+    * large-scale approximation when the full C⁻¹ is overkill (it
+    * catches per-dimension inflation; only CROSS-dimension structure
+    * needs the full form). Unlike the full tier this one is
+    * ORACLE-BACKED: μ and σ² are quantized to the 1e-6 grid BEFORE
+    * scoring (the grid `s_covariance`'s green rows prove both engines
+    * share for exactly these statistics), and the 64-term quadratic is
+    * summed in fixed left-to-right dimension order in both engines, so
+    * the 1e-4-rounded score is the same IEEE arithmetic everywhere.
+    * Same plan shape as the full tier: one CovSketch aggregate, one
+    * scoring scan against literal artifacts, bounded-heap top-k.
+    */
+  def mahalanobisDiagTop(embeddings: DataFrame, k: Int): DataFrame = {
+    val dims = InDims
+    val stats = embeddings
+      .agg(graft.functions.CovSketch.cov_sketch(
+        VectorOps.asDouble(col("embedding")), dims).as("st"))
+      .head().getSeq[Double](0).toArray
+    val n = stats(0)
+    require(n > 0,
+      s"cov_sketch saw no rows of the declared dimension d=$dims")
+    val mu = Array.tabulate(dims)(i => r6(stats(1 + i) / n))
+    val varD = graft.functions.CovSketch.covEntries(stats, dims)
+      .collect { case (i, j, v) if i == j => (i, r6(v)) }.toMap
+    (0 until dims).foreach(i => require(varD(i) > 0,
+      s"dimension $i has zero quantized variance — a constant " +
+        "column cannot be z-scored"))
+    val v = VectorOps.asDouble(col("embedding"))
+    val score = (0 until dims).map { i =>
+      val c = element_at(v, i + 1) - lit(mu(i))
+      c * c / lit(varD(i))
+    }.reduce(_ + _)
+    val scored = embeddings.select(col("vec_id"),
+      round(score, 4).as("score"))
     graft.plans.TopKPerKey.topKPerKey(
       scored.withColumn("g", lit(0)),
       Seq("g"), Seq(("score", true), ("vec_id", false)), k)
@@ -258,21 +308,36 @@ object Projection {
       CovSketch_entries(s, d).toDF("i", "j", "cov").orderBy("i", "j")
     },
     // leading principal component — driver eigen step on the same
-    // collected stats; rows-only (100 power steps have no SQL twin),
-    // PcaSpec pins the eigen residual + invariants
+    // collected stats; rows-only BY DESIGN, not omission: an
+    // eigenvector has no closed form (Abel–Ruffini at d ≥ 5), so a
+    // DuckDB twin would be the 100-step power iteration unrolled as a
+    // float recursion in SQL — the exact comparator-fragility class
+    // the w_cusum closed-form rewrite eliminated (a recursion the two
+    // engines must replay ulp-for-ulp across comparator versions).
+    // Coverage instead: the covariance INPUT is the hash-green
+    // s_covariance row, and PcaSpec pins the eigen residual +
+    // invariants of the driver step
     "s_pca_top" -> { (s, d) =>
       import s.implicits._
       val (v, lambda) = pcaTop(covStats(s, d), InDims)
       v.zipWithIndex.map { case (x, i) => (i, r6(x), r6(lambda)) }
         .toSeq.toDF("dim", "loading", "eigval").orderBy("dim")
     },
-    // Mahalanobis embedding-outlier gate — rows-only: μ/C⁻¹ are
-    // DATA-dependent driver artifacts, so no static SQL twin exists
-    // (the covariance input is oracle-checked via s_covariance, and
-    // PcaSpec pins the scores against an exact in-memory recompute +
-    // the low-variance-direction catch L2 misses)
+    // full-covariance Mahalanobis gate — rows-only BY DESIGN: C⁻¹ is
+    // a data-dependent driver artifact (no static literals possible —
+    // the same oracle text must hold at every sf), and inverting C
+    // inside the oracle would be a 64-step Gauss–Jordan float
+    // recursion in SQL, the w_cusum fragility class again. Coverage:
+    // s_covariance hash-checks the input, PcaSpec pins scores against
+    // an exact in-memory recompute + the low-variance-direction catch
+    // L2 misses, and s_mahalanobis_diag is the oracle-backed member
+    // of the family (closed-form scoring, no inversion)
     "s_mahalanobis" -> { (s, d) =>
       mahalanobisTop(Tables.spread(Tables.embeddings(s, d)), 20)
+    },
+    // diagonal Mahalanobis — the oracle-backed tier (see scaladoc)
+    "s_mahalanobis_diag" -> { (s, d) =>
+      mahalanobisDiagTop(Tables.spread(Tables.embeddings(s, d)), 20)
     },
     "a_projection_recall" -> ((s, d) => projectionRecall(s, d)),
     // one row per (vec_id, output dim) so the oracle hash covers every
@@ -322,7 +387,8 @@ object Projection {
        |  SELECT qid, nid FROM (
        |    SELECT a.vec_id qid, b.vec_id nid, row_number() OVER (
        |      PARTITION BY a.vec_id
-       |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id)
+       |      ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+       |        b.vec_id)
        |      AS rk
        |    FROM e a, e b WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id)
        |  WHERE rk <= 10),
@@ -330,7 +396,8 @@ object Projection {
        |  SELECT qid, nid FROM (
        |    SELECT a.vec_id qid, b.vec_id nid, row_number() OVER (
        |      PARTITION BY a.vec_id
-       |      ORDER BY list_cosine_similarity(a.p, b.p) DESC, b.vec_id)
+       |      ORDER BY round(list_cosine_similarity(a.p, b.p), 6) DESC,
+       |        b.vec_id)
        |      AS rk
        |    FROM pe a, pe b WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id)
        |  WHERE rk <= 10)
@@ -342,9 +409,42 @@ object Projection {
        |ORDER BY qid""".stripMargin
   }
 
+  /** DuckDB twin of [[mahalanobisDiagTop]]: μ/σ² re-derived and
+    * rounded to the same 1e-6 grid, the quadratic summed as an
+    * explicit left-associated 64-term chain so the float addition
+    * order matches the engine's `reduce(_ + _)` term for term.
+    */
+  private def mahalanobisDiagOracleSql: String = {
+    val terms = (1 to InDims).map(i =>
+      s"(v[$i] - mus[$i]) * (v[$i] - mus[$i]) / vrs[$i]")
+      .mkString("\n    + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |x AS (
+       |  SELECT vec_id, u.i AS i1, v[u.i] AS xi
+       |  FROM e, unnest(range(1, ${InDims + 1})) u(i)),
+       |st AS (
+       |  SELECT i1, round(sum(xi) / count(*), 6) AS mu,
+       |    round(sum(xi * xi) / count(*) -
+       |      (sum(xi) / count(*)) * (sum(xi) / count(*)), 6) AS vr
+       |  FROM x GROUP BY i1),
+       |piv AS (
+       |  SELECT list(mu ORDER BY i1) AS mus, list(vr ORDER BY i1) AS vrs
+       |  FROM st),
+       |sc AS (
+       |  SELECT vec_id, round(
+       |    $terms, 4) AS score
+       |  FROM e, piv)
+       |SELECT vec_id, score FROM (
+       |  SELECT vec_id, score, row_number() OVER (
+       |    ORDER BY score DESC, vec_id) AS rk FROM sc)
+       |WHERE rk <= 20 ORDER BY score DESC, vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "s_random_projection" -> oracleSqlText,
     "a_projection_recall" -> recallOracleSql,
+    "s_mahalanobis_diag" -> mahalanobisDiagOracleSql,
     // the aggregate's sums replayed as plain SQL: cov = E[xy] − E[x]E[y]
     "s_covariance" ->
       """WITH e AS (

@@ -1,12 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join,
   LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DayTimeIntervalType, IntegerType,
-  LongType, TimestampType}
+import org.apache.spark.sql.types.{DayTimeIntervalType, Decimal,
+  DecimalType, DoubleType, FloatType, LongType, TimestampType}
 
 /** Optimizer rule that rescues naive band joins: a user who writes
   *
@@ -17,31 +17,55 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, IntegerType,
   * exists as the explicit scale-safe form; this rule teaches Catalyst
   * to apply the SAME δ-bucket rewrite automatically, so the naive
   * spelling plans like the explicit one: quantize both sides into
-  * δ-wide buckets, replicate the right side into its own bucket and
-  * both neighbors (a qualifying pair's buckets differ by ≤ 1, and
-  * EXACTLY one replica carries the left row's bucket — no duplicates,
-  * left_outer-safe), join on bucket equality with the original band
-  * predicate as residual.
+  * bucket keys, replicate ONE side into its own bucket and both
+  * neighbors (a qualifying pair's buckets differ by ≤ 1, and EXACTLY
+  * one replica carries the other row's bucket — no duplicates,
+  * outer-safe), join on bucket equality with the original band
+  * predicate as residual. Inner/left_outer replicate the right side
+  * (unmatched LEFTS must survive exactly once, and the left side stays
+  * un-replicated); right_outer is the mirror — the LEFT side
+  * replicates, so unmatched rights survive exactly once.
   *
   * Fires only when it is the difference between a product and a hash
-  * join: inner / left_outer joins whose condition bounds `a − b` in
-  * BOTH directions over integral single-side expressions — the
-  * `|a − b| ≤/< δ` spelling or the two-conjunct BETWEEN family
-  * (`a ≤ b + δ && a ≥ b − δ`, `a − b ≤ δ && b − a ≤ δ`, strict forms
-  * tightened by 1; asymmetric bounds bucket on the larger δ with the
-  * originals as residual). Operands may be integral expressions or
-  * raw TIMESTAMP columns with INTERVAL arithmetic (`ts ≤ ts2 +
-  * INTERVAL δ && …`, `abs(ts − ts2) ≤ INTERVAL δ`) — timestamps
-  * bucket on unix_micros with the interval's microsecond bound. Never
-  * fires with a cross-side equality conjunct present (with
-  * one, Spark already plans a hash join and the band is a cheap
-  * residual). The rewritten join carries the bucket equality, so the
-  * rule cannot re-fire on its own output.
+  * join: joins whose condition bounds `a − b` in BOTH directions over
+  * single-side expressions — the `|a − b| ≤/< δ` spelling or the
+  * two-conjunct BETWEEN family (`a ≤ b + δ && a ≥ b − δ`,
+  * `a − b ≤ δ && b − a ≤ δ`; asymmetric bounds bucket on the larger δ
+  * with the originals as residual). Operand families:
+  *
+  *  - BIGINT expressions (strict bounds tighten by 1): buckets are
+  *    exact floor division. ASSUMES non-wrapping arithmetic in the
+  *    user's conjuncts — true for any real quantity (an |a − b| that
+  *    overflows BIGINT needs operands ≥ 2⁶² apart). INT operands are
+  *    deliberately EXCLUDED: with ANSI off, a pair at Int extremes can
+  *    wrap both conjuncts to "true" (x = −2³¹, y = 2³¹−1 gives
+  *    x − y = 1) and the un-rewritten join emits it while the bucket
+  *    equality would not — an optimizer must never change results, so
+  *    Int bands are left to the user to cast to BIGINT.
+  *  - raw TIMESTAMP columns with INTERVAL arithmetic (`ts ≤ ts2 +
+  *    INTERVAL δ && …`, `abs(ts − ts2) ≤ INTERVAL δ`) — bucket on
+  *    unix_micros with the interval's microsecond bound.
+  *  - DOUBLE / FLOAT / DECIMAL expressions: buckets are
+  *    floor(x / 2δ) with ±1 replicas. The doubled width makes IEEE
+  *    rounding harmless: true quotients of a qualifying pair differ by
+  *    ≤ 0.5, and two correctly-rounded divisions perturb that by ulps,
+  *    never past the 1.0 that two buckets apart would need — PROVIDED
+  *    |x| / 2δ < 2⁵¹ (quotient ulp < 0.5). Beyond that magnitude the
+  *    quotient cannot resolve δ at all and a boundary pair could land
+  *    2 buckets apart, so the rewrite skips when the band is that many
+  *    orders below the data's magnitude — there is no static check,
+  *    which is why the bound is documented here and in SCALING.md
+  *    (decimals ride the same doubled-width path through a double
+  *    cast; their residual predicate stays exact decimal arithmetic).
+  *    Strict bounds keep δ for bucketing (a sound superset — the
+  *    residual enforces strictness).
+  *
+  * Never fires with a cross-side equality conjunct present (with one,
+  * Spark already plans a hash join and the band is a cheap residual).
+  * The rewritten join carries the bucket equality, so the rule cannot
+  * re-fire on its own output.
   */
 object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
-
-  private def isIntegral(e: Expression): Boolean =
-    e.dataType == LongType || e.dataType == IntegerType
 
   private def litLong(l: Literal): Option[Long] = l.value match {
     case i: java.lang.Integer => Some(i.longValue)
@@ -49,8 +73,30 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  private def litDouble(l: Literal): Option[Double] = l.value match {
+    case d: java.lang.Double => Some(d.doubleValue)
+    case f: java.lang.Float => Some(f.doubleValue)
+    case d: Decimal => Some(d.toDouble)
+    case _ => litLong(l).map(_.toDouble)
+  }
+
   private def goodOperand(e: Expression): Boolean =
-    (isIntegral(e) || e.dataType == TimestampType) && e.deterministic
+    (e.dataType == LongType || e.dataType == TimestampType) &&
+      e.deterministic
+
+  private def goodOperandD(e: Expression): Boolean =
+    (e.dataType == DoubleType || e.dataType == FloatType ||
+      e.dataType.isInstanceOf[DecimalType]) && e.deterministic
+
+  /** Decimal comparisons arrive wrapped in overflow checks
+    * (`abs(x − y)` over decimals is Abs(CheckOverflow(Subtract(…)))) —
+    * strip the bookkeeping so the structural patterns below see the
+    * arithmetic.
+    */
+  private def stripDecimal(e: Expression): Expression = e match {
+    case CheckOverflow(c, _, _) => stripDecimal(c)
+    case _ => e
+  }
 
   /** Micros of a day-time interval literal (stored as a Long). */
   private def intervalMicros(l: Literal): Option[Long] = l.dataType match {
@@ -127,6 +173,65 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** The continuous family's directed bounds — same spellings over
+    * DOUBLE / FLOAT / DECIMAL operands, δ as a double. Strict forms
+    * keep δ (the residual enforces strictness; tightening has no
+    * integer grid to tighten to).
+    */
+  private def boundsD(c: Expression)
+      : Seq[(Expression, Expression, Double)] = {
+    val le: Seq[(Expression, Expression)] = c match {
+      case LessThanOrEqual(a, b) => Seq((a, b))
+      case LessThan(a, b) => Seq((a, b))
+      case GreaterThanOrEqual(a, b) => Seq((b, a))
+      case GreaterThan(a, b) => Seq((b, a))
+      case _ => Seq.empty
+    }
+    le.flatMap { case (lhs0, rhs0) =>
+      (stripDecimal(lhs0), stripDecimal(rhs0)) match {
+        case (Abs(sub, _), l: Literal) => stripDecimal(sub) match {
+          case Subtract(x, y, _) if goodOperandD(x) && goodOperandD(y) =>
+            litDouble(l).toSeq.flatMap(d => Seq((x, y, d), (y, x, d)))
+          case _ => Seq.empty
+        }
+        case (Subtract(x, y, _), l: Literal)
+            if goodOperandD(x) && goodOperandD(y) =>
+          litDouble(l).toSeq.map(d => (x, y, d))
+        case (x, Add(y, l: Literal, _))
+            if goodOperandD(x) && goodOperandD(y) =>
+          litDouble(l).toSeq.map(d => (x, y, d))
+        case (x, Add(l: Literal, y, _))
+            if goodOperandD(x) && goodOperandD(y) =>
+          litDouble(l).toSeq.map(d => (x, y, d))
+        case (x, Subtract(y, l: Literal, _))
+            if goodOperandD(x) && goodOperandD(y) =>
+          litDouble(l).toSeq.map(d => (x, y, -d))
+        case (Subtract(y, l: Literal, _), x)
+            if goodOperandD(x) && goodOperandD(y) =>
+          litDouble(l).toSeq.map(d => (y, x, d))
+        case (Add(y, l: Literal, _), x)
+            if goodOperandD(x) && goodOperandD(y) =>
+          litDouble(l).toSeq.map(d => (y, x, -d))
+        case (Add(l: Literal, y, _), x)
+            if goodOperandD(x) && goodOperandD(y) =>
+          litDouble(l).toSeq.map(d => (y, x, -d))
+        case _ => Seq.empty
+      }
+    }
+  }
+
+  private def sided[A](all: Seq[(Expression, Expression, A)],
+      left: LogicalPlan, right: LogicalPlan)
+      : (Seq[(Expression, Expression, A)],
+         Seq[(Expression, Expression, A)]) = {
+    def side(a: Expression, p: LogicalPlan): Boolean =
+      a.references.nonEmpty && a.references.subsetOf(p.outputSet)
+    (all.collect {
+      case (x, y, d) if side(x, left) && side(y, right) => (x, y, d) },
+     all.collect {
+      case (x, y, d) if side(x, right) && side(y, left) => (y, x, d) })
+  }
+
   /** (leftSideExpr, rightSideExpr, δ) once the conjuncts contain BOTH
     * directed bounds `a − b ≤ δ₁` and `b − a ≤ δ₂` for the same
     * cross-side pair — δ = max(δ₁, δ₂) covers the asymmetric case and
@@ -135,20 +240,26 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def bandFromConjuncts(conjuncts: Seq[Expression],
       left: LogicalPlan, right: LogicalPlan)
       : Option[(Expression, Expression, Long)] = {
-    val all = conjuncts.flatMap(bounds)
-    def side(a: Expression, p: LogicalPlan): Boolean =
-      a.references.nonEmpty && a.references.subsetOf(p.outputSet)
-    // orient every bound as (leftExpr, rightExpr, δ on left−right)
-    val fwd = all.collect {
-      case (x, y, d) if side(x, left) && side(y, right) => (x, y, d) }
-    val bwd = all.collect {
-      case (x, y, d) if side(x, right) && side(y, left) => (y, x, d) }
+    val (fwd, bwd) = sided(conjuncts.flatMap(bounds), left, right)
     (for {
       (ls, rs, d1) <- fwd.iterator
       (ls2, rs2, d2) <- bwd.iterator
       if ls.semanticEquals(ls2) && rs.semanticEquals(rs2)
       delta = math.max(d1, d2)
       if delta > 0
+    } yield (ls, rs, delta)).nextOption()
+  }
+
+  private def bandFromConjunctsD(conjuncts: Seq[Expression],
+      left: LogicalPlan, right: LogicalPlan)
+      : Option[(Expression, Expression, Double)] = {
+    val (fwd, bwd) = sided(conjuncts.flatMap(boundsD), left, right)
+    (for {
+      (ls, rs, d1) <- fwd.iterator
+      (ls2, rs2, d2) <- bwd.iterator
+      if ls.semanticEquals(ls2) && rs.semanticEquals(rs2)
+      delta = math.max(d1, d2)
+      if delta > 0.0 && java.lang.Double.isFinite(delta)
     } yield (ls, rs, delta)).nextOption()
   }
 
@@ -172,37 +283,62 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val d = Literal(delta)
     val el = e.dataType match {
       case TimestampType => UnixMicros(e)
-      case LongType => e
-      case _ => Cast(e, LongType)
+      case _ => e
     }
     IntegralDivide(Subtract(el, Pmod(el, d)), d)
   }
 
+  /** Continuous bucket: floor(x / 2δ) — the doubled width absorbs IEEE
+    * division rounding (see class doc), Floor on DOUBLE yields BIGINT.
+    */
+  private def bucketD(e: Expression, delta: Double): Expression =
+    Floor(Divide(Cast(e, DoubleType), Literal(2.0d * delta)))
+
+  /** The δ-bucket rewrite with the replicated side chosen by join
+    * type: the side whose unmatched rows must survive an outer join
+    * exactly once is NEVER the replicated one.
+    */
+  private def rewrite(j: Join, bucketOf: Expression => Expression,
+      ls: Expression, rs: Expression): LogicalPlan = {
+    val Join(left, right, jt, Some(cond), hint) = j: @unchecked
+    val replicateRight = jt != RightOuter
+    val (keepPlan, keepExpr, repPlan, repExpr) =
+      if (replicateRight) (left, ls, right, rs)
+      else (right, rs, left, ls)
+    val kb = Alias(bucketOf(keepExpr), "__kband")()
+    val keepSide = Project(keepPlan.output :+ kb, keepPlan)
+    val rb0 = Alias(bucketOf(repExpr), "__rband0")()
+    val repB = Project(repPlan.output :+ rb0, repPlan)
+    val rbAttr = AttributeReference("__rband", LongType,
+      nullable = true)()
+    val gen = Generate(
+      Explode(CreateArray(Seq(
+        Subtract(rb0.toAttribute, Literal(1L)),
+        rb0.toAttribute,
+        Add(rb0.toAttribute, Literal(1L))))),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(rbAttr), child = repB)
+    val newCond = And(EqualTo(kb.toAttribute, rbAttr), cond)
+    val joined =
+      if (replicateRight) Join(keepSide, gen, jt, Some(newCond), hint)
+      else Join(gen, keepSide, jt, Some(newCond), hint)
+    Project(j.output, joined)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, jt, Some(cond), hint)
-        if (jt == Inner || jt == LeftOuter) &&
+    case j @ Join(left, right, jt, Some(cond), _)
+        if (jt == Inner || jt == LeftOuter || jt == RightOuter) &&
           left.resolved && right.resolved => {
       val conjuncts = splitConjunctivePredicates(cond)
       if (hasCrossEquality(conjuncts, left, right)) j
-      else bandFromConjuncts(conjuncts, left, right).toList match {
-        case (ls, rs, delta) :: Nil =>
-          val lb = Alias(bucket(ls, delta), "__lband")()
-          val newLeft = Project(left.output :+ lb, left)
-          val rb0 = Alias(bucket(rs, delta), "__rband0")()
-          val rightB = Project(right.output :+ rb0, right)
-          val rbAttr = AttributeReference("__rband", LongType,
-            nullable = true)()
-          val gen = Generate(
-            Explode(CreateArray(Seq(
-              Subtract(rb0.toAttribute, Literal(1L)),
-              rb0.toAttribute,
-              Add(rb0.toAttribute, Literal(1L))))),
-            unrequiredChildIndex = Nil, outer = false, qualifier = None,
-            generatorOutput = Seq(rbAttr), child = rightB)
-          val newCond = And(EqualTo(lb.toAttribute, rbAttr), cond)
-          val joined = Join(newLeft, gen, jt, Some(newCond), hint)
-          Project(j.output, joined)
-        case _ => j
+      else bandFromConjuncts(conjuncts, left, right) match {
+        case Some((ls, rs, delta)) =>
+          rewrite(j, bucket(_, delta), ls, rs)
+        case None => bandFromConjunctsD(conjuncts, left, right) match {
+          case Some((ls, rs, delta)) =>
+            rewrite(j, bucketD(_, delta), ls, rs)
+          case None => j
+        }
       }
     }
   }

@@ -140,9 +140,29 @@ object WindowedStreams {
     * tokens have no bigrams and drop, matching the batch semantics.
     */
   def domainScoreGate(records: DataFrame, target: DataFrame,
-      maxCe: Double): DataFrame = {
+      maxCe: Double, maxVocab: Int = 2000000): DataFrame = {
     val spark = target.sparkSession
     import spark.implicits._
+    // the ONLY place a potentially corpus-shaped table crosses the
+    // driver: the target is a small REFERENCE sample by contract (the
+    // CCNet deployment shape — you train the gate on curated Wikipedia,
+    // not on the crawl). Guard the contract the way doremiWeights
+    // guards its domain list: count the distinct grams FIRST (one
+    // distributed aggregate, a scalar to the driver) and fail loud
+    // before any collect can OOM the driver on a mis-pointed target.
+    // total token count upper-bounds BOTH maps (distinct unigrams and
+    // distinct bigrams are each ≤ tokens), so one cheap aggregate
+    // guards the pair
+    val nGrams = target
+      .select(size(split(col("text"), " ")).as("k"))
+      .agg(coalesce(sum(col("k")), lit(0L)).as("n"))
+      .as[Long].head()
+    require(nGrams <= maxVocab,
+      s"target holds $nGrams tokens, exceeding maxVocab=" +
+        s"$maxVocab: domainScoreGate trains a DRIVER-held model and is " +
+        "only safe on a reference-sample-sized target (use the batch " +
+        "join formulation bigramCrossEntropyAgainst for corpus-shaped " +
+        "targets)")
     val uni = target.select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .as[(String, Long)].collect().toMap

@@ -122,9 +122,132 @@ class BandJoinRuleSpec extends AnyFunSuite {
       val df = le.join(re, col("lk") === col("rk") &&
         abs(col("lus") - col("rus")) <= lit(60L))
       val optimized = df.queryExecution.optimizedPlan.toString
-      assert(!optimized.contains("__lband"),
+      assert(!optimized.contains("__kband"),
         s"rule fired on an equi join:\n$optimized")
       assert(df.count() == 1)
+    }
+  }
+
+  test("naive right_outer band join: unmatched rights survive exactly " +
+      "once with null left (the LEFT side replicates)") {
+    def q = l.join(r, abs(col("lus") - col("rus")) <= lit(60L),
+      "right_outer").select("lid", "rid")
+    val naive = q.collect().map(_.toString).sorted.toSeq
+    val (rows, plan) = withRule {
+      val df = q
+      (df.collect().map(_.toString).sorted.toSeq,
+        df.queryExecution.executedPlan.toString)
+    }
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"rule did not fire on right_outer:\n${plan.take(1500)}")
+    assert(rows == naive)
+    assert(rows.count(_.contains("[null,13]")) == 1,
+      s"rid=13 must appear exactly once unmatched: $rows")
+  }
+
+  test("DOUBLE operands fire on the doubled-width bucket path, answer " +
+      "unchanged incl. exact-boundary pairs") {
+    val ld = Seq((1L, -1.5), (2L, 0.0), (3L, 0.6), (4L, 10.0))
+      .toDF("lid", "lx")
+    val rd = Seq((10L, -0.9), (11L, 0.01), (12L, 1.2), (13L, 50.0),
+      (14L, 0.6 + 0.6)) // rx − lx(3) == δ exactly in IEEE
+      .toDF("rid", "rx")
+    def q = ld.join(rd, abs(col("lx") - col("rx")) <= lit(0.6))
+      .select("lid", "rid")
+    val naive = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val (rows, plan) = withRule {
+      val df = q
+      (df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet,
+        df.queryExecution.executedPlan.toString)
+    }
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"rule did not fire on doubles:\n${plan.take(1500)}")
+    assert(rows == naive)
+    assert(rows.contains((3L, 14L)), "exact |Δ| == δ boundary pair kept")
+  }
+
+  test("DECIMAL operands fire too — residual stays exact decimal " +
+      "arithmetic") {
+    val ld = Seq("1.50", "3.00", "99.99").zipWithIndex
+      .map { case (v, i) => (i.toLong, BigDecimal(v)) }
+      .toDF("lid", "lx")
+    val rd = Seq("1.25", "2.75", "50.00").zipWithIndex
+      .map { case (v, i) => (100L + i, BigDecimal(v)) }
+      .toDF("rid", "rx")
+    def q = ld.join(rd,
+      abs(col("lx") - col("rx")) <= lit(BigDecimal("0.25")))
+      .select("lid", "rid")
+    val naive = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val (rows, plan) = withRule {
+      val df = q
+      (df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet,
+        df.queryExecution.executedPlan.toString)
+    }
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"rule did not fire on decimals:\n${plan.take(1500)}")
+    assert(rows == naive)
+    assert(rows == Set((0L, 100L), (1L, 101L)))
+  }
+
+  test("Int operands do NOT fire — with ANSI off, wrapped Int " +
+      "arithmetic can satisfy both conjuncts for a far-apart pair, " +
+      "and an optimizer rule must never change results") {
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val li = Seq((1L, Int.MinValue), (2L, 0)).toDF("lid", "lx")
+      val ri = Seq((10L, Int.MaxValue), (11L, 3)).toDF("rid", "rx")
+      def q = li.join(ri,
+        col("lx") - col("rx") <= lit(5) &&
+          col("rx") - col("lx") <= lit(5))
+        .select("lid", "rid")
+      val naive = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      // the wrap really happens: MinValue − MaxValue wraps to 1 ≤ 5 and
+      // MaxValue − MinValue wraps to −1 ≤ 5, so the far-apart pair IS
+      // in the naive answer — a bucket equality would drop it
+      assert(naive.contains((1L, 10L)), s"wrap premise broken: $naive")
+      val (rows, plan) = withRule {
+        val df = q
+        (df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet,
+          df.queryExecution.optimizedPlan.toString)
+      }
+      assert(!plan.contains("__kband"), s"rule fired on Int operands")
+      assert(rows == naive, "results unchanged either way")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+  }
+
+  test("differential property: 25 random double configs agree with " +
+      "the naive cross-filter under the rule, inner and right_outer") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 25) {
+      val delta = Seq(0.1, 0.7, 3.0, 60.0)(rnd.nextInt(4))
+      def x(): Double = {
+        val base = (rnd.nextDouble() - 0.5) * delta * 30
+        rnd.nextInt(3) match {
+          case 0 => math.floor(base / delta) * delta // bucket edge
+          case 1 => math.floor(base / delta) * delta + delta
+          case _ => base
+        }
+      }
+      val ls = Seq.tabulate(10)(i => (i.toLong, x()))
+      val rs = Seq.tabulate(10)(i => (100L + i, x()))
+      val jt = if (trial % 2 == 0) "inner" else "right_outer"
+      def q = ls.toDF("lid", "lx").join(rs.toDF("rid", "rx"),
+        abs(col("lx") - col("rx")) <= lit(delta), jt)
+        .select("lid", "rid")
+      val naive = q.collect().map(_.toString).sorted.toSeq
+      val (rows, plan) = withRule {
+        val df = q
+        (df.collect().map(_.toString).sorted.toSeq,
+          df.queryExecution.executedPlan.toString)
+      }
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"trial $trial (δ=$delta, $jt): rule did not fire")
+      assert(rows == naive,
+        s"trial $trial (δ=$delta, $jt): results diverge")
     }
   }
 

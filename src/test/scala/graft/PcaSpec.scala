@@ -121,6 +121,43 @@ class PcaSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("diagonal mahalanobis matches an exact in-memory recompute from " +
+      "quantized (mu, sigma^2) with the same left-to-right fold, and " +
+      "catches a per-dimension inflation") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("s_mahalanobis_diag")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stats = Projection.covStats(spark, d)
+    val n = stats(0)
+    val mu = Array.tabulate(64)(i => r6(stats(1 + i) / n))
+    val vr = CovSketch.covEntries(stats, 64)
+      .collect { case (i, j, v) if i == j => (i, r6(v)) }.toMap
+    val vecs = Tables.embeddings(spark, d)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val want = vecs.map { case (id, x) =>
+      val score = (0 until 64).map { i =>
+        val c = x(i) - mu(i); c * c / vr(i)
+      }.reduceLeft(_ + _)
+      (id, BigDecimal(score).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(t => (-t._2, t._1)).take(20)
+    assert(got.toSeq == want.toSeq)
+    // a planted per-dimension inflation outranks everything
+    val rnd = new scala.util.Random(17)
+    val base = Seq.tabulate(200)(i =>
+      (i.toLong, Array.tabulate(64)(_ => rnd.nextGaussian())))
+    val outlier = (999L,
+      Array.tabulate(64)(j => if (j == 7) 40.0 else 0.0))
+    val df = (base :+ outlier)
+      .map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val top = Projection.mahalanobisDiagTop(df, 3).collect()
+    assert(top.head.getLong(0) == 999L,
+      s"inflated dim must rank first: ${top.toSeq}")
+  }
+
   test("mahalanobis catches a low-variance-direction outlier that a " +
       "plain L2 radius ranks as unremarkable") {
     val rnd = new scala.util.Random(9)

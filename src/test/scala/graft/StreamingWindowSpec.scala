@@ -199,6 +199,24 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(out("1") == batchCe, s"stream ${out("1")} vs batch $batchCe")
   }
 
+  test("domain-LM gate refuses a corpus-shaped target loudly instead of " +
+      "collecting it to the driver") {
+    import spark.implicits._
+    val target = (1 to 50).map(i =>
+      (i.toLong, s"tok${i}a tok${i}b tok${i}c tok${i}d"))
+      .toDF("doc_id", "text")
+    val records = Seq.empty[(Array[Byte], String)]
+      .toDF("data", "sequenceNumber")
+      .withColumn("partitionKey", lit("k"))
+    val e = intercept[IllegalArgumentException] {
+      WindowedStreams.domainScoreGate(records, target, maxCe = 2.0,
+        maxVocab = 100)
+    }
+    assert(e.getMessage.contains("maxVocab"), e.getMessage)
+    assert(e.getMessage.contains("bigramCrossEntropyAgainst"),
+      "the error must point at the corpus-scale alternative")
+  }
+
   test("streaming quality gate filters low-quality and exact-dup payloads") {
     val dir = Files.createTempDirectory("wquality").toString
     val base = 1700000000L
