@@ -299,6 +299,13 @@ object ExplainAudit {
     audit("s_mahalanobis_diag", "TopKPerKey")
     auditAtMost("s_mahalanobis_diag",
       "CartesianProduct|BroadcastNestedLoopJoin", 0)
+    // packing audit: one lang-keyed window + per-lang aggregate — the
+    // groupBy rides the window's partitioning, so one exchange total
+    auditAtMost("a_pack_efficiency", "Exchange hashpartitioning", 1)
+    // sft pairing: JSON round-trip + bounded explode + doc-keyed lag,
+    // never a join
+    auditAtMost("p_sft_pairs",
+      "CartesianProduct|BroadcastNestedLoopJoin|SortMergeJoin", 0)
     // (s_covariance's aggregate runs at query-construction time — its
     // registered frame is a driver-local relation, so the map-side-
     // partial plan shape is asserted in PcaSpec instead of here)

@@ -347,8 +347,115 @@ object TrainingSet {
       .agg(sum(col("c") * col("lam_micro")).as("score_micro"))
   }
 
+  /** Packing-efficiency audit over [[packSequences]]' concatenate-then-
+    * chunk layout — the economics report of the packing step: per
+    * language, how many context windows the stream fills
+    * (`util_micro` = 10⁶·tokens DIV (packs·budget); the only slack in
+    * this scheme is the final partial window) and how many documents
+    * STRADDLE a window boundary (`straddled` — split docs lose context
+    * coherence, the real cost knob of chunked packing vs padded
+    * packing; a doc straddles iff its first and last token land in
+    * different windows). Integer-exact end to end: token counts,
+    * running sums, window ids and the DIV utilization are all BIGINTs.
+    * One lang-keyed window over id-sized rows — the packSequences plan
+    * plus a per-lang aggregate; nothing touches document text beyond
+    * the token count.
+    */
+  def packEfficiency(docs: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .select(col("lang"), col("n"),
+        expr(s"(cum - n) DIV $budget").as("startp"),
+        expr(s"(cum - 1) DIV $budget").as("endp"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        (max(col("endp")) + 1L).as("n_packs"),
+        sum(when(col("n") > 0 && col("endp") > col("startp"), 1L)
+          .otherwise(0L)).as("straddled"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        col("n_packs"), col("straddled"),
+        expr(s"(1000000 * total_tokens) DIV (n_packs * $budget)")
+          .as("util_micro"))
+  }
+
+  /** SFT training-pair extraction from conversation transcripts — the
+    * data-prep step of every instruction-tuning pipeline: parse a chat
+    * JSON (`{"messages": [{role, content}, …]}`), drop system turns,
+    * and pair each assistant turn with the user turn immediately
+    * before it into (prompt, response) examples. The JSON leg is REAL
+    * engine surface (`to_json` → `from_json` with a typed schema →
+    * `posexplode` → a doc-keyed lag window), exercised end to end; the
+    * fixture corpus has no transcripts, so (the t_pii_redact planting
+    * discipline) the query synthesizes a deterministic conversation
+    * from each doc's own tokens — alternating 10-token user/assistant
+    * turns under a system header — which is also what makes the result
+    * ORACLE-CHECKABLE without DuckDB's JSON extension: the oracle
+    * re-derives the identical pairs from `string_split` arithmetic, so
+    * a Spark-side JSON parsing bug (wrong schema binding, turn-order
+    * loss, dropped partial turn) breaks the hash. Per-row work is one
+    * JSON round-trip plus a bounded explode; the lag window is
+    * doc-keyed over ≤ #turns rows.
+    */
+  def sftPairs(docs: DataFrame, turnTokens: Int = 10,
+      maxRounds: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val toks = split(col("text"), " ")
+    def slice0(k: Int, off: Int) =
+      slice(toks, k * 2 * turnTokens + off * turnTokens + 1, turnTokens)
+    // build the transcript: system + up to maxRounds (user, assistant)
+    // turn pairs from consecutive token windows; empty turns dropped
+    val turns = (0 until maxRounds).flatMap { k =>
+      Seq(struct(lit("user").as("role"),
+          concat_ws(" ", slice0(k, 0)).as("content")),
+        struct(lit("assistant").as("role"),
+          concat_ws(" ", slice0(k, 1)).as("content")))
+    }
+    val msgs = filter(
+      array(struct(lit("system").as("role"),
+        lit("you are a helpful assistant").as("content")) +: turns: _*),
+      m => length(m.getField("content")) > 0)
+    val schema = ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType))))
+    val parsed = docs
+      .select(col("doc_id"),
+        to_json(struct(msgs.as("messages"))).as("j"))
+      .select(col("doc_id"),
+        from_json(col("j"), StructType(Seq(
+          StructField("messages", schema)))).getField("messages")
+          .as("messages"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    parsed
+      .select(col("doc_id"), posexplode(col("messages")))
+      .select(col("doc_id"), col("pos"),
+        col("col.role").as("role"), col("col.content").as("content"))
+      .filter(col("role") =!= "system")
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("prev_content", lag(col("content"), 1).over(w))
+      .filter(col("role") === "assistant" && col("prev_role") === "user")
+      .withColumn("pair_idx", row_number().over(w))
+      .select(col("doc_id"), col("pair_idx"),
+        col("prev_content").as("prompt"), col("content").as("response"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p_training_set" -> { (s, d) => trainingSet(Tables.documents(s, d)) },
+    "a_pack_efficiency" -> { (s, d) =>
+      packEfficiency(Tables.documents(s, d), 2048).orderBy("lang")
+    },
+    "p_sft_pairs" -> { (s, d) =>
+      sftPairs(Tables.spread(Tables.documents(s, d)))
+        .orderBy("doc_id", "pair_idx")
+    },
     // Soft dedup — the dedupe-then-WEIGHT alternative to dropping: every
     // doc keeps weight 10⁶ // |its near-dup cluster| (singletons 10⁶), so
     // a 4-way duplicated page contributes once in expectation under
@@ -638,6 +745,51 @@ object TrainingSet {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the packSequences windows replayed, then one per-lang aggregate;
+    // every quantity is BIGINT arithmetic (// == the engine's DIV)
+    "a_pack_efficiency" ->
+      """SELECT lang, n_docs, total_tokens, n_packs, straddled,
+        |  (1000000 * total_tokens) // (n_packs * 2048) AS util_micro
+        |FROM (
+        |  SELECT lang, count(*) AS n_docs, sum(n) AS total_tokens,
+        |    max(endp) + 1 AS n_packs,
+        |    sum(CASE WHEN n > 0 AND endp > startp THEN 1 ELSE 0 END)
+        |      AS straddled
+        |  FROM (
+        |    SELECT lang, n, (cum - n) // 2048 AS startp,
+        |      (cum - 1) // 2048 AS endp
+        |    FROM (
+        |      SELECT lang,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |        sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+        |          PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum
+        |      FROM documents))
+        |  GROUP BY lang)
+        |ORDER BY lang""".stripMargin,
+    // the conversation the engine synthesizes, JSON-roundtrips and
+    // re-pairs is a pure function of the token array, so the oracle
+    // re-derives the pairs from string_split arithmetic — pair k
+    // exists iff the response window has at least one token
+    "p_sft_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ks AS (SELECT unnest(range(0, 4)) AS k),
+        |pairs AS (
+        |  SELECT doc_id, k,
+        |    array_to_string(
+        |      t[20 * k + 1 : least(20 * k + 10, len(t))], ' ')
+        |      AS prompt,
+        |    array_to_string(
+        |      t[20 * k + 11 : least(20 * k + 20, len(t))], ' ')
+        |      AS response
+        |  FROM toks, ks WHERE len(t) >= 20 * k + 11)
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY k)
+        |    AS pair_idx,
+        |  prompt, response
+        |FROM pairs ORDER BY doc_id, pair_idx""".stripMargin,
     // the d_dup_clusters recursive-CTE component oracle, extended by a
     // cluster-size aggregate and a doc-keyed left join; integer DIV makes
     // the weights hash-exact
