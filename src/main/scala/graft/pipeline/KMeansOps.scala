@@ -126,6 +126,30 @@ object KMeansOps {
         coalesce(!col("is_dropped"), lit(true)).as("kept"))
   }
 
+  /** Cluster-balanced sampling — the "cluster-then-sample" curation
+    * move (DataComp / SemDeDup-adjacent): cap every semantic cluster
+    * at `cap` members so one dominant topic cannot swamp the mix, the
+    * embedding-space sibling of `p_domain_cap`'s per-source cap.
+    * Member selection is the engine-portable hash-ranked rule
+    * `p_stratified_sample` uses (row_number over md5(id) per cluster —
+    * deterministic, partition-independent, no RNG), so the whole
+    * keep/drop verdict is oracle-checkable on top of the unrolled
+    * kmeans CTE. One cluster-keyed window over id-sized rows on top of
+    * the kmeans scans; at 100 TB the window input is (id, cluster)
+    * pairs only — text and vectors never reach the shuffle.
+    */
+  def clusterBalance(vecs: DataFrame, k: Int, iters: Int,
+      cap: Int): DataFrame = {
+    require(cap > 0, s"cap=$cap must be positive")
+    val assigned = kmeans(vecs, k, iters)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assigned.withColumn("rk", row_number().over(w))
+      .select(col("vec_id"), col("cluster"),
+        (col("rk") <= cap).as("kept"))
+  }
+
   val queries: Map[String, Q] = Map(
     // k=4, two assignment passes (one recompute) — small enough that the
     // DuckDB twin can unroll the iterations, real enough to exercise
@@ -140,95 +164,80 @@ object KMeansOps {
     "d_semdedup" -> { (s, d) =>
       semDedup(Tables.spread(Tables.embeddings(s, d)), 4, 2, 0.47)
         .orderBy("vec_id")
+    },
+    // per-cluster cap 50 over the same deterministic clustering — the
+    // oracle is the kmeans CTE plus one hash-rank window
+    "p_cluster_balance" -> { (s, d) =>
+      clusterBalance(Tables.spread(Tables.embeddings(s, d)), 4, 2, 50)
+        .orderBy("vec_id")
     })
 
+  /** The unrolled k=4 / iters=2 Lloyd CTE chain (through `a2`) shared
+    * by every kmeans-derived oracle — seed init, sequential-sum argmin,
+    * the half-up 1e-6 recompute, re-assignment.
+    */
+  private val UnrolledKmeansCtes =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+      |  FROM embeddings),
+      |c0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) k,
+      |         e AS ctr
+      |  FROM v ORDER BY vec_id LIMIT 4),
+      |s1 AS (
+      |  SELECT vec_id, k,
+      |    list_sum(list_transform(ctr, x -> x * x)) -
+      |    2 * list_sum(list_transform(range(1, len(ctr) + 1),
+      |                                i -> e[i] * ctr[i])) AS score
+      |  FROM v CROSS JOIN c0),
+      |a1 AS (
+      |  SELECT vec_id, k,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY score, k) rn
+      |  FROM s1),
+      |asg1 AS (SELECT vec_id, k AS cluster FROM a1 WHERE rn = 1),
+      |m1 AS (
+      |  SELECT a.cluster, u.d,
+      |    floor(avg(e[d]) * 1000000 + 0.5) / 1000000.0 AS m
+      |  FROM asg1 a JOIN v USING (vec_id),
+      |       unnest(range(1, len(e) + 1)) u(d)
+      |  GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT c0.k, COALESCE(mm.ctr, c0.ctr) AS ctr
+      |  FROM c0 LEFT JOIN
+      |    (SELECT cluster AS k, list(m ORDER BY d) AS ctr
+      |     FROM m1 GROUP BY 1) mm USING (k)),
+      |s2 AS (
+      |  SELECT vec_id, k,
+      |    list_sum(list_transform(ctr, x -> x * x)) -
+      |    2 * list_sum(list_transform(range(1, len(ctr) + 1),
+      |                                i -> e[i] * ctr[i])) AS score
+      |  FROM v CROSS JOIN c1),
+      |a2 AS (
+      |  SELECT vec_id, k,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY score, k) rn
+      |  FROM s2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "s_kmeans" ->
-      """WITH v AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) e
-        |  FROM embeddings),
-        |c0 AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) k,
-        |         e AS ctr
-        |  FROM v ORDER BY vec_id LIMIT 4),
-        |s1 AS (
-        |  SELECT vec_id, k,
-        |    list_sum(list_transform(ctr, x -> x * x)) -
-        |    2 * list_sum(list_transform(range(1, len(ctr) + 1),
-        |                                i -> e[i] * ctr[i])) AS score
-        |  FROM v CROSS JOIN c0),
-        |a1 AS (
-        |  SELECT vec_id, k,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY score, k) rn
-        |  FROM s1),
-        |asg1 AS (SELECT vec_id, k AS cluster FROM a1 WHERE rn = 1),
-        |m1 AS (
-        |  SELECT a.cluster, u.d,
-        |    floor(avg(e[d]) * 1000000 + 0.5) / 1000000.0 AS m
-        |  FROM asg1 a JOIN v USING (vec_id),
-        |       unnest(range(1, len(e) + 1)) u(d)
-        |  GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT c0.k, COALESCE(mm.ctr, c0.ctr) AS ctr
-        |  FROM c0 LEFT JOIN
-        |    (SELECT cluster AS k, list(m ORDER BY d) AS ctr
-        |     FROM m1 GROUP BY 1) mm USING (k)),
-        |s2 AS (
-        |  SELECT vec_id, k,
-        |    list_sum(list_transform(ctr, x -> x * x)) -
-        |    2 * list_sum(list_transform(range(1, len(ctr) + 1),
-        |                                i -> e[i] * ctr[i])) AS score
-        |  FROM v CROSS JOIN c1),
-        |a2 AS (
-        |  SELECT vec_id, k,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY score, k) rn
-        |  FROM s2)
+    "s_kmeans" -> (UnrolledKmeansCtes +
+      """
         |SELECT vec_id, k AS cluster FROM a2 WHERE rn = 1
-        |ORDER BY vec_id""".stripMargin,
+        |ORDER BY vec_id""".stripMargin),
+    // the kmeans CTE plus one hash-rank window — the
+    // p_stratified_sample selection rule keyed by cluster
+    "p_cluster_balance" -> (UnrolledKmeansCtes +
+      """,
+        |asg AS (SELECT vec_id, k AS cluster FROM a2 WHERE rn = 1)
+        |SELECT vec_id, cluster, rk <= 50 AS kept FROM (
+        |  SELECT vec_id, cluster, row_number() OVER (
+        |    PARTITION BY cluster
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM asg)
+        |ORDER BY vec_id""".stripMargin),
     // the s_kmeans unrolled-iteration CTE verbatim through asg, then
     // the greedy id-order within-cluster drop rule
-    "d_semdedup" ->
-      """WITH v AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) e
-        |  FROM embeddings),
-        |c0 AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) k,
-        |         e AS ctr
-        |  FROM v ORDER BY vec_id LIMIT 4),
-        |s1 AS (
-        |  SELECT vec_id, k,
-        |    list_sum(list_transform(ctr, x -> x * x)) -
-        |    2 * list_sum(list_transform(range(1, len(ctr) + 1),
-        |                                i -> e[i] * ctr[i])) AS score
-        |  FROM v CROSS JOIN c0),
-        |a1 AS (
-        |  SELECT vec_id, k,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY score, k) rn
-        |  FROM s1),
-        |asg1 AS (SELECT vec_id, k AS cluster FROM a1 WHERE rn = 1),
-        |m1 AS (
-        |  SELECT a.cluster, u.d,
-        |    floor(avg(e[d]) * 1000000 + 0.5) / 1000000.0 AS m
-        |  FROM asg1 a JOIN v USING (vec_id),
-        |       unnest(range(1, len(e) + 1)) u(d)
-        |  GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT c0.k, COALESCE(mm.ctr, c0.ctr) AS ctr
-        |  FROM c0 LEFT JOIN
-        |    (SELECT cluster AS k, list(m ORDER BY d) AS ctr
-        |     FROM m1 GROUP BY 1) mm USING (k)),
-        |s2 AS (
-        |  SELECT vec_id, k,
-        |    list_sum(list_transform(ctr, x -> x * x)) -
-        |    2 * list_sum(list_transform(range(1, len(ctr) + 1),
-        |                                i -> e[i] * ctr[i])) AS score
-        |  FROM v CROSS JOIN c1),
-        |a2 AS (
-        |  SELECT vec_id, k,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY score, k) rn
-        |  FROM s2),
+    "d_semdedup" -> (UnrolledKmeansCtes +
+      """,
         |asg AS (SELECT vec_id, k AS cluster FROM a2 WHERE rn = 1),
         |dropped AS (
         |  SELECT DISTINCT b.vec_id
@@ -241,5 +250,5 @@ object KMeansOps {
         |SELECT asg.vec_id, asg.cluster,
         |  (d.vec_id IS NULL) AS kept
         |FROM asg LEFT JOIN dropped d ON asg.vec_id = d.vec_id
-        |ORDER BY asg.vec_id""".stripMargin)
+        |ORDER BY asg.vec_id""".stripMargin))
 }

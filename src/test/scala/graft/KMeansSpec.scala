@@ -107,4 +107,29 @@ class KMeansSpec extends AnyFunSuite {
       KMeansOps.kmeans(vecs, 2, 1)
     }
   }
+
+  test("cluster balance: every cluster keeps exactly min(size, cap) " +
+      "members, the verdict is partition-independent, and the cap " +
+      "guard rejects zero") {
+    val d = "/root/testdata/sf0.001"
+    val vecs = Tables.spread(Tables.embeddings(spark, d))
+    val got = KMeansOps.clusterBalance(vecs, 4, 2, 50)
+    val byCluster = got.groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(byCluster.nonEmpty)
+    byCluster.foreach { case (c, n, k) =>
+      assert(k == math.min(n, 50L), s"cluster $c: $k kept of $n")
+    }
+    assert(byCluster.exists(_._2 > 50),
+      "fixture must exercise the cap (some cluster over 50)")
+    val a = got.orderBy("vec_id").collect().map(_.toString).toSeq
+    val b = KMeansOps.clusterBalance(vecs.repartition(7), 4, 2, 50)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(a == b, "verdict must not depend on input partitioning")
+    intercept[IllegalArgumentException] {
+      KMeansOps.clusterBalance(vecs, 4, 2, 0)
+    }
+  }
 }
