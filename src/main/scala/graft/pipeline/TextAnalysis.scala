@@ -541,6 +541,40 @@ object TextAnalysis {
     // top-20 words, so the query emits its own ground truth; the
     // estimate column is seed-deterministic but not SQL-recomputable →
     // rows-only, with the one-sided-error bound pinned in MixtureSpec.
+    // ENGINE-PORTABLE Count-Min sketch next to t_cms_freq's built-in
+    // tier: depth 4 × width 16⁴, bucket hashes from the md5-nibble
+    // idiom (seed j prefixed), so sketch construction is a plain
+    // integer groupBy ANY engine reproduces — the property that makes
+    // cross-engine sketch MERGE possible (union the (j, b, c) tables
+    // and sum), which Spark's opaque binary sketch cannot offer. The
+    // dedupe-then-weight rule keeps it one token pass: buckets are
+    // computed per DISTINCT word and weighted by its count, so the 4×
+    // hash fan-out touches the vocabulary, not the corpus. Probes are
+    // the exact top-20 (the query carries its own ground truth);
+    // est = min over the 4 rows is exact BIGINT — full oracle, incl.
+    // the one-sided est ≥ exact guarantee the spec pins.
+    "t_cms_portable" -> { (s, d) =>
+      val wc = Tables.spread(Tables.documents(s, d))
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      def bucket(j: Int, c: Column): Column =
+        conv(substring(md5(concat(lit(s"$j:"), c)), 1, 4), 16, 10)
+          .cast("long")
+      def fan(c: Column) = explode(array((0 until 4).map(j =>
+        struct(lit(j).as("j"), bucket(j, c).as("b"))): _*)).as("x")
+      val cms = wc.select(fan(col("w")), col("c"))
+        .select(col("x.j").as("j"), col("x.b").as("b"), col("c"))
+        .groupBy("j", "b").agg(sum(col("c")).as("cc"))
+      val exactTop = wc
+        .orderBy(col("c").desc, col("w")).limit(20)
+        .select(col("w"), col("c").as("exact"))
+      exactTop.select(col("w"), col("exact"), fan(col("w")))
+        .select(col("w"), col("exact"), col("x.j").as("j"),
+          col("x.b").as("b"))
+        .join(cms, Seq("j", "b"))
+        .groupBy("w", "exact").agg(min(col("cc")).as("est"))
+        .orderBy(col("exact").desc, col("w"))
+    },
     "t_cms_freq" -> { (s, d) =>
       // persisted: BOTH the exact top-20 and the sketch consume the
       // tokenized corpus — without the cache the scan+split runs twice
@@ -722,6 +756,37 @@ object TextAnalysis {
   private val oracleToks = "string_split(text, ' ')"
 
   val oracles: Map[String, String] = Map(
+    // the portable CMS replayed: same md5-nibble buckets (seed j
+    // prefixed), same vocabulary-weighted construction, min over depth
+    "t_cms_portable" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+        |js AS (SELECT unnest(range(0, 4)) AS j),
+        |hb AS (
+        |  SELECT w, c, j,
+        |    (strpos('0123456789abcdef',
+        |       substr(md5(CAST(j AS VARCHAR) || ':' || w), 1, 1)) - 1)
+        |      * 4096 +
+        |    (strpos('0123456789abcdef',
+        |       substr(md5(CAST(j AS VARCHAR) || ':' || w), 2, 1)) - 1)
+        |      * 256 +
+        |    (strpos('0123456789abcdef',
+        |       substr(md5(CAST(j AS VARCHAR) || ':' || w), 3, 1)) - 1)
+        |      * 16 +
+        |    (strpos('0123456789abcdef',
+        |       substr(md5(CAST(j AS VARCHAR) || ':' || w), 4, 1)) - 1)
+        |      AS b
+        |  FROM wc, js),
+        |cms AS (SELECT j, b, sum(c) AS cc FROM hb GROUP BY j, b),
+        |ex AS (
+        |  SELECT w, c AS exact FROM wc ORDER BY c DESC, w LIMIT 20)
+        |SELECT ex.w, ex.exact, min(cms.cc) AS est
+        |FROM ex
+        |JOIN hb ON hb.w = ex.w
+        |JOIN cms ON cms.j = hb.j AND cms.b = hb.b
+        |GROUP BY ex.w, ex.exact
+        |ORDER BY ex.exact DESC, ex.w""".stripMargin,
     "t_heaps_fit" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w

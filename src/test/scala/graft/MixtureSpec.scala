@@ -141,6 +141,30 @@ class MixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("portable count-min: never undercounts, respects the width " +
+      "bound, and the estimate is partition-independent") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("t_cms_portable")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 20)
+    val n = graft.Tables.documents(spark, sf)
+      .select(sum(size(split(col("text"), " ")))).head().getLong(0)
+    // eps = e / width = e / 65536; overcount ≤ eps·N w.h.p. — use the
+    // deterministic hard bound instead: est ≤ exact + N (trivial) and
+    // the probabilistic one as a fixture regression tripwire
+    val maxOver = math.ceil(math.E / 65536.0 * n * 8).toLong.max(1L)
+    out.foreach { case (w, exact, est) =>
+      assert(est >= exact, s"portable CMS undercounted '$w': $est")
+      assert(est <= exact + maxOver,
+        s"portable CMS overcount for '$w': $est > $exact + $maxOver")
+    }
+    // rerunning yields identical rows (pure integer arithmetic, no
+    // sketch object, no seed state)
+    val again = SparkEntry.queries("t_cms_portable")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("hashClassifier: label matches the sign of the exact weight sum") {
     val d = Seq((1L, "alpha beta"), (2L, "gg"), (3L, "zz qq ww"))
       .toDF("doc_id", "text")
