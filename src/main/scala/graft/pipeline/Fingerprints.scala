@@ -191,12 +191,70 @@ object Fingerprints {
       .distinct()
   }
 
+  /** ENGINE-PORTABLE MinHash-LSH near-dup pairs — the oracle-backed
+    * member of the MinHash family (the fast [[minhashSignatures]] tier
+    * keeps its xxhash64-seeded signatures and recall spec; THIS tier
+    * trades hash throughput for cross-engine determinism, the same
+    * split as t_cms_freq / t_cms_portable): 16 hash functions are
+    * 12-hex-char md5 prefixes under integer seeds, kept AS STRINGS so
+    * "min" is lexicographic on lowercase hex — identical in any engine
+    * with no hex→int conversion anywhere; signatures band 4×4; band
+    * equality (a plain equi-join on the 4-value band vector) yields
+    * candidates; every candidate is VERIFIED against the exact shingle
+    * Jaccard, so the emitted pairs are true ≥-threshold pairs and the
+    * whole result hash-matches a SQL replay. Scale shape: per-shingle
+    * hashes ride the dedupe-then-weight rule (16 md5s per DISTINCT
+    * shingle, not per occurrence), signatures are one (doc, j) min
+    * aggregation, the band join is the standard LSH bucket equi-join,
+    * and verification touches candidate pairs only.
+    */
+  def minhashPortablePairs(docs: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = graft.Tables.spread(docs)
+      .select(col("doc_id"),
+        explode(graft.pipeline.Dedup.shingles(col("text"))).as("s"))
+    val hs = sh.select("s").distinct()
+      .select(col("s"), explode(array((0 until 16).map(j =>
+        struct(lit(j).as("j"),
+          substring(md5(concat(lit(s"$j:"), col("s"))), 1, 12)
+            .as("h"))): _*)).as("x"))
+      .select(col("s"), col("x.j").as("j"), col("x.h").as("h"))
+    val sigs = sh.join(hs, "s")
+      .groupBy("doc_id", "j").agg(min(col("h")).as("m"))
+    val bands = sigs.withColumn("band", expr("j DIV 4"))
+      .groupBy("doc_id", "band")
+      .agg(sort_array(collect_list(struct(col("j"), col("m"))))
+        .as("sig"))
+    val cands = bands
+      .select(col("doc_id").as("da"), col("band"), col("sig"))
+      .join(bands.select(col("doc_id").as("db"), col("band"),
+        col("sig")), Seq("band", "sig"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val inter = cands
+      .join(sh.select(col("doc_id").as("da"), col("s")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Winnowing document-fingerprint index: the local-fingerprinting
     // counterpart to the global [[RollingHash]] content fingerprint —
     // full oracle (md5 grams, band-join argmax twin).
     "d_winnow_fingerprint" -> { (s, d) =>
       winnow(Tables.documents(s, d)).orderBy("doc_id", "pos")
+    },
+    // the oracle-backed MinHash tier (see minhashPortablePairs)
+    "d_minhash_portable" -> { (s, d) =>
+      minhashPortablePairs(Tables.documents(s, d), 0.8)
+        .orderBy("da", "db")
     },
     // MinHash-LSH near-dup candidates (est. Jaccard ≥ 0.5). Approximate —
     // rows-only driver check; recall vs exact Jaccard in PipelineSpec.
@@ -288,6 +346,47 @@ object Fingerprints {
   // max position among hash matches — order-independent in both engines,
   // md5 hex strings compare identically.
   val oracles: Map[String, String] = Map(
+    // the portable MinHash replayed: lexicographic min over 12-hex
+    // md5 prefixes, 4×4 banding, band-vector equality, exact verify
+    "d_minhash_portable" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ds AS (SELECT DISTINCT s FROM sh),
+        |js AS (SELECT unnest(range(0, 16)) AS j),
+        |hs AS (
+        |  SELECT s, j,
+        |    substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 12) AS h
+        |  FROM ds, js),
+        |sigs AS (
+        |  SELECT sh.doc_id, hs.j, min(hs.h) AS m
+        |  FROM sh JOIN hs USING (s) GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, j // 4 AS band, list(m ORDER BY j) AS sig
+        |  FROM sigs GROUP BY doc_id, band),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.sig = b.sig
+        |      AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT c.da, c.db, count(*) AS i
+        |  FROM cands c
+        |  JOIN sh x ON x.doc_id = c.da
+        |  JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+        |SELECT da, db,
+        |  round(i / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = da
+        |JOIN sizes sb ON sb.doc_id = db
+        |WHERE i / (sa.n + sb.n - i) >= 0.8
+        |ORDER BY da, db""".stripMargin,
     "d_winnow_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -32,6 +32,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall over ${exactPairs.size} pairs")
   }
 
+  test("portable minhash: emitted pairs are a SUBSET of the exact " +
+      "ground truth with their exact jaccard values, recall ≥ 70%") {
+    val got = SparkEntry.queries("d_minhash_portable")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val exact = Dedup.jaccardPairs(Tables.documents(spark, sf), 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        BigDecimal(r.getDouble(2)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .toMap
+    // verification makes every emitted pair a true pair at its exact
+    // similarity — no false positives by construction
+    got.foreach { case (p, j) =>
+      assert(exact.contains(p), s"false positive $p")
+      assert(j == exact(p), s"$p: emitted $j vs exact ${exact(p)}")
+    }
+    // 4×4 banding at s ≥ 0.8 catches ≥ 1−(1−s⁴)⁴ ≈ 0.88 of pairs in
+    // expectation; 0.7 is the deterministic-fixture floor
+    val recall = got.keySet.size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall over ${exact.size} pairs")
+  }
+
   test("minhash estimate tracks exact jaccard within 0.25") {
     val est = SparkEntry.queries("d_minhash_lsh")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
