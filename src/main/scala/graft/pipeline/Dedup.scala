@@ -92,6 +92,17 @@ object Dedup {
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("s"))
     val rawSizes = spreadDocs.select(col("doc_id"),
       size(shingleHashes(col("text"))).cast("long").as("n0"))
+    jaccardPairsFrom(exploded, rawSizes, threshold, maxDf)
+  }
+
+  /** [[jaccardPairs]] over PRE-COMPUTED (doc_id, s) shingle rows and
+    * (doc_id, n0) raw sizes — the composition seam that lets a caller
+    * running several tiers over the same survivor set (the cascade
+    * report) shingle ONCE and persist, instead of each tier re-deriving
+    * the explode from text.
+    */
+  private[pipeline] def jaccardPairsFrom(exploded: DataFrame,
+      rawSizes: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
     // Under a cap, compute df FIRST with a count-only aggregation
     // (map-side combined longs) and drop hot-shingle ROWS before any
     // collect_list: filtering posting lists by their size after building
@@ -149,6 +160,15 @@ object Dedup {
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("s"))
     val rawSizes = spreadDocs.select(col("doc_id"),
       size(shingleHashes(col("text"))).cast("long").as("n0"))
+    containmentPairsFrom(exploded, rawSizes, pct, maxDf, minShingles)
+  }
+
+  /** [[containmentPairs]] over pre-computed shingle rows / sizes — the
+    * same composition seam as [[jaccardPairsFrom]].
+    */
+  private[pipeline] def containmentPairsFrom(exploded: DataFrame,
+      rawSizes: DataFrame, pct: Int, maxDf: Int,
+      minShingles: Int): DataFrame = {
     val (keptRows, sizes) =
       if (maxDf <= 0) (exploded, rawSizes.withColumnRenamed("n0", "n"))
       else {
@@ -653,10 +673,14 @@ object Dedup {
     // padded with 40 doc-unique tokens — unique so the df cap keeps
     // them and jaccard drops below 0.8 (not caught at stage 2) while
     // the original stays ≥ 90% contained (caught at stage 3)
-    // persist the 3-branch union: it feeds the raw count, the exact
-    // keep-list, AND s1's semi join — unpersisted, each of those
-    // re-reads the fixture and rebuilds the union (3 extra scans and
-    // ~half the operator's round-7 runtime)
+    // persist the 3-branch union (it feeds the raw count, the exact
+    // keep-list AND s1's semi join — unpersisted, each rebuilds the
+    // parquet scan + planted-text transform), then shingle the exact
+    // survivors ONCE into narrow persisted frames both pair tiers
+    // share (the jaccardPairsFrom seam). A narrow-cache variant that
+    // re-scanned text instead of caching it measured SLOWER (the
+    // union+concat transform costs more per pass than the cache
+    // write), so wide caches stay — see SCALING.md's cascade anatomy.
     val base = raw
       .union(raw.filter(col("doc_id") < 50)
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
@@ -670,12 +694,19 @@ object Dedup {
     val keep1 = base.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val s1 = base.join(keep1, Seq("doc_id"), "left_semi").persist()
-    val pairs = jaccardPairs(s1, 0.8, maxDf = 20)
+    val ex1 = s1.select(col("doc_id"),
+      explode(shingleHashes(col("text"))).as("s")).persist()
+    val sz1 = s1.select(col("doc_id"),
+      size(shingleHashes(col("text"))).cast("long").as("n0")).persist()
+    val pairs = jaccardPairsFrom(ex1, sz1, 0.8, maxDf = 20)
       .select(col("da").as("ida"), col("db").as("idb"))
     val drop2 = dupClusters(pairs)
       .filter(col("doc_id") =!= col("cluster")).select("doc_id")
     val s2 = s1.join(drop2, Seq("doc_id"), "left_anti").persist()
-    val drop3 = containmentPairs(s2, 90, 20)
+    val s2ids = s2.select("doc_id")
+    val drop3 = containmentPairsFrom(
+        ex1.join(s2ids, Seq("doc_id"), "left_semi"),
+        sz1.join(s2ids, Seq("doc_id"), "left_semi"), 90, 20, 5)
       .select(col("contained").as("doc_id")).distinct()
     val s3 = s2.join(drop3, Seq("doc_id"), "left_anti")
     // stage counts in DEPENDENCY order: each action materializes the
@@ -685,7 +716,8 @@ object Dedup {
       ("0_raw", base.count()), ("1_exact", s1.count()),
       ("2_near", s2.count()), ("3_containment", s3.count()))
       .toDF("stage", "n_docs")
-    base.unpersist(); s1.unpersist(); s2.unpersist()
+    base.unpersist(); s1.unpersist(); ex1.unpersist(); sz1.unpersist()
+    s2.unpersist()
     out
   }
 
