@@ -541,6 +541,22 @@ object TextAnalysis {
     // top-20 words, so the query emits its own ground truth; the
     // estimate column is seed-deterministic but not SQL-recomputable →
     // rows-only, with the one-sided-error bound pinned in MixtureSpec.
+    // Tokenizer-QA fertility report (the subwords-per-word metric every
+    // tokenizer evaluation tables per language — high fertility on a
+    // language means the vocabulary underserves it and its documents
+    // cost proportionally more context window): per lang, Σ subword
+    // estimate / Σ words as an integer micro-ratio. One map-side
+    // aggregate over per-row codegen'd counts; DIV-exact oracle
+    // (ceil(len/4) ≡ (len+3)//4 on non-negative ints).
+    "t_subword_fertility" -> { (s, d) =>
+      Tables.spread(Tables.documents(s, d))
+        .groupBy("lang")
+        .agg(sum(subwordEstimate(col("text"))).as("subwords"),
+          sum(tokenCount(col("text")).cast("long")).as("words"))
+        .select(col("lang"), col("subwords"), col("words"),
+          expr("(1000000 * subwords) DIV words").as("fertility_micro"))
+        .orderBy("lang")
+    },
     // ENGINE-PORTABLE Count-Min sketch next to t_cms_freq's built-in
     // tier: depth 4 × width 16⁴, bucket hashes from the md5-nibble
     // idiom (seed j prefixed), so sketch construction is a plain
@@ -756,6 +772,16 @@ object TextAnalysis {
   private val oracleToks = "string_split(text, ' ')"
 
   val oracles: Map[String, String] = Map(
+    "t_subword_fertility" ->
+      """SELECT lang, sum(sw) AS subwords, sum(w) AS words,
+        |  (1000000 * sum(sw)) // sum(w) AS fertility_micro
+        |FROM (
+        |  SELECT lang,
+        |    list_sum(list_transform(string_split(text, ' '),
+        |      t -> (length(t) + 3) // 4)) AS sw,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |  FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // the portable CMS replayed: same md5-nibble buckets (seed j
     // prefixed), same vocabulary-weighted construction, min over depth
     "t_cms_portable" ->

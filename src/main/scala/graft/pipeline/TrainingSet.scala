@@ -447,8 +447,60 @@ object TrainingSet {
         col("prev_content").as("prompt"), col("content").as("response"))
   }
 
+  /** The curated target mix the report audits against — the same
+    * human-written factor-table shape as `p_epoch_mix`'s config; ONE
+    * constant feeds both the engine query and the generated oracle so
+    * the two can never drift.
+    */
+  private[pipeline] val MixTargets: Seq[(String, Long)] =
+    (0 until 20).map(i => (s"src$i", 1L + i % 3))
+
+  /** Mix-deviation audit — the acceptance check of corpus assembly:
+    * per source, ACHIEVED token share vs the TARGET share the curation
+    * config promised, and the absolute deviation, all on the exact
+    * 1e-6 integer grid (shares are `10⁶·x DIV total` — no float ever).
+    * A full outer join surfaces both failure modes: a configured
+    * source that contributed nothing (target > 0, achieved 0) and an
+    * unconfigured source that leaked in (achieved > 0, target 0). One
+    * map-side-partial token aggregate, a one-row total broadcast, and
+    * a broadcast factor-table join — nothing corpus-sized shuffles
+    * twice.
+    */
+  def mixReport(docs: DataFrame,
+      targets: Seq[(String, Long)]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "targets must be non-empty with positive weights")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "duplicate source in targets")
+    val tw = targets.map(_._2).sum
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tgt = targets.toDF("source", "w")
+      .select(col("source"),
+        expr(s"(1000000 * w) DIV $tw").as("target_micro"))
+    val ach = docs.groupBy("source")
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+        .as("tokens"))
+    val tot = ach.agg(sum(col("tokens")).as("N"))
+    val a = col("achieved_micro")
+    val t = col("target_micro")
+    ach.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"),
+        expr("(1000000 * tokens) DIV N").as("achieved_micro"))
+      .join(broadcast(tgt), Seq("source"), "full")
+      .select(col("source"),
+        coalesce(col("tokens"), lit(0L)).as("tokens"),
+        coalesce(a, lit(0L)).as("achieved_micro"),
+        coalesce(t, lit(0L)).as("target_micro"))
+      .withColumn("dev_micro", abs(a - t))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "p_training_set" -> { (s, d) => trainingSet(Tables.documents(s, d)) },
+    "a_mix_report" -> { (s, d) =>
+      mixReport(Tables.spread(Tables.documents(s, d)), MixTargets)
+    },
     "a_pack_efficiency" -> { (s, d) =>
       packEfficiency(Tables.documents(s, d), 2048).orderBy("lang")
     },
@@ -744,7 +796,34 @@ object TrainingSet {
       |WHERE NOT (doc_id % 7 = 0 AND doc_id < 10000000)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Generated from [[MixTargets]] so the oracle's factor table is the
+    * same constant the engine query uses.
+    */
+  private def mixReportOracleSql: String = {
+    val values = MixTargets
+      .map { case (s, w) => s"('$s', CAST($w AS BIGINT))" }
+      .mkString(",\n    ")
+    val tw = MixTargets.map(_._2).sum
+    s"""WITH tgt(source, w) AS (VALUES
+       |    $values),
+       |ach AS (
+       |  SELECT source,
+       |    sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT sum(tokens) AS n FROM ach)
+       |SELECT coalesce(a.source, t.source) AS source,
+       |  coalesce(a.tokens, 0) AS tokens,
+       |  coalesce((1000000 * a.tokens) // (SELECT n FROM tot), 0)
+       |    AS achieved_micro,
+       |  coalesce((1000000 * t.w) // $tw, 0) AS target_micro,
+       |  abs(coalesce((1000000 * a.tokens) // (SELECT n FROM tot), 0) -
+       |      coalesce((1000000 * t.w) // $tw, 0)) AS dev_micro
+       |FROM ach a FULL JOIN tgt t ON a.source = t.source
+       |ORDER BY source""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "a_mix_report" -> mixReportOracleSql,
     // the packSequences windows replayed, then one per-lang aggregate;
     // every quantity is BIGINT arithmetic (// == the engine's DIV)
     "a_pack_efficiency" ->

@@ -35,6 +35,53 @@ class PackSftSpec extends AnyFunSuite {
     }
   }
 
+  test("mix report: shares are DIV-exact, a configured-but-absent " +
+      "source and an unconfigured leak both surface, guards fire") {
+    val docs = Seq(
+      (1L, "sA", "a b c d"),          // 4 tokens
+      (2L, "sA", "e f"),              // 2 tokens → sA: 6
+      (3L, "sLEAK", "x y z w")        // 4 tokens, not in targets
+    ).toDF("doc_id", "source", "text")
+    val got = TrainingSet.mixReport(docs,
+        Seq(("sA", 3L), ("sGHOST", 1L))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // N = 10; sA achieved 600000, target 750000, dev 150000;
+    // sGHOST achieved 0, target 250000; sLEAK achieved 400000, target 0
+    assert(got == Seq(
+      ("sA", 6L, 600000L, 750000L, 150000L),
+      ("sGHOST", 0L, 0L, 250000L, 250000L),
+      ("sLEAK", 4L, 400000L, 0L, 400000L)), got)
+    intercept[IllegalArgumentException] {
+      TrainingSet.mixReport(docs, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingSet.mixReport(docs, Seq(("sA", 0L)))
+    }
+    intercept[IllegalArgumentException] {
+      TrainingSet.mixReport(docs, Seq(("sA", 1L), ("sA", 2L)))
+    }
+  }
+
+  test("subword fertility: micro-ratio matches a hand computation and " +
+      "is bounded below by 1 (every token is at least one subword)") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("t_subword_fertility")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, sw, w, f) =>
+      assert(f == 1000000L * sw / w, s"$lang DIV law")
+      assert(f >= 1000000L, s"$lang fertility below 1: $f")
+    }
+    // ceil(4/4)+ceil(2/4)+ceil(10/4) = 1+1+3 = 5 subwords over 3 words
+    val row = Seq((9L, "en", "abcd ef ghijklmnop"))
+      .toDF("doc_id", "lang", "text")
+      .select(graft.pipeline.TextAnalysis.subwordEstimate(col("text")))
+      .head()
+    assert(row.getLong(0) == 5L)
+  }
+
   test("sft pairs: turn windows pair user->assistant, partial responses " +
       "kept, unanswered prompts and short docs dropped, system turn " +
       "never surfaces") {
