@@ -15,8 +15,10 @@ import graft.Tables
   * set is always corpus-tiny (human labels / a trusted-domain sample),
   * so training runs on a DETERMINISTIC hash-selected sample collected
   * to the driver (the IVF-centroid/BPE driver-artifact discipline —
-  * the model and its training set are driver-sized BY CONSTRUCTION,
-  * bounded and `require`-guarded), while the corpus-scale work —
+  * doc membership is CAPPED at [[MaxSample]] by a mixHash-order
+  * `limit`, so it is driver-sized by construction at any corpus scale,
+  * and the feature-row count is `require`-guarded by a distributed
+  * count BEFORE the collect), while the corpus-scale work —
   * feature extraction and model APPLICATION — is fully distributed:
   * one map-side-combined (doc, bucket) count shuffle, a broadcast of
   * the bucket-bounded weight table, and an exact integer dot product
@@ -36,10 +38,23 @@ import graft.Tables
 object Classifier {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Largest labeled sample the driver will train on — the documented
-    * driver-artifact bound (same size class as a broadcast side).
+  /** Largest labeled sample (in DOCS) the driver will train on — the
+    * documented driver-artifact bound (same size class as a broadcast
+    * side). Enforced by construction: membership is capped to the
+    * `MaxSample` smallest `(mixHash(doc_id), doc_id)` keys, so a 100×
+    * corpus trains on the same-sized (and, for stable ids, the same)
+    * sample instead of a 100× one.
     */
   val MaxSample = 100000
+
+  /** Largest (doc, bucket) feature-row set the driver will collect.
+    * Docs are capped at [[MaxSample]] by construction, but
+    * buckets-per-doc is data-dependent (≤ min(doc tokens, 16^nibbles)),
+    * so the row bound is CHECKED with one distributed count before any
+    * collect — the fail-loud-first discipline of
+    * `WindowedStreams.domainScoreGate`.
+    */
+  val MaxRows = 4000000L
 
   /** Per-(doc, bucket) integer feature counts with the doc's ±1 label
     * riding along. Buckets are the engine-portable md5-nibble hash
@@ -57,10 +72,12 @@ object Classifier {
       .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("c"))
   }
 
-  /** Deterministic 25% training-sample membership: the Knuth
-    * multiplicative hash idiom shared with the contrastive-triplet
-    * buckets — engine-portable, partitioning-independent, stable
-    * across re-crawls.
+  /** Deterministic training-sample PRE-filter (25% by the Knuth
+    * multiplicative hash, shared with the contrastive-triplet buckets
+    * — engine-portable, partitioning-independent, stable across
+    * re-crawls). This only thins the candidate pool; the driver-side
+    * bound comes from [[trainOnlinePerceptron]]'s `maxDocs` cap, which
+    * is corpus-size-independent where a fraction is not.
     */
   def inSample(docId: Column): Column =
     pmod(pmod(docId * lit(2654435761L), lit(4294967296L)), lit(4)) === 0
@@ -69,16 +86,31 @@ object Classifier {
     * feature rows, visited in doc_id order, `epochs` passes. Returns
     * bucket → weight for every bucket the sample touched (absent
     * buckets provably stay 0). Integer arithmetic only.
+    *
+    * Driver-safety contract, in order: (1) membership is CAPPED to the
+    * `maxDocs` smallest `(mixHash, doc_id)` keys — the IVF-codebook
+    * idiom (`Similarity.pqQuery`), so the sample is corpus-size-
+    * independent by construction; (2) the capped feature-row count is
+    * measured with one distributed aggregate and `require`d under
+    * `maxRows` BEFORE anything is collected — an oversized sample
+    * fails loud, it never OOMs the driver.
     */
-  def trainOnlinePerceptron(sampleFeats: DataFrame,
-      epochs: Int): Map[Long, Long] = {
-    val rows = sampleFeats.select("doc_id", "y", "b", "c").collect()
+  def trainOnlinePerceptron(sampleFeats: DataFrame, epochs: Int,
+      maxDocs: Int = MaxSample, maxRows: Long = MaxRows)
+      : Map[Long, Long] = {
+    val keep = sampleFeats.select(col("doc_id")).distinct()
+      .orderBy(TrainingSet.mixHash(col("doc_id")), col("doc_id"))
+      .limit(maxDocs)
+    val capped = sampleFeats.join(broadcast(keep), Seq("doc_id"))
+    val nRows = capped.count()
+    require(nRows <= maxRows,
+      s"labeled sample carries $nRows feature rows, exceeding the " +
+        s"$maxRows driver-collect bound; lower maxDocs or raise maxRows")
+    val rows = capped.select("doc_id", "y", "b", "c").collect()
     val docs = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
       .map { case (_, rs) =>
         (rs.head.getLong(1), rs.map(r => (r.getLong(2), r.getLong(3))))
       }
-    require(docs.size <= MaxSample,
-      s"labeled sample ${docs.size} exceeds the $MaxSample driver bound")
     val w = scala.collection.mutable.Map.empty[Long, Long]
       .withDefaultValue(0L)
     for (_ <- 1 to epochs; (y, feats) <- docs) {
@@ -171,7 +203,13 @@ object Classifier {
          |  FROM fb GROUP BY 1, 2, 3),
          |samp AS (
          |  SELECT * FROM feats
-         |  WHERE ((doc_id * 2654435761) % 4294967296) % 4 = 0),
+         |  WHERE ((doc_id * 2654435761) % 4294967296) % 4 = 0
+         |    AND doc_id IN (
+         |      SELECT doc_id FROM (
+         |        SELECT DISTINCT doc_id FROM feats
+         |        WHERE ((doc_id * 2654435761) % 4294967296) % 4 = 0
+         |        ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+         |        LIMIT 100000))),
          |bk AS (
          |  SELECT b, CAST(row_number() OVER (ORDER BY b) AS INT) AS i
          |  FROM (SELECT DISTINCT b FROM samp)),

@@ -514,7 +514,7 @@ object EventWindows {
         |      PARTITION BY event_type ORDER BY idx)) AS s
         |  FROM pre)
         |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
-        |  n, s AS s_micro, s > 5 * mu AS flagged
+        |  n, CAST(s AS BIGINT) AS s_micro, s > 5 * mu AS flagged
         |FROM cs ORDER BY 1, 2""".stripMargin),
     // two-sided variant at (k = μ/4, h = 4μ): the low side is the
     // mirrored closed form over y' = μ − k − 10⁶·n
@@ -538,8 +538,8 @@ object EventWindows {
         |      PARTITION BY event_type ORDER BY idx)) AS sl
         |  FROM pre)
         |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
-        |  n, s AS s_micro, s > 4 * mu AS flagged,
-        |  sl AS lo_micro, sl > 4 * mu AS flagged_lo
+        |  n, CAST(s AS BIGINT) AS s_micro, s > 4 * mu AS flagged,
+        |  CAST(sl AS BIGINT) AS lo_micro, sl > 4 * mu AS flagged_lo
         |FROM cs ORDER BY 1, 2""".stripMargin),
     // the closed form of the fold: the element `rev` hours back in an
     // m-row window carries weight 7^rev · 10^(m−1−rev) (exact-BIGINT

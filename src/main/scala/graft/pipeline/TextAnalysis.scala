@@ -773,8 +773,10 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t_subword_fertility" ->
-      """SELECT lang, sum(sw) AS subwords, sum(w) AS words,
-        |  (1000000 * sum(sw)) // sum(w) AS fertility_micro
+      """SELECT lang, CAST(sum(sw) AS BIGINT) AS subwords,
+        |  CAST(sum(w) AS BIGINT) AS words,
+        |  CAST((1000000 * sum(sw)) // sum(w) AS BIGINT)
+        |    AS fertility_micro
         |FROM (
         |  SELECT lang,
         |    list_sum(list_transform(string_split(text, ' '),
@@ -807,7 +809,7 @@ object TextAnalysis {
         |cms AS (SELECT j, b, sum(c) AS cc FROM hb GROUP BY j, b),
         |ex AS (
         |  SELECT w, c AS exact FROM wc ORDER BY c DESC, w LIMIT 20)
-        |SELECT ex.w, ex.exact, min(cms.cc) AS est
+        |SELECT ex.w, ex.exact, CAST(min(cms.cc) AS BIGINT) AS est
         |FROM ex
         |JOIN hb ON hb.w = ex.w
         |JOIN cms ON cms.j = hb.j AND cms.b = hb.b

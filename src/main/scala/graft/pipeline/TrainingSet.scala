@@ -374,7 +374,11 @@ object TrainingSet {
       .withColumn("cum", sum(col("n")).over(w))
       .select(col("lang"), col("n"),
         expr(s"(cum - n) DIV $budget").as("startp"),
-        expr(s"(cum - 1) DIV $budget").as("endp"))
+        // greatest(…, 0) pins the degenerate all-zero-token prefix:
+        // Spark DIV truncates toward zero but DuckDB // floors, so an
+        // unguarded (cum - 1) at cum = 0 would read 0 here and -1 in
+        // the oracle
+        expr(s"greatest(cum - 1, 0) DIV $budget").as("endp"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n")).as("total_tokens"),
@@ -463,8 +467,8 @@ object TrainingSet {
     * source that contributed nothing (target > 0, achieved 0) and an
     * unconfigured source that leaked in (achieved > 0, target 0). One
     * map-side-partial token aggregate, a one-row total broadcast, and
-    * a broadcast factor-table join — nothing corpus-sized shuffles
-    * twice.
+    * a full outer join between two source-cardinality aggregates —
+    * nothing corpus-sized shuffles twice.
     */
   def mixReport(docs: DataFrame,
       targets: Seq[(String, Long)]): DataFrame = {
@@ -487,7 +491,12 @@ object TrainingSet {
     ach.crossJoin(broadcast(tot))
       .select(col("source"), col("tokens"),
         expr("(1000000 * tokens) DIV N").as("achieved_micro"))
-      .join(broadcast(tgt), Seq("source"), "full")
+      // no broadcast hint: Spark cannot broadcast either side of a
+      // FULL OUTER join (the hint would be silently dropped with a
+      // HintErrorLogger warning). Both inputs are already
+      // source-cardinality aggregates, so the shuffle is over a
+      // handful of rows regardless of corpus size.
+      .join(tgt, Seq("source"), "full")
       .select(col("source"),
         coalesce(col("tokens"), lit(0L)).as("tokens"),
         coalesce(a, lit(0L)).as("achieved_micro"),
@@ -812,12 +821,15 @@ object TrainingSet {
        |  FROM documents GROUP BY source),
        |tot AS (SELECT sum(tokens) AS n FROM ach)
        |SELECT coalesce(a.source, t.source) AS source,
-       |  coalesce(a.tokens, 0) AS tokens,
-       |  coalesce((1000000 * a.tokens) // (SELECT n FROM tot), 0)
-       |    AS achieved_micro,
-       |  coalesce((1000000 * t.w) // $tw, 0) AS target_micro,
-       |  abs(coalesce((1000000 * a.tokens) // (SELECT n FROM tot), 0) -
-       |      coalesce((1000000 * t.w) // $tw, 0)) AS dev_micro
+       |  CAST(coalesce(a.tokens, 0) AS BIGINT) AS tokens,
+       |  CAST(coalesce((1000000 * a.tokens) // (SELECT n FROM tot), 0)
+       |    AS BIGINT) AS achieved_micro,
+       |  CAST(coalesce((1000000 * t.w) // $tw, 0) AS BIGINT)
+       |    AS target_micro,
+       |  CAST(
+       |    abs(coalesce((1000000 * a.tokens) // (SELECT n FROM tot), 0)
+       |      - coalesce((1000000 * t.w) // $tw, 0)) AS BIGINT)
+       |    AS dev_micro
        |FROM ach a FULL JOIN tgt t ON a.source = t.source
        |ORDER BY source""".stripMargin
   }
@@ -827,8 +839,11 @@ object TrainingSet {
     // the packSequences windows replayed, then one per-lang aggregate;
     // every quantity is BIGINT arithmetic (// == the engine's DIV)
     "a_pack_efficiency" ->
-      """SELECT lang, n_docs, total_tokens, n_packs, straddled,
-        |  (1000000 * total_tokens) // (n_packs * 2048) AS util_micro
+      """SELECT lang, n_docs, CAST(total_tokens AS BIGINT) AS total_tokens,
+        |  CAST(n_packs AS BIGINT) AS n_packs,
+        |  CAST(straddled AS BIGINT) AS straddled,
+        |  CAST((1000000 * total_tokens) // (n_packs * 2048) AS BIGINT)
+        |    AS util_micro
         |FROM (
         |  SELECT lang, count(*) AS n_docs, sum(n) AS total_tokens,
         |    max(endp) + 1 AS n_packs,
@@ -836,7 +851,7 @@ object TrainingSet {
         |      AS straddled
         |  FROM (
         |    SELECT lang, n, (cum - n) // 2048 AS startp,
-        |      (cum - 1) // 2048 AS endp
+        |      greatest(cum - 1, 0) // 2048 AS endp
         |    FROM (
         |      SELECT lang,
         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n,

@@ -52,9 +52,11 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, Decimal,
   *    never past the 1.0 that two buckets apart would need — PROVIDED
   *    |x| / 2δ < 2⁵¹ (quotient ulp < 0.5). Beyond that magnitude the
   *    quotient cannot resolve δ at all and a boundary pair could land
-  *    2 buckets apart, so the rewrite skips when the band is that many
-  *    orders below the data's magnitude — there is no static check,
-  *    which is why the bound is documented here and in SCALING.md
+  *    2 buckets apart, so the bucket expression carries a per-row
+  *    FAIL-LOUD guard at 2⁵⁰ (see [[bucketD]]) — extreme-magnitude
+  *    data raises a runtime error naming the fix instead of silently
+  *    losing pairs, and [[ContinuousEnabledKey]] turns the whole
+  *    continuous path off for users who prefer the un-rewritten plan
   *    (decimals ride the same doubled-width path through a double
   *    cast; their residual predicate stays exact decimal arithmetic).
   *    Strict bounds keep δ for bucketing (a sound superset — the
@@ -288,11 +290,43 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     IntegralDivide(Subtract(el, Pmod(el, d)), d)
   }
 
+  /** Conf gate for the continuous (DOUBLE/FLOAT/DECIMAL) path only —
+    * the exact BIGINT/timestamp path is always on. Default true: the
+    * magnitude soundness bound is enforced per ROW by [[bucketD]]'s
+    * fail-loud guard, so extreme data errors instead of silently
+    * dropping pairs; the flag exists for users who would rather keep
+    * the (correct, product-shaped) nested-loop plan than see the
+    * runtime error.
+    */
+  val ContinuousEnabledKey = "spark.graft.bandJoinRewrite.continuousEnabled"
+
   /** Continuous bucket: floor(x / 2δ) — the doubled width absorbs IEEE
     * division rounding (see class doc), Floor on DOUBLE yields BIGINT.
+    *
+    * The proof needs the quotient ulp < 0.5, i.e. |x| / 2δ < 2⁵¹.
+    * There is no static check on data magnitude, so the bucket carries
+    * a per-row GUARD at the stricter 2⁵⁰ (one binade of headroom so a
+    * qualifying partner of a barely-legal row is itself still inside
+    * the proof): any row past it raises a runtime error naming the
+    * fix, rather than letting an optimizer rewrite silently drop
+    * qualifying pairs. NULL operands take the bucket branch (bucket of
+    * NULL is NULL, same as before the guard).
     */
-  private def bucketD(e: Expression, delta: Double): Expression =
-    Floor(Divide(Cast(e, DoubleType), Literal(2.0d * delta)))
+  private def bucketD(e: Expression, delta: Double): Expression = {
+    val x = Cast(e, DoubleType)
+    val width = 2.0d * delta
+    // Double.PositiveInfinity when width·2⁵⁰ overflows — then every
+    // finite row passes, which is right: a huge δ means tiny quotients
+    val limit = width * 1125899906842624.0d // 2^50
+    val guard = Or(IsNull(x),
+      LessThan(Abs(x, failOnError = false), Literal(limit)))
+    val err = Cast(new RaiseError(Literal(
+      s"BandJoinRewrite: |operand| exceeds $limit = 2delta*2^50, " +
+        "beyond which delta-bucketing cannot resolve the band; cast " +
+        s"the operands to BIGINT or set $ContinuousEnabledKey=false")),
+      LongType)
+    If(guard, Floor(Divide(x, Literal(width))), err)
+  }
 
   /** The δ-bucket rewrite with the replicated side chosen by join
     * type: the side whose unmatched rows must survive an outer join
@@ -334,11 +368,14 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       else bandFromConjuncts(conjuncts, left, right) match {
         case Some((ls, rs, delta)) =>
           rewrite(j, bucket(_, delta), ls, rs)
-        case None => bandFromConjunctsD(conjuncts, left, right) match {
-          case Some((ls, rs, delta)) =>
-            rewrite(j, bucketD(_, delta), ls, rs)
-          case None => j
-        }
+        case None if conf.getConfString(ContinuousEnabledKey, "true")
+            .toBoolean =>
+          bandFromConjunctsD(conjuncts, left, right) match {
+            case Some((ls, rs, delta)) =>
+              rewrite(j, bucketD(_, delta), ls, rs)
+            case None => j
+          }
+        case None => j
       }
     }
   }

@@ -150,15 +150,24 @@ object WindowedStreams {
     // guards its domain list: count the distinct grams FIRST (one
     // distributed aggregate, a scalar to the driver) and fail loud
     // before any collect can OOM the driver on a mis-pointed target.
-    // total token count upper-bounds BOTH maps (distinct unigrams and
-    // distinct bigrams are each ≤ tokens), so one cheap aggregate
-    // guards the pair
-    val nGrams = target
-      .select(size(split(col("text"), " ")).as("k"))
-      .agg(coalesce(sum(col("k")), lit(0L)).as("n"))
+    // the driver holds one entry per DISTINCT gram, so the guard
+    // counts distinct unigrams + bigrams (a long repetitive curated
+    // target with a small vocabulary is legal — a total-token proxy
+    // would wrongly refuse it). approx_count_distinct at rsd 1% keeps
+    // it one shuffle-free HLL aggregate; the ±1% on a memory bound is
+    // immaterial (the bigram gram carries a space, a unigram cannot,
+    // so the union double-counts nothing)
+    val bigramsOf = expr(
+      "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1)," +
+        " slice(split(text, ' '), 2, size(split(text, ' ')) - 1)," +
+        " (a, b) -> concat(a, ' ', b))")
+    val nGrams = target.select(explode(split(col("text"), " ")).as("g"))
+      .union(target.select(col("text"))
+        .select(explode(bigramsOf).as("g")))
+      .agg(approx_count_distinct(col("g"), 0.01).as("n"))
       .as[Long].head()
     require(nGrams <= maxVocab,
-      s"target holds $nGrams tokens, exceeding maxVocab=" +
+      s"target holds ~$nGrams distinct grams, exceeding maxVocab=" +
         s"$maxVocab: domainScoreGate trains a DRIVER-held model and is " +
         "only safe on a reference-sample-sized target (use the batch " +
         "join formulation bigramCrossEntropyAgainst for corpus-shaped " +

@@ -219,6 +219,44 @@ class BandJoinRuleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
   }
 
+  test("extreme-magnitude doubles FAIL LOUD under the rewrite instead " +
+      "of silently dropping qualifying pairs (|x|/2δ beyond the " +
+      "floor-division soundness bound)") {
+    // at |x| ≈ 2⁶⁰ with δ = 0.5, floor(x/2δ) cannot resolve the band —
+    // an unguarded rewrite would keep the pair or drop it by luck; the
+    // guard turns the luck into a runtime error naming the escape hatch
+    val big = math.pow(2.0, 60)
+    val ld = Seq((1L, big)).toDF("lid", "lx")
+    val rd = Seq((10L, big + 0.25)).toDF("rid", "rx")
+    def q = ld.join(rd, abs(col("lx") - col("rx")) <= lit(0.5))
+      .select("lid", "rid")
+    val e = intercept[Exception] { withRule { q.collect() } }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("BandJoinRewrite")),
+      s"expected the bucket guard's error, got: $e")
+  }
+
+  test("the continuous path honors its conf gate: disabled, the plan " +
+      "stays un-rewritten and extreme magnitudes answer correctly") {
+    val big = math.pow(2.0, 60)
+    val ld = Seq((1L, big), (2L, 0.0)).toDF("lid", "lx")
+    val rd = Seq((10L, big + 0.25), (11L, 0.1)).toDF("rid", "rx")
+    def q = ld.join(rd, abs(col("lx") - col("rx")) <= lit(0.5))
+      .select("lid", "rid")
+    spark.conf.set(BandJoinRewrite.ContinuousEnabledKey, "false")
+    try {
+      val (rows, plan) = withRule {
+        val df = q
+        (df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet,
+          df.queryExecution.optimizedPlan.toString)
+      }
+      assert(!plan.contains("__kband"), "continuous path must not fire")
+      assert(rows == Set((1L, 10L), (2L, 11L)))
+    } finally spark.conf.unset(BandJoinRewrite.ContinuousEnabledKey)
+  }
+
   test("differential property: 25 random double configs agree with " +
       "the naive cross-filter under the rule, inner and right_outer") {
     val rnd = new scala.util.Random(11)

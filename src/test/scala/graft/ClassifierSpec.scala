@@ -118,13 +118,35 @@ class ClassifierSpec extends AnyFunSuite {
     assert(w.getOrElse(bucket("clickbait"), 0L) < 0L)
   }
 
-  test("oversized labeled samples are refused at the driver bound") {
-    val oversized = spark.range(Classifier.MaxSample + 1)
+  test("the feature-row guard fires loud BEFORE any driver collect") {
+    // 100 rows against a 10-row bound: the distributed count trips the
+    // require — the collect (which would be the OOM at real scale)
+    // never runs
+    val feats = spark.range(100)
       .select(col("id").as("doc_id"), lit(1L).as("y"),
-        (col("id") % 100).as("b"), lit(1L).as("c"))
+        (col("id") % 7).as("b"), lit(1L).as("c"))
     val ex = intercept[IllegalArgumentException] {
-      Classifier.trainOnlinePerceptron(oversized, 1)
+      Classifier.trainOnlinePerceptron(feats, 1,
+        maxDocs = 1000, maxRows = 10L)
     }
-    assert(ex.getMessage.contains("driver bound"))
+    assert(ex.getMessage.contains("driver-collect bound"))
+  }
+
+  test("maxDocs caps membership to the smallest mixHash keys") {
+    // the cap must behave exactly like hand-selecting the maxDocs
+    // smallest (mixHash, doc_id) keys — the property that makes the
+    // driver sample corpus-size-INDEPENDENT
+    val n = 50L
+    def feats = spark.range(n)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, 1L).otherwise(-1L).as("y"),
+        (col("id") % 5).as("b"), lit(1L).as("c"))
+    def mh(id: Long) = (id * 2654435761L) % 4294967296L
+    val keep = (0L until n).sortBy(id => (mh(id), id)).take(8)
+    val manual = Classifier.trainOnlinePerceptron(
+      feats.filter(col("doc_id").isin(keep: _*)), 2)
+    val capped = Classifier.trainOnlinePerceptron(feats, 2, maxDocs = 8)
+    assert(capped == manual)
+    assert(capped.nonEmpty)
   }
 }

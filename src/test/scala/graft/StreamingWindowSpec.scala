@@ -217,6 +217,23 @@ class StreamingWindowSpec extends AnyFunSuite {
       "the error must point at the corpus-scale alternative")
   }
 
+  test("a long but small-vocabulary target is accepted — the guard " +
+      "bounds DISTINCT grams, not total tokens") {
+    import spark.implicits._
+    // 300 tokens total (3× maxVocab) but only 3 distinct unigrams +
+    // 2 distinct bigrams: the driver model is tiny, so a repetitive
+    // curated target must train, not hard-fail
+    val target = (1 to 100).map(i => (i.toLong, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val records = Seq((("alpha beta").getBytes("UTF-8"), "1"))
+      .toDF("data", "sequenceNumber")
+      .withColumn("partitionKey", lit("k"))
+    val gated = WindowedStreams.domainScoreGate(records, target,
+      maxCe = 50.0, maxVocab = 100)
+    assert(gated.columns.contains("ce"))
+    assert(gated.count() == 1L)
+  }
+
   test("streaming quality gate filters low-quality and exact-dup payloads") {
     val dir = Files.createTempDirectory("wquality").toString
     val base = 1700000000L

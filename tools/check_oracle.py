@@ -41,6 +41,18 @@ def main(outdir, sfdir):
             ocols, orows = frame(con, sql)
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}"); fail += 1; continue
+        # Fence (round 9): the driver's hasher renders DuckDB
+        # DECIMAL128/HUGEINT cells differently than Spark BIGINT even
+        # when the values match (the round-8 six-red-row root cause) —
+        # our local stringify comparator can't see it, so fail on TYPE.
+        rel = con.sql(sql)
+        hot = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+               if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()]
+        if hot:
+            print(f"FAIL {name}: oracle output column(s) {hot} are "
+                  f"DECIMAL128/HUGEINT — driver hash will mismatch Spark "
+                  f"BIGINT; add CAST(... AS BIGINT) in the oracle SQL")
+            fail += 1; continue
         if gcols != ocols:
             print(f"FAIL {name}: schema {gcols} vs oracle {ocols}"); fail += 1; continue
         if len(grows) != len(orows):
