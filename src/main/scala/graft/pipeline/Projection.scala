@@ -128,6 +128,29 @@ object Projection {
     graft.functions.CovSketch.covEntries(stats, d).foreach {
       case (i, j, v) => c(i)(j) = v; c(j)(i) = v
     }
+    powerIter(c, d)
+  }
+
+  /** The same driver eigen step over a covariance QUANTIZED to the
+    * 1e-6 grid — the oracle-graduation move proven by
+    * `s_mahalanobis_diag`: both engines derive bit-identical matrices
+    * (the grid `s_covariance`'s green rows pin), and from an identical
+    * start every power step is the same IEEE multiply-add sequence
+    * (matVec row-major ascending, squared-norm left-to-right), so the
+    * 1e-6-rounded loadings agree exactly. Power iteration is also
+    * CONTRACTIVE toward the dominant eigenvector — ulp noise decays
+    * instead of compounding, which is what separates this from the
+    * Gauss–Jordan inversion that keeps `s_mahalanobis` rows-only.
+    */
+  def pcaTopQuantized(entries: Seq[(Int, Int, Double)], d: Int)
+      : (Array[Double], Double) = {
+    val c = Array.ofDim[Double](d, d)
+    entries.foreach { case (i, j, v) => c(i)(j) = v; c(j)(i) = v }
+    powerIter(c, d)
+  }
+
+  private def powerIter(c: Array[Array[Double]], d: Int)
+      : (Array[Double], Double) = {
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     def matVec(x: Array[Double]): Array[Double] = {
       val y = new Array[Double](d)
@@ -307,31 +330,37 @@ object Projection {
       import s.implicits._
       CovSketch_entries(s, d).toDF("i", "j", "cov").orderBy("i", "j")
     },
-    // leading principal component — driver eigen step on the same
-    // collected stats; rows-only BY DESIGN, not omission: an
-    // eigenvector has no closed form (Abel–Ruffini at d ≥ 5), so a
-    // DuckDB twin would be the 100-step power iteration unrolled as a
-    // float recursion in SQL — the exact comparator-fragility class
-    // the w_cusum closed-form rewrite eliminated (a recursion the two
-    // engines must replay ulp-for-ulp across comparator versions).
-    // Coverage instead: the covariance INPUT is the hash-green
-    // s_covariance row, and PcaSpec pins the eigen residual +
-    // invariants of the driver step
+    // leading principal component — ORACLE-BACKED since round 9: the
+    // iteration runs on the 1e-6-QUANTIZED covariance (the exact grid
+    // s_covariance's green rows prove both engines share), so the
+    // DuckDB twin's recursive CTE replays the same IEEE multiply-add
+    // sequence from the same literal start (see [[pcaTopQuantized]];
+    // contraction is what makes the recursion safe where the w_cusum
+    // fold was not). PcaSpec still pins the eigen residual +
+    // invariants of the driver step on the raw-stats tier
     "s_pca_top" -> { (s, d) =>
       import s.implicits._
-      val (v, lambda) = pcaTop(covStats(s, d), InDims)
+      val (v, lambda) = pcaTopQuantized(CovSketch_entries(s, d), InDims)
       v.zipWithIndex.map { case (x, i) => (i, r6(x), r6(lambda)) }
         .toSeq.toDF("dim", "loading", "eigval").orderBy("dim")
     },
-    // full-covariance Mahalanobis gate — rows-only BY DESIGN: C⁻¹ is
-    // a data-dependent driver artifact (no static literals possible —
-    // the same oracle text must hold at every sf), and inverting C
-    // inside the oracle would be a 64-step Gauss–Jordan float
-    // recursion in SQL, the w_cusum fragility class again. Coverage:
-    // s_covariance hash-checks the input, PcaSpec pins scores against
-    // an exact in-memory recompute + the low-variance-direction catch
-    // L2 misses, and s_mahalanobis_diag is the oracle-backed member
-    // of the family (closed-form scoring, no inversion)
+    // full-covariance Mahalanobis gate — rows-only BY DESIGN, and the
+    // boundary is sharp now that s_pca_top graduated: power iteration
+    // is CONTRACTIVE (ulp noise decays toward the dominant
+    // eigenvector, so a quantized-input recursion is engine-stable),
+    // while Gauss–Jordan elimination is NOT — each of the 64 pivot
+    // steps propagates rounding forward with nothing pulling it back,
+    // and the partial-pivot argmax compares data-dependent floats
+    // whose ties/near-ties may resolve differently per engine, after
+    // which the two eliminations follow entirely different arithmetic
+    // paths. Quantizing the INPUT cannot fix divergence created
+    // inside the recursion itself, so a DuckDB inversion twin would
+    // be comparator-fragile in exactly the way the other no-oracle
+    // entries document. Coverage: s_covariance hash-checks the input,
+    // PcaSpec pins scores against an exact in-memory recompute + the
+    // low-variance-direction catch L2 misses, and s_mahalanobis_diag
+    // is the oracle-backed member of the family (closed-form scoring,
+    // no inversion)
     "s_mahalanobis" -> { (s, d) =>
       mahalanobisTop(Tables.spread(Tables.embeddings(s, d)), 20)
     },
@@ -441,8 +470,61 @@ object Projection {
        |WHERE rk <= 20 ORDER BY score DESC, vec_id""".stripMargin
   }
 
+  /** DuckDB twin of the quantized [[pcaTopQuantized]] tier: covariance
+    * on the shared 1e-6 grid, then the 100-step power iteration as a
+    * recursive CTE over a LIST(DOUBLE) state (the t_classifier_train
+    * recursion pattern) — each step one matVec + normalize in the
+    * engine's operation order, then the engine's sign fix (first
+    * largest-|loading| component made positive). All literals CAST to
+    * DOUBLE: a bare `0.125` is DECIMAL in DuckDB and would poison the
+    * arithmetic (and trip the check_oracle DECIMAL128 fence).
+    */
+  private def pcaTopOracleSql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |x AS (
+       |  SELECT vec_id, u.i AS i1, v[u.i] AS xi
+       |  FROM e, unnest(range(1, ${InDims + 1})) u(i)),
+       |covf AS (
+       |  SELECT a.i1 AS i, b.i1 AS j,
+       |    round(sum(a.xi * b.xi) / count(*) -
+       |      (sum(a.xi) / count(*)) * (sum(b.xi) / count(*)), 6) + 0.0
+       |      AS c
+       |  FROM x a JOIN x b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2),
+       |cm AS (SELECT i, list(c ORDER BY j) AS r FROM covf GROUP BY i),
+       |cl AS (SELECT list(r ORDER BY i) AS m FROM cm),
+       |it(k, v) AS (
+       |  SELECT 0, list_transform(range($InDims),
+       |    q -> CAST(${1.0 / math.sqrt(InDims.toDouble)} AS DOUBLE))
+       |  UNION ALL
+       |  SELECT it.k + 1,
+       |    list_transform(
+       |      list_transform(cl.m, r -> list_dot_product(r, it.v)),
+       |      t -> t / sqrt(list_dot_product(
+       |        list_transform(cl.m, r -> list_dot_product(r, it.v)),
+       |        list_transform(cl.m, r -> list_dot_product(r, it.v)))))
+       |  FROM it, cl WHERE it.k < 100),
+       |vf AS (SELECT v FROM it WHERE k = 100),
+       |mv AS (SELECT list_transform(cl.m, r -> list_dot_product(r, vf.v))
+       |         AS y
+       |       FROM cl, vf),
+       |lam AS (SELECT list_dot_product(vf.v, mv.y) AS l FROM vf, mv),
+       |am AS (
+       |  SELECT u.i AS am FROM vf, unnest(range(1, ${InDims + 1})) u(i)
+       |  ORDER BY abs(vf.v[u.i]) DESC, u.i LIMIT 1),
+       |sg AS (SELECT CASE WHEN vf.v[am.am] < 0 THEN CAST(-1.0 AS DOUBLE)
+       |              ELSE CAST(1.0 AS DOUBLE) END AS s
+       |       FROM vf, am)
+       |SELECT CAST(u.i - 1 AS INT) AS dim,
+       |  round(sg.s * vf.v[u.i], 6) + 0.0 AS loading,
+       |  round(lam.l, 6) + 0.0 AS eigval
+       |FROM vf, sg, lam, unnest(range(1, ${InDims + 1})) u(i)
+       |ORDER BY dim""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "s_random_projection" -> oracleSqlText,
+    "s_pca_top" -> pcaTopOracleSql,
     "a_projection_recall" -> recallOracleSql,
     "s_mahalanobis_diag" -> mahalanobisDiagOracleSql,
     // the aggregate's sums replayed as plain SQL: cov = E[xy] − E[x]E[y]
