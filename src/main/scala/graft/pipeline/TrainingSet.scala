@@ -456,7 +456,7 @@ object TrainingSet {
     * constant feeds both the engine query and the generated oracle so
     * the two can never drift.
     */
-  private[pipeline] val MixTargets: Seq[(String, Long)] =
+  private[graft] val MixTargets: Seq[(String, Long)] =
     (0 until 20).map(i => (s"src$i", 1L + i % 3))
 
   /** Mix-deviation audit — the acceptance check of corpus assembly:
@@ -471,20 +471,32 @@ object TrainingSet {
     * nothing corpus-sized shuffles twice.
     */
   def mixReport(docs: DataFrame,
+      targets: Seq[(String, Long)]): DataFrame =
+    mixReportFromAch(
+      docs.groupBy("source")
+        .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("tokens")),
+      targets)
+
+  /** The deviation arithmetic over an already-aggregated
+    * (source, tokens) frame — shared verbatim by the batch operator
+    * and [[graft.streaming.MixReportStream]]'s cumulative view, so
+    * stream ≡ batch is equality of the token sums plus THIS one
+    * function (token counts are additive across micro-batches; the
+    * DIV grid is applied only here, after the final sum).
+    */
+  def mixReportFromAch(ach: DataFrame,
       targets: Seq[(String, Long)]): DataFrame = {
     require(targets.nonEmpty && targets.forall(_._2 > 0),
       "targets must be non-empty with positive weights")
     require(targets.map(_._1).distinct.size == targets.size,
       "duplicate source in targets")
     val tw = targets.map(_._2).sum
-    val spark = docs.sparkSession
+    val spark = ach.sparkSession
     import spark.implicits._
     val tgt = targets.toDF("source", "w")
       .select(col("source"),
         expr(s"(1000000 * w) DIV $tw").as("target_micro"))
-    val ach = docs.groupBy("source")
-      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long"))
-        .as("tokens"))
     val tot = ach.agg(sum(col("tokens")).as("N"))
     val a = col("achieved_micro")
     val t = col("target_micro")
