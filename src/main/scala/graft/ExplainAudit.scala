@@ -66,6 +66,10 @@ object ExplainAudit {
     // carries one buffer per (partition, doc), never the shingle rows
     audit("d_simhash", "partial_simhashsketch")
     audit("d_minhash_lsh", "partial_minhashsketch")
+    // portable simhash: the 60 vote counters are ONE map-side-combined
+    // declarative aggregate (the SimHashSketch buffer's declarative
+    // twin) — the shuffle carries 60 longs per doc, never shingle rows
+    audit("d_simhash_portable", "partial_sum")
     // composed training-set: the language gate reaches the parquet scan
     // and the dedup drop-list anti-joins via broadcast (never a shuffle
     // of the corpus for the keep-list)

@@ -244,7 +244,85 @@ object Fingerprints {
       .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** ENGINE-PORTABLE SimHash near-dup pairs — the oracle-backed member
+    * of the SimHash family, completing the portable-twin split
+    * (`d_minhash_portable` / `t_cms_portable` precedent: the fast
+    * [[simhashes]] tier keeps its xxhash64-fed native aggregate and
+    * recall spec; THIS tier trades hash throughput for cross-engine
+    * determinism). Each DISTINCT shingle contributes a 60-bit value —
+    * its md5's first 15 hex nibbles as one BIGINT — and a doc's
+    * fingerprint bit b is 1 iff Σ±1 votes over its shingles at bit b
+    * are positive (ties → 0): all INTEGER arithmetic, so any engine
+    * reproduces the fingerprint bit-for-bit. 60 bits band 4×15
+    * (pigeonhole: hamming ≤ 3 cannot touch all four bands, so band
+    * equality is COMPLETE for the radius — the Manku WWW'07 design on
+    * a 32k-value band keyspace); candidates verify on exact
+    * `bit_count(xor)`.
+    *
+    * Scale shape: hashing rides the dedupe-then-weight rule (one md5
+    * per DISTINCT shingle), the 60 vote counters are ONE
+    * map-side-combined aggregate (declarative twin of the
+    * SimHashSketch buffer — no explode-by-bit), the band join is the
+    * standard LSH bucket equi-join carrying id pairs only, and the
+    * verify re-fetches two BIGINT fingerprints per candidate. The
+    * production-skew bucket cap stays on the fast tier; this tier's
+    * contract is cross-engine replayability, and its plain band join
+    * is what the oracle mirrors.
+    */
+  /** (doc_id, fp) 60-bit portable fingerprints — the state
+    * [[simhashPortablePairs]] bands; public so the completeness spec
+    * can brute-force the hamming ground truth over it.
+    */
+  def simhashPortableFingerprints(docs: DataFrame): DataFrame = {
+    val bits = 60
+    val sh = graft.Tables.spread(docs)
+      .select(col("doc_id"),
+        explode(graft.pipeline.Dedup.shingles(col("text"))).as("s"))
+    val hs = sh.select("s").distinct()
+      .select(col("s"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val counters = (0 until bits).map(b =>
+      sum(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1)
+        .as(s"c$b"))
+    val sigs = sh.join(hs, "s").groupBy("doc_id")
+      .agg(counters.head, counters.tail: _*)
+    val fp = (0 until bits).map(b =>
+      when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sigs.select(col("doc_id"), fp.as("fp"))
+  }
+
+  def simhashPortablePairs(docs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val f = simhashPortableFingerprints(docs)
+    val banded = f.select(col("doc_id"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("fp"), b * 15)
+          .bitwiseAND(lit(0x7FFFL)).as("bkey"))): _*)).as("bb"))
+      .select(col("doc_id"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cands = banded.select(col("doc_id").as("da"),
+        col("band"), col("bkey"))
+      .join(banded.select(col("doc_id").as("db"), col("band"),
+        col("bkey")), Seq("band", "bkey"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    cands
+      .join(f.select(col("doc_id").as("da"), col("fp").as("fa")), "da")
+      .join(f.select(col("doc_id").as("db"), col("fp").as("fb")), "db")
+      .select(col("da"), col("db"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   val queries: Map[String, Q] = Map(
+    // the oracle-backed SimHash tier (see simhashPortablePairs)
+    "d_simhash_portable" -> { (s, d) =>
+      simhashPortablePairs(Tables.documents(s, d))
+        .orderBy("da", "db")
+    },
     // Winnowing document-fingerprint index: the local-fingerprinting
     // counterpart to the global [[RollingHash]] content fingerprint —
     // full oracle (md5 grams, band-join argmax twin).
@@ -345,7 +423,62 @@ object Fingerprints {
   // re-derived as min-over-trailing-window + a 4-wide band join taking the
   // max position among hash matches — order-independent in both engines,
   // md5 hex strings compare identically.
+  /** DuckDB twin of [[simhashPortablePairs]]: the 60-bit value is the
+    * same md5-nibble sum (t_cms_portable idiom), the 60 vote counters
+    * are 60 explicit SUM columns, the fingerprint reassembles from
+    * CAST-to-BIGINT power-of-two literals (an INTEGER chain would
+    * overflow at bit 31), and candidates band/verify with the same
+    * shift/mask/bit_count arithmetic.
+    */
+  private def simhashPortableOracleSql: String = {
+    val nibSum = (1 to 15).map { i =>
+      val mul = 1L << (4 * (15 - i))
+      s"(strpos('0123456789abcdef', substr(md5(s), $i, 1)) - 1) * " +
+        s"CAST($mul AS BIGINT)"
+    }.mkString("\n    + ")
+    val counters = (0 until 60).map(b =>
+      s"SUM(((h >> $b) & 1) * 2 - 1) AS c$b").mkString(",\n    ")
+    val reassemble = (0 until 60).map(b =>
+      s"(CASE WHEN c$b > 0 THEN CAST(${1L << b} AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END)").mkString("\n    + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(t) - 2, 1) + 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |ds AS (SELECT DISTINCT s FROM sh),
+       |hv AS (
+       |  SELECT s, $nibSum AS h
+       |  FROM ds),
+       |cnt AS (
+       |  SELECT sh.doc_id,
+       |    $counters
+       |  FROM sh JOIN hv USING (s) GROUP BY 1),
+       |fps AS (
+       |  SELECT doc_id,
+       |    $reassemble AS fp
+       |  FROM cnt),
+       |bands AS (
+       |  SELECT doc_id, u.b AS band, (fp >> (u.b * 15)) & 32767 AS bkey
+       |  FROM fps, unnest(range(0, 4)) u(b)),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey
+       |      AND a.doc_id < b.doc_id)
+       |SELECT da, db,
+       |  CAST(bit_count(xor(x.fp, y.fp)) AS INTEGER) AS hamming
+       |FROM cands
+       |JOIN fps x ON x.doc_id = da
+       |JOIN fps y ON y.doc_id = db
+       |WHERE bit_count(xor(x.fp, y.fp)) <= 3
+       |ORDER BY da, db""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d_simhash_portable" -> simhashPortableOracleSql,
     // the portable MinHash replayed: lexicographic min over 12-hex
     // md5 prefixes, 4×4 banding, band-vector equality, exact verify
     "d_minhash_portable" ->

@@ -79,6 +79,31 @@ class PipelineSpec extends AnyFunSuite {
       s"simhash recall ${overlap / exactPairs.size}")
   }
 
+  test("portable simhash finds near-dup pairs overlapping ground truth") {
+    val shPairs = pairs(SparkEntry.queries("d_simhash_portable")(spark, sf))
+    assert(shPairs.nonEmpty, "portable simhash found no pairs")
+    val overlap = shPairs.count(exactPairs.contains).toDouble
+    assert(overlap / exactPairs.size >= 0.5,
+      s"portable simhash recall ${overlap / exactPairs.size}")
+  }
+
+  test("portable simhash 4×15-bit banding is COMPLETE for hamming ≤ 3") {
+    val sigs = Fingerprints
+      .simhashPortableFingerprints(Tables.documents(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (ida, ha) <- sigs; (idb, hb) <- sigs
+      if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ida, idb)).toSet
+    val found = pairs(SparkEntry.queries("d_simhash_portable")(spark, sf))
+    assert(truth.nonEmpty, "fixture has no hamming≤3 pairs to check")
+    assert(truth.subsetOf(found),
+      s"banding missed ${(truth -- found).size} of ${truth.size} pairs")
+    assert(found == truth,
+      "portable pairs must be EXACTLY the hamming≤3 set (the tier is " +
+        "deterministic, not sampled)")
+  }
+
   test("simhash 4×16-bit banding is COMPLETE for hamming ≤ 3 " +
       "(pigeonhole: 3 flipped bits cannot touch all 4 bands)") {
     val sigs = Fingerprints.simhashes(Tables.documents(spark, sf))
