@@ -128,8 +128,10 @@ object Similarity {
     *
     * Everything is column expressions over literal codebooks: encoding is
     * per-row argmin over k, no join, no UDF; the only shuffles are the
-    * bounded TopKPerKey reductions. Approximate → rows-only; recall vs
-    * brute force is asserted in PipelineSpec.
+    * bounded TopKPerKey reductions. Approximate relative to brute
+    * force (recall asserted in PipelineSpec) but DETERMINISTIC, so
+    * since round 9 it carries a full oracle ([[annPqOracle]] — the
+    * ivfpq twin minus the probe step).
     */
   private def pqQuery(s: SparkSession, d: String): DataFrame = {
     val dims = 64; val m = 8; val sub = dims / m
@@ -215,8 +217,8 @@ object Similarity {
     * cross-joined or windowed: one assignment+encode scan, one
     * cell-equi-join, two bounded-heap reductions.
     *
-    * Unlike the standalone PQ tier (rows-only), this one carries a
-    * FULL oracle: every step is deterministic double/int arithmetic
+    * Carries a FULL oracle (as does the standalone PQ tier since
+    * round 9): every step is deterministic double/int arithmetic
     * (mixHash sample, left-to-right subspace dots, integer-id tie
     * breaks, an EXPLICIT 8-term ADC addition chain matching the fold
     * order), so DuckDB replays sample → assign → encode → probe → ADC
@@ -637,6 +639,74 @@ object Similarity {
     * and the 8-term ADC sum is an EXPLICIT addition chain — the same
     * association order as the engine's left fold.
     */
+  /** DuckDB twin of the standalone PQ tier — the ivfpq oracle minus
+    * the IVF probe step (graduated round 9 on the equivalences that
+    * oracle already proved green: `aggregate`-fold subspace dots ≡
+    * `list_dot_product`, first-min `array_position` encoding ≡
+    * `row_number ORDER BY dist, cid`, the explicit 8-term ADC chain,
+    * and unrounded-dot re-rank with nid ties): every corpus vector is
+    * ADC-scored against each query's table, top-100 shortlists by
+    * (adc DESC, nid), exact re-rank keeps rank ≤ 10.
+    */
+  private def annPqOracle: String = {
+    val m = 8; val sub = 8
+    val adcChain = (1 to m).map(j =>
+      s"qtab[$j][codes[$j] + 1]").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> x /
+       |      sqrt(list_dot_product(embedding::DOUBLE[],
+       |                            embedding::DOUBLE[]))) AS v
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v
+       |  FROM (SELECT vec_id, v,
+       |          ((vec_id * 2654435761) % 4294967296) AS h FROM e)
+       |  ORDER BY h, vec_id LIMIT 16),
+       |pj AS (
+       |  SELECT vec_id, j, cid,
+       |    list_dot_product(cb, cb) - 2 * list_dot_product(sv, cb) AS dist
+       |  FROM (
+       |    SELECT e.vec_id, r.j, c.cid,
+       |      list_slice(e.v, r.j * $sub + 1, r.j * $sub + $sub) AS sv,
+       |      list_slice(c.v, r.j * $sub + 1, r.j * $sub + $sub) AS cb
+       |    FROM e CROSS JOIN range($m) r(j) CROSS JOIN cents c)),
+       |codes AS (
+       |  SELECT vec_id, list(code ORDER BY j) AS codes FROM (
+       |    SELECT vec_id, j, cid AS code, row_number() OVER (
+       |        PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+       |    FROM pj) WHERE rn = 1 GROUP BY vec_id),
+       |qt AS (
+       |  SELECT qid, list(tab ORDER BY j) AS qtab FROM (
+       |    SELECT qid, j, list(dot ORDER BY cid) AS tab FROM (
+       |      SELECT q.vec_id AS qid, r.j, c.cid,
+       |        list_dot_product(
+       |          list_slice(q.v, r.j * $sub + 1, r.j * $sub + $sub),
+       |          list_slice(c.v, r.j * $sub + 1, r.j * $sub + $sub)) AS dot
+       |      FROM e q CROSS JOIN range($m) r(j) CROSS JOIN cents c
+       |      WHERE q.vec_id < 5)
+       |    GROUP BY qid, j)
+       |  GROUP BY qid),
+       |adc AS (
+       |  SELECT qt.qid, a.vec_id AS nid, $adcChain AS adc
+       |  FROM qt
+       |  CROSS JOIN codes a
+       |  WHERE a.vec_id <> qt.qid),
+       |short AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (
+       |        PARTITION BY qid ORDER BY adc DESC, nid) AS rn
+       |    FROM adc) WHERE rn <= 100)
+       |SELECT qid, nid, rank FROM (
+       |  SELECT s.qid, s.nid, row_number() OVER (
+       |      PARTITION BY s.qid
+       |      ORDER BY list_dot_product(eq.v, en.v) DESC, s.nid) AS rank
+       |  FROM short s
+       |  JOIN e eq ON eq.vec_id = s.qid
+       |  JOIN e en ON en.vec_id = s.nid)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
   private def annIvfPqOracle: String = {
     val m = 8; val sub = 8
     val adcChain = (1 to m).map(j =>
@@ -714,6 +784,7 @@ object Similarity {
   lazy val oracles: Map[String, String] = Map(
     "a_ann_recall" -> annRecallOracle,
     "s_ann_ivf" -> annIvfOracle,
+    "s_ann_pq" -> annPqOracle,
     "s_ann_ivfpq" -> annIvfPqOracle,
     "s_quantize_int8" ->
       """WITH e AS (
