@@ -70,6 +70,10 @@ object ExplainAudit {
     // declarative aggregate (the SimHashSketch buffer's declarative
     // twin) — the shuffle carries 60 longs per doc, never shingle rows
     audit("d_simhash_portable", "partial_sum")
+    // portable HLL: the register table is a map-side-combined MAX
+    // aggregate over ≤ 256·|langs| keys — the shuffle never carries
+    // the word stream
+    audit("t_hll_portable", "partial_max")
     // composed training-set: the language gate reaches the parquet scan
     // and the dedup drop-list anti-joins via broadcast (never a shuffle
     // of the corpus for the keep-list)

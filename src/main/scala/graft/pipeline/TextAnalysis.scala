@@ -573,23 +573,11 @@ object TextAnalysis {
       val wc = Tables.spread(Tables.documents(s, d))
         .select(explode(split(col("text"), " ")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-      def bucket(j: Int, c: Column): Column =
-        conv(substring(md5(concat(lit(s"$j:"), c)), 1, 4), 16, 10)
-          .cast("long")
-      def fan(c: Column) = explode(array((0 until 4).map(j =>
-        struct(lit(j).as("j"), bucket(j, c).as("b"))): _*)).as("x")
-      val cms = wc.select(fan(col("w")), col("c"))
-        .select(col("x.j").as("j"), col("x.b").as("b"), col("c"))
-        .groupBy("j", "b").agg(sum(col("c")).as("cc"))
-      val exactTop = wc
-        .orderBy(col("c").desc, col("w")).limit(20)
-        .select(col("w"), col("c").as("exact"))
-      exactTop.select(col("w"), col("exact"), fan(col("w")))
-        .select(col("w"), col("exact"), col("x.j").as("j"),
-          col("x.b").as("b"))
-        .join(cms, Seq("j", "b"))
-        .groupBy("w", "exact").agg(min(col("cc")).as("est"))
-        .orderBy(col("exact").desc, col("w"))
+      cmsReport(wc, cmsSketchFrom(wc))
+    },
+    // the portable-cardinality tier (see hllPortable)
+    "t_hll_portable" -> { (s, d) =>
+      hllPortable(Tables.documents(s, d))
     },
     "t_cms_freq" -> { (s, d) =>
       // persisted: BOTH the exact top-20 and the sketch consume the
@@ -769,6 +757,118 @@ object TextAnalysis {
         .orderBy("source")
     })
 
+  /** The portable CMS's engine-portable bucket: md5-nibble over the
+    * seed-prefixed word, 16⁴ buckets (the t_cms_portable hash).
+    */
+  def cmsBucket(j: Int, c: Column): Column =
+    conv(substring(md5(concat(lit(s"$j:"), c)), 1, 4), 16, 10)
+      .cast("long")
+
+  private def cmsFan(c: Column) = explode(array((0 until 4).map(j =>
+    struct(lit(j).as("j"), cmsBucket(j, c).as("b"))): _*)).as("x")
+
+  /** (j, b, cc) sketch table from a (w, c) word-count frame — the
+    * dedupe-then-weight construction (4 hashes per DISTINCT word). The
+    * sketch is LINEAR in its input counts: `cmsSketchFrom(wc₁ ⊎ wc₂)`
+    * equals the (j, b)-wise SUM of the two sketches, which is what
+    * makes cross-engine and cross-batch merge a plain union+sum
+    * ([[graft.streaming.CmsStream]] rides exactly this).
+    */
+  def cmsSketchFrom(wc: DataFrame): DataFrame =
+    wc.select(cmsFan(col("w")), col("c"))
+      .select(col("x.j").as("j"), col("x.b").as("b"), col("c"))
+      .groupBy("j", "b").agg(sum(col("c")).as("cc"))
+
+  /** The exact-vs-estimate probe report over a (w, c) frame and a
+    * (j, b, cc) sketch — shared verbatim by the batch query and the
+    * streaming view, so stream ≡ batch is sketch linearity plus THIS
+    * one function.
+    */
+  def cmsReport(wc: DataFrame, cms: DataFrame): DataFrame = {
+    val exactTop = wc
+      .orderBy(col("c").desc, col("w")).limit(20)
+      .select(col("w"), col("c").as("exact"))
+    exactTop.select(col("w"), col("exact"), cmsFan(col("w")))
+      .select(col("w"), col("exact"), col("x.j").as("j"),
+        col("x.b").as("b"))
+      .join(cms, Seq("j", "b"))
+      .groupBy("w", "exact").agg(min(col("cc")).as("est"))
+      .orderBy(col("exact").desc, col("w"))
+  }
+
+  /** ENGINE-PORTABLE HyperLogLog per-language distinct-word cardinality
+    * — the third pillar of the portable-sketch family (frequency =
+    * `t_cms_portable`, similarity = `d_minhash_portable` /
+    * `d_simhash_portable`, cardinality = THIS), next to the
+    * engine-internal `r_approx_distinct` the way cms_portable sits
+    * next to cms_freq. Flajolet et al. 2007 with m = 256 registers:
+    * a word's md5 first 2 nibbles pick the register, the next 13
+    * nibbles form a 52-bit field whose leading-zero rank is ρ
+    * (bin-length arithmetic — `53 − length(bin(h))`, the all-zeros
+    * field taking the conventional 53); the register table is
+    * per-(lang, register) MAX of ρ — the property that makes HLL
+    * MERGEABLE: union of corpora = element-wise max of register
+    * tables, no token re-scan, the cross-engine/cross-day shape at
+    * 100 TB. The estimate is the standard αm²/Σ2^−M harmonic mean
+    * with the small-range linear-counting correction (E ≤ 5m/2 and
+    * empty registers present → m·ln(m/V)).
+    *
+    * Oracle-checkable because everything through the register table is
+    * INTEGER (md5 nibbles, bin lengths, maxes), 2^−M terms are exact
+    * dyadic doubles summed in fixed register order, and the one
+    * transcendental (ln, correction branch) sits on the same
+    * deterministic argument in both engines under the 1e-4 output
+    * grid (the t_zipf_fit/t_heaps_fit float contract). The exact
+    * distinct count rides along per row, so the frame is its own
+    * accuracy report. One distinct-(lang, word) aggregate + one
+    * 256-bounded register aggregate; nothing corpus-sized leaves the
+    * token scan.
+    */
+  private def hllWords(docs: DataFrame): DataFrame =
+    Tables.spread(docs)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+
+  /** (lang, j, mj) register table — public because MERGE is the point:
+    * registers of a corpus union are the element-wise MAX of the
+    * parts' registers (TextSketchSpec pins the law), so sketches
+    * combine across engines/executors/days without a token re-scan.
+    */
+  def hllRegisters(docs: DataFrame): DataFrame = {
+    val words = hllWords(docs)
+    val h52 = conv(substring(md5(col("w")), 3, 13), 16, 10).cast("long")
+    words.select(col("lang"),
+      conv(substring(md5(col("w")), 1, 2), 16, 10).cast("int").as("j"),
+      when(h52 === 0L, lit(53))
+        .otherwise(lit(53) - length(bin(h52))).as("rho"))
+      .groupBy("lang", "j").agg(max(col("rho")).as("mj"))
+  }
+
+  def hllPortable(docs: DataFrame): DataFrame = {
+    val m = 256
+    val words = hllWords(docs)
+    val regs = hllRegisters(docs)
+      .groupBy("lang")
+      .agg(map_from_arrays(collect_list(col("j")),
+        collect_list(col("mj"))).as("regs"))
+    val sumPow = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, jj) => acc + pow(lit(2.0),
+        -coalesce(element_at(col("regs"), jj), lit(0)).cast("double")))
+    val zeros = lit(m) - size(col("regs"))
+    val raw = lit(0.7213 / (1.0 + 1.079 / m)) * lit(m.toDouble * m) /
+      sumPow
+    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+    val exact = words.groupBy("lang")
+      .agg(count(lit(1)).as("exact_distinct"))
+    regs
+      .select(col("lang"), (round(est, 4) + lit(0.0)).as("est"))
+      .join(exact, Seq("lang"))
+      .select(col("lang"), col("exact_distinct"), col("est"))
+      .orderBy("lang")
+  }
+
   private val oracleToks = "string_split(text, ' ')"
 
   val oracles: Map[String, String] = Map(
@@ -784,6 +884,58 @@ object TextAnalysis {
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
         |  FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the portable HLL replayed: same md5-nibble register/field split,
+    // same bin-length rho, per-(lang, register) max, the 256-term
+    // harmonic sum as an ORDERED list (aggregate SUM order is
+    // nondeterministic; the engine folds j = 0..255)
+    "t_hll_portable" -> {
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      val h52 = (3 to 15).map { i =>
+        val mul = 1L << (4 * (15 - i))
+        s"${nib(i)} * CAST($mul AS BIGINT)"
+      }.mkString("\n    + ")
+      s"""WITH words AS (
+         |  SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |hx AS (SELECT lang, md5(w) AS h FROM words),
+         |jr AS (
+         |  SELECT lang, ${nib(1)} * 16 + ${nib(2)} AS j,
+         |    $h52 AS h52
+         |  FROM hx),
+         |rr AS (
+         |  SELECT lang, j,
+         |    CASE WHEN h52 = 0 THEN 53
+         |         ELSE 53 - length(bin(h52)) END AS rho
+         |  FROM jr),
+         |regs AS (SELECT lang, j, max(rho) AS mj FROM rr GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT l.lang, u.j, regs.mj
+         |  FROM (SELECT DISTINCT lang FROM words) l
+         |  CROSS JOIN (SELECT unnest(range(0, 256)) AS j) u
+         |  LEFT JOIN regs ON regs.lang = l.lang AND regs.j = u.j),
+         |hm AS (
+         |  SELECT lang,
+         |    list_sum(list(pow(2.0, -coalesce(mj, 0)) ORDER BY j))
+         |      AS sumpow,
+         |    CAST(sum(CASE WHEN mj IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS zeros
+         |  FROM grid GROUP BY lang),
+         |est AS (
+         |  SELECT lang,
+         |    CASE WHEN 0.7213 / (1 + 1.079 / 256.0) * 65536.0 / sumpow
+         |           <= 640.0 AND zeros > 0
+         |      THEN 256.0 * ln(256.0 / zeros)
+         |      ELSE 0.7213 / (1 + 1.079 / 256.0) * 65536.0 / sumpow
+         |      END AS e
+         |  FROM hm),
+         |ex AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS exact_distinct
+         |  FROM words GROUP BY lang)
+         |SELECT ex.lang, ex.exact_distinct, round(est.e, 4) + 0.0 AS est
+         |FROM ex JOIN est USING (lang)
+         |ORDER BY lang""".stripMargin
+    },
     // the portable CMS replayed: same md5-nibble buckets (seed j
     // prefixed), same vocabulary-weighted construction, min over depth
     "t_cms_portable" ->

@@ -32,9 +32,13 @@ class RelationalSpec extends AnyFunSuite {
     // s_ann_ivf left this list in round 6: its centroid sampling moved
     // to the engine-portable Knuth hash, so it carries a full oracle.
     // p_weighted_sample left in round 7: its Efraimidis–Spirakis keys
-    // became exact integer math with a DuckDB twin.
+    // became exact integer math with a DuckDB twin. s_pca_top and
+    // s_ann_pq left in round 9: the eigen step now iterates on the
+    // 1e-6-quantized covariance (contraction makes the recursive-CTE
+    // twin engine-stable), and PQ's oracle is the ivfpq twin minus the
+    // probe step.
     val rowsOnly = Set("d_minhash_lsh", "d_simhash", "s_ann_lsh",
-      "s_ann_pq", "d_embedding_dup_lsh",
+      "d_embedding_dup_lsh",
       "r_approx_distinct", "p_quality_gate_approx", "t_cms_freq",
       "t_bpe_merges", "t_bpe_encode",
       "t_unigram_train", "t_unigram_encode",
@@ -42,12 +46,10 @@ class RelationalSpec extends AnyFunSuite {
       // trainer state like the BPE/unigram tiers; DoremiSpec pins an
       // exact single-round reference + multi-round invariants
       "p_doremi_weights",
-      // 100 driver-side power-iteration steps have no SQL twin; the
-      // covariance input IS oracle-checked (s_covariance) and PcaSpec
-      // pins planted-direction recovery + eigen invariants
-      "s_pca_top",
-      // μ/C⁻¹ are data-dependent driver artifacts — no static SQL twin
-      // can exist; PcaSpec pins an exact in-memory recompute + the
+      // Gauss–Jordan elimination is non-contractive and its
+      // data-dependent pivot choices can diverge per engine, so unlike
+      // the graduated pca tier no quantized-input recursion can be
+      // engine-stable; PcaSpec pins an exact in-memory recompute + the
       // low-variance-direction catch L2 misses
       "s_mahalanobis")
     assert(missing == rowsOnly, s"queries without oracle: $missing")
