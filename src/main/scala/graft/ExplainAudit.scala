@@ -314,6 +314,19 @@ object ExplainAudit {
     // never a join
     auditAtMost("p_sft_pairs",
       "CartesianProduct|BroadcastNestedLoopJoin|SortMergeJoin", 0)
+    // kneser-ney: top-N lands in the bounded heap (no global sort of
+    // the bigram table); the types scalar rides the one-row broadcast
+    audit("t_kneser_ney", "TakeOrderedAndProject",
+      "BroadcastNestedLoopJoin")
+    // poisson bootstrap: the corpus×B explode collapses map-side — the
+    // only hash exchange is the B-row replicate aggregate; the rank+CI
+    // windows run on that B-row frame in the same lineage (a second
+    // exchange would mean the corpus lineage executes twice)
+    auditAtMost("a_bootstrap_ci", "Exchange hashpartitioning", 1)
+    // preference matches: the pair self-join must be an equi-join on
+    // (user, day) — never a product
+    auditAtMost("p_preference_pairs",
+      "CartesianProduct|BroadcastNestedLoopJoin", 0)
     // (s_covariance's aggregate runs at query-construction time — its
     // registered frame is a driver-local relation, so the map-side-
     // partial plan shape is asserted in PcaSpec instead of here)

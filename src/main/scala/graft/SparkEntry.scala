@@ -32,7 +32,7 @@ object SparkEntry {
       TextAnalysis.queries ++ Multimodal.queries ++ EventWindows.queries ++
       TrainingSet.queries ++ Agreement.queries ++ Bpe.queries ++ Unigram.queries ++
       CorpusOps.queries ++ KMeansOps.queries ++ Retrieval.queries ++
-      Classifier.queries ++ Projection.queries ++
+      Classifier.queries ++ Projection.queries ++ Preference.queries ++
       GraphRank.queries ++ graft.operators.FuzzyJoin.queries ++
       graft.operators.BandJoin.queries ++
       graft.sources.SourceQueries.queries
@@ -45,7 +45,7 @@ object SparkEntry {
       TextAnalysis.oracles ++ Multimodal.oracles ++ EventWindows.oracles ++
       TrainingSet.oracles ++ Agreement.oracles ++ Bpe.oracles ++ Unigram.oracles ++
       CorpusOps.oracles ++ KMeansOps.oracles ++ Retrieval.oracles ++
-      Classifier.oracles ++ Projection.oracles ++
+      Classifier.oracles ++ Projection.oracles ++ Preference.oracles ++
       GraphRank.oracles ++ graft.operators.FuzzyJoin.oracles ++
       graft.operators.BandJoin.oracles ++
       graft.sources.SourceQueries.oracles

@@ -180,7 +180,71 @@ object Agreement {
     // the one winnow pass (2n/(w+1) fingerprints, one doc_id shuffle).
     "a_source_overlap" -> { (s, d) =>
       sourceOverlap(Tables.documents(s, d)).orderBy("src_a", "src_b")
+    },
+    // Poisson-bootstrap CI for mean tokens/doc — uncertainty for a
+    // corpus statistic, computed the only way a 100 TB scan can
+    "a_bootstrap_ci" -> { (s, d) =>
+      bootstrapCi(Tables.documents(s, d)).orderBy("b")
     })
+
+  /** Poisson-bootstrap confidence interval for mean tokens/doc — the
+    * bootstrap that actually runs at 100 TB. Classical bootstrap
+    * resamples by INDEX (draw n rows with replacement), which a
+    * distributed scan cannot do; the Poisson bootstrap (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams", Google 2012)
+    * replaces index draws with an independent per-row replicate weight
+    * w ~ Poisson(1) — the multiset a with-replacement resample induces,
+    * row-locally. Here the draw is DETERMINISTIC: 5 md5 nibbles of
+    * (doc_id, replicate) inverse-CDF'd through integer thresholds
+    * ⌊F(k)·16⁵⌋, so both engines reproduce the identical weight table
+    * (the [[inSample]] discipline, one hash deeper).
+    *
+    * Shape at scale: the corpus×B explode never reaches a shuffle — the
+    * per-replicate sums are map-side combined to ≤B rows per partition,
+    * so the exchange carries B·partitions rows regardless of corpus
+    * size; the final rank-and-CI window touches B rows. All replicate
+    * arithmetic is integer-exact (sums of longs, one integer division
+    * onto the micro grid); int64 headroom: Σtokens·1e6 per replicate
+    * caps the corpus at ~9e12 tokens before the micro product overflows
+    * — raise the grid divisor at that scale. The CI is the discrete
+    * 5th/95th percentile of the B replicate means (rank-selected actual
+    * values, no interpolation — the a_gate_agreement discipline).
+    */
+  def bootstrapCi(docs: DataFrame, reps: Int = 64): DataFrame = {
+    require(reps >= 20 && reps <= 4096,
+      s"reps=$reps: the replicate frame is window-ranked, keep it small")
+    val thresholds = Seq(385749L, 771499L, 964373L, 1028665L, 1044738L,
+      1047952L)
+    val ex = Tables.spread(docs).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        explode(sequence(lit(0), lit(reps - 1))).as("b0"))
+      .select(col("doc_id"), col("n_tok"), col("b0").cast("long").as("b"))
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), col("b").cast("string"), lit(":bsci"))), 1, 5), 16, 10)
+      .cast("long")
+    val w = thresholds.map(t => when(h >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val rep = ex.select(col("b"), col("n_tok"), w.as("w"))
+      .groupBy("b").agg(sum(col("w")).as("n_drawn"),
+        sum(col("w") * col("n_tok")).as("wtok"))
+      .select(col("b"), col("n_drawn"),
+        when(col("n_drawn") === 0L, 0L)
+          .otherwise(expr("wtok * 1000000 DIV n_drawn")).as("mean_micro"))
+    val lo = math.ceil(0.05 * reps).toInt
+    val hi = math.ceil(0.95 * reps).toInt
+    // rank + CI in ONE window pass over the B-row frame (a cross join
+    // against a separately-aggregated CI frame would re-execute the
+    // corpus lineage — two scans for one result)
+    val all = Window.orderBy(col("mean_micro"), col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rep.withColumn("r", row_number().over(
+        Window.orderBy(col("mean_micro"), col("b"))))
+      .select(col("b"), col("n_drawn"), col("mean_micro"),
+        max(when(col("r") === lo, col("mean_micro"))).over(all)
+          .as("lo_micro"),
+        max(when(col("r") === hi, col("mean_micro"))).over(all)
+          .as("hi_micro"))
+  }
 
   /** (src_a, src_b, n_shared_fp) for src_a < src_b — distinct winnowing
     * fingerprints shared by each source pair (see the a_source_overlap
@@ -230,6 +294,51 @@ object Agreement {
       |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the 5-nibble md5 value and the ⌊F(k)·16⁵⌋ Poisson(1) thresholds
+    // mirror bootstrapCi exactly; all replicate arithmetic is integer,
+    // every sum CAST to BIGINT (DuckDB types sum(BIGINT) as HUGEINT —
+    // the round-8 red-row class this repo now fences against)
+    "a_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) n_tok
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, n_tok, CAST(i AS BIGINT) b
+        |  FROM base, unnest(range(0, 64)) u(i)),
+        |hv AS (
+        |  SELECT b, n_tok,
+        |    (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 65536 +
+        |    (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 4096 +
+        |    (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 256 +
+        |    (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(m, 5, 1)) - 1) AS h
+        |  FROM (SELECT b, n_tok,
+        |          md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |              CAST(b AS VARCHAR) || ':bsci') m
+        |        FROM ex)),
+        |wv AS (
+        |  SELECT b, n_tok,
+        |    CAST(h >= 385749 AS BIGINT) + CAST(h >= 771499 AS BIGINT) +
+        |    CAST(h >= 964373 AS BIGINT) + CAST(h >= 1028665 AS BIGINT) +
+        |    CAST(h >= 1044738 AS BIGINT) + CAST(h >= 1047952 AS BIGINT)
+        |      AS w
+        |  FROM hv),
+        |rep AS (
+        |  SELECT b, CAST(sum(w) AS BIGINT) n_drawn,
+        |    CASE WHEN sum(w) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(sum(w * n_tok) AS BIGINT) * 1000000
+        |              // CAST(sum(w) AS BIGINT) END AS mean_micro
+        |  FROM wv GROUP BY b),
+        |rk AS (
+        |  SELECT mean_micro, row_number() OVER (
+        |    ORDER BY mean_micro, b) AS r FROM rep),
+        |ci AS (
+        |  SELECT max(CASE WHEN r = 4 THEN mean_micro END) lo_micro,
+        |         max(CASE WHEN r = 61 THEN mean_micro END) hi_micro
+        |  FROM rk)
+        |SELECT b, n_drawn, mean_micro, lo_micro, hi_micro
+        |FROM rep CROSS JOIN ci ORDER BY b""".stripMargin,
     "a_gate_agreement" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS t

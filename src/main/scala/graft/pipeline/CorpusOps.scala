@@ -99,6 +99,58 @@ object CorpusOps {
           .as("ce"))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities for the corpus's most
+    * frequent bigrams — the smoothing every count-based n-gram LM ships
+    * with (KenLM's default), and the quality/perplexity scorer one step
+    * up from [[bigramCrossEntropy]]'s add-one model. For an observed
+    * bigram (w₁,w₂) with discount D = 0.75:
+    *
+    *   P_KN(w₂|w₁) = (c(w₁w₂) − D)/c(w₁)
+    *               + (D·N₊(w₁·)/c(w₁)) · (N₊(·w₂)/N₊(··))
+    *
+    * where N₊(w₁·) = distinct continuations of w₁, N₊(·w₂) = distinct
+    * histories of w₂ (the "how many contexts has this word completed"
+    * signal that makes KN beat Good–Turing on novel contexts), and
+    * N₊(··) = distinct bigram types. c(w₁w₂) ≥ 1 > D so the max(·,0)
+    * clamp is vacuous on observed bigrams and omitted.
+    *
+    * Shape at 100 TB: ONE bigram-count shuffle off one token pass; every
+    * derived table (history counts + distinct continuations in a single
+    * groupBy over the count table, continuation counts in another) is
+    * VOCABULARY-bounded, not corpus-bounded; the distinct-bigram-types
+    * scalar rides a one-row broadcast cross join; top-N lands as
+    * TakeOrderedAndProject (no global sort materializes). Cross-engine
+    * discipline: the probability is spelled as an explicit parenthesized
+    * double expression (both engines build the identical IEEE tree from
+    * exact integer inputs) and rounded on the 1e-6 grid with the
+    * spelled-out half-up form.
+    */
+  def kneserNeyTop(docs: DataFrame, topN: Int = 200): DataFrame = {
+    val t = toks(col("text"))
+    val bi = docs.select(
+      explode(zip_with(slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("z"))
+      .select(col("z.w1").as("w1"), col("z.w2").as("w2"))
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // history mass c(w1) and distinct continuations N+(w1·) in ONE pass
+    val hist = big.groupBy("w1")
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("nf"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("nb"))
+    val types = big.agg(count(lit(1)).as("nbb"))
+    val p =
+      (col("c2").cast("double") - 0.75) / col("c1") +
+        ((lit(0.75) * col("nf")) / col("c1")) *
+          (col("nb").cast("double") / col("nbb"))
+    big.join(hist, "w1")
+      .join(cont, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c2"),
+        TextAnalysis.roundHalfUp(p, 6).as("pkn"))
+      .orderBy(desc("c2"), asc("w1"), asc("w2"))
+      .limit(topN)
+  }
+
   /** Canonical normal form: lowercase, strip non-alphanumerics, collapse
     * runs of spaces, trim. Pure per-row codegen'd expressions — the
     * pass every text pipeline runs before fingerprinting/dedup so that
@@ -351,6 +403,11 @@ object CorpusOps {
       bigramCrossEntropy(Tables.spread(Tables.documents(s, d)))
         .orderBy("doc_id")
     },
+    // interpolated Kneser–Ney over the corpus's top bigrams — the
+    // count-based-LM smoothing tier above t_ngram_lm's add-one model
+    "t_kneser_ney" -> { (s, d) =>
+      kneserNeyTop(Tables.spread(Tables.documents(s, d)))
+    },
     // iterative trainer state (multi-round sample→train→score loop) —
     // rows-only like the BPE/unigram tiers; DoremiSpec pins an exact
     // single-round reference + multi-round invariants
@@ -416,6 +473,28 @@ object CorpusOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "t_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |bg AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, unnest(range(1, len(t))) u(i)),
+        |big AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) c2
+        |  FROM bg GROUP BY 1, 2),
+        |hist AS (
+        |  SELECT w1, CAST(sum(c2) AS BIGINT) c1,
+        |    CAST(count(*) AS BIGINT) nf
+        |  FROM big GROUP BY 1),
+        |cont AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) nb FROM big GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) nbb FROM big)
+        |SELECT w1, w2, c2,
+        |  floor(((CAST(c2 AS DOUBLE) - 0.75) / c1
+        |    + ((0.75 * nf) / c1) * (CAST(nb AS DOUBLE) / nbb))
+        |    * 1000000 + 0.5) / 1000000.0 AS pkn
+        |FROM big JOIN hist USING (w1) JOIN cont USING (w2) CROSS JOIN v
+        |ORDER BY c2 DESC, w1, w2 LIMIT 200""".stripMargin,
     "t_ngram_lm" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') t FROM documents),

@@ -173,4 +173,33 @@ class AgreementSpec extends AnyFunSuite {
     assert(real.nonEmpty)
     assert(real.forall(r => r.getString(0) < r.getString(1)))
   }
+
+  test("a_bootstrap_ci: 64 replicates, rank-consistent CI, Poisson mass " +
+      "where it should be, and the CI brackets the true mean") {
+    val rows = SparkEntry.queries("a_bootstrap_ci")(spark, sf).collect()
+    assert(rows.length == 64)
+    val lo = rows.map(_.getLong(3)).distinct
+    val hi = rows.map(_.getLong(4)).distinct
+    assert(lo.length == 1 && hi.length == 1,
+      "CI columns must be constant across replicate rows")
+    assert(lo.head <= hi.head)
+    // ranks 4..61 sit inside the CI by construction → ≥ 58 of 64 rows
+    val inside = rows.count(r =>
+      r.getLong(2) >= lo.head && r.getLong(2) <= hi.head)
+    assert(inside >= 58, s"only $inside replicate means inside the CI")
+    // each replicate draws ~n docs (sum of Poisson(1) weights)
+    val n = Tables.documents(spark, sf).count()
+    for (r <- rows) {
+      val drawn = r.getLong(1)
+      assert(math.abs(drawn - n) <= n / 5,
+        s"replicate ${r.getLong(0)} drew $drawn of $n")
+    }
+    // deterministic fixture: the CI brackets the corpus's true mean
+    val truth = Tables.documents(spark, sf)
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("t"),
+        count(lit(1)).as("n")).collect()(0)
+    val trueMicro = truth.getLong(0) * 1000000L / truth.getLong(1)
+    assert(lo.head <= trueMicro && trueMicro <= hi.head,
+      s"true mean $trueMicro outside [$lo, $hi]")
+  }
 }

@@ -150,4 +150,57 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(rows.toSet == again.toSet)
   }
+
+  test("kneser-ney: hand-fixture probabilities match the formula exactly") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "b c"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.kneserNeyTop(docs, 10).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // counts: (a,b)=2 (a,c)=1 (b,c)=1; c1(a)=3 nf(a)=2; c1(b)=1 nf(b)=1
+    // nb(b)=1 nb(c)=2; nbb=3 — recompute with the operator's own
+    // double-arithmetic shape so the assertion is bit-exact
+    def pkn(c2: Long, c1: Long, nf: Long, nb: Long, nbb: Long): Double = {
+      val p = (c2.toDouble - 0.75) / c1 + ((0.75 * nf) / c1) *
+        (nb.toDouble / nbb)
+      math.floor(p * 1e6 + 0.5) / 1e6
+    }
+    assert(got == Map(
+      ("a", "b") -> ((2L, pkn(2, 3, 2, 1, 3))),
+      ("a", "c") -> ((1L, pkn(1, 3, 2, 2, 3))),
+      ("b", "c") -> ((1L, pkn(1, 1, 1, 2, 3)))), s"got $got")
+  }
+
+  test("kneser-ney: probabilities normalize — Σ_w2 P(w2|w1) = 1 per " +
+      "history once unobserved continuations get their backoff mass") {
+    // the defining property of interpolated KN. The operator emits only
+    // OBSERVED bigrams; an unobserved (w1, w2) carries the pure backoff
+    // term (D·N₊(w1·)/c1)·(N₊(·w2)/N₊(··)), and words never observed as
+    // a continuation have N₊(·w2) = 0 — so summing operator rows plus
+    // backoff over the continuation vocabulary is the complete
+    // distribution. Rounding contributes ≤ 5e-7 per emitted row.
+    val full = CorpusOps.kneserNeyTop(
+      Tables.documents(spark, sf), Int.MaxValue).collect()
+    val c2 = full.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pkn = full.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val hists = c2.groupBy(_._1._1).map { case (w1, m) =>
+      w1 -> ((m.values.sum, m.size)) } // c1, nf
+    val conts = c2.groupBy(_._1._2).map { case (w2, m) =>
+      w2 -> m.size } // nb
+    val nbb = c2.size
+    // the fixture's fixed vocabulary is ~31 words, so ~31 histories
+    assert(hists.size > 20)
+    for ((w1, (c1, nf)) <- hists) {
+      val s = conts.map { case (w2, nb) =>
+        pkn.getOrElse((w1, w2),
+          ((0.75 * nf) / c1) * (nb.toDouble / nbb))
+      }.sum
+      assert(math.abs(s - 1.0) <= 5e-7 * conts.size + 1e-9,
+        s"history $w1: ΣP = $s over ${conts.size} continuations")
+    }
+    // every probability is a valid one on the micro grid
+    assert(pkn.values.forall(p => p > 0.0 && p <= 1.0))
+  }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Preference
+
+/** Pairwise-preference aggregation: hand fixtures for the match
+  * derivation (winner rule, tie rule, per-group cap) and structural
+  * invariants of the registered queries the oracle hash can't explain
+  * on its own.
+  */
+class PreferenceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def ev(id: Long, user: Long, sec: Long, tpe: String,
+      value: Double) =
+    (id, new Timestamp(sec * 1000L), user, tpe, value)
+
+  private def toDf(rows: Seq[(Long, Timestamp, Long, String, Double)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("pair matrix and rank match a hand-computed fixture") {
+    // one user, one day: A(3) B(1) C(2) → A beats B and C; C beats B
+    val events = toDf(Seq(
+      ev(1, 1, 100, "A", 3.0), ev(2, 1, 200, "B", 1.0),
+      ev(3, 1, 300, "C", 2.0)))
+    val m = Preference.pairMatrix(events).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m == Map(
+      ("A", "B") -> ((1L, 1L, 1000000L)),
+      ("A", "C") -> ((1L, 1L, 1000000L)),
+      ("B", "C") -> ((1L, 0L, 0L))), s"got $m")
+    val rk = Preference.typeRank(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rk.sortBy(_._5).toSeq == Seq(
+      ("A", 2L, 2L, 1000000L, 1L),
+      ("C", 2L, 1L, 500000L, 2L),
+      ("B", 2L, 0L, 0L, 3L)), s"got ${rk.toSeq}")
+  }
+
+  test("equal values: the lexicographically smaller type wins") {
+    val events = toDf(Seq(
+      ev(1, 1, 100, "X", 5.0), ev(2, 1, 200, "Y", 5.0)))
+    val m = Preference.pairMatrix(events).collect()
+    assert(m.length == 1)
+    assert(m(0).getString(0) == "X" && m(0).getLong(3) == 1L,
+      "tie must go to the smaller type")
+  }
+
+  test("events in different days or users never pair") {
+    val events = toDf(Seq(
+      ev(1, 1, 100, "A", 1.0),
+      ev(2, 1, 100 + 86400, "B", 2.0), // same user, next day
+      ev(3, 2, 100, "C", 3.0))) // same day, other user
+    assert(Preference.pairMatrix(events).count() == 0)
+  }
+
+  test("per-(user, day) cap keeps the first `cap` events by (ts, id)") {
+    // 20 distinct-type events in one user-day; cap 16 → C(16,2) = 120
+    // matches, and none involve the 4 latest-ts types
+    val events = toDf((1 to 20).map(i =>
+      ev(i.toLong, 1, 100 + i, f"T$i%02d", 1.0)))
+    val m = Preference.pairMatrix(events, cap = 16).collect()
+    assert(m.map(_.getLong(2)).sum == 120L, "pair mass must be C(16,2)")
+    val types = m.flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
+    assert(types == (1 to 16).map(i => f"T$i%02d").toSet,
+      "capped-out events must not appear in any match")
+  }
+
+  test("registered queries: consistent totals, win rates on the grid, " +
+      "leaderboard ordered by win rate") {
+    val pairs = SparkEntry.queries("p_preference_pairs")(spark, sf)
+      .collect()
+    assert(pairs.nonEmpty)
+    for (r <- pairs) {
+      assert(r.getLong(3) <= r.getLong(2)) // wa ≤ n
+      assert(r.getLong(4) == r.getLong(3) * 1000000L / r.getLong(2))
+    }
+    val rank = SparkEntry.queries("p_preference_rank")(spark, sf)
+      .collect()
+    // every type's matches = Σ n over its pairs; total wins across the
+    // leaderboard = total matches (each match has exactly one winner)
+    val totalN = pairs.map(_.getLong(2)).sum
+    assert(rank.map(_.getLong(2)).sum == totalN)
+    assert(rank.map(_.getLong(1)).sum == 2 * totalN)
+    // rnk is the (winrate desc, type asc) order, 1-based and dense
+    val byRnk = rank.sortBy(_.getLong(4))
+    assert(byRnk.map(_.getLong(4)).toSeq == (1L to rank.length).toSeq)
+    assert(byRnk.map(_.getLong(3)).toSeq ==
+      byRnk.map(_.getLong(3)).sortBy(-_).toSeq)
+  }
+}
