@@ -327,6 +327,12 @@ object ExplainAudit {
     // (user, day) — never a product
     auditAtMost("p_preference_pairs",
       "CartesianProduct|BroadcastNestedLoopJoin", 0)
+    // preference CI: the true-rate columns ride the SAME single match
+    // pass as the bootstrap (a second matches() lineage would scan the
+    // events twice) — so exactly one (user, day) window sort and no
+    // product anywhere
+    auditAtMost("a_preference_ci",
+      "CartesianProduct|BroadcastNestedLoopJoin", 0)
     // (s_covariance's aggregate runs at query-construction time — its
     // registered frame is a driver-local relation, so the map-side-
     // partial plan shape is asserted in PcaSpec instead of here)

@@ -34,7 +34,11 @@ import graft.Tables
 object Preference {
   type Q = (SparkSession, String) => DataFrame
 
-  /** (ta, tb, a_wins) match stream, ta < tb, capped per (user, day). */
+  /** (ta, tb, a_wins, ea, eb) match stream, ta < tb, capped per
+    * (user, day). (ea, eb) are the two participating event ids — a
+    * globally-unique match identity the bootstrap tier keys its
+    * deterministic resample weights on.
+    */
   def matches(events: DataFrame, cap: Int = 16): DataFrame = {
     require(cap >= 2 && cap <= 1024,
       s"cap=$cap: per-group pair mass is cap² — keep it bounded")
@@ -46,14 +50,18 @@ object Preference {
         col("event_type"), col("value"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cap)
-      .select(col("user_id"), col("day"), col("event_type"), col("value"))
+      .select(col("user_id"), col("day"), col("event_id"),
+        col("event_type"), col("value"))
     val a = capped.select(col("user_id"), col("day"),
-      col("event_type").as("ta"), col("value").as("va"))
+      col("event_type").as("ta"), col("value").as("va"),
+      col("event_id").as("ea"))
     val b = capped.select(col("user_id"), col("day"),
-      col("event_type").as("tb"), col("value").as("vb"))
+      col("event_type").as("tb"), col("value").as("vb"),
+      col("event_id").as("eb"))
     a.join(b, Seq("user_id", "day"))
       .filter(col("ta") < col("tb"))
-      .select(col("ta"), col("tb"), (col("va") >= col("vb")).as("a_wins"))
+      .select(col("ta"), col("tb"), (col("va") >= col("vb")).as("a_wins"),
+        col("ea"), col("eb"))
   }
 
   /** Win-rate matrix: one row per unordered type pair (ta < tb) with
@@ -87,12 +95,82 @@ object Preference {
         .cast("long"))
   }
 
+  /** Uncertainty-aware leaderboard: a Poisson-bootstrap CI around each
+    * type's win rate — the Chatbot-Arena-style question "is A's lead
+    * over B statistical or noise?" answered the way a distributed scan
+    * can (see [[Agreement.bootstrapCi]] for the Poissonization
+    * argument). Each MATCH draws a deterministic Poisson(1) weight per
+    * replicate (5 md5 nibbles of its (ea, eb, replicate) identity
+    * through the ⌊F(k)·16⁵⌋ thresholds — one draw per match, applied
+    * to BOTH its participants, as resampling a match means resampling
+    * the whole comparison); per (type, replicate) the win rate is an
+    * integer-sum ratio on the micro grid, and the CI is the
+    * rank-selected discrete 5th/95th replicate value per type.
+    *
+    * Shape at scale: the match×64 explode collapses map-side into the
+    * (|types|·64)-row replicate frame; the rank windows partition by
+    * type over 64 rows each; the true-rate table joins back on the
+    * |types|-sized key (broadcast). Empty replicates (a type whose
+    * matches all draw weight 0) surface as rate 0 — deterministic and
+    * mirrored in the twin; real corpora never produce one (P ≈
+    * 0.368^matches).
+    */
+  def rankCi(events: DataFrame, cap: Int = 16, reps: Int = 64): DataFrame = {
+    require(reps >= 20 && reps <= 4096,
+      s"reps=$reps: the replicate frame is window-ranked, keep it small")
+    val thresholds = Seq(385749L, 771499L, 964373L, 1028665L, 1044738L,
+      1047952L)
+    val m = matches(events, cap)
+    val ex = m.select(col("ta"), col("tb"), col("a_wins"), col("ea"),
+        col("eb"), explode(sequence(lit(0), lit(reps - 1))).as("b0"))
+      .select(col("ta"), col("tb"), col("a_wins"), col("ea"), col("eb"),
+        col("b0").cast("long").as("b"))
+    val h = conv(substring(md5(concat(col("ea").cast("string"), lit(":"),
+      col("eb").cast("string"), lit(":"), col("b").cast("string"),
+      lit(":psci"))), 1, 5), 16, 10).cast("long")
+    val weighted = ex.select(col("ta"), col("tb"), col("a_wins"),
+      col("b"), thresholds.map(t => when(h >= t, 1L).otherwise(0L))
+        .reduce(_ + _).as("w"))
+    // each side row carries the weighted AND unweighted win indicator,
+    // so the TRUE totals fall out of the same single aggregation (every
+    // replicate group sees the full unweighted match set — max over b
+    // recovers it; a second matches() lineage would scan events twice)
+    val sides = weighted.select(col("ta").as("event_type"), col("b"),
+        col("w"), (col("w") * when(col("a_wins"), 1L).otherwise(0L))
+          .as("ww"), when(col("a_wins"), 1L).otherwise(0L).as("uw"))
+      .union(weighted.select(col("tb").as("event_type"), col("b"),
+        col("w"), (col("w") * when(col("a_wins"), 0L).otherwise(1L))
+          .as("ww"), when(col("a_wins"), 0L).otherwise(1L).as("uw")))
+    val rep = sides.groupBy("event_type", "b")
+      .agg(sum(col("w")).as("n"), sum(col("ww")).as("wins"),
+        count(lit(1)).as("mt"), sum(col("uw")).as("wt"))
+      .select(col("event_type"), col("b"), col("mt"), col("wt"),
+        when(col("n") === 0L, 0L)
+          .otherwise(expr("wins * 1000000 DIV n")).as("rate"))
+    val lo = math.ceil(0.05 * reps).toInt
+    val hi = math.ceil(0.95 * reps).toInt
+    rep.withColumn("r", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("rate"), col("b"))))
+      .groupBy("event_type")
+      .agg(max(col("mt")).as("matches"),
+        expr("max(wt) * 1000000 DIV max(mt)").as("winrate_micro"),
+        max(when(col("r") === lo, col("rate"))).as("lo_micro"),
+        max(when(col("r") === hi, col("rate"))).as("hi_micro"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("winrate_micro"), col("event_type")))
+        .cast("long"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p_preference_pairs" -> { (s, d) =>
       pairMatrix(Tables.events(s, d)).orderBy("ta", "tb")
     },
     "p_preference_rank" -> { (s, d) =>
       typeRank(Tables.events(s, d)).orderBy("rnk")
+    },
+    // uncertainty-aware leaderboard: Poisson-bootstrap CI per win rate
+    "a_preference_ci" -> { (s, d) =>
+      rankCi(Tables.events(s, d)).orderBy("rnk")
     })
 
   // Shared match-derivation CTEs, mirrored from matches(): day bucket =
@@ -108,13 +186,14 @@ object Preference {
       |    ts, event_id, event_type, value
       |  FROM events),
       |capped AS (
-      |  SELECT user_id, day, event_type, value FROM (
+      |  SELECT user_id, day, event_id, event_type, value FROM (
       |    SELECT *, row_number() OVER (
       |      PARTITION BY user_id, day ORDER BY ts, event_id) rn
       |    FROM ev) WHERE rn <= 16),
       |m AS (
       |  SELECT a.event_type ta, b.event_type tb,
-      |    a.value >= b.value AS a_wins
+      |    a.value >= b.value AS a_wins,
+      |    a.event_id ea, b.event_id eb
       |  FROM capped a JOIN capped b
       |    ON a.user_id = b.user_id AND a.day = b.day
       |   AND a.event_type < b.event_type),
@@ -143,5 +222,63 @@ object Preference {
         |  CAST(row_number() OVER (
         |    ORDER BY wins * 1000000 // matches DESC, event_type)
         |    AS BIGINT) AS rnk
-        |FROM per ORDER BY rnk""".stripMargin))
+        |FROM per ORDER BY rnk""".stripMargin),
+    // the per-match Poisson draw mirrors rankCi: 5 md5 nibbles of
+    // (ea, eb, replicate, ':psci') through the ⌊F(k)·16⁵⌋ thresholds,
+    // one weight per match applied to both participants; every sum
+    // CAST to BIGINT (the HUGEINT fence)
+    "a_preference_ci" -> (matchCtes +
+      """,
+        |ex AS (
+        |  SELECT ta, tb, a_wins, ea, eb, CAST(i AS BIGINT) b
+        |  FROM m, unnest(range(0, 64)) u(i)),
+        |wv AS (
+        |  SELECT ta, tb, a_wins, b,
+        |    CAST(h >= 385749 AS BIGINT) + CAST(h >= 771499 AS BIGINT) +
+        |    CAST(h >= 964373 AS BIGINT) + CAST(h >= 1028665 AS BIGINT) +
+        |    CAST(h >= 1044738 AS BIGINT) + CAST(h >= 1047952 AS BIGINT)
+        |      AS w
+        |  FROM (
+        |    SELECT ta, tb, a_wins, b,
+        |      (strpos('0123456789abcdef', substr(h5, 1, 1)) - 1) * 65536 +
+        |      (strpos('0123456789abcdef', substr(h5, 2, 1)) - 1) * 4096 +
+        |      (strpos('0123456789abcdef', substr(h5, 3, 1)) - 1) * 256 +
+        |      (strpos('0123456789abcdef', substr(h5, 4, 1)) - 1) * 16 +
+        |      (strpos('0123456789abcdef', substr(h5, 5, 1)) - 1) AS h
+        |    FROM (SELECT ta, tb, a_wins, b,
+        |            md5(CAST(ea AS VARCHAR) || ':' ||
+        |                CAST(eb AS VARCHAR) || ':' ||
+        |                CAST(b AS VARCHAR) || ':psci') h5
+        |          FROM ex))),
+        |sides AS (
+        |  SELECT ta AS event_type, b, w,
+        |    w * (CASE WHEN a_wins THEN 1 ELSE 0 END) ww,
+        |    CASE WHEN a_wins THEN 1 ELSE 0 END uw
+        |  FROM wv
+        |  UNION ALL
+        |  SELECT tb AS event_type, b, w,
+        |    w * (CASE WHEN a_wins THEN 0 ELSE 1 END) ww,
+        |    CASE WHEN a_wins THEN 0 ELSE 1 END uw
+        |  FROM wv),
+        |rep AS (
+        |  SELECT event_type, b,
+        |    CAST(count(*) AS BIGINT) mt, CAST(sum(uw) AS BIGINT) wt,
+        |    CASE WHEN sum(w) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(sum(ww) AS BIGINT) * 1000000
+        |              // CAST(sum(w) AS BIGINT) END AS rate
+        |  FROM sides GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type, mt, wt, rate, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY rate, b) AS r
+        |  FROM rep),
+        |ci AS (
+        |  SELECT event_type, max(mt) matches,
+        |    max(wt) * 1000000 // max(mt) AS winrate_micro,
+        |    max(CASE WHEN r = 4 THEN rate END) lo_micro,
+        |    max(CASE WHEN r = 61 THEN rate END) hi_micro
+        |  FROM rk GROUP BY 1)
+        |SELECT event_type, matches, winrate_micro, lo_micro, hi_micro,
+        |  CAST(row_number() OVER (
+        |    ORDER BY winrate_micro DESC, event_type) AS BIGINT) AS rnk
+        |FROM ci ORDER BY rnk""".stripMargin))
 }

@@ -97,4 +97,24 @@ class PreferenceSpec extends AnyFunSuite {
     assert(byRnk.map(_.getLong(3)).toSeq ==
       byRnk.map(_.getLong(3)).sortBy(-_).toSeq)
   }
+
+  test("a_preference_ci: exact agreement with the leaderboard on the " +
+      "shared columns, and the CI brackets each true win rate") {
+    val rank = SparkEntry.queries("p_preference_rank")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    val ci = SparkEntry.queries("a_preference_ci")(spark, sf).collect()
+    assert(ci.length == rank.size)
+    for (r <- ci) {
+      val (matches, winrate, rnk) = rank(r.getString(0))
+      assert(r.getLong(1) == matches, s"matches drift for $r")
+      assert(r.getLong(2) == winrate, s"winrate drift for $r")
+      assert(r.getLong(5) == rnk, s"rank drift for $r")
+      val (lo, hi) = (r.getLong(3), r.getLong(4))
+      assert(lo <= hi)
+      // deterministic fixture: the 5-95% band holds the true rate
+      assert(lo <= winrate && winrate <= hi,
+        s"true rate $winrate outside [$lo, $hi] for ${r.getString(0)}")
+    }
+  }
 }
