@@ -333,6 +333,9 @@ object ExplainAudit {
     // product anywhere
     auditAtMost("a_preference_ci",
       "CartesianProduct|BroadcastNestedLoopJoin", 0)
+    // retrieval eval: both the actual and the ideal ranking run through
+    // the bounded heap — no per-query sort of the hit list
+    audit("a_retrieval_ndcg", "TopKPerKey")
     // (s_covariance's aggregate runs at query-construction time — its
     // registered frame is a driver-local relation, so the map-side-
     // partial plan shape is asserted in PcaSpec instead of here)

@@ -81,6 +81,59 @@ object Retrieval {
       Seq("query_id"), Seq(("score", true), ("doc_id", false)), k)
   }
 
+  /** nDCG@10 of the BM25 ranking against a graded relevance law — the
+    * EVAL step of a retrieval pipeline (is the ranker any good, per
+    * query?), computed so a SQL twin hash-checks it. Relevance is the
+    * deterministic term-coverage grade rel = min(#distinct query terms
+    * present, 3) — crude but real (coverage IS the first-order
+    * relevance signal), integer-exact, and derivable by both engines
+    * from the corpus alone. DCG@10 = Σ (2^rel − 1)/log₂(r+1) over the
+    * BM25 top-10 (the registered operator's own machinery, so the eval
+    * can never disagree with the ranking it grades); IDCG@10 the same
+    * sum over the corpus-wide ideal top-10 by (rel desc, doc_id);
+    * nDCG = their ratio, computed from the two grid-ROUNDED sums so
+    * both engines divide identical inputs.
+    *
+    * Shape at scale: relevance is one distinct-gram pass joined to the
+    * broadcast query terms (|terms|-bounded, like the BM25 tf table);
+    * both rankings run through the bounded-heap TopKPerKey; the gain
+    * sums touch 10·|queries| rows. Float contract: ≤10-term sums under
+    * the s_bm25 precedent (partial-order ulp noise sits ~7 digits
+    * below the 1e-4 grid).
+    */
+  def ndcgAt10(docs: DataFrame,
+      queries: Seq[(Int, Seq[String])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (id, ws) => ws.distinct.map((id, _)) }
+      .toDF("query_id", "w")
+    val rel = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .join(broadcast(qt), "w")
+      .groupBy("query_id", "doc_id")
+      .agg(least(count(lit(1)), lit(3L)).as("rel"))
+    def gain(relCol: org.apache.spark.sql.Column,
+        rCol: org.apache.spark.sql.Column) =
+      (pow(lit(2.0), relCol.cast("double")) - 1.0) / log2(rCol + 1.0)
+    val ranked = bm25TopK(docs, queries, 10)
+      .withColumn("r", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))))
+    val dcg = ranked.join(rel, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"),
+        gain(coalesce(col("rel"), lit(0L)), col("r")).as("g"))
+      .groupBy("query_id").agg(round4HalfUp(sum(col("g"))).as("dcg"))
+    val idcg = graft.plans.TopKPerKey.topKPerKey(rel,
+        Seq("query_id"), Seq(("rel", true), ("doc_id", false)), 10)
+      .withColumn("r", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rel").desc, col("doc_id"))))
+      .select(col("query_id"), gain(col("rel"), col("r")).as("g"))
+      .groupBy("query_id").agg(round4HalfUp(sum(col("g"))).as("idcg"))
+    dcg.join(idcg, "query_id")
+      .select(col("query_id"), col("dcg"), col("idcg"),
+        round4HalfUp(col("dcg") / col("idcg")).as("ndcg"))
+  }
+
   /** Fixture queries built from the synthetic corpus's vocabulary. */
   val FixtureQueries: Seq[(Int, Seq[String])] = Seq(
     1 -> Seq("table", "scan", "merge"),
@@ -257,6 +310,12 @@ object Retrieval {
       qlTopK(Tables.spread(Tables.documents(s, d)), FixtureQueries, 10)
         .orderBy(col("query_id"), col("score").desc, col("doc_id"))
     },
+    // retrieval eval: nDCG@10 of the BM25 ranking vs term-coverage
+    // relevance — the "is the ranker any good" audit
+    "a_retrieval_ndcg" -> { (s, d) =>
+      ndcgAt10(Tables.spread(Tables.documents(s, d)), FixtureQueries)
+        .orderBy("query_id")
+    },
     // rank fusion of the two lexical rankers' top-10 lists — the fused
     // score is an exact BIGINT, so the whole query hash-matches even
     // though both legs score with floats
@@ -358,46 +417,83 @@ object Retrieval {
        |ORDER BY query_id, mmr_rank""".stripMargin
   }
 
+  // Shared BM25 ranking CTEs (q → toks → tf/dft/dl/scal → sc → rk):
+  // the s_bm25 oracle and the nDCG eval oracle reuse them verbatim so
+  // the eval can never disagree with the ranking it grades.
+  private val bm25Ctes =
+    """WITH q(query_id, w) AS (VALUES
+      |  (1,'table'),(1,'scan'),(1,'merge'),
+      |  (2,'hash'),(2,'join'),(2,'spark'),
+      |  (3,'window'),(3,'sort'),(3,'batch')),
+      |toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) w
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, w, CAST(count(*) AS DOUBLE) tf
+      |  FROM toks JOIN (SELECT DISTINCT w FROM q) USING (w)
+      |  GROUP BY 1, 2),
+      |dft AS (SELECT w, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY 1),
+      |dl AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) dl
+      |  FROM documents),
+      |scal AS (
+      |  SELECT CAST(count(*) AS DOUBLE) n_docs,
+      |    avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) avgdl
+      |  FROM documents),
+      |sc AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    floor(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |      * tf * 2.2
+      |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+      |      * 10000 + 0.5) / 10000.0 score
+      |  FROM q JOIN tf USING (w) JOIN dft USING (w)
+      |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN scal
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT query_id, doc_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY score DESC, doc_id) rn
+      |  FROM sc)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "a_retrieval_ndcg" -> (bm25Ctes +
+      """,
+        |rel AS (
+        |  SELECT query_id, doc_id, least(count(*), 3) rel
+        |  FROM (SELECT doc_id,
+        |          unnest(list_distinct(string_split(text, ' '))) w
+        |        FROM documents)
+        |  JOIN q USING (w) GROUP BY 1, 2),
+        |act AS (
+        |  SELECT rk.query_id, rk.rn r, coalesce(rel.rel, 0) rel
+        |  FROM rk LEFT JOIN rel
+        |    ON rel.query_id = rk.query_id AND rel.doc_id = rk.doc_id
+        |  WHERE rk.rn <= 10),
+        |dcg AS (
+        |  SELECT query_id,
+        |    floor(sum((power(2.0, rel) - 1.0) / log2(r + 1.0))
+        |      * 10000 + 0.5) / 10000.0 dcg
+        |  FROM act GROUP BY 1),
+        |irk AS (
+        |  SELECT query_id, rel, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rel DESC, doc_id) r
+        |  FROM rel),
+        |idcg AS (
+        |  SELECT query_id,
+        |    floor(sum((power(2.0, rel) - 1.0) / log2(r + 1.0))
+        |      * 10000 + 0.5) / 10000.0 idcg
+        |  FROM irk WHERE r <= 10 GROUP BY 1)
+        |SELECT query_id, dcg, idcg,
+        |  floor(dcg / idcg * 10000 + 0.5) / 10000.0 AS ndcg
+        |FROM dcg JOIN idcg USING (query_id)
+        |ORDER BY query_id""".stripMargin),
     "s_mmr_diversify" -> mmrOracle,
-    "s_bm25" ->
-      """WITH q(query_id, w) AS (VALUES
-        |  (1,'table'),(1,'scan'),(1,'merge'),
-        |  (2,'hash'),(2,'join'),(2,'spark'),
-        |  (3,'window'),(3,'sort'),(3,'batch')),
-        |toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) w
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id, w, CAST(count(*) AS DOUBLE) tf
-        |  FROM toks JOIN (SELECT DISTINCT w FROM q) USING (w)
-        |  GROUP BY 1, 2),
-        |dft AS (SELECT w, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY 1),
-        |dl AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS DOUBLE) dl
-        |  FROM documents),
-        |scal AS (
-        |  SELECT CAST(count(*) AS DOUBLE) n_docs,
-        |    avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) avgdl
-        |  FROM documents),
-        |sc AS (
-        |  SELECT q.query_id, tf.doc_id,
-        |    floor(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-        |      * tf * 2.2
-        |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
-        |      * 10000 + 0.5) / 10000.0 score
-        |  FROM q JOIN tf USING (w) JOIN dft USING (w)
-        |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN scal
-        |  GROUP BY 1, 2),
-        |rk AS (
-        |  SELECT query_id, doc_id, score,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY score DESC, doc_id) rn
-        |  FROM sc)
+    "s_bm25" -> (bm25Ctes +
+      """
         |SELECT query_id, doc_id, score
         |FROM rk WHERE rn <= 10
-        |ORDER BY query_id, score DESC, doc_id""".stripMargin,
+        |ORDER BY query_id, score DESC, doc_id""".stripMargin),
     "s_ql" ->
       """WITH q(query_id, w) AS (VALUES
         |  (1,'table'),(1,'scan'),(1,'merge'),

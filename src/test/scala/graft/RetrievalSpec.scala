@@ -126,4 +126,33 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(again == kept.collect().map(_.getLong(0)).toSet)
   }
+
+  test("nDCG: a coverage-aligned ranking scores exactly 1; bounds hold " +
+      "on the real fixture") {
+    // equal-length docs whose BM25 order IS the coverage order → the
+    // actual top-10 equals the ideal top-10 and nDCG must be exactly 1
+    val docs = Seq(
+      (1L, "table scan merge"),  // rel 3
+      (2L, "table scan zz1"),    // rel 2
+      (3L, "table zz2 zz3"),     // rel 1
+      (4L, "aa1 aa2 aa3"),       // rel 0 — never ranked
+      (5L, "bb1 bb2 bb3")).toDF("doc_id", "text")
+    val one = Retrieval.ndcgAt10(docs, Seq(1 -> Seq("table", "scan",
+      "merge"))).collect()
+    assert(one.length == 1)
+    assert(one(0).getDouble(3) == 1.0,
+      s"coverage-aligned ranking must be ideal, got ${one(0)}")
+    assert(one(0).getDouble(1) == one(0).getDouble(2))
+    // real fixture: ideal dominates actual, ratio in (0, 1]
+    val rows = SparkEntry.queries("a_retrieval_ndcg")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.length == Retrieval.FixtureQueries.length)
+    for (r <- rows) {
+      val (dcg, idcg, ndcg) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(dcg > 0.0 && idcg >= dcg,
+        s"ideal must dominate the actual ranking: $r")
+      assert(ndcg > 0.0 && ndcg <= 1.0, s"nDCG out of range: $r")
+    }
+  }
 }
