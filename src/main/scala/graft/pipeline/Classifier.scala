@@ -209,7 +209,7 @@ object Classifier {
          |        SELECT DISTINCT doc_id FROM feats
          |        WHERE ((doc_id * 2654435761) % 4294967296) % 4 = 0
          |        ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
-         |        LIMIT 100000))),
+         |        LIMIT $MaxSample))),
          |bk AS (
          |  SELECT b, CAST(row_number() OVER (ORDER BY b) AS INT) AS i
          |  FROM (SELECT DISTINCT b FROM samp)),

@@ -42,7 +42,15 @@ object Preference {
   def matches(events: DataFrame, cap: Int = 16): DataFrame = {
     require(cap >= 2 && cap <= 1024,
       s"cap=$cap: per-group pair mass is cap² — keep it bounded")
-    val day = expr("CAST(ts AS LONG) DIV 86400")
+    // FLOOR division onto days (the packSequences pmod idiom): Spark's
+    // DIV truncates toward zero while the DuckDB twin's `//` floors
+    // (and CAST(ts AS LONG) truncates pre-epoch fractional seconds
+    // where the twin's floor(epoch(ts)) floors them), so the bucket is
+    // computed straight on microseconds — subtracting the always-non-
+    // negative pmod makes the quotient exact and floor-consistent on
+    // both engines for ALL timestamps, pre-epoch included.
+    val day = expr("(unix_micros(ts) - pmod(unix_micros(ts), " +
+      "86400000000)) DIV 86400000000")
     val w = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("ts"), col("event_id"))
     val capped = events

@@ -307,10 +307,29 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * There is no static check on data magnitude, so the bucket carries
     * a per-row GUARD at the stricter 2⁵⁰ (one binade of headroom so a
     * qualifying partner of a barely-legal row is itself still inside
-    * the proof): any row past it raises a runtime error naming the
-    * fix, rather than letting an optimizer rewrite silently drop
+    * the proof): any FINITE row past it raises a runtime error naming
+    * the fix, rather than letting an optimizer rewrite silently drop
     * qualifying pairs. NULL operands take the bucket branch (bucket of
     * NULL is NULL, same as before the guard).
+    *
+    * Non-finite values are well-defined under the un-rewritten join,
+    * so the guard must NOT turn them into errors — each non-finite
+    * class gets its own SENTINEL bucket and the original residual
+    * decides, exactly as the naive plan would:
+    *  - NaN pairs with NaN under the BETWEEN spellings (Spark orders
+    *    NaN = NaN and largest, so `NaN ≤ NaN + δ` holds) but not under
+    *    the abs spelling (`NaN ≤ δ` is false). A NULL bucket would
+    *    silently LOSE the BETWEEN-spelling NaN–NaN pairs, so NaN rows
+    *    share a sentinel bucket and the residual keeps or drops the
+    *    pair per spelling.
+    *  - ±Inf pairs exactly with the same infinity under BETWEEN
+    *    (`inf ≤ inf + δ`; the abs residual is `NaN ≤ δ` → drop) →
+    *    per-infinity sentinels, residual decides.
+    * Sentinels sit ≥2 inside the Long extremes so the ±1 replica
+    * arithmetic cannot overflow (ANSI-safe), and no finite bucket can
+    * collide: the guard bounds finite |buckets| under 2⁵⁰. A replica
+    * of one sentinel landing on another (NaN's +1 vs −Inf's −1, etc.)
+    * is impossible by spacing, and would be residual-rejected anyway.
     */
   private def bucketD(e: Expression, delta: Double): Expression = {
     val x = Cast(e, DoubleType)
@@ -321,11 +340,17 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val guard = Or(IsNull(x),
       LessThan(Abs(x, failOnError = false), Literal(limit)))
     val err = Cast(new RaiseError(Literal(
-      s"BandJoinRewrite: |operand| exceeds $limit = 2delta*2^50, " +
+      s"BandJoinRewrite: finite |operand| exceeds $limit = 2delta*2^50, " +
         "beyond which delta-bucketing cannot resolve the band; cast " +
         s"the operands to BIGINT or set $ContinuousEnabledKey=false")),
       LongType)
-    If(guard, Floor(Divide(x, Literal(width))), err)
+    CaseWhen(Seq(
+      (IsNaN(x), Literal(Long.MaxValue - 5L)),
+      (EqualTo(x, Literal(Double.PositiveInfinity)),
+        Literal(Long.MaxValue - 2L)),
+      (EqualTo(x, Literal(Double.NegativeInfinity)),
+        Literal(Long.MinValue + 2L))),
+      If(guard, Floor(Divide(x, Literal(width))), err))
   }
 
   /** The δ-bucket rewrite with the replicated side chosen by join

@@ -166,9 +166,16 @@ object WindowedStreams {
         .select(explode(bigramsOf).as("g")))
       .agg(approx_count_distinct(col("g"), 0.01).as("n"))
       .as[Long].head()
-    require(nGrams <= maxVocab,
+    // the HLL estimate can UNDERCOUNT by a few rsd's worth in the tail;
+    // a fail-loud driver-memory guard must not admit an over-budget
+    // vocabulary through estimator error, so the comparison discounts
+    // maxVocab by 3× the 1% rsd (a >3-sigma underestimate is
+    // negligible). The 3% haircut is immaterial to legitimate targets —
+    // they are reference-sample-sized, nowhere near the bound.
+    require(nGrams <= maxVocab - 3L * (maxVocab / 100L),
       s"target holds ~$nGrams distinct grams, exceeding maxVocab=" +
-        s"$maxVocab: domainScoreGate trains a DRIVER-held model and is " +
+        s"$maxVocab (less the 3% estimator margin): domainScoreGate " +
+        "trains a DRIVER-held model and is " +
         "only safe on a reference-sample-sized target (use the batch " +
         "join formulation bigramCrossEntropyAgainst for corpus-shaped " +
         "targets)")

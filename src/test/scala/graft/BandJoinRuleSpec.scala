@@ -238,6 +238,44 @@ class BandJoinRuleSpec extends AnyFunSuite {
       s"expected the bucket guard's error, got: $e")
   }
 
+  test("non-finite doubles stay well-defined under the rewrite: NaN " +
+      "pairs with NaN and same-sign infinities pair under the BETWEEN " +
+      "spelling (sentinel buckets + residual), nothing non-finite " +
+      "matches under the abs spelling, and no row errors") {
+    val nan = Double.NaN
+    val pInf = Double.PositiveInfinity
+    val nInf = Double.NegativeInfinity
+    val ld = Seq((1L, nan), (2L, pInf), (3L, nInf), (4L, 0.0))
+      .toDF("lid", "lx")
+    val rd = Seq((10L, nan), (11L, pInf), (12L, nInf), (13L, 0.1))
+      .toDF("rid", "rx")
+    // BETWEEN spelling: inf ≤ inf + δ holds, and Spark orders NaN =
+    // NaN (largest), so NaN ≤ NaN + δ holds too — both pair with
+    // themselves in the un-rewritten plan; the rewrite must keep that
+    def q = ld.join(rd,
+      col("lx") <= col("rx") + lit(0.5) &&
+        col("rx") <= col("lx") + lit(0.5))
+      .select("lid", "rid")
+    val naive = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(naive == Set((1L, 10L), (2L, 11L), (3L, 12L), (4L, 13L)),
+      s"premise: naive plan pairs NaN-NaN and same-sign inf, got $naive")
+    val (rows, plan) = withRule {
+      val df = q
+      (df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet,
+        df.queryExecution.optimizedPlan.toString)
+    }
+    assert(plan.contains("__kband"), "rule must fire on this shape")
+    assert(rows == naive, "rewrite changed the non-finite answer")
+    // and the abs spelling, where NaN residuals exclude infinities too
+    def qa = ld.join(rd, abs(col("lx") - col("rx")) <= lit(0.5))
+      .select("lid", "rid")
+    val naiveA = qa.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val rowsA = withRule {
+      qa.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    }
+    assert(rowsA == naiveA, "abs spelling diverged on non-finite rows")
+  }
+
   test("the continuous path honors its conf gate: disabled, the plan " +
       "stays un-rewritten and extreme magnitudes answer correctly") {
     val big = math.pow(2.0, 60)
