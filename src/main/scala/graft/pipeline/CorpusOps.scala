@@ -286,20 +286,31 @@ object CorpusOps {
     * reference models are the engine's bigram LM rather than trained
     * transformers, and the baseline is the cross-domain mean loss.
     *
-    * Deterministic end to end: sampling is an xxhash64(doc_id, round)
-    * threshold (rate = weight·|domains|, floored at 5% so no domain's
-    * sample collapses), the LM is exact integer counts, and the weight
-    * arithmetic runs on the driver over one |domains|-row collect per
-    * round — the BPE-loop discipline (driver state is
-    * vocabulary/domain-sized, NEVER corpus-sized; `require`-guarded).
+    * Deterministic end to end AND engine-portable (the integer-micro-
+    * grid discipline that graduated `s_pca_top` and `t_classifier_train`
+    * to oracle-backed): the weight state lives on the 1e-6 integer grid
+    * (`w_micro` BIGINT summing to ~1e6), sampling is a portable 5-md5-
+    * nibble threshold per (doc, round) — membership is the exact integer
+    * comparison `h5·1e6 < rate_micro·16⁵` with `rate_micro =
+    * clamp(w_micro·|domains|, 5e4, 1e6)` (the 5% floor keeps every
+    * domain's sample alive) — per-doc cross-entropy lands on the proven
+    * 1e-4 grid as an integer, per-domain means and the cross-domain
+    * baseline are exact integer floor-divisions, and the one float step
+    * (the group-DRO boost `exp(η·excess)`, excess clamped to a ±2
+    * eta-scaled trust region so the later products stay in BIGINT) is
+    * immediately re-quantized to the 1e-6 grid — both engines resume
+    * from identical integers, so a DuckDB twin replays the whole loop
+    * UNROLLED (one CTE block per round) and hash-matches. Driver state
+    * is |domains|-sized per round (`require`-guarded), the BPE-loop
+    * discipline.
+    *
     * Shape at 100 TB: the corpus is tokenized/exploded ONCE — the
-    * persisted (doc, source, w1, bigram) frame serves every round's
-    * sample (a hash filter on it) and every round's scoring joins, so
-    * per-round cost is the count shuffles and the scoring join, not a
-    * repeated parquet scan + explode (isolated sf0.1: 6.7 → 6.1 s —
-    * modest here where scoring joins dominate, but the explode is the
-    * part that grows with raw text volume at 100 TB); domain count and
-    * round count are constants, persists released on exit.
+    * persisted (doc, source, gram, h₁..h_R) frame serves every round's
+    * sample (an integer filter on the per-round hash column computed in
+    * the same single pass) and every round's scoring joins, so per-round
+    * cost is the count shuffles and the scoring join, not a repeated
+    * parquet scan + explode; domain count and round count are constants,
+    * persists released on exit.
     */
   def doremiWeights(docs: DataFrame, rounds: Int = 3,
       eta: Double = 0.5): DataFrame = {
@@ -310,60 +321,89 @@ object CorpusOps {
     require(domains.length <= 1000,
       s"${domains.length} domains: driver-side weight state is only " +
         "domain-sized if the domain column is coarse (source, not URL)")
+    val ndom = domains.length.toLong
+    // per-round portable sample hash: first 5 md5 nibbles of
+    // (doc_id, round) — computed once per doc in the single explode
+    // pass and carried through, so each round's membership test on the
+    // persisted frames is one integer compare, not a per-row digest
+    def h5(r: Int): Column =
+      conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(s":$r:doremi"))), 1, 5), 16, 10).cast("long").as(s"h$r")
+    val hCols = (1 to rounds).map(r => col(s"h$r"))
+    val withH = docs.select(col("doc_id") +: col("source") +:
+      col("text") +: (1 to rounds).map(h5): _*)
     // one explode for all rounds: every per-round frame below is a
     // filter/aggregate of this (identical arithmetic to deriving the
     // sample's bigrams from the sampled docs — a doc's bigrams are a
     // function of the doc alone)
     val t = toks(col("text"))
-    val bi = docs.select(col("doc_id"), col("source"),
+    val bi = withH.select(col("doc_id") +: col("source") +:
         explode(zip_with(slice(t, lit(1), size(t) - 1),
           slice(t, lit(2), size(t) - 1),
           (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("b"))))
-          .as("z"))
-      .select(col("doc_id"), col("source"),
-        col("z.w1").as("w1"), col("z.b").as("b"))
+          .as("z") +: hCols: _*)
+      .select(col("doc_id") +: col("source") +: col("z.w1").as("w1") +:
+        col("z.b").as("b") +: hCols: _*)
       .persist()
-    val tok = docs.select(col("doc_id"), col("source"),
-      explode(t).as("w1")).persist()
-    var w = domains.map(_ -> 1.0 / domains.length).toMap
-    val acc = scala.collection.mutable.Map(domains.map(_ -> 0.0).toSeq: _*)
+    val tok = withH.select(col("doc_id") +: col("source") +:
+      explode(t).as("w1") +: hCols: _*).persist()
+    // uniform start, rounded UP so the first round's rate saturates at
+    // 1.0 exactly (full-sample first round, as in the paper's init)
+    var w = domains.map(_ -> (1000000L + ndom - 1L) / ndom).toMap
+    val acc = scala.collection.mutable.Map(domains.map(_ -> 0L).toSeq: _*)
     for (r <- 1 to rounds) {
       val rate = domains.map(d =>
-        d -> math.max(0.05, math.min(1.0, w(d) * domains.length))).toMap
-      val rateCol = domains.foldLeft(lit(0.0)) { (acc0, dm) =>
+        d -> math.max(50000L, math.min(1000000L, w(d) * ndom))).toMap
+      val rateCol = domains.foldLeft(lit(0L)) { (acc0, dm) =>
         when(col("source") === dm, lit(rate(dm))).otherwise(acc0) }
-      val inSample =
-        pmod(xxhash64(col("doc_id"), lit(r)), lit(1000000L))
-          .cast("double") < rateCol * 1e6
+      val inSample = col(s"h$r") * lit(1000000L) < rateCol * lit(1048576L)
       val uni = tok.filter(inSample)
         .groupBy("w1").agg(count(lit(1)).as("c1"))
       val big = bi.filter(inSample)
         .groupBy("b").agg(count(lit(1)).as("c2"))
       val vdf = uni.agg(count(lit(1)).as("vsz"))
+      // per-doc CE as a 1e-4-grid INTEGER (the t_ngram_lm spelling with
+      // the floor(...*1e4+0.5) kept integral), then exact integer
+      // per-domain sums — one |domains|-row collect per round
       val ce = bi
         .join(big, Seq("b"), "left")
         .join(uni, Seq("w1"), "left")
         .crossJoin(broadcast(vdf))
-        .groupBy("doc_id").agg(
-          first(col("source")).as("source"),
-          round4HalfUp(-avg(log2(
+        .groupBy("doc_id", "source").agg(
+          floor(-avg(log2(
             (coalesce(col("c2"), lit(0L)) + 1.0) /
-              (coalesce(col("c1"), lit(0L)) + col("vsz")))))
-            .as("ce"))
-        .groupBy("source").agg(avg(col("ce")).as("dce"))
-        .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
-      val base = domains.map(d => ce.getOrElse(d, 0.0)).sum / domains.length
-      val boosted = domains.map(d =>
-        d -> w(d) * math.exp(eta * (ce.getOrElse(d, 0.0) - base)))
-      val z = boosted.map(_._2).sum
-      w = boosted.map { case (d, v) => d -> v / z }.toMap
-      domains.foreach(d => acc(d) += w(d) / rounds)
+              (coalesce(col("c1"), lit(0L)) + col("vsz")))) * 10000 + 0.5)
+            .cast("long").as("ce4"))
+        .groupBy("source")
+        .agg(sum(col("ce4")).as("s"), count(lit(1)).as("n"))
+        .collect().map(x => x.getString(0) ->
+          (x.getLong(1), x.getLong(2))).toMap
+      // domain mean CE on the 1e-6 grid, baseline = cross-domain mean —
+      // all floor-divisions over non-negative integers (Scala / = SQL //)
+      val dceU = domains.map { d =>
+        val (s0, n0) = ce.getOrElse(d, (0L, 0L))
+        d -> (if (n0 == 0L) 0L else (s0 * 100L) / n0)
+      }.toMap
+      val baseU = dceU.values.sum / ndom
+      // the one float step: exp of the eta-scaled excess, clamped to
+      // ±2 (trust region — also bounds boosted = w·f·1e6 under 2⁶³),
+      // re-quantized to the 1e-6 grid so both engines resume integral
+      val f = domains.map { d =>
+        val x = math.min(2.0, math.max(-2.0,
+          ((dceU(d) - baseU).toDouble * eta) / 1000000.0))
+        d -> math.floor(math.exp(x) * 1000000.0 + 0.5).toLong
+      }.toMap
+      val boosted = domains.map(d => d -> w(d) * f(d)).toMap
+      val z = boosted.values.sum
+      w = domains.map(d => d -> boosted(d) * 1000000L / z).toMap
+      domains.foreach(d => acc(d) += w(d))
     }
     bi.unpersist()
     tok.unpersist()
-    domains.toSeq.map(d => (d, BigDecimal(acc(d))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-      .toDF("source", "weight")
+    domains.toSeq.map(d => (d, acc(d) / rounds))
+      .toDF("source", "weight_micro")
+      .select(col("source"), col("weight_micro"),
+        (col("weight_micro").cast("double") / 1000000.0).as("weight"))
   }
 
   /** Deterministic source-interleaved global ordering: doc at
@@ -408,9 +448,10 @@ object CorpusOps {
     "t_kneser_ney" -> { (s, d) =>
       kneserNeyTop(Tables.spread(Tables.documents(s, d)))
     },
-    // iterative trainer state (multi-round sample→train→score loop) —
-    // rows-only like the BPE/unigram tiers; DoremiSpec pins an exact
-    // single-round reference + multi-round invariants
+    // iterative trainer (multi-round sample→train→score loop) on the
+    // integer micro grid — oracle-backed: the DuckDB twin replays the
+    // loop UNROLLED, one CTE block per round; DoremiSpec additionally
+    // pins an exact single-round reference + multi-round invariants
     "p_doremi_weights" -> { (s, d) =>
       doremiWeights(Tables.spread(Tables.documents(s, d)))
         .orderBy("source")
@@ -472,7 +513,102 @@ object CorpusOps {
         .orderBy("doc_id", "start")
     })
 
+  /** 5-md5-nibble sample hash of (doc_id, round) as an integer in
+    * [0, 16⁵) — the a_preference_ci nibble idiom.
+    */
+  private def doremiH5(r: Int): String = {
+    val dig = s"md5(CAST(doc_id AS VARCHAR) || ':$r:doremi')"
+    (0 until 5).map { i =>
+      val p = math.pow(16, 4 - i).toLong
+      s"(strpos('0123456789abcdef', substr($dig, ${i + 1}, 1)) - 1) * $p"
+    }.mkString(" +\n    |    ")
+  }
+
+  /** One unrolled DoReMi round: rate from the previous round's integer
+    * weights, portable-hash sample, add-one bigram LM counts, 1e-4-grid
+    * per-doc CE, integer domain means and baseline, clamped+quantized
+    * exponential boost, integer renormalization. Mirrors the engine's
+    * loop body statement for statement (see [[doremiWeights]]).
+    */
+  private def doremiRound(r: Int, prevW: String): String =
+    s"""rate$r AS MATERIALIZED (
+       |  SELECT source,
+       |    greatest(50000, least(1000000, w * (SELECT n FROM nd)))
+       |      AS rate
+       |  FROM $prevW),
+       |samp$r AS MATERIALIZED (
+       |  SELECT doc_id FROM dh JOIN rate$r USING (source)
+       |  WHERE h$r * 1000000 < rate * 1048576),
+       |uni$r AS MATERIALIZED (
+       |  SELECT w1, count(*) c1 FROM tok JOIN samp$r USING (doc_id)
+       |  GROUP BY 1),
+       |big$r AS MATERIALIZED (
+       |  SELECT b, count(*) c2 FROM bg JOIN samp$r USING (doc_id)
+       |  GROUP BY 1),
+       |v$r AS MATERIALIZED (SELECT count(*) vsz FROM uni$r),
+       |ce$r AS MATERIALIZED (
+       |  SELECT bg.doc_id, bg.source,
+       |    CAST(floor(-avg(log2((coalesce(c2, 0) + 1.0)
+       |      / (coalesce(c1, 0) + vsz))) * 10000 + 0.5) AS BIGINT) ce4
+       |  FROM bg LEFT JOIN big$r USING (b) LEFT JOIN uni$r USING (w1)
+       |  CROSS JOIN v$r
+       |  GROUP BY 1, 2),
+       |dce$r AS MATERIALIZED (
+       |  SELECT d.source,
+       |    CASE WHEN count(c.ce4) = 0 THEN 0
+       |         ELSE (CAST(sum(c.ce4) AS BIGINT) * 100) // count(c.ce4)
+       |    END AS dce
+       |  FROM dom d LEFT JOIN ce$r c USING (source) GROUP BY 1),
+       |base$r AS MATERIALIZED (
+       |  SELECT CAST(sum(dce) AS BIGINT) // (SELECT n FROM nd) AS bs
+       |  FROM dce$r),
+       |f$r AS MATERIALIZED (
+       |  SELECT source, CAST(floor(exp(least(greatest(
+       |    (CAST(dce - (SELECT bs FROM base$r) AS DOUBLE) * 0.5)
+       |      / 1000000.0, -2.0), 2.0)) * 1000000.0 + 0.5) AS BIGINT) f
+       |  FROM dce$r),
+       |bo$r AS MATERIALIZED (
+       |  SELECT source, w * f AS bo FROM $prevW JOIN f$r USING (source)),
+       |z$r AS MATERIALIZED (SELECT CAST(sum(bo) AS BIGINT) z FROM bo$r),
+       |w$r AS MATERIALIZED (
+       |  SELECT source, (bo * 1000000) // (SELECT z FROM z$r) AS w
+       |  FROM bo$r)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the engine's 3-round loop unrolled: integer weight state on the
+    // 1e-6 grid, portable 5-nibble sample hash, every float step either
+    // on a proven grid (per-doc CE, 1e-4) or immediately re-quantized
+    // (the exp boost) — see doremiWeights's portability argument
+    "p_doremi_weights" ->
+      s"""WITH dom AS MATERIALIZED (SELECT DISTINCT source FROM documents),
+         |nd AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) n FROM dom),
+         |dh AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CAST(${doremiH5(1)} AS BIGINT) AS h1,
+         |    CAST(${doremiH5(2)} AS BIGINT) AS h2,
+         |    CAST(${doremiH5(3)} AS BIGINT) AS h3
+         |  FROM documents),
+         |toks AS MATERIALIZED (
+         |  SELECT doc_id, source, string_split(text, ' ') t
+         |  FROM documents WHERE text IS NOT NULL),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, source, unnest(t) w1 FROM toks),
+         |bg AS MATERIALIZED (
+         |  SELECT doc_id, source, t[i] AS w1, t[i] || ' ' || t[i + 1] AS b
+         |  FROM toks, unnest(range(1, len(t))) u(i)),
+         |w0 AS MATERIALIZED (
+         |  SELECT source,
+         |    (1000000 + (SELECT n FROM nd) - 1) // (SELECT n FROM nd) AS w
+         |  FROM dom),
+         |${doremiRound(1, "w0")},
+         |${doremiRound(2, "w1")},
+         |${doremiRound(3, "w2")},
+         |fin AS (
+         |  SELECT w1.source, (w1.w + w2.w + w3.w) // 3 AS weight_micro
+         |  FROM w1 JOIN w2 USING (source) JOIN w3 USING (source))
+         |SELECT source, weight_micro,
+         |  CAST(weight_micro AS DOUBLE) / 1000000.0 AS weight
+         |FROM fin ORDER BY source""".stripMargin,
     "t_kneser_ney" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') t FROM documents),

@@ -293,21 +293,18 @@ object Fingerprints {
     sigs.select(col("doc_id"), fp.as("fp"))
   }
 
-  def simhashPortablePairs(docs: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
-    val f = simhashPortableFingerprints(docs)
-    val banded = f.select(col("doc_id"),
+  /** The 4×15-bit band blocking of [[simhashPortableFingerprints]]. */
+  private def simhashBands(f: DataFrame): DataFrame =
+    f.select(col("doc_id"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftrightunsigned(col("fp"), b * 15)
           .bitwiseAND(lit(0x7FFFL)).as("bkey"))): _*)).as("bb"))
       .select(col("doc_id"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val cands = banded.select(col("doc_id").as("da"),
-        col("band"), col("bkey"))
-      .join(banded.select(col("doc_id").as("db"), col("band"),
-        col("bkey")), Seq("band", "bkey"))
-      .filter(col("da") < col("db"))
-      .select("da", "db").distinct()
+
+  /** Hamming verify of candidate id pairs against the fingerprints. */
+  private def simhashVerify(cands: DataFrame, f: DataFrame,
+      maxHamming: Int): DataFrame =
     cands
       .join(f.select(col("doc_id").as("da"), col("fp").as("fa")), "da")
       .join(f.select(col("doc_id").as("db"), col("fp").as("fb")), "db")
@@ -315,13 +312,61 @@ object Fingerprints {
         bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int")
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
+
+  /** Candidates go through [[cappedPairs]] — the 15-bit band keyspace
+    * is only 32k values, so at ~10⁹ docs every bucket holds ~30k
+    * members and an uncapped per-bucket self-join is quadratic pair
+    * mass exactly where the skew guard exists to prevent it. The cap is
+    * REPLAYED by the oracle (bucket counts + small all-pairs + big
+    * star are all deterministic SQL), so capping costs no oracle
+    * coverage; its recall cost is MEASURED, not asserted, by
+    * [[simhashCapDrift]] / `a_simhash_cap_drift`.
+    */
+  def simhashPortablePairs(docs: DataFrame,
+      maxHamming: Int = 3, cap: Int = -1): DataFrame = {
+    val f = simhashPortableFingerprints(docs)
+    val cands = cappedPairs(simhashBands(f), Seq("band", "bkey"),
+        "doc_id", cap)
+      .select(col("ida").as("da"), col("idb").as("db"))
+    simhashVerify(cands, f, maxHamming)
+  }
+
+  /** Drift audit for the SimHash band cap (the `a_capped_pair_drift`
+    * mold): every ≤-maxHamming pair the UNCAPPED band enumeration finds
+    * that the capped tier loses, at a deliberately tiny audit cap so
+    * the star path is exercised at fixture scale. Capped candidates are
+    * a subset of uncapped ones (small buckets are identical; star pairs
+    * share a bucket), so drift is one anti-join — "gained" pairs cannot
+    * exist. Fingerprints are computed once and shared by both tiers.
+    */
+  def simhashCapDrift(docs: DataFrame, cap: Int,
+      maxHamming: Int = 3): DataFrame = {
+    val f = simhashPortableFingerprints(docs)
+    val banded = simhashBands(f)
+    val uncapped = banded.select(col("doc_id").as("da"),
+        col("band"), col("bkey"))
+      .join(banded.select(col("doc_id").as("db"), col("band"),
+        col("bkey")), Seq("band", "bkey"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val capped = cappedPairs(banded, Seq("band", "bkey"), "doc_id", cap)
+      .select(col("ida").as("da"), col("idb").as("db"))
+    simhashVerify(uncapped.join(capped, Seq("da", "db"), "left_anti"),
+      f, maxHamming)
   }
 
   val queries: Map[String, Q] = Map(
-    // the oracle-backed SimHash tier (see simhashPortablePairs)
+    // the oracle-backed SimHash tier — candidates through cappedPairs
+    // (the 32k band keyspace would go quadratic uncapped at ~10⁹ docs),
+    // with the cap REPLAYED by the oracle (see simhashPortablePairs)
     "d_simhash_portable" -> { (s, d) =>
       simhashPortablePairs(Tables.documents(s, d))
         .orderBy("da", "db")
+    },
+    // the band cap's recall cost at a tiny audit cap — drift is LOST
+    // pairs only (capped candidates are a subset of uncapped ones)
+    "a_simhash_cap_drift" -> { (s, d) =>
+      simhashCapDrift(Tables.documents(s, d), 2).orderBy("da", "db")
     },
     // Winnowing document-fingerprint index: the local-fingerprinting
     // counterpart to the global [[RollingHash]] content fingerprint —
@@ -423,14 +468,13 @@ object Fingerprints {
   // re-derived as min-over-trailing-window + a 4-wide band join taking the
   // max position among hash matches — order-independent in both engines,
   // md5 hex strings compare identically.
-  /** DuckDB twin of [[simhashPortablePairs]]: the 60-bit value is the
-    * same md5-nibble sum (t_cms_portable idiom), the 60 vote counters
-    * are 60 explicit SUM columns, the fingerprint reassembles from
-    * CAST-to-BIGINT power-of-two literals (an INTEGER chain would
-    * overflow at bit 31), and candidates band/verify with the same
-    * shift/mask/bit_count arithmetic.
+  /** Shared CTE prefix of the portable-SimHash twins: the 60-bit value
+    * is the same md5-nibble sum (t_cms_portable idiom), the 60 vote
+    * counters are 60 explicit SUM columns, the fingerprint reassembles
+    * from CAST-to-BIGINT power-of-two literals (an INTEGER chain would
+    * overflow at bit 31), bands shift/mask the fingerprint.
     */
-  private def simhashPortableOracleSql: String = {
+  private def simhashFpCtes: String = {
     val nibSum = (1 to 15).map { i =>
       val mul = 1L << (4 * (15 - i))
       s"(strpos('0123456789abcdef', substr(md5(s), $i, 1)) - 1) * " +
@@ -441,7 +485,7 @@ object Fingerprints {
     val reassemble = (0 until 60).map(b =>
       s"(CASE WHEN c$b > 0 THEN CAST(${1L << b} AS BIGINT) " +
         "ELSE CAST(0 AS BIGINT) END)").mkString("\n    + ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -462,23 +506,66 @@ object Fingerprints {
        |  FROM cnt),
        |bands AS (
        |  SELECT doc_id, u.b AS band, (fp >> (u.b * 15)) & 32767 AS bkey
-       |  FROM fps, unnest(range(0, 4)) u(b)),
+       |  FROM fps, unnest(range(0, 4)) u(b))""".stripMargin
+  }
+
+  /** The [[cappedPairs]] candidate step replayed in SQL: bucket counts,
+    * all-pairs inside ≤cap buckets, (min-id representative, member)
+    * star inside larger ones — deterministic, so capping the production
+    * path costs no oracle coverage. Emits CTE `cands(da, db)`.
+    */
+  private def simhashCappedCandCtes(cap: Int): String =
+    s"""bsz AS (SELECT band, bkey, count(*) AS bn FROM bands
+       |  GROUP BY 1, 2),
+       |bsm AS (
+       |  SELECT doc_id, band, bkey FROM bands JOIN bsz
+       |  USING (band, bkey) WHERE bn <= $cap),
+       |bbg AS (
+       |  SELECT doc_id, band, bkey FROM bands JOIN bsz
+       |  USING (band, bkey) WHERE bn > $cap),
+       |reps AS (SELECT band, bkey, min(doc_id) AS rep FROM bbg
+       |  GROUP BY 1, 2),
        |cands AS (
-       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey
-       |      AND a.doc_id < b.doc_id)
-       |SELECT da, db,
+       |  SELECT DISTINCT da, db FROM (
+       |    SELECT a.doc_id AS da, b.doc_id AS db
+       |    FROM bsm a JOIN bsm b
+       |      ON a.band = b.band AND a.bkey = b.bkey
+       |        AND a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT r.rep AS da, g.doc_id AS db
+       |    FROM bbg g JOIN reps r
+       |      ON g.band = r.band AND g.bkey = r.bkey
+       |    WHERE g.doc_id <> r.rep))""".stripMargin
+
+  private def simhashVerifySql(pairs: String): String =
+    s"""SELECT da, db,
        |  CAST(bit_count(xor(x.fp, y.fp)) AS INTEGER) AS hamming
-       |FROM cands
+       |FROM $pairs
        |JOIN fps x ON x.doc_id = da
        |JOIN fps y ON y.doc_id = db
        |WHERE bit_count(xor(x.fp, y.fp)) <= 3
        |ORDER BY da, db""".stripMargin
-  }
 
   val oracles: Map[String, String] = Map(
-    "d_simhash_portable" -> simhashPortableOracleSql,
+    "d_simhash_portable" ->
+      s"""WITH $simhashFpCtes,
+         |${simhashCappedCandCtes(DefaultBucketCap)}
+         |${simhashVerifySql("cands")}""".stripMargin,
+    // the cap's recall cost, measured: uncapped band pairs the capped
+    // tier loses at the tiny audit cap, hamming-verified
+    "a_simhash_cap_drift" ->
+      s"""WITH $simhashFpCtes,
+         |cands_u AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey
+         |      AND a.doc_id < b.doc_id),
+         |${simhashCappedCandCtes(2)},
+         |lost AS (
+         |  SELECT da, db FROM cands_u u
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM cands c WHERE c.da = u.da AND c.db = u.db))
+         |${simhashVerifySql("lost")}""".stripMargin,
     // the portable MinHash replayed: lexicographic min over 12-hex
     // md5 prefixes, 4×4 banding, band-vector equality, exact verify
     "d_minhash_portable" ->

@@ -4,24 +4,23 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipeline.CorpusOps
 
-/** DoReMi-style reweighting: a single full-sample round must match an
-  * independently-coded in-memory reference exactly (uniform start ⇒
-  * every rate saturates at 1.0, so the hash sampler is out of the
-  * picture and the LM + multiplicative-weights math is isolated);
-  * multi-round runs are pinned by invariants — mixture sums to one,
-  * the badly-modeled domain gains weight, a symmetric corpus stays
-  * uniform, and the loop is deterministic.
+/** DoReMi-style reweighting on the integer micro grid: a single
+  * full-sample round must match an independently-coded in-memory
+  * reference exactly (the ceil-uniform start saturates every rate at
+  * 1.0, so the hash sampler is out of the picture and the LM +
+  * multiplicative-weights integer arithmetic is isolated); multi-round
+  * runs are pinned by invariants — mixture sums to one, weights stay on
+  * the grid, a symmetric corpus stays uniform, and the loop is
+  * deterministic. Cross-engine equality of the full 3-round loop is the
+  * `p_doremi_weights` oracle's job (unrolled DuckDB replay).
   */
 class DoremiSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.get
   import spark.implicits._
 
-  private def round4(x: Double): Double =
-    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-
-  /** Reference twin of [[CorpusOps.bigramCrossEntropyAgainst]]. */
-  private def refCe(target: Seq[(Long, String)],
-      docs: Seq[(Long, String)]): Map[Long, Double] = {
+  /** Reference twin of the per-doc CE on the 1e-4 integer grid. */
+  private def refCe4(target: Seq[(Long, String)],
+      docs: Seq[(Long, String)]): Map[Long, Long] = {
     def bigr(s: String): Seq[(String, String)] = {
       val t = s.split(" ").toSeq
       t.zip(t.drop(1)).map { case (a, b) => (a, a + " " + b) }
@@ -38,7 +37,8 @@ class DoremiSpec extends AnyFunSuite {
         val logs = bs.map { case (w1, b) =>
           -math.log((c2.getOrElse(b, 0L) + 1.0) /
             (c1.getOrElse(w1, 0L) + vsz)) / math.log(2.0) }
-        Some(id -> round4(logs.sum / logs.size))
+        Some(id ->
+          math.floor(logs.sum / logs.size * 10000 + 0.5).toLong)
       }
     }.toMap
   }
@@ -53,29 +53,32 @@ class DoremiSpec extends AnyFunSuite {
     (5L, "zx qv wk jj pf zx qv", "hard"),
     (6L, "qv zx pf wk jj pf wk", "hard"))
 
-  test("one full-sample round matches the in-memory reference exactly") {
+  test("one full-sample round matches the in-memory integer reference " +
+      "exactly (ceil-uniform start saturates the sampler)") {
     val docs = corpus.toDF("doc_id", "text", "source")
     val got = CorpusOps.doremiWeights(docs, rounds = 1, eta = 0.5)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    // reference: uniform start, full sample, one multiplicative update
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reference: ceil-uniform start, full sample, one integer update
     val pairs = corpus.map(x => (x._1, x._2))
-    val ce = refCe(pairs, pairs)
+    val ce4 = refCe4(pairs, pairs)
+    val domains = corpus.map(_._3).distinct.sorted
+    val ndom = domains.length.toLong
     val byDom = corpus.groupBy(_._3).map { case (dm, xs) =>
-      val cs = xs.map(x => ce(x._1))
-      dm -> cs.sum / cs.size
+      val cs = xs.map(x => ce4(x._1))
+      dm -> (cs.sum * 100L) / cs.length // 1e-6-grid domain mean
     }
-    val domains = byDom.keys.toSeq.sorted
-    val base = domains.map(byDom).sum / domains.size
-    val boosted = domains.map(d =>
-      d -> (1.0 / domains.size) * math.exp(0.5 * (byDom(d) - base)))
-    val z = boosted.map(_._2).sum
-    val want = boosted.map { case (d, v) =>
-      d -> BigDecimal(v / z).setScale(6,
-        BigDecimal.RoundingMode.HALF_UP).toDouble }.toMap
+    val baseU = domains.map(byDom).sum / ndom
+    val w0 = (1000000L + ndom - 1L) / ndom
+    val f = domains.map { d =>
+      val x = math.min(2.0, math.max(-2.0,
+        ((byDom(d) - baseU).toDouble * 0.5) / 1000000.0))
+      d -> math.floor(math.exp(x) * 1000000.0 + 0.5).toLong
+    }.toMap
+    val boosted = domains.map(d => d -> w0 * f(d)).toMap
+    val z = boosted.values.sum
+    val want = domains.map(d => d -> boosted(d) * 1000000L / z).toMap
     assert(got.keySet == want.keySet)
-    got.foreach { case (d, v) =>
-      assert(math.abs(v - want(d)) <= 1e-6, s"$d: got $v want ${want(d)}")
-    }
+    assert(got == want, s"got $got want $want")
   }
 
   test("one round boosts the badly-modeled domain; three rounds stay a " +
@@ -88,13 +91,20 @@ class DoremiSpec extends AnyFunSuite {
     // "hard vocabulary" is not automatically "high CE" — the reference
     // is the truth, not intuition); here: the multi-round loop
     val run1 = CorpusOps.doremiWeights(docs, rounds = 3, eta = 2.0)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     val run2 = CorpusOps.doremiWeights(docs, rounds = 3, eta = 2.0)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(run1 == run2, "reweighting must be deterministic")
     assert(math.abs(run1.values.sum - 1.0) < 1e-4)
     assert(run1.values.forall(v => v > 0.1 && v < 0.9),
       s"no domain should collapse or take over: $run1")
+  }
+
+  test("weight_micro and weight agree on the 1e-6 grid") {
+    val docs = corpus.toDF("doc_id", "text", "source")
+    CorpusOps.doremiWeights(docs).collect().foreach { r =>
+      assert(r.getDouble(2) == r.getLong(1).toDouble / 1000000.0)
+    }
   }
 
   test("a symmetric corpus stays exactly uniform") {
@@ -102,7 +112,7 @@ class DoremiSpec extends AnyFunSuite {
       (1L, "aa bb cc dd", "s1"), (2L, "aa bb cc dd", "s2"),
       (3L, "aa bb cc dd", "s3")).toDF("doc_id", "text", "source")
     val got = CorpusOps.doremiWeights(sym).collect()
-      .map(r => r.getDouble(1))
+      .map(r => r.getDouble(2))
     assert(got.forall(v => math.abs(v - 1.0 / 3) <= 1e-6))
   }
 
@@ -110,6 +120,6 @@ class DoremiSpec extends AnyFunSuite {
     val got = SparkEntry.queries("p_doremi_weights")(
       spark, "/root/testdata/sf0.001").collect()
     assert(got.nonEmpty)
-    assert(math.abs(got.map(_.getDouble(1)).sum - 1.0) < 1e-4)
+    assert(math.abs(got.map(_.getDouble(2)).sum - 1.0) < 1e-4)
   }
 }

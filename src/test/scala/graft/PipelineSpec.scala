@@ -104,6 +104,24 @@ class PipelineSpec extends AnyFunSuite {
         "deterministic, not sampled)")
   }
 
+  test("simhash band cap: capped pairs are a subset of uncapped and the " +
+      "drift audit captures exactly the lost pairs") {
+    val docs = Tables.documents(spark, sf)
+    val uncapped = pairs(
+      Fingerprints.simhashPortablePairs(docs, 3, Int.MaxValue))
+    val capped = pairs(Fingerprints.simhashPortablePairs(docs, 3, 2))
+    val drift = pairs(Fingerprints.simhashCapDrift(docs, 2))
+    assert(capped.subsetOf(uncapped),
+      "the star rewrite must never invent candidate pairs")
+    assert(drift == (uncapped -- capped),
+      "drift must be exactly the verified pairs the cap loses")
+    // at the production cap the fixture has no oversized buckets, so
+    // the capped tier IS the uncapped set (the completeness test above
+    // remains exact) and the default-cap drift is empty
+    assert(pairs(Fingerprints.simhashCapDrift(docs,
+      Fingerprints.DefaultBucketCap)).isEmpty)
+  }
+
   test("simhash 4×16-bit banding is COMPLETE for hamming ≤ 3 " +
       "(pigeonhole: 3 flipped bits cannot touch all 4 bands)") {
     val sigs = Fingerprints.simhashes(Tables.documents(spark, sf))

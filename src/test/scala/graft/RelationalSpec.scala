@@ -42,10 +42,10 @@ class RelationalSpec extends AnyFunSuite {
       "r_approx_distinct", "p_quality_gate_approx", "t_cms_freq",
       "t_bpe_merges", "t_bpe_encode",
       "t_unigram_train", "t_unigram_encode",
-      // multi-round sample→train→score loop (DoReMi) — iterative
-      // trainer state like the BPE/unigram tiers; DoremiSpec pins an
-      // exact single-round reference + multi-round invariants
-      "p_doremi_weights",
+      // p_doremi_weights left this list in round 10: the weight state
+      // moved to the 1e-6 integer grid with a portable sample hash, so
+      // the DuckDB twin replays the loop unrolled (one CTE block per
+      // round) and hash-matches.
       // Gauss–Jordan elimination is non-contractive and its
       // data-dependent pivot choices can diverge per engine, so unlike
       // the graduated pca tier no quantized-input recursion can be
