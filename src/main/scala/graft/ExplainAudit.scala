@@ -70,6 +70,10 @@ object ExplainAudit {
     // declarative aggregate (the SimHashSketch buffer's declarative
     // twin) — the shuffle carries 60 longs per doc, never shingle rows
     audit("d_simhash_portable", "partial_sum")
+    // the cap drift audit: its capped-minus-uncapped set difference
+    // must plan as an anti-join (never a collected set), and its vote
+    // counters keep the same map-side partial aggregation
+    audit("a_simhash_cap_drift", "LeftAnti", "partial_sum")
     // portable HLL: the register table is a map-side-combined MAX
     // aggregate over ≤ 256·|langs| keys — the shuffle never carries
     // the word stream

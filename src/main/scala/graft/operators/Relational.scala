@@ -718,7 +718,9 @@ object Relational {
         .orderBy("o_orderpriority")
     },
     // ---- approximate distinct (HLL++). No oracle: sketch estimates are
-    // implementation-specific; RelationalSpec asserts error within the default 5% rsd vs exact.
+    // implementation-specific; RelationalSpec asserts error within the
+    // default 5% rsd vs the GREEN exact sibling r_count_distinct (and
+    // the portable-register HLL lives in the green t_hll_portable).
     "r_approx_distinct" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))

@@ -24,9 +24,16 @@ import graft.Tables
   * is re-persisted per round and the lineage truncated, the same
   * iterative-DataFrame discipline as [[Dedup.dupClusters]].
   *
-  * Rows-only (the iterative argmax is not SQL-expressible in one
-  * oracle query); BpeSpec pins the result against an independent
-  * sequential reference implementation.
+  * Oracle-backed since round 10 (the doremi unrolled-CTE discipline):
+  * the DuckDB twin replays the training loop one merge per round —
+  * weighted pair count, argmax (count desc, pair lexicographic), and
+  * the greedy non-overlapping merge application expressed as an
+  * island-parity window (in every maximal run of consecutive matching
+  * positions, greedy left-to-right selects exactly the odd ranks) —
+  * and the engine's BATCHED rounds are provably sequential-equivalent
+  * (see [[learnMerges]]), so the two meet on the identical merge
+  * table. BpeSpec additionally pins the result against an independent
+  * in-memory sequential reference.
   */
 object Bpe {
   type Q = (SparkSession, String) => DataFrame
@@ -179,17 +186,95 @@ object Bpe {
         .orderBy("rank")
     },
     // the full tokenizer pipeline: train 10 merges on the corpus, then
-    // encode the same corpus with them. Rows-only like t_bpe_merges
-    // (the learned table is iterative state no single SQL query can
-    // reproduce); BpeSpec pins encode against the sequential reference
-    // and the reconstruction/compression invariants
+    // encode the same corpus with them. The oracle rides the SAME
+    // unrolled training replay as t_bpe_merges: the round-10 vocabulary
+    // IS every word's encoding (training folds each word through the
+    // merges in rank order — exactly what encode() does), so n_sub is
+    // just len(sym) of the final state
     "t_bpe_encode" -> { (s, d) =>
       val docs = Tables.spread(Tables.documents(s, d))
       val merges = learnMerges(vocabulary(docs), 10)
       encode(docs, merges).orderBy("doc_id")
     })
 
-  // iterative argmax — no single-query SQL oracle; BpeSpec checks the
-  // merge table against an independent sequential reference
-  val oracles: Map[String, String] = Map.empty
+  /** One unrolled training round for the DuckDB twin: pair counts over
+    * the previous vocabulary state, a 1-row argmax (count desc, pair
+    * lexicographic — the engine's tie-break), then the greedy
+    * non-overlapping merge application. Greedy-left-to-right on a
+    * single (a, b) within one scan never cascades (the merged symbol
+    * a·b can't equal a), so it selects, in every maximal run of
+    * CONSECUTIVE matching positions, exactly the 1st, 3rd, … — the
+    * island-parity rule the `sel` CTE implements with two windows.
+    * Rebuild drops positions whose predecessor was selected (they were
+    * consumed) and rewrites selected positions to the merged symbol.
+    */
+  private def bpeRound(r: Int): String =
+    s"""p$r AS MATERIALIZED (
+       |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, sym[i] AS a, sym[i + 1] AS b
+       |    FROM v${r - 1}, unnest(range(1, len(sym))) u(i)) t
+       |  GROUP BY 1, 2),
+       |m$r AS MATERIALIZED (
+       |  SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |pos$r AS MATERIALIZED (
+       |  SELECT w, freq, i, sym[i] AS s,
+       |    coalesce(sym[i] = (SELECT a FROM m$r)
+       |      AND sym[i + 1] = (SELECT b FROM m$r), FALSE) AS m
+       |  FROM v${r - 1}, unnest(range(1, len(sym) + 1)) u(i)),
+       |sel$r AS MATERIALIZED (
+       |  SELECT w, i FROM (
+       |    SELECT w, i,
+       |      row_number() OVER (PARTITION BY w, g ORDER BY i) AS rn
+       |    FROM (
+       |      SELECT w, i,
+       |        i - row_number() OVER (PARTITION BY w ORDER BY i) AS g
+       |      FROM pos$r WHERE m))
+       |  WHERE rn % 2 = 1),
+       |v$r AS MATERIALIZED (
+       |  SELECT p.w, min(p.freq) AS freq,
+       |    list(CASE WHEN s.i IS NOT NULL
+       |      THEN (SELECT a FROM m$r) || (SELECT b FROM m$r)
+       |      ELSE p.s END ORDER BY p.i) AS sym
+       |  FROM pos$r p
+       |  LEFT JOIN sel$r s ON s.w = p.w AND s.i = p.i
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM sel$r s2 WHERE s2.w = p.w AND s2.i = p.i - 1)
+       |  GROUP BY p.w)""".stripMargin
+
+  /** The shared 10-round replay: initial state = per-word character
+    * lists over the nonempty-word vocabulary, then [[bpeRound]] ×10.
+    */
+  private def bpeTrainCtes(n: Int): String =
+    s"""v0 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |    list_transform(range(1, len(w) + 1), i -> w[i]) AS sym
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+       |        FROM documents WHERE text IS NOT NULL) t
+       |  WHERE len(w) > 0
+       |  GROUP BY w),
+       |""".stripMargin +
+      (1 to n).map(bpeRound).mkString(",\n")
+
+  val oracles: Map[String, String] = Map(
+    "t_bpe_merges" -> {
+      val union = (1 to 10).map(r =>
+        s"""SELECT CAST($r AS INTEGER) AS rank, a AS "left",
+           |  b AS "right", cnt AS pair_count FROM m$r""".stripMargin)
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH ${bpeTrainCtes(10)}
+         |SELECT * FROM (
+         |  $union)
+         |ORDER BY rank""".stripMargin
+    },
+    "t_bpe_encode" ->
+      s"""WITH ${bpeTrainCtes(10)},
+         |enc AS MATERIALIZED (
+         |  SELECT w, CAST(len(sym) AS BIGINT) AS n_sub FROM v10),
+         |dw AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_sub) AS BIGINT) AS n_subwords
+         |FROM (SELECT * FROM dw WHERE len(w) > 0) JOIN enc USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -381,6 +381,9 @@ object Fingerprints {
     },
     // MinHash-LSH near-dup candidates (est. Jaccard ≥ 0.5). Approximate —
     // rows-only driver check; recall vs exact Jaccard in PipelineSpec.
+    // Oracle coverage for this family lives in the GREEN sibling
+    // d_minhash_portable (same banding, portable hashes); this tier
+    // stays registered for its xxhash64 throughput.
     "d_minhash_lsh" -> { (s, d) =>
       minhashCandidates(minhashSignatures(Tables.documents(s, d)), 0.5)
         .select(col("da"), col("db"),
@@ -397,6 +400,9 @@ object Fingerprints {
     // candidate pairs from band collisions alone). A 65536-value
     // keyspace keeps buckets O(1) in corpus growth; radius-3 is the
     // standard near-dup operating point for 64-bit fingerprints.
+    // Oracle coverage for the family lives in the GREEN sibling
+    // d_simhash_portable; this tier stays for its xxhash64-fed native
+    // aggregate throughput (rows-only, spec-pinned completeness).
     "d_simhash" -> { (s, d) =>
       val sh = simhashes(Tables.documents(s, d))
       val banded = sh.select(col("doc_id"),
@@ -457,6 +463,11 @@ object Fingerprints {
       .orderBy("va", "vb")
   }
 
+  // d_embedding_dup_lsh is rows-only (hyperplane signatures are seeded
+  // projections — implementation-defined); oracle coverage for embedding
+  // dedup lives in the GREEN exact siblings d_embedding_dup /
+  // d_embedding_dup_clusters, and PipelineSpec pins this tier's recall
+  // against them.
   val allQueries: Map[String, Q] = queries + ("d_embedding_dup_lsh" ->
     ((s: org.apache.spark.sql.SparkSession, d: String) =>
       embeddingDupLsh(s, d)))

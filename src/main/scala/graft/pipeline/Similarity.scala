@@ -78,7 +78,10 @@ object Similarity {
     // LSH-bucketed approximate top-10: 8 tables × 4-bit signatures
     // (θ(cos≈0.4)/π ≈ 0.37 ⇒ per-table collision ≈ 0.63⁴ ≈ 0.16; 8-table
     // OR-amplification ≈ 0.75 recall). Candidates = bucket-equality join,
-    // then exact cosine re-rank.
+    // then exact cosine re-rank. Rows-only (seeded hyperplanes are
+    // implementation-defined); oracle coverage for the ANN family lives
+    // in the GREEN siblings s_ann_bruteforce/ivf/pq/ivfpq, and
+    // PipelineSpec + a_ann_recall pin this tier's recall.
     "s_ann_lsh" -> { (s, d) =>
       val dims = 64
       val e = Tables.spread(Tables.embeddings(s, d))

@@ -579,6 +579,9 @@ object TextAnalysis {
     "t_hll_portable" -> { (s, d) =>
       hllPortable(Tables.documents(s, d))
     },
+    // rows-only (the CMS row-hash layout is implementation-defined);
+    // oracle coverage for the sketch family lives in the GREEN sibling
+    // t_cms_portable, and the spec pins est ≥ exact here
     "t_cms_freq" -> { (s, d) =>
       // persisted: BOTH the exact top-20 and the sketch consume the
       // tokenized corpus — without the cache the scan+split runs twice

@@ -687,8 +687,9 @@ object TrainingSet {
     // The 100 TB path for the same gate: per-language approx_percentile
     // cutoffs (one map-side-combined sketch aggregation, no per-language
     // sort) broadcast back against the corpus. Rows-only — the sketch is
-    // implementation-defined — with agreement vs the exact gate measured
-    // in PipelineSpec.
+    // implementation-defined — with agreement vs the GREEN exact sibling
+    // p_quality_gate measured in PipelineSpec (a_gate_agreement is the
+    // registered, oracle-backed form of that measurement).
     "p_quality_gate_approx" -> { (s, d) =>
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),

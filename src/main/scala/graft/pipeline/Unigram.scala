@@ -167,8 +167,18 @@ object Unigram {
   }
 
   val queries: Map[String, Q] = Map(
-    // trained piece table, top 50 by final usage — rows-only like the
-    // BPE twin; UnigramSpec pins it against the sequential reference
+    // trained piece table, top 50 by final usage — rows-only BY
+    // DOCUMENTED REASON (unlike t_bpe_merges, which graduated): the
+    // Viterbi E-step's argmax compares FLOAT log-prob path sums, and a
+    // cross-engine 1-ulp difference in log() can flip a near-tie
+    // argmax, which changes the chosen SEGMENTATION — a structural
+    // divergence no output-grid rounding can absorb (the s_mahalanobis
+    // class of impossibility, not the s_pca_top class: there the
+    // iterate contracts back, here the flipped path feeds different
+    // integer counts to the next round). Graduating would mean moving
+    // the engine itself to integer-quantized piece scores so the DP
+    // compares integers; until then UnigramSpec pins train + encode
+    // against an independent in-memory sequential reference.
     "t_unigram_train" -> { (s, d) =>
       val table = train(Bpe.vocabulary(
         Tables.spread(Tables.documents(s, d))))
@@ -176,13 +186,16 @@ object Unigram {
           table.sortBy { case (p, c) => (-c, p) }.take(50))
         .toDF("piece", "cnt")
     },
+    // rows-only for the same reason as t_unigram_train (the encoding
+    // is a function of the float-Viterbi-trained table)
     "t_unigram_encode" -> { (s, d) =>
       val docs = Tables.spread(Tables.documents(s, d))
       val table = train(Bpe.vocabulary(docs))
       encode(docs, table).orderBy("doc_id")
     })
 
-  // hard-EM state is iterative — no single-query SQL oracle; UnigramSpec
-  // checks the table and encoding against a sequential reference
+  // float-Viterbi argmax is structurally engine-divergent (see the
+  // t_unigram_train note above); UnigramSpec checks the table and
+  // encoding against a sequential reference
   val oracles: Map[String, String] = Map.empty
 }

@@ -45,7 +45,12 @@ object PreferenceStream {
     StructField("value", DoubleType)))
 
   private def capPerGroup(events: DataFrame): DataFrame = {
-    val day = expr("CAST(ts AS LONG) DIV 86400")
+    // MUST match Preference.matches's day bucket exactly (floor
+    // division on microseconds) — the capped sets the views re-derive
+    // from are per (user, day), so a different day boundary here would
+    // cap different events than the batch operator pairs
+    val day = expr("(unix_micros(ts) - pmod(unix_micros(ts), " +
+      "86400000000)) DIV 86400000000")
     val w = Window.partitionBy(col("user_id"), day)
       .orderBy(col("ts"), col("event_id"))
     events
@@ -80,6 +85,18 @@ object PreferenceStream {
   /** The leaderboard view — shaped exactly like `p_preference_rank`. */
   def rankView(spark: SparkSession, outPath: String): DataFrame =
     Preference.typeRank(allEvents(spark, outPath))
+
+  /** The uncertainty-aware leaderboard — shaped exactly like
+    * `a_preference_ci`. The Poisson-bootstrap replicate weights are
+    * deterministic functions of each match's (ea, eb, replicate)
+    * identity, and matches are re-derived from the capped event sets,
+    * so the CI inherits the k-smallest merge law for free: no
+    * per-(type, replicate) additive state is ever persisted, the
+    * replicate frame (|types|·64 rows) is recomputed from the same
+    * state the win-rate views read.
+    */
+  def ciView(spark: SparkSession, outPath: String): DataFrame =
+    Preference.rankCi(allEvents(spark, outPath))
 
   /** Wire the twin to a real stream (the family convention). */
   def start(events: DataFrame, root: String,

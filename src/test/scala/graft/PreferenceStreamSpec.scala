@@ -37,6 +37,13 @@ class PreferenceStreamSpec extends AnyFunSuite {
   private lazy val wantPairs = pairRows(Preference.pairMatrix(events))
   private lazy val wantRank = rankRows(Preference.typeRank(events))
 
+  private def ciRows(df: DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1).toSeq
+
+  private lazy val wantCi = ciRows(Preference.rankCi(events))
+
   test("3-batch stream views equal the batch operators and replay " +
       "idempotently") {
     val root = Files.createTempDirectory("prefstream").toString
@@ -64,10 +71,16 @@ class PreferenceStreamSpec extends AnyFunSuite {
     val r5 = run(5)
     assert(pairRows(PreferenceStream.pairsView(spark, r1)) == wantPairs)
     assert(pairRows(PreferenceStream.pairsView(spark, r5)) == wantPairs)
+    // the CI view inherits the merge law for free (deterministic
+    // per-match bootstrap weights over re-derived matches): lo/hi micro
+    // bounds equal the batch a_preference_ci under both splits
+    assert(ciRows(PreferenceStream.ciView(spark, r1)) == wantCi)
+    assert(ciRows(PreferenceStream.ciView(spark, r5)) == wantCi)
     // fold the committed partitions of the 5-batch run; views unchanged
     PreferenceStream.compact(spark, r5)
     assert(pairRows(PreferenceStream.pairsView(spark, r5)) == wantPairs)
     assert(rankRows(PreferenceStream.rankView(spark, r5)) == wantRank)
+    assert(ciRows(PreferenceStream.ciView(spark, r5)) == wantCi)
     // compaction really folded: ≤ 2 live partitions remain
     val live = new java.io.File(r5).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))

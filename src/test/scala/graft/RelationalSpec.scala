@@ -40,7 +40,10 @@ class RelationalSpec extends AnyFunSuite {
     val rowsOnly = Set("d_minhash_lsh", "d_simhash", "s_ann_lsh",
       "d_embedding_dup_lsh",
       "r_approx_distinct", "p_quality_gate_approx", "t_cms_freq",
-      "t_bpe_merges", "t_bpe_encode",
+      // t_bpe_merges/t_bpe_encode left this list in round 10: the
+      // DuckDB twin replays training one merge per unrolled round
+      // (island-parity greedy application), and encode's per-word
+      // subword count IS the final training state's symbol count.
       "t_unigram_train", "t_unigram_encode",
       // p_doremi_weights left this list in round 10: the weight state
       // moved to the 1e-6 integer grid with a portable sample hash, so
