@@ -34,34 +34,54 @@ import graft.Tables
   * segmentation of one word touches nothing but that word and the
   * shared read-only vocabulary.
   *
-  * Rows-only (iterative EM state, like BPE's merge table, is not
-  * SQL-expressible in one oracle query); UnigramSpec pins the trained
-  * table and the encoding against an independent sequential reference.
+  * Oracle-backed since round 10 (the last trainer to graduate): piece
+  * scores are quantized to the 1e-6 integer grid BEFORE the Viterbi DP
+  * (see [[scoreMicro]]), so path scores are exact integer sums and the
+  * segmentation argmax is engine-portable; the DuckDB twin replays the
+  * 3 hard-EM rounds UNROLLED with the per-word DP unrolled position by
+  * position (maxWordLen steps of plain SQL, each an argmax over ≤
+  * maxPieceLen predecessors) and the backpointer walk unrolled the same
+  * way. UnigramSpec additionally pins the trained table and the
+  * encoding against an independent sequential reference.
   */
 object Unigram {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Deterministic Viterbi segmentation of `word` under `score`
-    * (log-prob per piece; pieces absent score -inf). Ties break to the
-    * LONGER last piece (smaller backpointer), then are impossible
-    * deeper: two paths with equal score and equal last piece share a
-    * prefix-best that was itself tie-broken. Single-char fallback keeps
-    * every word segmentable (chars are always in the vocabulary).
+  /** Piece score on the 1e-6 integer grid: ⌊(ln c − ln total)·10⁶ + ½⌋.
+    * Quantizing the log-prob BEFORE the DP is what makes the Viterbi
+    * argmax engine-portable (round 10): path scores become exact
+    * integer sums, so a cross-engine 1-ulp ln() difference can flip a
+    * comparison only when the log itself sits within ~1e-10 of a grid
+    * boundary — the accepted residual risk class of every *_portable
+    * tier — instead of on every near-tie path comparison.
     */
-  def viterbi(word: String, score: collection.Map[String, Double],
+  def scoreMicro(c: Long, total: Long): Long =
+    math.floor((math.log(c.toDouble) - math.log(total.toDouble))
+      * 1000000.0 + 0.5).toLong
+
+  /** Deterministic Viterbi segmentation of `word` under `score`
+    * (1e-6-grid integer log-prob per piece; pieces absent score -inf).
+    * Ties break to the LONGER last piece (smaller backpointer), then to
+    * the recursively tie-broken prefix best — with integer scores exact
+    * ties across different prefixes are possible and resolve
+    * identically in any engine applying the same two rules. Single-char
+    * fallback keeps every word segmentable (chars can leave the score
+    * map only by dropping to count 0).
+    */
+  def viterbi(word: String, score: collection.Map[String, Long],
       maxPieceLen: Int): Seq[String] = {
     val w = word.length
-    val best = new Array[Double](w + 1)
+    val best = new Array[Long](w + 1)
     val back = new Array[Int](w + 1)
-    java.util.Arrays.fill(best, Double.NegativeInfinity)
-    best(0) = 0.0
+    java.util.Arrays.fill(best, Long.MinValue)
+    best(0) = 0L
     var i = 1
     while (i <= w) {
       var j = math.max(0, i - maxPieceLen)
       // iterate j ascending = longer pieces first; strict > keeps the
       // FIRST (longest-piece) argmax on ties
       while (j < i) {
-        if (best(j) != Double.NegativeInfinity) {
+        if (best(j) != Long.MinValue) {
           score.get(word.substring(j, i)).foreach { s =>
             if (best(j) + s > best(i)) { best(i) = best(j) + s; back(i) = j }
           }
@@ -70,8 +90,8 @@ object Unigram {
       }
       i += 1
     }
-    if (best(w) == Double.NegativeInfinity)
-      return word.map(_.toString) // unreachable while chars are kept
+    if (best(w) == Long.MinValue)
+      return word.map(_.toString)
     val stack = scala.collection.mutable.Stack[String]()
     var p = w
     while (p > 0) { stack.push(word.substring(back(p), p)); p = back(p) }
@@ -112,12 +132,12 @@ object Unigram {
       .as[(String, Long)].collect()
     var table: Seq[(String, Long)] = (chars ++ multi).toSeq
     for (_ <- 1 to rounds) {
-      val total = math.max(1L, table.map(_._2).sum).toDouble
+      val total = math.max(1L, table.map(_._2).sum)
       // zero-count pieces (possible for chars after round 1) carry no
       // probability mass: excluded from scoring, single-char fallback
       // keeps their words segmentable
       val score = table.collect { case (p, c) if c > 0 =>
-        p -> (math.log(c.toDouble) - math.log(total)) }.toMap
+        p -> scoreMicro(c, total) }.toMap
       val bc = spark.sparkContext.broadcast(score)
       // E-step: one vocabulary-sized job; counts are exact integers
       val counts = words.flatMap { case (w, f) =>
@@ -145,9 +165,9 @@ object Unigram {
       maxPieceLen: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val total = math.max(1L, table.map(_._2).sum).toDouble
+    val total = math.max(1L, table.map(_._2).sum)
     val score = table.collect { case (p, c) if c > 0 =>
-      p -> (math.log(c.toDouble) - math.log(total)) }.toMap
+      p -> scoreMicro(c, total) }.toMap
     val bc = spark.sparkContext.broadcast(score)
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -167,18 +187,10 @@ object Unigram {
   }
 
   val queries: Map[String, Q] = Map(
-    // trained piece table, top 50 by final usage — rows-only BY
-    // DOCUMENTED REASON (unlike t_bpe_merges, which graduated): the
-    // Viterbi E-step's argmax compares FLOAT log-prob path sums, and a
-    // cross-engine 1-ulp difference in log() can flip a near-tie
-    // argmax, which changes the chosen SEGMENTATION — a structural
-    // divergence no output-grid rounding can absorb (the s_mahalanobis
-    // class of impossibility, not the s_pca_top class: there the
-    // iterate contracts back, here the flipped path feeds different
-    // integer counts to the next round). Graduating would mean moving
-    // the engine itself to integer-quantized piece scores so the DP
-    // compares integers; until then UnigramSpec pins train + encode
-    // against an independent in-memory sequential reference.
+    // trained piece table, top 50 by final usage — ORACLE-BACKED since
+    // round 10: integer-grid piece scores make the Viterbi argmax
+    // engine-portable, and the DuckDB twin replays the 3 hard-EM
+    // rounds with the per-word DP and backpointer walk unrolled
     "t_unigram_train" -> { (s, d) =>
       val table = train(Bpe.vocabulary(
         Tables.spread(Tables.documents(s, d))))
@@ -186,16 +198,158 @@ object Unigram {
           table.sortBy { case (p, c) => (-c, p) }.take(50))
         .toDF("piece", "cnt")
     },
-    // rows-only for the same reason as t_unigram_train (the encoding
-    // is a function of the float-Viterbi-trained table)
+    // same replay plus one more (score → DP → walk) pass under the
+    // final table over the full distinct-word set
     "t_unigram_encode" -> { (s, d) =>
       val docs = Tables.spread(Tables.documents(s, d))
       val table = train(Bpe.vocabulary(docs))
       encode(docs, table).orderBy("doc_id")
     })
 
-  // float-Viterbi argmax is structurally engine-divergent (see the
-  // t_unigram_train note above); UnigramSpec checks the table and
-  // encoding against a sequential reference
-  val oracles: Map[String, String] = Map.empty
+  private val MaxPiece = 6
+  private val MaxWord = 20
+
+  /** One Viterbi pass in plain SQL over word set CTE `ws`(w) under
+    * score CTE `sc`(p, s): the position DP unrolls as `steps`
+    * cumulative CTEs (each position's argmax = rank-1 by score desc
+    * then smallest backpointer — the engine's ascending-j strict-> tie
+    * rule), then the backpointer walk unrolls the same way, emitting
+    * one piece per step. Produces `${tag}pieces`(w, p) — one row per
+    * segmented piece occurrence, char fallback for unreachable words.
+    */
+  private def viterbiCtes(tag: String, ws: String, sc: String,
+      steps: Int): String = {
+    val dp0 =
+      s"""${tag}dp0 AS (
+         |  SELECT w, 0 AS i, CAST(0 AS BIGINT) AS best, 0 AS bk
+         |  FROM $ws)""".stripMargin
+    val dps = (1 to steps).map { k =>
+      s"""${tag}dp$k AS MATERIALIZED (
+         |  SELECT * FROM ${tag}dp${k - 1}
+         |  UNION ALL
+         |  SELECT w, i, best, bk FROM (
+         |    SELECT d.w, $k AS i, d.best + sc.s AS best, d.i AS bk,
+         |      row_number() OVER (PARTITION BY d.w
+         |        ORDER BY d.best + sc.s DESC, d.i ASC) AS rn
+         |    FROM ${tag}dp${k - 1} d
+         |    JOIN $sc sc ON sc.p = substr(d.w, d.i + 1, $k - d.i)
+         |    WHERE d.i >= $k - $MaxPiece AND d.i < $k
+         |      AND len(d.w) >= $k) t
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val wk0 =
+      s"""${tag}wk0 AS (
+         |  SELECT w, i, bk FROM ${tag}dp$steps WHERE i = len(w))""".stripMargin
+    val wks = (1 to steps - 1).map { s =>
+      s"""${tag}wk$s AS MATERIALIZED (
+         |  SELECT d.w, d.i, d.bk
+         |  FROM ${tag}wk${s - 1} c JOIN ${tag}dp$steps d
+         |    ON d.w = c.w AND d.i = c.bk
+         |  WHERE c.bk > 0)""".stripMargin
+    }
+    val pieceUnion = (0 until steps).map(s =>
+      s"    SELECT w, substr(w, bk + 1, i - bk) AS p FROM ${tag}wk$s")
+      .mkString("\n    UNION ALL\n")
+    val pieces =
+      s"""${tag}pieces AS MATERIALIZED (
+         |  SELECT w, p FROM (
+         |$pieceUnion
+         |    UNION ALL
+         |    SELECT f.w, substr(f.w, CAST(u.i AS INT), 1) AS p
+         |    FROM (SELECT w FROM $ws x WHERE NOT EXISTS (
+         |            SELECT 1 FROM ${tag}dp$steps d
+         |            WHERE d.w = x.w AND d.i = len(x.w))) f,
+         |         unnest(range(1, len(f.w) + 1)) u(i)) t)""".stripMargin
+    (Seq(dp0) ++ dps ++ Seq(wk0) ++ wks ++ Seq(pieces)).mkString(",\n")
+  }
+
+  /** One hard-EM round: integer-grid scores from the previous table,
+    * Viterbi over the capped word set, frequency-weighted usage counts,
+    * then the M-step (used pieces re-counted, unused chars kept at 0,
+    * unused multi-char pieces pruned).
+    */
+  private def emRound(r: Int): String = {
+    val v = viterbiCtes(s"r$r", "wv", s"sc$r", MaxWord)
+    s"""tot$r AS (
+       |  SELECT greatest(CAST(sum(cnt) AS BIGINT), 1) AS tt
+       |  FROM t${r - 1}),
+       |sc$r AS MATERIALIZED (
+       |  SELECT p, CAST(floor((ln(CAST(cnt AS DOUBLE))
+       |    - ln(CAST((SELECT tt FROM tot$r) AS DOUBLE)))
+       |    * 1000000.0 + 0.5) AS BIGINT) AS s
+       |  FROM t${r - 1} WHERE cnt > 0),
+       |$v,
+       |used$r AS MATERIALIZED (
+       |  SELECT p, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM r${r}pieces JOIN wv USING (w) GROUP BY p),
+       |t$r AS MATERIALIZED (
+       |  SELECT t.p,
+       |    CASE WHEN u.cnt IS NOT NULL THEN u.cnt ELSE 0 END AS cnt
+       |  FROM t${r - 1} t LEFT JOIN used$r u ON u.p = t.p
+       |  WHERE u.cnt IS NOT NULL OR len(t.p) = 1)""".stripMargin
+  }
+
+  /** Shared base + 3 EM rounds: word vocabulary, substring-occurrence
+    * seeding (chars + top multi-char by (count desc, piece)), then
+    * [[emRound]] ×3 producing the final table `t3`(p, cnt).
+    */
+  private def trainCtes: String =
+    s"""w0 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+       |        FROM documents WHERE text IS NOT NULL) t
+       |  WHERE len(w) > 0 GROUP BY w),
+       |wv AS MATERIALIZED (
+       |  SELECT w, freq FROM w0 WHERE len(w) BETWEEN 1 AND $MaxWord),
+       |occ AS MATERIALIZED (
+       |  SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, substr(w, CAST(st AS INT), CAST(ln AS INT)) AS p
+       |    FROM wv,
+       |      unnest(range(1, len(w) + 1)) u(st),
+       |      unnest(range(1, least($MaxPiece, len(w) - st + 1) + 1)) v(ln)
+       |  ) t GROUP BY p),
+       |chars AS MATERIALIZED (SELECT p, cnt FROM occ WHERE len(p) = 1),
+       |nchars AS (SELECT count(*) AS c FROM chars),
+       |multi AS MATERIALIZED (
+       |  SELECT p, cnt FROM (
+       |    SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS rn
+       |    FROM occ WHERE len(p) > 1) t
+       |  WHERE rn <= 512 - (SELECT c FROM nchars)),
+       |t0 AS MATERIALIZED (
+       |  SELECT p, cnt FROM chars UNION ALL SELECT p, cnt FROM multi),
+       |${emRound(1)},
+       |${emRound(2)},
+       |${emRound(3)}""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "t_unigram_train" ->
+      s"""WITH $trainCtes
+         |SELECT p AS piece, CAST(cnt AS BIGINT) AS cnt FROM t3
+         |ORDER BY cnt DESC, p LIMIT 50""".stripMargin,
+    // one more (score → DP → walk) pass under t3, over the FULL
+    // distinct-word set (encode does not cap word length), joined back
+    // to per-doc word occurrences
+    "t_unigram_encode" ->
+      s"""WITH $trainCtes,
+         |tot4 AS (
+         |  SELECT greatest(CAST(sum(cnt) AS BIGINT), 1) AS tt FROM t3),
+         |sc4 AS MATERIALIZED (
+         |  SELECT p, CAST(floor((ln(CAST(cnt AS DOUBLE))
+         |    - ln(CAST((SELECT tt FROM tot4) AS DOUBLE)))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS s
+         |  FROM t3 WHERE cnt > 0),
+         |dw AS MATERIALIZED (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents WHERE text IS NOT NULL) t
+         |  WHERE len(w) > 0),
+         |wall AS MATERIALIZED (SELECT DISTINCT w FROM dw),
+         |${viterbiCtes("e", "wall", "sc4", MaxWord)},
+         |ns AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n
+         |  FROM epieces GROUP BY w)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n) AS BIGINT) AS n_pieces
+         |FROM dw JOIN ns USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -40,11 +40,14 @@ class RelationalSpec extends AnyFunSuite {
     val rowsOnly = Set("d_minhash_lsh", "d_simhash", "s_ann_lsh",
       "d_embedding_dup_lsh",
       "r_approx_distinct", "p_quality_gate_approx", "t_cms_freq",
-      // t_bpe_merges/t_bpe_encode left this list in round 10: the
-      // DuckDB twin replays training one merge per unrolled round
-      // (island-parity greedy application), and encode's per-word
-      // subword count IS the final training state's symbol count.
-      "t_unigram_train", "t_unigram_encode",
+      // The trainer tail left this list in round 10: t_bpe_merges /
+      // t_bpe_encode replay training one merge per unrolled round
+      // (island-parity greedy application); t_unigram_train /
+      // t_unigram_encode moved the engine to 1e-6-grid INTEGER piece
+      // scores so the Viterbi argmax is engine-portable, and the twin
+      // unrolls the per-word DP and backpointer walk position by
+      // position; p_doremi_weights moved its weight state to the same
+      // grid with a portable sampling hash.
       // p_doremi_weights left this list in round 10: the weight state
       // moved to the 1e-6 integer grid with a portable sample hash, so
       // the DuckDB twin replays the loop unrolled (one CTE block per

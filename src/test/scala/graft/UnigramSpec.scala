@@ -32,21 +32,23 @@ class UnigramSpec extends AnyFunSuite {
       .sortBy { case (p, c) => (-c, p) }
       .take(math.max(0, vocabSize - chars.size))
     var table: Seq[(String, Long)] = chars ++ multi
-    def seg(w: String, score: Map[String, Double]): Seq[String] = {
-      // forward DP, lengths DESCENDING with strict > (longest-piece
-      // tie-break, the same rule the engine's ascending-j loop encodes)
-      val best = Array.fill(w.length + 1)(Double.NegativeInfinity)
+    def seg(w: String, score: Map[String, Long]): Seq[String] = {
+      // forward DP over 1e-6-grid INTEGER scores (the round-10
+      // portability grid), lengths DESCENDING with strict > (longest-
+      // piece tie-break, the same rule the engine's ascending-j loop
+      // encodes)
+      val best = Array.fill(w.length + 1)(Long.MinValue)
       val back = new Array[Int](w.length + 1)
-      best(0) = 0.0
+      best(0) = 0L
       for (i <- 1 to w.length;
            ln <- math.min(i, maxPieceLen) to 1 by -1) {
         val j = i - ln
-        if (best(j) != Double.NegativeInfinity)
+        if (best(j) != Long.MinValue)
           score.get(w.substring(j, i)).foreach { s =>
             if (best(j) + s > best(i)) { best(i) = best(j) + s; back(i) = j }
           }
       }
-      if (best(w.length) == Double.NegativeInfinity)
+      if (best(w.length) == Long.MinValue)
         return w.map(_.toString)
       var p = w.length
       var acc = List.empty[String]
@@ -54,9 +56,10 @@ class UnigramSpec extends AnyFunSuite {
       acc
     }
     for (_ <- 1 to rounds) {
-      val total = math.max(1L, table.map(_._2).sum).toDouble
+      val total = math.max(1L, table.map(_._2).sum)
       val score = table.collect { case (p, c) if c > 0 =>
-        p -> (math.log(c.toDouble) - math.log(total)) }.toMap
+        p -> math.floor((math.log(c.toDouble) - math.log(total.toDouble))
+          * 1000000.0 + 0.5).toLong }.toMap
       val counts = scala.collection.mutable.Map.empty[String, Long]
       for ((w, f) <- ws; p <- seg(w, score))
         counts.updateWith(p)(c => Some(c.getOrElse(0L) + f))
