@@ -169,9 +169,76 @@ object Preference {
         .cast("long"))
   }
 
+  /** Full Bradley–Terry strength fitting by minorization–maximization
+    * (Hunter 2004) — the iterative model behind Chatbot-Arena-style
+    * leaderboards, completing the preference family: [[typeRank]] is
+    * the one-MM-step estimate; this runs `rounds` full updates
+    *
+    *   wᵢ′ ∝ Wᵢ / Σ_{j≠i} nᵢⱼ/(wᵢ+wⱼ)
+    *
+    * on the 1e-6 integer grid (the round-10 trainer discipline): every
+    * term floors to an integer before summing, the renormalization is
+    * one integer division, so the DuckDB twin replays the loop
+    * unrolled and hash-matches — no float enters the fit at all (BT
+    * needs no exp/log: the MM update is a pure rational function).
+    *
+    * Shape at 100 TB: the aggregation to the win-rate matrix is
+    * [[pairMatrix]] (capped match derivation, |types|²-bounded
+    * output); the MM loop itself runs on the driver over that bounded
+    * matrix — the doremiWeights discipline (require-guarded ≤1000
+    * types; integer products require-guarded under 2⁶³).
+    */
+  def bradleyTerry(events: DataFrame, cap: Int = 16,
+      rounds: Int = 5): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val pm = pairMatrix(events, cap)
+      .select(col("ta"), col("tb"), col("n"), col("wa"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val types = pm.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    require(types.length >= 1 && types.length <= 1000,
+      s"${types.length} types: the MM state is driver-held and only " +
+        "safe for a coarse type column")
+    val total = pm.map(_._3).sum
+    require(total <= 8000000000000L,
+      s"$total matches: Wᵢ·10⁶ must stay under 2⁶³ — shrink cap or " +
+        "pre-aggregate")
+    val n = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    val wins = scala.collection.mutable.Map(types.map(_ -> 0L).toSeq: _*)
+    pm.foreach { case (a, b, nn, wa) =>
+      n((a, b)) += nn; n((b, a)) += nn
+      wins(a) += wa; wins(b) += nn - wa
+    }
+    var w = types.map(_ -> 1000000L / types.length).toMap
+    for (_ <- 1 to rounds) {
+      val d = types.map { i =>
+        i -> types.collect { case j if j != i && n((i, j)) > 0 =>
+          (n((i, j)) * 1000000L) / (w(i) + w(j))
+        }.sum
+      }.toMap
+      val raw = types.map { i =>
+        i -> (if (d(i) == 0L) 0L else (wins(i) * 1000000L) / d(i))
+      }.toMap
+      val z = math.max(1L, raw.values.sum)
+      w = types.map(i => i -> (raw(i) * 1000000L) / z).toMap
+    }
+    types.toSeq.map(t => (t, w(t))).toDF("event_type", "bt_micro")
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("bt_micro"), col("event_type"))).cast("long"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p_preference_pairs" -> { (s, d) =>
       pairMatrix(Tables.events(s, d)).orderBy("ta", "tb")
+    },
+    // full Bradley–Terry MM fit (5 rounds) on the integer micro grid —
+    // oracle-backed from birth (unrolled-round twin); typeRank remains
+    // the cheap one-step estimate
+    "p_bradley_terry" -> { (s, d) =>
+      bradleyTerry(Tables.events(s, d)).orderBy("rnk")
     },
     "p_preference_rank" -> { (s, d) =>
       typeRank(Tables.events(s, d)).orderBy("rnk")
@@ -210,7 +277,57 @@ object Preference {
       |    CAST(sum(CASE WHEN a_wins THEN 1 ELSE 0 END) AS BIGINT) wa
       |  FROM m GROUP BY 1, 2)""".stripMargin
 
+  /** One unrolled Bradley–Terry MM round for the DuckDB twin: each
+    * term (nᵢⱼ·10⁶) // (wᵢ+wⱼ) floors BEFORE the sum, exactly as the
+    * engine's per-j loop does.
+    */
+  private def btRound(r: Int): String =
+    s"""d$r AS MATERIALIZED (
+       |  SELECT np.a AS t,
+       |    CAST(sum((np.n * 1000000) // (wa.w + wb.w)) AS BIGINT) AS d
+       |  FROM np
+       |  JOIN bt${r - 1} wa ON wa.t = np.a
+       |  JOIN bt${r - 1} wb ON wb.t = np.b
+       |  GROUP BY 1),
+       |raw$r AS MATERIALIZED (
+       |  SELECT ty.t,
+       |    CASE WHEN coalesce(d.d, 0) = 0 THEN 0
+       |         ELSE (wi.wi * 1000000) // d.d END AS raw
+       |  FROM ty LEFT JOIN d$r d ON d.t = ty.t
+       |  JOIN wins wi ON wi.t = ty.t),
+       |z$r AS (
+       |  SELECT greatest(CAST(sum(raw) AS BIGINT), 1) AS z FROM raw$r),
+       |bt$r AS MATERIALIZED (
+       |  SELECT t, (raw * 1000000) // (SELECT z FROM z$r) AS w
+       |  FROM raw$r)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the 5-round MM fit replayed: symmetric pair counts, per-type win
+    // totals, then btRound ×5 — all integer floor arithmetic
+    "p_bradley_terry" -> (matchCtes +
+      s""",
+         |ty AS MATERIALIZED (
+         |  SELECT DISTINCT t FROM (
+         |    SELECT ta AS t FROM pm UNION ALL SELECT tb FROM pm) u),
+         |ntys AS (SELECT CAST(count(*) AS BIGINT) AS c FROM ty),
+         |wins AS MATERIALIZED (
+         |  SELECT t, CAST(sum(w) AS BIGINT) AS wi FROM (
+         |    SELECT ta AS t, wa AS w FROM pm
+         |    UNION ALL SELECT tb, n - wa FROM pm) u
+         |  GROUP BY t),
+         |np AS MATERIALIZED (
+         |  SELECT ta AS a, tb AS b, n FROM pm
+         |  UNION ALL SELECT tb, ta, n FROM pm),
+         |bt0 AS MATERIALIZED (
+         |  SELECT t, 1000000 // (SELECT c FROM ntys) AS w FROM ty),
+         |${btRound(1)},
+         |${btRound(2)},
+         |${btRound(3)},
+         |${btRound(4)},
+         |${btRound(5)}
+         |SELECT t AS event_type, CAST(w AS BIGINT) AS bt_micro,
+         |  CAST(row_number() OVER (ORDER BY w DESC, t) AS BIGINT) AS rnk
+         |FROM bt5 ORDER BY rnk""".stripMargin),
     "p_preference_pairs" -> (matchCtes +
       """
         |SELECT ta, tb, n, wa, wa * 1000000 // n AS pa_micro

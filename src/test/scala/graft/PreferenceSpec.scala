@@ -75,6 +75,43 @@ class PreferenceSpec extends AnyFunSuite {
       "capped-out events must not appear in any match")
   }
 
+  test("Bradley–Terry MM: dominant type ranks first, symmetric data " +
+      "stays uniform, the fit is deterministic, and one round matches " +
+      "an independent integer recompute") {
+    // A beats everyone, C loses to everyone: BT must order A > B > C
+    val events = toDf(Seq(
+      ev(1, 1, 100, "A", 3.0), ev(2, 1, 200, "B", 2.0),
+      ev(3, 1, 300, "C", 1.0),
+      ev(4, 2, 100, "A", 9.0), ev(5, 2, 200, "B", 5.0),
+      ev(6, 2, 300, "C", 2.0)))
+    val bt = Preference.bradleyTerry(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(bt.sortBy(_._3).map(_._1).toSeq == Seq("A", "B", "C"),
+      s"got ${bt.toSeq}")
+    // perfectly balanced: X and Y trade wins 1-1 → equal strengths
+    val even = toDf(Seq(
+      ev(1, 1, 100, "X", 2.0), ev(2, 1, 200, "Y", 1.0),
+      ev(3, 2, 100, "X", 1.0), ev(4, 2, 200, "Y", 2.0)))
+    val be = Preference.bradleyTerry(even).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(be("X") == be("Y"), s"balanced data must fit equal: $be")
+    // determinism
+    val again = Preference.bradleyTerry(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again == bt.toSeq)
+    // one MM round, recomputed independently with the same integer
+    // floor arithmetic (A beats B 2-0, A beats C 2-0, B beats C 2-0)
+    val one = Preference.bradleyTerry(events, rounds = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w0 = 1000000L / 3
+    def d(wi: Long) = 2L * ((2L * 1000000L) / (w0 + wi))
+    val raws = Map("A" -> (4L * 1000000L) / d(w0),
+      "B" -> (2L * 1000000L) / d(w0), "C" -> 0L)
+    val z = raws.values.sum
+    val want = raws.map { case (t, r) => t -> (r * 1000000L) / z }
+    assert(one == want, s"got $one want $want")
+  }
+
   test("registered queries: consistent totals, win rates on the grid, " +
       "leaderboard ordered by win rate") {
     val pairs = SparkEntry.queries("p_preference_pairs")(spark, sf)
