@@ -67,7 +67,8 @@ object EventWindows {
 
   /** Cohort retention: users bucketed by the epoch-week of their first
     * `cohortType` event; a cohort's week-k cell counts members active
-    * (any event) k weeks later. Week = epoch-seconds DIV 604800 — exact
+    * (any event) k weeks later. Week = FLOOR-exact epoch bucket
+    * ([[graft.TimeBuckets]] — twin-consistent pre-epoch too) —
     * integer arithmetic, no calendar-truncation semantics to disagree
     * on across engines.
     *
@@ -77,7 +78,7 @@ object EventWindows {
     * matrix itself is #cohorts × #weeks: driver-trivial.
     */
   def cohortRetention(events: DataFrame, cohortType: String): DataFrame = {
-    val wk = expr("CAST(ts AS LONG) DIV 604800")
+    val wk = graft.TimeBuckets.epochWeek()
     val cohorts = events.filter(col("event_type") === cohortType)
       .groupBy("user_id").agg(min(wk).as("cw"))
     val active = events.select(col("user_id"), wk.as("wk")).distinct()
@@ -107,8 +108,8 @@ object EventWindows {
 
   /** Trailing-window distinct active users (the DAU/WAU dashboard
     * metric): for each observed epoch-day, how many distinct users had
-    * any event in the `windowDays` days ending on it. Day = epoch-seconds
-    * DIV 86400 — exact integer bucketing, same contract as
+    * any event in the `windowDays` days ending on it. Day = FLOOR-exact
+    * epoch bucket ([[graft.TimeBuckets]]), same contract as
     * [[cohortRetention]]'s weeks.
     *
     * Shape at 100 TB: activity first collapses to DISTINCT (user, day) —
@@ -125,7 +126,7 @@ object EventWindows {
     */
   def rollingActiveUsers(events: DataFrame, windowDays: Int): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
-    val day = expr("CAST(ts AS LONG) DIV 86400")
+    val day = graft.TimeBuckets.epochDay()
     val pairs = events.select(col("user_id"), day.as("day")).distinct()
     val observed = pairs.select(col("day").as("report_day")).distinct()
     pairs
@@ -163,7 +164,7 @@ object EventWindows {
     import org.apache.spark.sql.expressions.Window
     val counts = events
       .groupBy(col("event_type"),
-        expr("CAST(ts AS LONG) DIV 3600").as("hour_bucket"))
+        graft.TimeBuckets.epochHour().as("hour_bucket"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("event_type").orderBy("hour_bucket")
       .rowsBetween(-baseline, -1)

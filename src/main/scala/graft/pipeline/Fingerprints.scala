@@ -358,10 +358,15 @@ object Fingerprints {
   val queries: Map[String, Q] = Map(
     // the oracle-backed SimHash tier — candidates through cappedPairs
     // (the 32k band keyspace would go quadratic uncapped at ~10⁹ docs),
-    // with the cap REPLAYED by the oracle (see simhashPortablePairs)
+    // with the cap REPLAYED by the oracle. The cap is pinned to the
+    // DefaultBucketCap LITERAL here, not the graft.lsh.bucketCap conf
+    // the library call resolves: the oracle SQL interpolates the same
+    // constant, and a session conf silently desynchronizing the two
+    // would turn a tuning knob into a spurious red row (library users
+    // tune via simhashPortablePairs(docs, cap = …) directly)
     "d_simhash_portable" -> { (s, d) =>
-      simhashPortablePairs(Tables.documents(s, d))
-        .orderBy("da", "db")
+      simhashPortablePairs(Tables.documents(s, d),
+        cap = DefaultBucketCap).orderBy("da", "db")
     },
     // the band cap's recall cost at a tiny audit cap — drift is LOST
     // pairs only (capped candidates are a subset of uncapped ones)

@@ -49,8 +49,7 @@ object Preference {
     // computed straight on microseconds — subtracting the always-non-
     // negative pmod makes the quotient exact and floor-consistent on
     // both engines for ALL timestamps, pre-epoch included.
-    val day = expr("(unix_micros(ts) - pmod(unix_micros(ts), " +
-      "86400000000)) DIV 86400000000")
+    val day = graft.TimeBuckets.epochDay()
     val w = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("ts"), col("event_id"))
     val capped = events
@@ -198,9 +197,21 @@ object Preference {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3)))
     val types = pm.flatMap(p => Seq(p._1, p._2)).distinct.sorted
-    require(types.length >= 1 && types.length <= 1000,
+    require(types.length <= 1000,
       s"${types.length} types: the MM state is driver-held and only " +
         "safe for a coarse type column")
+    // a match-free input fits nothing: empty result, like the sibling
+    // tiers (and the oracle SQL), never a require crash
+    if (types.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("bt_micro",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rnk",
+            org.apache.spark.sql.types.LongType))))
     val total = pm.map(_._3).sum
     require(total <= 8000000000000L,
       s"$total matches: Wᵢ·10⁶ must stay under 2⁶³ — shrink cap or " +
@@ -223,7 +234,13 @@ object Preference {
         i -> (if (d(i) == 0L) 0L else (wins(i) * 1000000L) / d(i))
       }.toMap
       val z = math.max(1L, raw.values.sum)
-      w = types.map(i => i -> (raw(i) * 1000000L) / z).toMap
+      // 1-micro floor: integer renormalization can round a chronic
+      // loser's weight to 0, and a later round would divide by
+      // w(i)+w(j)=0 for a zero-zero head-to-head — the floor keeps
+      // every denominator positive at a ≤1e-6 distortion of the fit
+      // (mirrored in the oracle's btRound)
+      w = types.map(i =>
+        i -> math.max(1L, (raw(i) * 1000000L) / z)).toMap
     }
     types.toSeq.map(t => (t, w(t))).toDF("event_type", "bt_micro")
       .withColumn("rnk", row_number().over(
@@ -298,7 +315,8 @@ object Preference {
        |z$r AS (
        |  SELECT greatest(CAST(sum(raw) AS BIGINT), 1) AS z FROM raw$r),
        |bt$r AS MATERIALIZED (
-       |  SELECT t, (raw * 1000000) // (SELECT z FROM z$r) AS w
+       |  SELECT t, greatest(1, (raw * 1000000) // (SELECT z FROM z$r))
+       |    AS w
        |  FROM raw$r)""".stripMargin
 
   val oracles: Map[String, String] = Map(

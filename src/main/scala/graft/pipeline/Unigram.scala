@@ -209,6 +209,16 @@ object Unigram {
   private val MaxPiece = 6
   private val MaxWord = 20
 
+  /** DP unroll depth for the ENCODE oracle pass: encode() segments
+    * words of ANY length (no maxWordLen cap, unlike training), so its
+    * SQL twin unrolls deeper than the trainer's 20. Words longer than
+    * this bound would char-fallback in the oracle while the engine
+    * segments them — a LOUD red row, not a silent wrong answer — and
+    * 64 covers any natural-language token by a wide margin (fixture
+    * max is 8).
+    */
+  private val MaxEncodeWord = 64
+
   /** One Viterbi pass in plain SQL over word set CTE `ws`(w) under
     * score CTE `sc`(p, s): the position DP unrolls as `steps`
     * cumulative CTEs (each position's argmax = rank-1 by score desc
@@ -344,7 +354,7 @@ object Unigram {
          |    FROM documents WHERE text IS NOT NULL) t
          |  WHERE len(w) > 0),
          |wall AS MATERIALIZED (SELECT DISTINCT w FROM dw),
-         |${viterbiCtes("e", "wall", "sc4", MaxWord)},
+         |${viterbiCtes("e", "wall", "sc4", MaxEncodeWord)},
          |ns AS MATERIALIZED (
          |  SELECT w, CAST(count(*) AS BIGINT) AS n
          |  FROM epieces GROUP BY w)

@@ -49,8 +49,7 @@ object PreferenceStream {
     // division on microseconds) — the capped sets the views re-derive
     // from are per (user, day), so a different day boundary here would
     // cap different events than the batch operator pairs
-    val day = expr("(unix_micros(ts) - pmod(unix_micros(ts), " +
-      "86400000000)) DIV 86400000000")
+    val day = graft.TimeBuckets.epochDay()
     val w = Window.partitionBy(col("user_id"), day)
       .orderBy(col("ts"), col("event_id"))
     events

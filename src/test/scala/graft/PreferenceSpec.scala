@@ -108,8 +108,17 @@ class PreferenceSpec extends AnyFunSuite {
     val raws = Map("A" -> (4L * 1000000L) / d(w0),
       "B" -> (2L * 1000000L) / d(w0), "C" -> 0L)
     val z = raws.values.sum
-    val want = raws.map { case (t, r) => t -> (r * 1000000L) / z }
+    // the 1-micro floor keeps the all-losses type's weight positive so
+    // later rounds never divide by a zero-zero head-to-head
+    val want = raws.map { case (t, r) =>
+      t -> math.max(1L, (r * 1000000L) / z) }
     assert(one == want, s"got $one want $want")
+  }
+
+  test("Bradley–Terry: empty match set yields an empty frame, not a " +
+      "crash, matching the oracle's empty result") {
+    val empty = toDf(Seq(ev(1, 1, 100, "A", 1.0))) // one event: no pairs
+    assert(Preference.bradleyTerry(empty).collect().isEmpty)
   }
 
   test("registered queries: consistent totals, win rates on the grid, " +
