@@ -76,13 +76,20 @@ object Agreement {
 
   /** Symmetric difference of two (da, db, jaccard) pair sets, each row
     * tagged with the side that produced it and that side's own jaccard.
+    * Both inputs are CHECKPOINTED first: each side feeds both anti-join
+    * directions, and un-checkpointed the full pair-tier lineage (scan +
+    * shingle pass + posting join) re-executed per direction — the
+    * diamond-reuse rule. The materialized frames are candidate-pair-
+    * sized (bounded by the tiers' own caps), trivial at any scale.
     */
   def pairDrift(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.localCheckpoint(true)
+    val x = approx.localCheckpoint(true)
     def minus(a: DataFrame, b: DataFrame, tag: String) =
       a.join(b.select("da", "db"), Seq("da", "db"), "left_anti")
         .select(col("da"), col("db"),
           round(col("jaccard"), 4).as("jaccard"), lit(tag).as("side"))
-    minus(exact, approx, "lost").union(minus(approx, exact, "gained"))
+    minus(e, x, "lost").union(minus(x, e, "gained"))
   }
 
   /** Exact↔capped drift from ONE posting-list pass: the exact tier's
