@@ -18,15 +18,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and the lower-middle of 4 reported, so a single minute-scale burst
   * spanning two samples can't define the recorded cost.
   *
-  * Each query also records an 8-hex hash of its canonicalized optimized
-  * logical plan, so the next round can tell plan drift from machine noise
-  * (canonicalization normalizes expression IDs — the hash is stable across
-  * runs of an unchanged plan).
+  * Each query also records an 8-hex hash of its canonicalized ANALYZED ⊕
+  * OPTIMIZED logical plans, so the next round can tell plan drift from
+  * machine noise (canonicalization normalizes expression IDs — the hash is
+  * stable across runs of an unchanged plan). Both levels are hashed
+  * because some builders `persist()` shared frames: cache substitution
+  * rewrites the optimized plan's cached subtree to an InMemoryRelation,
+  * which would otherwise blind the drift signal to everything upstream of
+  * the cache (the analyzed plan always shows the full tree); the optimized
+  * half still catches optimizer-level drift (lost pushdowns, join
+  * strategy changes) below any non-cached region. The hash function
+  * changed in round 10 — plan_hash values are not comparable to r09's.
   */
 object Bench {
   private def planHash(df: DataFrame): String =
     try {
-      val s = df.queryExecution.optimizedPlan.canonicalized.toString
+      val s = df.queryExecution.analyzed.canonicalized.toString +
+        "\u0000" + df.queryExecution.optimizedPlan.canonicalized.toString
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     } catch { case _: Throwable => "error" }
@@ -66,6 +74,14 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       def sample(): (Boolean, Double) = {
+        // Some builders persist() shared frames, and CacheManager matches
+        // cached plans by canonical form across builder calls — without
+        // this clear, sample 2 (or a later query sharing a cached
+        // subtree) would read materialized cache blocks and report a
+        // cache-read time as the query's cost. Every sample pays the
+        // full cold-cache execution, including materializing its own
+        // persisted frames.
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }

@@ -18,14 +18,19 @@ object ExplainAudit {
     val d = "/root/testdata/sf0.001"
     var failed = 0
 
-    def finalPlan(name: String): String = {
-      val df = SparkEntry.queries(name)(spark, d)
-      df.collect() // execute THIS QueryExecution so AQE finalizes + codegen collapses
+    /** Execute THIS QueryExecution (so AQE finalizes + codegen
+      * collapses) and return the final physical plan — the one unwrap
+      * point for every audit below.
+      */
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
       df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.executedPlan.toString
         case p => p.toString
       }
     }
+    def finalPlan(name: String): String =
+      planOf(SparkEntry.queries(name)(spark, d))
     def audit(name: String, expect: String*): Unit = {
       val plan = finalPlan(name)
       val missing = expect.filterNot(plan.contains)
@@ -66,20 +71,17 @@ object ExplainAudit {
     // carries one buffer per (partition, doc), never the shingle rows
     audit("d_simhash", "partial_simhashsketch")
     audit("d_minhash_lsh", "partial_minhashsketch")
-    // portable simhash: the registered queries CHECKPOINT the shared
+    // portable simhash: the registered queries PERSIST the shared
     // fingerprint frame (its diamond reuse — bands + two verify joins —
-    // re-ran the shingle pass 3-4× un-checkpointed; measured 2.9→1.8 s
-    // and 4.7→2.1 s at sf0.1), so the counter aggregation is audited on
-    // the fingerprint operator directly, and the registered plans are
-    // gated on their join shape instead
+    // re-ran the shingle pass 3-4× uncached; measured 2.9→1.8 s and
+    // 4.7→2.1 s at sf0.1), so their physical plans read the cached
+    // subtree as an InMemoryTableScan; the counter aggregation is
+    // audited on the fingerprint operator directly, and the registered
+    // plans are gated on their join shape instead
     locally {
-      val df = graft.pipeline.Fingerprints.simhashPortableFingerprints(
-        graft.Tables.documents(spark, d))
-      df.collect()
-      val plan = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
-        case p => p.toString
-      }
+      val plan = planOf(
+        graft.pipeline.Fingerprints.simhashPortableFingerprints(
+          graft.Tables.documents(spark, d)))
       // the 60 vote counters are ONE map-side-combined declarative
       // aggregate — the shuffle carries 60 longs per doc, never the
       // shingle rows
@@ -389,19 +391,13 @@ object ExplainAudit {
       // leave broadcast disabled for the rest of the audit)
       val savedThreshold =
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val j =
+      val plan =
         try {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-          val df = Bucketing.colocatedJoin(spark, "audit_li", "audit_ord",
-            "l_orderkey", "o_orderkey")
-          df.collect()
-          df
+          planOf(Bucketing.colocatedJoin(spark, "audit_li", "audit_ord",
+            "l_orderkey", "o_orderkey"))
         } finally spark.conf.set(
           "spark.sql.autoBroadcastJoinThreshold", savedThreshold)
-      val plan = j.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
-        case p => p.toString
-      }
       val ok = !plan.contains("Exchange") && plan.contains("SortMergeJoin")
       if (!ok) failed += 1
       println("AUDIT bucketed-join: " + (if (ok) "OK (no Exchange)"

@@ -42,6 +42,10 @@ object Verify {
           new Directory(dir).deleteRecursively()
         }
       }
+      // some builders persist() shared frames; drop them so cache memory
+      // stays bounded by one query, not the whole 200+-query sweep
+      finally { try spark.catalog.clearCache()
+        catch { case _: Throwable => () } }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

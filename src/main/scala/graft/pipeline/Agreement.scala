@@ -76,15 +76,17 @@ object Agreement {
 
   /** Symmetric difference of two (da, db, jaccard) pair sets, each row
     * tagged with the side that produced it and that side's own jaccard.
-    * Both inputs are CHECKPOINTED first: each side feeds both anti-join
-    * directions, and un-checkpointed the full pair-tier lineage (scan +
-    * shingle pass + posting join) re-executed per direction — the
-    * diamond-reuse rule. The materialized frames are candidate-pair-
-    * sized (bounded by the tiers' own caps), trivial at any scale.
+    * Both inputs are PERSISTED first (lazy `persist()`): each side
+    * feeds both anti-join directions, and uncached the full pair-tier
+    * lineage (scan + shingle pass + posting join) re-executed per
+    * direction — the diamond-reuse rule. The cached frames are
+    * candidate-pair-sized (bounded by the tiers' own caps), trivial at
+    * any scale; persist (vs checkpoint) keeps lineage for executor-loss
+    * recovery and launches no job at build time.
     */
   def pairDrift(exact: DataFrame, approx: DataFrame): DataFrame = {
-    val e = exact.localCheckpoint(true)
-    val x = approx.localCheckpoint(true)
+    val e = exact.persist()
+    val x = approx.persist()
     def minus(a: DataFrame, b: DataFrame, tag: String) =
       a.join(b.select("da", "db"), Seq("da", "db"), "left_anti")
         .select(col("da"), col("db"),

@@ -208,20 +208,27 @@ object Fingerprints {
     * aggregation, the band join is the standard LSH bucket equi-join,
     * and verification touches candidate pairs only.
     *
-    * The shingle stream is CHECKPOINTED once: four consumers read it
-    * (hash derivation, signature join, both sides of the intersection
-    * count) and the un-checkpointed diamond re-ran the scan+explode per
-    * consumer (measured 4.3 → 3.5 s at sf0.1). The materialized frame
-    * is (doc_id, shingle) — the same data volume the signature
-    * aggregation already shuffles, so the storage cost class is one the
-    * operator was already paying.
+    * The shingle stream is PERSISTED once (lazy `persist()`, the
+    * diamond-reuse rule): four consumers read it (hash derivation,
+    * signature join, both sides of the intersection count) and without
+    * the cache the diamond re-ran the scan+explode per consumer
+    * (measured 4.3 → 3.5 s at sf0.1). persist, not localCheckpoint:
+    * the cache is columnar-compressed MEMORY_AND_DISK, blocks are
+    * evictable under pressure, and LINEAGE IS KEPT — a lost executor
+    * recomputes its partitions instead of failing the job, which is
+    * what a corpus-scale frame needs at 100 TB (checkpointing's
+    * truncated lineage is reserved for the iterative trainers, whose
+    * per-round state is vocabulary-bounded). persist is also lazy, so
+    * building this frame launches no job — the builder contract every
+    * registry consumer (bench plan-hash, audits, conditional
+    * registration) relies on.
     */
   def minhashPortablePairs(docs: DataFrame,
       threshold: Double = 0.8): DataFrame = {
     val sh = graft.Tables.spread(docs)
       .select(col("doc_id"),
         explode(graft.pipeline.Dedup.shingles(col("text"))).as("s"))
-      .localCheckpoint(true)
+      .persist()
     val hs = sh.select("s").distinct()
       .select(col("s"), explode(array((0 until 16).map(j =>
         struct(lit(j).as("j"),
@@ -333,11 +340,12 @@ object Fingerprints {
     */
   def simhashPortablePairs(docs: DataFrame,
       maxHamming: Int = 3, cap: Int = -1): DataFrame = {
-    // checkpoint the (doc_id, fp) frame — 16 bytes/doc at ANY corpus
-    // size — so the bands + two verify joins read it instead of
+    // persist the (doc_id, fp) frame — 16 bytes/doc at ANY corpus
+    // size — so the bands + two verify joins read the cache instead of
     // re-running the shingle/counter pass per consumer (2.9 → 1.8 s
-    // at sf0.1)
-    val f = simhashPortableFingerprints(docs).localCheckpoint(true)
+    // at sf0.1). Lazy persist keeps lineage (executor loss recomputes)
+    // and launches no build-time job — see minhashPortablePairs.
+    val f = simhashPortableFingerprints(docs).persist()
     val cands = cappedPairs(simhashBands(f), Seq("band", "bkey"),
         "doc_id", cap)
       .select(col("ida").as("da"), col("idb").as("db"))
@@ -354,9 +362,9 @@ object Fingerprints {
     */
   def simhashCapDrift(docs: DataFrame, cap: Int,
       maxHamming: Int = 3): DataFrame = {
-    // same 16-byte/doc checkpoint as simhashPortablePairs — here the
+    // same 16-byte/doc persist as simhashPortablePairs — here the
     // diamond is even wider (two candidate tiers + verify; 4.7 → 2.1 s)
-    val f = simhashPortableFingerprints(docs).localCheckpoint(true)
+    val f = simhashPortableFingerprints(docs).persist()
     val banded = simhashBands(f)
     val uncapped = banded.select(col("doc_id").as("da"),
         col("band"), col("bkey"))
@@ -449,13 +457,14 @@ object Fingerprints {
     */
   def embeddingDupLsh(s: org.apache.spark.sql.SparkSession, d: String)
       : DataFrame = {
-    // checkpointed: the normalized-vector frame feeds the signature
-    // explode AND both verify re-fetch joins (input-table-sized — the
-    // same volume the source already stores; 4.0 → 3.5 s at sf0.1)
+    // persisted: the normalized-vector frame feeds the signature
+    // explode AND both verify re-fetch joins (input-table-sized; lazy
+    // persist keeps lineage + evictability — see minhashPortablePairs;
+    // 4.0 → 3.5 s at sf0.1)
     val e = Tables.spread(Tables.embeddings(s, d))
       .select(col("vec_id"),
         VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
-      .localCheckpoint(true)
+      .persist()
     // the fixture's near-dups sit at cosine ≈ 0.47-0.51 (θ/π ≈ 0.34), so
     // signatures must be SHORT: 4 bits ⇒ ~0.19 per-table collision, 12
     // tables ⇒ ~0.92 expected recall
