@@ -288,6 +288,16 @@ object ExplainAudit {
     auditAtMost("r_join_band",
       "CartesianProduct|BroadcastNestedLoopJoin", 0)
     audit("r_join_band", "HashJoin")
+    // interval-overlap join: bucket replication must keep the pure
+    // overlap inequality an EQUI-join on the bucket key — the bare
+    // `ls<=re AND rs<=le` condition would plan as a nested-loop product
+    auditAtMost("r_join_interval",
+      "CartesianProduct|BroadcastNestedLoopJoin", 0)
+    // blocklist gate: the derived list is a driver-bounded sort-limit
+    // BROADCAST into both match joins; never a product
+    audit("t_blocklist_gate", "BroadcastHashJoin")
+    auditAtMost("t_blocklist_gate",
+      "CartesianProduct|BroadcastNestedLoopJoin", 0)
     // JL projection is a pure map stage: ZERO computational shuffles
     // (the presentation orderBy is a range partitioning, not hash)
     auditAtMost("s_random_projection", "Exchange hashpartitioning", 0)

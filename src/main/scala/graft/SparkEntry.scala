@@ -35,6 +35,7 @@ object SparkEntry {
       Classifier.queries ++ Projection.queries ++ Preference.queries ++
       GraphRank.queries ++ graft.operators.FuzzyJoin.queries ++
       graft.operators.BandJoin.queries ++
+      graft.operators.IntervalJoin.queries ++
       graft.sources.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,5 +49,6 @@ object SparkEntry {
       Classifier.oracles ++ Projection.oracles ++ Preference.oracles ++
       GraphRank.oracles ++ graft.operators.FuzzyJoin.oracles ++
       graft.operators.BandJoin.oracles ++
+      graft.operators.IntervalJoin.oracles ++
       graft.sources.SourceQueries.oracles
 }

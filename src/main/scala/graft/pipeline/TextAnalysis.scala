@@ -247,6 +247,8 @@ object TextAnalysis {
   val PhoneRe = "\\+1-555-[0-9]{4}"
 
   val queries: Map[String, Q] = Map(
+    "t_blocklist_gate" -> { (s, d) =>
+      blocklistGate(Tables.spread(Tables.documents(s, d))) },
     // PII redaction: count + replace emails/phones. The fixture corpus is
     // clean synthetic prose, so the query plants deterministic PII derived
     // from doc_id (emails on even ids, phones on ids % 3 == 0) — both
@@ -872,9 +874,150 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Blocklist rank windows + gate threshold, shared verbatim with the
+    * generated oracle SQL (the MixTargets/MaxSample shared-constant
+    * discipline). The fixture vocabulary holds only 31 unigrams, so the
+    * unigram window sits at ranks 17-24; bigrams (916 distinct) at
+    * ranks 20-27.
+    */
+  private[pipeline] val BlockUniSkip = 16
+  private[pipeline] val BlockUniTake = 8
+  private[pipeline] val BlockBiSkip = 19
+  private[pipeline] val BlockBiTake = 8
+  private[pipeline] val BlockMaxCatHits = 5L
+
+  /** C4-style blocklist gate (Raffel et al. 2020 §2.2 filter pages
+    * against an exogenous "bad words" list; RefinedWeb/Dolma ship
+    * category-tagged term lists): every doc is scored against a
+    * VARIABLE-LENGTH phrase blocklist and kept only while no single
+    * category's hit count exceeds `maxCatHits` — the per-category
+    * threshold is what lets one list serve several policies. The list
+    * here is derived deterministically from the corpus's own
+    * mid-frequency rank band (the t_pii_redact planting discipline —
+    * the synthetic fixture contains no real bad words), with category =
+    * first md5 nibble mod 3 (engine-portable, the t_hll register
+    * split); a production deployment swaps the derived list for the
+    * curated one and the plan is unchanged from the match joins down.
+    *
+    * Match semantics are declarative, not greedy-sequential: bigram
+    * phrases match at every token position (overlapping bigram hits
+    * all count); a unigram hit is SUPPRESSED when any bigram hit
+    * covers its position, so "free" inside a matched "free money"
+    * never double-counts. True leftmost-longest CONSUMPTION would
+    * chain each position's outcome on its predecessor's — a per-doc
+    * sequential scan no window expresses — while the cover rule is one
+    * anti-join and differs only on pathological self-overlapping
+    * chains (BlocklistSpec pins both rules' disagreement case).
+    *
+    * Scale shape: two corpus token passes (posexplode unigrams +
+    * zip_with bigrams — no per-doc window, so no corpus-wide shuffle
+    * before aggregation), vocabulary-bounded count tables into
+    * driver-bounded sort-limits (take ≤ 4096 rows total,
+    * require-guarded), the blocklist BROADCAST into both match joins,
+    * and the suppression anti-join keyed (doc_id, p) over MATCH
+    * streams only — every frame past the explodes is hits-sized.
+    * All-BIGINT counts → hash-exact oracle.
+    */
+  def blocklistGate(docs: DataFrame, uniSkip: Int = BlockUniSkip,
+      uniTake: Int = BlockUniTake, biSkip: Int = BlockBiSkip,
+      biTake: Int = BlockBiTake, maxCatHits: Long = BlockMaxCatHits)
+      : DataFrame = {
+    require(uniTake >= 0 && biTake >= 0 && uniTake + biTake <= 4096,
+      s"blocklist is a broadcast driver artifact: uniTake=$uniTake + " +
+        s"biTake=$biTake must stay bounded")
+    val t = toks(col("text"))
+    val tok = docs.select(col("doc_id"), posexplode(t).as(Seq("p", "w")))
+    val bg = docs.select(col("doc_id"),
+      posexplode(zip_with(slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b))).as(Seq("p", "b")))
+    def cat(g: Column) =
+      (conv(substring(md5(g), 1, 1), 16, 10).cast("int") % 3).as("cat")
+    val bl1 = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).offset(uniSkip).limit(uniTake)
+      .select(col("w").as("g"), cat(col("w")))
+    val bl2 = bg.groupBy("b").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("b").asc).offset(biSkip).limit(biTake)
+      .select(col("b").as("g"), cat(col("b")))
+    val uh = tok.join(broadcast(bl1), col("w") === col("g"))
+      .select(col("doc_id"), col("p"), col("cat"))
+    // bigram hits feed three consumers (cover set ×2, final union) —
+    // persist per the diamond-reuse rule; the frame is hits-sized
+    val bh = bg.join(broadcast(bl2), col("b") === col("g"))
+      .select(col("doc_id"), col("p"), col("cat"))
+      .persist()
+    val cov = bh.select(col("doc_id"), col("p"))
+      .union(bh.select(col("doc_id"), (col("p") + 1).as("p")))
+    val uk = uh.join(cov, Seq("doc_id", "p"), "left_anti")
+    val hits = uk.select("doc_id", "cat").union(bh.select("doc_id", "cat"))
+    def catSum(i: Int) = sum(when(col("cat") === i, 1L).otherwise(0L))
+    val pc = hits.groupBy("doc_id").agg(
+      catSum(0).as("h0"), catSum(1).as("h1"), catSum(2).as("h2"))
+    val c0 = coalesce(col("h0"), lit(0L))
+    val c1 = coalesce(col("h1"), lit(0L))
+    val c2 = coalesce(col("h2"), lit(0L))
+    docs.select("doc_id").join(pc, Seq("doc_id"), "left")
+      .select(col("doc_id"), c0.as("c0"), c1.as("c1"), c2.as("c2"),
+        (c0 + c1 + c2).as("total_hits"),
+        when(greatest(c0, c1, c2) <= maxCatHits, 1L).otherwise(0L)
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
   private val oracleToks = "string_split(text, ' ')"
 
   val oracles: Map[String, String] = Map(
+    // the blocklist derivation, both match tiers, the cover-suppression
+    // rule, and the per-category gate replayed verbatim — rank windows
+    // and threshold interpolated from the shared constants
+    "t_blocklist_gate" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, string_split(text, ' ') t FROM documents),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, i - 1 AS p, t[i] AS w
+         |  FROM toks, unnest(range(1, len(t) + 1)) u(i)),
+         |bg AS MATERIALIZED (
+         |  SELECT doc_id, i - 1 AS p, t[i] || ' ' || t[i + 1] AS b
+         |  FROM toks, unnest(range(1, len(t))) u(i)),
+         |bl1 AS (
+         |  SELECT w AS g,
+         |    (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) % 3
+         |      AS cat
+         |  FROM (SELECT w, count(*) c FROM tok GROUP BY 1
+         |        ORDER BY c DESC, w ASC
+         |        LIMIT $BlockUniTake OFFSET $BlockUniSkip)),
+         |bl2 AS (
+         |  SELECT b AS g,
+         |    (strpos('0123456789abcdef', substr(md5(b), 1, 1)) - 1) % 3
+         |      AS cat
+         |  FROM (SELECT b, count(*) c FROM bg GROUP BY 1
+         |        ORDER BY c DESC, b ASC
+         |        LIMIT $BlockBiTake OFFSET $BlockBiSkip)),
+         |uh AS (SELECT doc_id, p, cat FROM tok JOIN bl1 ON w = g),
+         |bh AS MATERIALIZED (
+         |  SELECT doc_id, p, cat FROM bg JOIN bl2 ON b = g),
+         |cov AS (SELECT doc_id, p FROM bh
+         |        UNION SELECT doc_id, p + 1 FROM bh),
+         |uk AS (SELECT uh.doc_id, uh.cat FROM uh
+         |       WHERE NOT EXISTS (SELECT 1 FROM cov
+         |         WHERE cov.doc_id = uh.doc_id AND cov.p = uh.p)),
+         |hits AS (SELECT doc_id, cat FROM uk
+         |         UNION ALL SELECT doc_id, cat FROM bh),
+         |pc AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN cat = 0 THEN 1 ELSE 0 END) AS BIGINT) h0,
+         |  CAST(sum(CASE WHEN cat = 1 THEN 1 ELSE 0 END) AS BIGINT) h1,
+         |  CAST(sum(CASE WHEN cat = 2 THEN 1 ELSE 0 END) AS BIGINT) h2
+         |  FROM hits GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(h0, 0) AS c0, coalesce(h1, 0) AS c1,
+         |  coalesce(h2, 0) AS c2,
+         |  coalesce(h0, 0) + coalesce(h1, 0) + coalesce(h2, 0)
+         |    AS total_hits,
+         |  CAST(CASE WHEN greatest(coalesce(h0, 0), coalesce(h1, 0),
+         |      coalesce(h2, 0)) <= $BlockMaxCatHits
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM documents d LEFT JOIN pc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "t_subword_fertility" ->
       """SELECT lang, CAST(sum(sw) AS BIGINT) AS subwords,
         |  CAST(sum(w) AS BIGINT) AS words,
