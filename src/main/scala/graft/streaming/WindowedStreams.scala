@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Watermarked event-time aggregation over the record envelope — the
@@ -97,6 +97,60 @@ object WindowedStreams {
     l.join(r, col("lband") === col("rband") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $deltaSec SECONDS") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $deltaSec SECONDS"))
+      .select(col("l_seq"), col("r_seq"))
+  }
+
+  /** Stream-STREAM interval-OVERLAP join, no key — the streaming twin
+    * of [[graft.operators.IntervalJoin]]: each record opens a span of
+    * `lLen`/`rLen` seconds (caller-derived, bounded by `maxLenSec`,
+    * fail-loud past it) from its watermarked arrival timestamp, and
+    * left pairs with right when the closed spans intersect. Structured
+    * Streaming rejects the keyless join; the batch operator's
+    * covered-bucket replication manufactures the missing equality as
+    * in [[bandJoinStream]], except BOTH sides replicate here — with
+    * bucket width = `maxLenSec`, a legal span covers at most 2 buckets,
+    * so replication is ≤ 2× per side — and the canonical-bucket rule
+    * (the pair survives only in the bucket holding `max(lStart,
+    * rStart)`, which both spans cover exactly when they overlap) keeps
+    * matching exactly-once with no post-join distinct. The length
+    * bound is also what makes state droppable: overlap of
+    * ≤ maxLenSec-long spans implies |l_ts − r_ts| ≤ maxLenSec, an
+    * event-time range on the WATERMARKED columns themselves — the
+    * planner's state-cleanup contract. (At query start
+    * `StreamingJoinHelper` logs a WARN trying to mine EXTRA state
+    * constraints out of the span residual — `ls`/`rs` are derived, not
+    * watermarked, columns, so it gives up and falls back to exactly
+    * that watermark range. Benign: cleanup comes from the range
+    * bounds; the residual only filters.)
+    */
+  def intervalOverlapStream(left: DataFrame, right: DataFrame,
+      lateness: String, maxLenSec: Long, lLen: Column, rLen: Column)
+      : DataFrame = {
+    require(maxLenSec > 0, s"maxLenSec=$maxLenSec must be positive")
+    def side(df: DataFrame, len: Column, tag: String) = {
+      val guarded = when(len >= 0 && len <= maxLenSec, len)
+        .otherwise(raise_error(concat(lit(
+          s"intervalOverlapStream: span length outside [0, $maxLenSec]" +
+            " s - raise maxLenSec (state and replication scale with" +
+            " it); offending length: "), len)))
+      df.withWatermark("approximateArrivalTimestamp", lateness)
+        .select(col("sequenceNumber").as(s"${tag}_seq"),
+          col("approximateArrivalTimestamp").as(s"${tag}_ts"),
+          guarded.cast("long").as(s"${tag}_len"))
+        .withColumn(s"${tag}s", unix_timestamp(col(s"${tag}_ts")))
+        .withColumn(s"${tag}e", col(s"${tag}s") + col(s"${tag}_len"))
+        .withColumn(s"${tag}band", explode(sequence(
+          floor(col(s"${tag}s") / maxLenSec).cast("long"),
+          floor(col(s"${tag}e") / maxLenSec).cast("long"))))
+    }
+    val l = side(left, lLen, "l")
+    val r = side(right, rLen, "r")
+    l.join(r, col("lband") === col("rband") &&
+        col("ls") <= col("re") && col("rs") <= col("le") &&
+        col("lband") ===
+          floor(greatest(col("ls"), col("rs")) / maxLenSec).cast("long") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $maxLenSec SECONDS") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxLenSec SECONDS"))
       .select(col("l_seq"), col("r_seq"))
   }
 

@@ -160,6 +160,47 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(naive.nonEmpty)
   }
 
+  test("keyless stream-stream interval-overlap join equals the naive " +
+      "batch cross-filter: exactly-once across shared buckets, " +
+      "variable span lengths both sides") {
+    import org.apache.spark.sql.functions.{col, substring}
+    val ldir = Files.createTempDirectory("ivleft").toString
+    val rdir = Files.createTempDirectory("ivright").toString
+    val base = 1700000000L
+    // span lengths derive from each record's own sequence digits (the
+    // planting discipline): left (i%3)*25 s, right (j%4)*20 s — zero-
+    // length spans included, and spans straddle the 60 s buckets
+    writeRecords(ldir, (0 until 8).map(i =>
+      rec(s"lk$i", s"L$i", base + i * 130)))
+    writeRecords(rdir, (0 until 20).map(i =>
+      rec(s"rk$i", s"R$i", base + 25 + j2ts(i))))
+    def lenL = substring(col("sequenceNumber"), 2, 10).cast("long") % 3 * 25
+    def lenR = substring(col("sequenceNumber"), 2, 10).cast("long") % 4 * 20
+    val ls = spark.readStream.schema(KinesisRecord.schema).parquet(ldir)
+    val rs = spark.readStream.schema(KinesisRecord.schema).parquet(rdir)
+    val q = WindowedStreams.intervalOverlapStream(ls, rs, "1 minute",
+        60L, lenL, lenR)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivjoin").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ivjoin").collect()
+      .map(r => (r.getString(0), r.getString(1))).toList
+    assert(streamed.size == streamed.toSet.size, "no duplicate pairs")
+    val naive = (for {
+      i <- 0 until 8; j <- 0 until 20
+      ls0 = i * 130L; le0 = ls0 + (i % 3) * 25L
+      rs0 = 25L + j2ts(j); re0 = rs0 + (j % 4) * 20L
+      if math.max(ls0, rs0) <= math.min(le0, re0)
+    } yield (s"L$i", s"R$j")).toSet
+    assert(streamed.toSet == naive)
+    assert(naive.nonEmpty)
+  }
+
+  /** Right-side spacing for the interval test: irregular so overlaps
+    * hit starts-inside, ends-inside, containment, and touching cases.
+    */
+  private def j2ts(j: Int): Long = j * 45L + (j % 5) * 7L
+
   test("streaming domain-LM gate: in-domain passes, OOD drops, ce equals " +
       "the batch operator across batch splits") {
     import spark.implicits._
