@@ -880,11 +880,11 @@ object TextAnalysis {
     * unigram window sits at ranks 17-24; bigrams (916 distinct) at
     * ranks 20-27.
     */
-  private[pipeline] val BlockUniSkip = 16
-  private[pipeline] val BlockUniTake = 8
-  private[pipeline] val BlockBiSkip = 19
-  private[pipeline] val BlockBiTake = 8
-  private[pipeline] val BlockMaxCatHits = 5L
+  private[graft] val BlockUniSkip = 16
+  private[graft] val BlockUniTake = 8
+  private[graft] val BlockBiSkip = 19
+  private[graft] val BlockBiTake = 8
+  private[graft] val BlockMaxCatHits = 5L
 
   /** C4-style blocklist gate (Raffel et al. 2020 §2.2 filter pages
     * against an exogenous "bad words" list; RefinedWeb/Dolma ship
@@ -918,27 +918,83 @@ object TextAnalysis {
     * streams only — every frame past the explodes is hits-sized.
     * All-BIGINT counts → hash-exact oracle.
     */
+  /** The corpus-derived blocklist halves, `(g, cat)` each — the shared
+    * seam between [[blocklistGate]] and the streaming twin
+    * ([[graft.streaming.WindowedStreams.blocklistGateStream]] ships
+    * them as broadcast map artifacts), so list membership can never
+    * drift between the two modes.
+    */
+  def blocklistTables(docs: DataFrame, uniSkip: Int = BlockUniSkip,
+      uniTake: Int = BlockUniTake, biSkip: Int = BlockBiSkip,
+      biTake: Int = BlockBiTake): (DataFrame, DataFrame) = {
+    require(uniTake >= 0 && biTake >= 0 && uniTake + biTake <= 4096,
+      s"blocklist is a broadcast driver artifact: uniTake=$uniTake + " +
+        s"biTake=$biTake must stay bounded")
+    val t = toks(col("text"))
+    def cat(g: Column) =
+      (conv(substring(md5(g), 1, 1), 16, 10).cast("int") % 3).as("cat")
+    val bl1 = docs.select(explode(t).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).offset(uniSkip).limit(uniTake)
+      .select(col("w").as("g"), cat(col("w")))
+    val bl2 = docs.select(explode(zip_with(slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("b").asc).offset(biSkip).limit(biTake)
+      .select(col("b").as("g"), cat(col("b")))
+    (bl1, bl2)
+  }
+
+  /** Per-ROW expression form of the blocklist scorer — same semantics
+    * as [[blocklistGate]]'s join pipeline (overlapping bigram hits all
+    * count, covered unigram hits suppressed), but computed entirely
+    * inside one codegen'd column over driver-held map literals: the
+    * deployment shape for a stream gate with an exogenous curated
+    * list (the domainScoreGate ship-the-artifact discipline). Returns
+    * `struct(c0, c1, c2)`; BlocklistSpec pins row-for-row equality
+    * with the join pipeline on a varied corpus. `try_element_at`
+    * throughout — ANSI errors on missing map keys and out-of-range
+    * ranks, and both are ordinary here (non-listed grams; position 0's
+    * missing left-neighbor).
+    */
+  def blocklistScore(text: Column, uni: Map[String, Int],
+      bi: Map[String, Int]): Column = {
+    val t = toks(text)
+    val uniM = typedlit(uni)
+    val biM = typedlit(bi)
+    // bigram hit category per 0-based start position (null = no hit)
+    val bcat = transform(zip_with(slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1),
+      (a, b) => concat(a, lit(" "), b)), b => try_element_at(biM, b))
+    // unigram hit at 0-based p survives unless a bigram hit starts at
+    // p-1 or p (1-based element_at: positions p and p+1; the p = 0 row
+    // has no left neighbor and index 0 is invalid even under try_, so
+    // the lookup sits behind a lazily-evaluated when)
+    val ucat = transform(t, (w, i) =>
+      when(when(i >= 1, try_element_at(bcat, i)).isNotNull ||
+          try_element_at(bcat, i + 1).isNotNull, lit(null))
+        .otherwise(try_element_at(uniM, w)))
+    def cnt(arr: Column, c: Int) = aggregate(arr, lit(0L),
+      (acc, x) => acc + when(x === c, 1L).otherwise(0L))
+    struct(
+      (cnt(bcat, 0) + cnt(ucat, 0)).as("c0"),
+      (cnt(bcat, 1) + cnt(ucat, 1)).as("c1"),
+      (cnt(bcat, 2) + cnt(ucat, 2)).as("c2"))
+  }
+
   def blocklistGate(docs: DataFrame, uniSkip: Int = BlockUniSkip,
       uniTake: Int = BlockUniTake, biSkip: Int = BlockBiSkip,
       biTake: Int = BlockBiTake, maxCatHits: Long = BlockMaxCatHits)
       : DataFrame = {
-    require(uniTake >= 0 && biTake >= 0 && uniTake + biTake <= 4096,
-      s"blocklist is a broadcast driver artifact: uniTake=$uniTake + " +
-        s"biTake=$biTake must stay bounded")
     val t = toks(col("text"))
     val tok = docs.select(col("doc_id"), posexplode(t).as(Seq("p", "w")))
     val bg = docs.select(col("doc_id"),
       posexplode(zip_with(slice(t, lit(1), size(t) - 1),
         slice(t, lit(2), size(t) - 1),
         (a, b) => concat(a, lit(" "), b))).as(Seq("p", "b")))
-    def cat(g: Column) =
-      (conv(substring(md5(g), 1, 1), 16, 10).cast("int") % 3).as("cat")
-    val bl1 = tok.groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w").asc).offset(uniSkip).limit(uniTake)
-      .select(col("w").as("g"), cat(col("w")))
-    val bl2 = bg.groupBy("b").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("b").asc).offset(biSkip).limit(biTake)
-      .select(col("b").as("g"), cat(col("b")))
+    val (bl1, bl2) =
+      blocklistTables(docs, uniSkip, uniTake, biSkip, biTake)
     val uh = tok.join(broadcast(bl1), col("w") === col("g"))
       .select(col("doc_id"), col("p"), col("cat"))
     // bigram hits feed three consumers (cover set ×2, final union) —

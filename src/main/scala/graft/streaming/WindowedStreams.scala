@@ -154,6 +154,44 @@ object WindowedStreams {
       .select(col("l_seq"), col("r_seq"))
   }
 
+  /** Streaming blocklist ingest gate — the apply side of
+    * [[graft.pipeline.TextAnalysis.blocklistGate]] in the
+    * train-batch-side / apply-stream-side split every corpus-relative
+    * gate here uses (domain-LM gate ships KenLM-shaped count maps,
+    * the outlier gate ships (μ, C⁻¹); this ships the two gram→category
+    * maps — in production the exogenous curated list, here derived
+    * from the reference corpus through the SAME
+    * [[graft.pipeline.TextAnalysis.blocklistTables]] seam the batch
+    * gate uses, so list membership cannot drift between modes).
+    * Per-record scoring is one codegen'd column
+    * ([[graft.pipeline.TextAnalysis.blocklistScore]], equality with
+    * the batch join pipeline pinned in BlocklistSpec) — stateless, so
+    * stream ≡ batch under ANY split by construction.
+    */
+  def blocklistGateStream(records: DataFrame, corpus: DataFrame,
+      maxCatHits: Long = graft.pipeline.TextAnalysis.BlockMaxCatHits,
+      uniSkip: Int = graft.pipeline.TextAnalysis.BlockUniSkip,
+      uniTake: Int = graft.pipeline.TextAnalysis.BlockUniTake,
+      biSkip: Int = graft.pipeline.TextAnalysis.BlockBiSkip,
+      biTake: Int = graft.pipeline.TextAnalysis.BlockBiTake): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (bl1, bl2) = graft.pipeline.TextAnalysis.blocklistTables(corpus,
+      uniSkip, uniTake, biSkip, biTake)
+    // limit-bounded by construction (≤ 4096 grams, require-guarded in
+    // blocklistTables) — the driver-artifact discipline
+    val uni = bl1.as[(String, Int)].collect().toMap
+    val bi = bl2.as[(String, Int)].collect().toMap
+    val s = graft.pipeline.TextAnalysis.blocklistScore(col("text"), uni, bi)
+    records
+      .withColumn("text", col("data").cast("string"))
+      .withColumn("s", s)
+      .filter(greatest(col("s.c0"), col("s.c1"), col("s.c2"))
+        <= maxCatHits)
+      .select(col("sequenceNumber"), col("partitionKey"), col("text"),
+        col("s.c0").as("c0"), col("s.c1").as("c1"), col("s.c2").as("c2"))
+  }
+
   /** Streaming Mahalanobis ingest gate for an embedding stream
     * (vec_id, embedding): drop records scoring above `maxScore`
     * against BATCH-trained (μ, C⁻¹) artifacts — the train-batch-side /

@@ -93,6 +93,37 @@ class BlocklistSpec extends AnyFunSuite {
     assert(r(2L)._5 == 0L)
   }
 
+  test("per-row expression scorer equals the join pipeline row for row " +
+      "on a varied corpus (the stream twin's equality seam)") {
+    import org.apache.spark.sql.functions.col
+    // 40 docs over a 10-word vocabulary, lengths 5..13, deterministic
+    val vocab = Vector("ape", "bat", "cow", "doe", "elk", "fox", "gnu",
+      "hen", "ibis", "jay")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until (5 + i % 9))
+        .map(j => vocab((i * 7 + j * (i + 3)) % 10)).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val (bl1, bl2) = TextAnalysis.blocklistTables(df,
+      uniSkip = 1, uniTake = 4, biSkip = 2, biTake = 5)
+    val uni = bl1.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val bi = bl2.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(uni.size == 4 && bi.size == 5)
+    val viaExpr = df.select(col("doc_id"),
+        TextAnalysis.blocklistScore(col("text"), uni, bi).as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getStruct(1).getLong(0),
+        r.getStruct(1).getLong(1), r.getStruct(1).getLong(2)))
+      .toMap
+    val viaJoin = TextAnalysis.blocklistGate(df,
+        uniSkip = 1, uniTake = 4, biSkip = 2, biTake = 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(viaExpr == viaJoin)
+    assert(viaExpr.values.exists(_ != ((0L, 0L, 0L))), "non-vacuous")
+  }
+
   test("derivation window tie-break: equal counts resolve by gram asc") {
     // "aa" and "ab" both appear twice; take-1 window must pick "aa"
     val r = run(Seq((1L, "aa ab aa ab")), uniTake = 1, biTake = 0)

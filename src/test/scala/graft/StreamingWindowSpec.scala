@@ -201,6 +201,51 @@ class StreamingWindowSpec extends AnyFunSuite {
     */
   private def j2ts(j: Int): Long = j * 45L + (j % 5) * 7L
 
+  test("streaming blocklist gate: keeps equal the batch gate's keep set " +
+      "and per-category counts ride along, across micro-batch splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("wblock").toString
+    val base = 1700000000L
+    // corpus: heavy grams form the blocklist band; doc texts reuse them
+    // at different densities so the gate genuinely splits the stream
+    val texts = (0 until 12).map { i =>
+      (0 until (4 + i % 7)).map(j => s"w${(i * 5 + j * (i + 2)) % 6}")
+        .mkString(" ")
+    }
+    val corpus = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def body(i: Int) = KinesisRecord(texts(i).getBytes("UTF-8"), s"k$i",
+      s"s$i", new Timestamp((base + i) * 1000), "None")
+    // two writes → two micro-batches; the gate is stateless so the
+    // split must not matter
+    writeRecords(dir, (0 until 6).map(body))
+    writeRecords(dir, (6 until 12).map(body))
+    val stream = spark.readStream.schema(KinesisRecord.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val cap = 2L
+    val q = WindowedStreams.blocklistGateStream(stream, corpus, cap,
+        uniSkip = 0, uniTake = 3, biSkip = 0, biTake = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wblock").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("wblock").collect()
+      .map(r => r.getString(2) -> (r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    val batch = graft.pipeline.TextAnalysis.blocklistGate(corpus,
+        uniSkip = 0, uniTake = 3, biSkip = 0, biTake = 4,
+        maxCatHits = cap)
+      .filter(col("keep") === 1L)
+      .join(corpus, "doc_id")
+      .collect()
+      .map(r => r.getAs[String]("text") ->
+        (r.getAs[Long]("c0"), r.getAs[Long]("c1"), r.getAs[Long]("c2")))
+      .toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    assert(streamed.size < texts.size, "the gate must drop something")
+  }
+
   test("streaming domain-LM gate: in-domain passes, OOD drops, ce equals " +
       "the batch operator across batch splits") {
     import spark.implicits._
