@@ -265,6 +265,11 @@ object ExplainAudit {
     // per-type window, nothing else
     audit("w_anomaly", "partial_count")
     auditAtMost("w_anomaly", "Exchange hashpartitioning", 2)
+    // seasonal slots: the heavy input collapses map-side before the
+    // grid/window machinery — count partials + ≤2 hash exchanges
+    // (count aggregate; slot window on the calendar-sized grid)
+    audit("w_seasonal_anomaly", "partial_count")
+    auditAtMost("w_seasonal_anomaly", "Exchange hashpartitioning", 2)
     // readability: pure per-row expressions — no exchange at all
     auditAtMost("t_readability", "Exchange hashpartitioning", 0)
     // epoch mix: broadcast factor table + bounded explode — no shuffle

@@ -227,6 +227,49 @@ object EventWindows {
         coalesce(col("n0"), lit(0L)).as("n"))
   }
 
+  /** Seasonal (hour-of-week) anomaly flags — the PERIODIC member of the
+    * anomaly family: w_anomaly asks "unusual vs the trailing 24
+    * observed hours", w_ema_anomaly "vs the smoothed recent level",
+    * CUSUM "sustained shift vs the series mean"; this asks "unusual vs
+    * the SAME weekly slot's other observations", so a weekly rhythm
+    * (quiet Sundays, 9am spikes) never flags and a deviation from the
+    * rhythm does. Runs over the SHARED dense grid ([[densifyHourlyTs]]
+    * — zero hours must exist, or a quiet-slot outage is invisible and
+    * slot means are biased): slot = epoch-hour mod 168, baseline =
+    * LEAVE-ONE-OUT mean of the slot's other observations, and the flag
+    * `n > mult·mean + add` is evaluated as the cross-multiplied
+    * integer predicate `n·den > mult·(sum − n) + add·den` (den =
+    * cnt − 1) — exact and engine-portable, the w_anomaly
+    * division-clearing discipline. A slot observed once (den = 0)
+    * never flags: an honest can't-know, like w_anomaly's incomplete
+    * baseline. Shape at 100 TB: the only corpus-sized stage is the
+    * count aggregate it inherits from [[hourlyCounts]]; the slot
+    * window runs on the calendar-sized grid and the slot table is
+    * ≤ 168·|types| rows.
+    */
+  def seasonalFromCounts(counts: DataFrame, mult: Long = 2L,
+      add: Long = 3L, periodHours: Long = 168L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(mult >= 1 && add >= 0 && periodHours >= 1,
+      s"seasonal test needs mult>=1, add>=0, period>=1; " +
+        s"got ($mult, $add, $periodHours)")
+    val how = pmod(graft.TimeBuckets.epochHour("h"), lit(periodHours))
+    val w = Window.partitionBy("event_type", "how")
+    val ssum = sum(col("n")).over(w)
+    val den = count(lit(1)).over(w) - lit(1L)
+    densifyHourlyTs(counts)
+      .withColumn("how", how)
+      .select(col("event_type"), fmt(col("h")).as("hour"), col("n"),
+        col("how"),
+        (ssum - col("n")).as("others_sum"),
+        den.as("others_cnt"),
+        (den > 0 && col("n") * den >
+          lit(mult) * (ssum - col("n")) + lit(add) * den).as("flagged"))
+  }
+
+  def seasonalAnomalies(ev0: DataFrame): DataFrame =
+    seasonalFromCounts(hourlyCounts(ev0))
+
   /** Truncated exponential moving average over the GAP-FILLED hourly
     * series (composition: smoothing a sparse groupBy output instead
     * would silently skip empty hours and decay against the wrong
@@ -416,6 +459,11 @@ object EventWindows {
       hourlyAnomalies(Tables.events(s, d))
         .orderBy("event_type", "hour_bucket")
     },
+    // hour-of-week seasonal anomalies: each hour vs the SAME weekly
+    // slot's other observations (leave-one-out), integer-exact flag
+    "w_seasonal_anomaly" -> { (s, d) =>
+      seasonalAnomalies(Tables.events(s, d)).orderBy("event_type", "hour")
+    },
     // session windows per user: 12-hour inactivity gap
     "w_session" -> { (s, d) =>
       Tables.events(s, d)
@@ -496,6 +544,25 @@ object EventWindows {
         |FROM grid LEFT JOIN counts
         |  ON counts.event_type = grid.event_type AND counts.h = grid.h
         |ORDER BY 1, 2""".stripMargin,
+    // the leave-one-out slot test replayed on the shared dense grid:
+    // identical window pair, identical cross-multiplied predicate
+    "w_seasonal_anomaly" -> (DenseCtes +
+      """,
+        |slot AS (
+        |  SELECT event_type, h, n,
+        |    ((idx % 168) + 168) % 168 AS how,
+        |    CAST(sum(n) OVER (PARTITION BY event_type,
+        |      ((idx % 168) + 168) % 168) AS BIGINT) AS ssum,
+        |    CAST(count(*) OVER (PARTITION BY event_type,
+        |      ((idx % 168) + 168) % 168) AS BIGINT) AS scnt
+        |  FROM dense)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n,
+        |  CAST(how AS BIGINT) AS how,
+        |  CAST(ssum - n AS BIGINT) AS others_sum,
+        |  CAST(scnt - 1 AS BIGINT) AS others_cnt,
+        |  (scnt - 1 > 0 AND n * (scnt - 1) > 2 * (ssum - n)
+        |    + 3 * (scnt - 1)) AS flagged
+        |FROM slot ORDER BY 1, 2""".stripMargin),
     // the CUSUM recurrence in CLOSED FORM — Sₜ = Pₜ − least(0, min Pⱼ)
     // over running-sum/running-min windows; the same two window
     // functions the engine runs, no recursion anywhere

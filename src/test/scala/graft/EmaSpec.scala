@@ -155,4 +155,40 @@ class EmaSpec extends AnyFunSuite {
       ema >= 0.0 && ema <= 60.0
     })
   }
+
+  private def seasonalOf(rows: Seq[(String, String)]) =
+    EventWindows.seasonalAnomalies(rows
+        .toDF("event_type", "ts0")
+        .select($"event_type", $"ts0".cast("timestamp").as("ts")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(6)).toMap
+
+  test("seasonal: a perfect weekly rhythm never flags — the case the " +
+      "trailing-window tests cannot help flagging") {
+    // 2 events at 10:00 every week for 3 weeks; all other grid hours
+    // are honest zeros forming equal-valued slots themselves
+    val ev = Seq("2024-03-01", "2024-03-08", "2024-03-15").flatMap(d =>
+      Seq(("a", s"$d 10:00:00"), ("a", s"$d 10:30:00")))
+    assert(seasonalOf(ev).values.forall(!_), "no hour may flag")
+  }
+
+  test("seasonal: a deviation from the weekly slot flags exactly once, " +
+      "at the deviating hour") {
+    // slot 10:00: counts 2, 2, 9 across weeks — the 9 breaks the
+    // rhythm (9·2 > 2·(2+2) + 3·2); the 2s and every zero slot hold
+    val base = Seq("2024-03-01", "2024-03-08").flatMap(d =>
+      Seq(("a", s"$d 10:00:00"), ("a", s"$d 10:30:00")))
+    val spike = (0 until 9).map(m => ("a", f"2024-03-15 10:${m * 5}%02d:00"))
+    val got = seasonalOf(base ++ spike)
+    assert(got(("a", "2024-03-15 10:00:00")))
+    assert(got.filter(_._2).keySet == Set(("a", "2024-03-15 10:00:00")))
+  }
+
+  test("seasonal: a series shorter than one week never flags — every " +
+      "slot is observed once and leave-one-out has no baseline") {
+    val ev = Seq(("a", "2024-03-01 10:00:00"), ("a", "2024-03-01 12:00:00")) ++
+      (0 until 30).map(m => ("a", f"2024-03-02 09:${m + 10}%02d:00"))
+    assert(seasonalOf(ev).values.forall(!_),
+      "den = 0 slots must stay unflagged even under a 30x spike")
+  }
 }
