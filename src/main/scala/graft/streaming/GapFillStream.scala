@@ -69,4 +69,16 @@ object GapFillStream {
       .groupBy("event_type", "h").agg(sum(col("n0")).as("n0"))
     EventWindows.cusumFromCounts(counts)
   }
+
+  /** The seasonal hour-of-week answer — shaped exactly like
+    * `w_seasonal_anomaly` (slot baselines are series-relative like
+    * cusum's μ: a batch adding a new week retroactively re-evaluates
+    * every slot's leave-one-out means, which is exactly the batch
+    * answer on the union — the twin contract).
+    */
+  def seasonalView(spark: SparkSession, outPath: String): DataFrame = {
+    val counts = readPartsWithBatch(spark, outPath, -1L, CountSchema)
+      .groupBy("event_type", "h").agg(sum(col("n0")).as("n0"))
+    EventWindows.seasonalFromCounts(counts)
+  }
 }

@@ -43,6 +43,15 @@ class GapFillStreamSpec extends AnyFunSuite {
         .sorted.toSeq
     assert(canonCusum(GapFillStream.cusumView(spark, out)) ==
       canonCusum(EventWindows.cusumHourly(ev)))
+    def canonSeasonal(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("event_type", "hour", "n", "how", "others_sum",
+          "others_cnt", "flagged")
+        .collect().map(r => s"${r.getString(0)}|${r.getString(1)}|" +
+          s"${r.getLong(2)}|${r.getLong(3)}|${r.getLong(4)}|" +
+          s"${r.getLong(5)}|${r.getBoolean(6)}")
+        .sorted.toSeq
+    assert(canonSeasonal(GapFillStream.seasonalView(spark, out)) ==
+      canonSeasonal(EventWindows.seasonalAnomalies(ev)))
   }
 
   test("a late batch with OLDER hours extends the grid retroactively; " +
