@@ -23,6 +23,13 @@ object ExplainAudit {
       * point for every audit below.
       */
     def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      // drop persisted frames from earlier audits first: CacheManager
+      // substitutes cached subtrees by canonical form, so without the
+      // clear an audited plan's text would depend on which audits ran
+      // before it (and cache memory would be bounded by the whole
+      // sweep, not one query — the Verify/Bench discipline)
+      try df.sparkSession.catalog.clearCache()
+      catch { case _: Throwable => () }
       df.collect()
       df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.executedPlan.toString

@@ -62,11 +62,17 @@ object IntervalJoin {
     def replicate(df: DataFrame, s: String, e: String, tag: String) = {
       val b0 = floorDiv(col(s), bucketUs)
       val b1 = floorDiv(col(e), bucketUs)
-      val guarded = when(b1 - b0 < lit(maxReplicas.toLong), b1)
+      // b1 >= b0 is part of the guard: an INVERTED interval (end <
+      // start, swapped or corrupt columns) passes a pure width check
+      // with a negative difference, and two-arg sequence() would then
+      // step -1 and silently replicate the row |b0-b1|+1 times — the
+      // exact explosion this guard exists to turn into an error
+      val guarded = when(b1 >= b0 && b1 - b0 < lit(maxReplicas.toLong), b1)
         .otherwise(raise_error(concat(lit(
-          s"IntervalJoin: [$s, $e] interval covers > $maxReplicas " +
-            s"buckets of $bucketUs us - widen bucketUs or raise " +
-            "maxReplicas; offending start us: "), col(s))))
+          s"IntervalJoin: [$s, $e] interval is inverted (end < start) " +
+            s"or covers > $maxReplicas buckets of $bucketUs us - fix " +
+            "the span columns, widen bucketUs, or raise maxReplicas; " +
+            "offending start us: "), col(s))))
       df.withColumn(s"__${tag}b", explode(sequence(b0, guarded)))
     }
     val l = replicate(left, leftStart, leftEnd, "l")
@@ -101,7 +107,10 @@ object IntervalJoin {
     // counts (outer passthrough cannot ride the replicated join).
     "r_join_interval" -> { (s, d) =>
       val ev = Tables.events(s, d)
-      val p = spans(ev, "purchase", "purchase_event", 7)
+      // the purchase spans feed two consumers (the replicated overlap
+      // join and the honest-zeros left join) — persist per the
+      // diamond-reuse rule; the frame is one filtered id+span slice
+      val p = spans(ev, "purchase", "purchase_event", 7).persist()
       val c = spans(ev, "click", "click_event", 5)
       val pairs = intervalOverlapJoin(p, c,
         "purchase_event_s", "purchase_event_e",

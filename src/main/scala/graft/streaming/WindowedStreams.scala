@@ -145,12 +145,21 @@ object WindowedStreams {
     }
     val l = side(left, lLen, "l")
     val r = side(right, rLen, "r")
+    // the cleanup range is maxLenSec + 1, not maxLenSec: spans build on
+    // SECOND-TRUNCATED unix_timestamp while l_ts/r_ts keep sub-second
+    // fractions, so truncated-span overlap only implies
+    // |l_ts − r_ts| < maxLenSec + 1 — at exactly maxLenSec a
+    // genuinely-overlapping boundary pair (ms-precision arrival times)
+    // would be dropped by the state bound before the residual could
+    // keep it. The residual stays the decision; the range only bounds
+    // state.
+    val slack = maxLenSec + 1
     l.join(r, col("lband") === col("rband") &&
         col("ls") <= col("re") && col("rs") <= col("le") &&
         col("lband") ===
           floor(greatest(col("ls"), col("rs")) / maxLenSec).cast("long") &&
-        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $maxLenSec SECONDS") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxLenSec SECONDS"))
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $slack SECONDS") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $slack SECONDS"))
       .select(col("l_seq"), col("r_seq"))
   }
 

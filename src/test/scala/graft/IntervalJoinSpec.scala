@@ -60,6 +60,16 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("IntervalJoin")))
   }
 
+  test("an inverted interval (end < start) fails loud instead of " +
+      "silently replicating backward through sequence's -1 step") {
+    val e = intercept[Exception] {
+      join(Seq((1L, 5L * W, 0L)), Seq((9L, 0L, 10L)))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("IntervalJoin")))
+  }
+
   test("registered fixture query: counts match a naive cross-filter " +
       "and zero-overlap purchases survive") {
     val l = Seq((1L, 0L, 100L), (2L, 5000L, 5100L))

@@ -201,6 +201,33 @@ class StreamingWindowSpec extends AnyFunSuite {
     */
   private def j2ts(j: Int): Long = j * 45L + (j % 5) * 7L
 
+  test("interval overlap at the exact state bound with ms-precision " +
+      "arrivals still pairs — the cleanup range over-approximates the " +
+      "second-truncated spans") {
+    import org.apache.spark.sql.functions.lit
+    val ldir = Files.createTempDirectory("ivmsl").toString
+    val rdir = Files.createTempDirectory("ivmsr").toString
+    val base = 1700000000L
+    // l arrives at 8.9s (len 0 → truncated span [8, 8]); r at 3.0s
+    // (len 5 → [3, 8]): the spans touch, but |l_ts − r_ts| = 5.9 s
+    // exceeds maxLenSec=5 — a cleanup range of exactly maxLenSec
+    // would drop the genuinely-overlapping pair before the residual
+    writeRecords(ldir, Seq(KinesisRecord("x".getBytes("UTF-8"), "lk",
+      "L0", new Timestamp(base * 1000 + 8900), "None")))
+    writeRecords(rdir, Seq(KinesisRecord("x".getBytes("UTF-8"), "rk",
+      "R0", new Timestamp(base * 1000 + 3000), "None")))
+    val ls = spark.readStream.schema(KinesisRecord.schema).parquet(ldir)
+    val rs = spark.readStream.schema(KinesisRecord.schema).parquet(rdir)
+    val q = WindowedStreams.intervalOverlapStream(ls, rs, "1 minute",
+        5L, lit(0L), lit(5L))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivms").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ivms").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamed == Set(("L0", "R0")))
+  }
+
   test("streaming blocklist gate: keeps equal the batch gate's keep set " +
       "and per-category counts ride along, across micro-batch splits") {
     import spark.implicits._
