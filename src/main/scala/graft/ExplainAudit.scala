@@ -277,6 +277,10 @@ object ExplainAudit {
     // (count aggregate; slot window on the calendar-sized grid)
     audit("w_seasonal_anomaly", "partial_count")
     auditAtMost("w_seasonal_anomaly", "Exchange hashpartitioning", 2)
+    // anneal schedule: every window is per-source (the bounded-stratum
+    // rule — no global running sum), the per-source stats broadcast
+    audit("p_anneal_mix", "BroadcastHashJoin")
+    auditAtMost("p_anneal_mix", "CartesianProduct|BroadcastNestedLoopJoin", 0)
     // readability: pure per-row expressions — no exchange at all
     auditAtMost("t_readability", "Exchange hashpartitioning", 0)
     // epoch mix: broadcast factor table + bounded explode — no shuffle

@@ -227,6 +227,85 @@ object TrainingSet {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum"))
   }
 
+  /** Two-phase anneal schedule constants, shared verbatim with the
+    * generated oracle (the MixTargets discipline): per-source phase-1
+    * and phase-2 token budgets, the eligibility divisor (top 1/5 of
+    * each source's docs by quality), and the fail-loud epoch cap.
+    */
+  private[graft] val AnnealB1 = 3000L
+  private[graft] val AnnealB2 = 2500L
+  private[graft] val AnnealTopDiv = 5L
+  private[graft] val AnnealMaxEpochs = 64L
+
+  /** Two-phase training-data schedule — the modern "anneal on the best
+    * data" recipe (Llama 3 / MiniCPM style: after the bulk phase, the
+    * final learning-rate decay consumes a small, heavily-oversampled
+    * high-quality slice): phase 1 greedily fills each source's `b1`
+    * token budget over ALL docs in deterministic [[mixHash]] order (the
+    * tokenMixture fill, crossing doc kept); phase 2 restricts to each
+    * source's top `1/topDiv` docs by quality — the grid-rounded integer
+    * `q_micro` both engines compute identically (the t_quality_score
+    * contract), doc_id ties — and cycles them in full epochs
+    * (`b2 DIV t2` many, fail-loud past [[AnnealMaxEpochs]] — a
+    * mis-sized budget over a tiny elite set means quality collapse,
+    * not more loops) plus a greedy remainder prefix, so phase-2 rows
+    * materialize the oversampling with auditable epoch indices (the
+    * p_epoch_mix discipline). Every window is per-source (the bounded-
+    * stratum rule: no global running sum serializes the corpus into
+    * one partition); the schedule row count is docs + elig·epochs.
+    */
+  def annealMix(docs: DataFrame, b1: Long = AnnealB1, b2: Long = AnnealB2,
+      topDiv: Long = AnnealTopDiv): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(b1 >= 0 && b2 >= 0 && topDiv >= 1,
+      s"anneal budgets must be non-negative, topDiv >= 1; " +
+        s"got ($b1, $b2, $topDiv)")
+    val base = docs.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        floor(TextAnalysis.qualityScore(col("text")) * 10000 + 0.5)
+          .cast("long").as("q"),
+        mixHash(col("doc_id")).as("h"))
+      .persist() // three consumers: phase-1 fill, eligibility, phase-2
+    val wOrd = Window.partitionBy("source").orderBy("h", "doc_id")
+    val p1 = base
+      .withColumn("cum", sum(col("n_tokens")).over(wOrd))
+      .withColumn("pos", row_number().over(wOrd).cast("long"))
+      .filter(col("cum") - col("n_tokens") < b1) // prefix → pos survives
+      .select(col("source"), lit(1L).as("phase"), lit(0L).as("epoch"),
+        col("pos"), col("doc_id"), col("n_tokens"))
+    val wQ = Window.partitionBy("source")
+      .orderBy(col("q").desc, col("doc_id").asc)
+    val elig = base
+      .withColumn("rk", row_number().over(wQ).cast("long"))
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy("source")))
+      .filter(col("rk") <= expr(s"ndocs DIV $topDiv"))
+      .select("source", "doc_id", "n_tokens", "h")
+    val st = elig.groupBy("source").agg(sum(col("n_tokens")).as("t2"))
+      .select(col("source"), expr(s"$b2 DIV t2").as("e0"),
+        expr(s"$b2 % t2").as("rem"))
+      .select(col("source"),
+        when(col("e0") <= AnnealMaxEpochs, col("e0"))
+          .otherwise(raise_error(lit(
+            s"annealMix: phase-2 budget $b2 cycles a source's elite " +
+              s"set more than $AnnealMaxEpochs times - the set is too " +
+              "small for the budget (quality collapse, not more " +
+              "coverage); shrink b2 or widen eligibility")))
+          .as("e"),
+        col("rem"))
+    val el = elig.join(broadcast(st), "source")
+      .withColumn("pos", row_number().over(wOrd).cast("long"))
+      .withColumn("cum2", sum(col("n_tokens")).over(wOrd))
+    val full = el.filter(col("e") > 0)
+      .select(col("source"), lit(2L).as("phase"),
+        explode(sequence(lit(0L), col("e") - 1)).as("epoch"),
+        col("pos"), col("doc_id"), col("n_tokens"))
+    val remRows = el.filter(col("cum2") - col("n_tokens") < col("rem"))
+      .select(col("source"), lit(2L).as("phase"), col("e").as("epoch"),
+        col("pos"), col("doc_id"), col("n_tokens"))
+    p1.union(full).union(remRows)
+      .orderBy("source", "phase", "epoch", "pos")
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis): rank
     * docs by key = u^(1/w) where u is a DETERMINISTIC uniform from
     * [[mixHash]] and w the doc's weight; the top-k per stratum is then
@@ -679,6 +758,10 @@ object TrainingSet {
     "p_token_mixture" -> { (s, d) =>
       tokenMixture(Tables.spread(Tables.documents(s, d)), 400L)
         .orderBy("doc_id")
+    },
+    // two-phase anneal schedule: bulk fill then oversampled elite slice
+    "p_anneal_mix" -> { (s, d) =>
+      annealMix(Tables.spread(Tables.documents(s, d)))
     },
     "p_quality_gate" -> { (s, d) =>
       qualityPercentileGate(Tables.documents(s, d), 0.25)
@@ -1155,6 +1238,66 @@ object TrainingSet {
         |  FROM documents)
         |GROUP BY split, lang
         |ORDER BY split, lang""".stripMargin,
+    // the two-phase schedule replayed: identical base table (integer
+    // q_micro via the t_quality_score float contract, Knuth hash),
+    // identical per-source windows, DIV/% epoch math, greedy crossing-
+    // doc convention in both fills
+    "p_anneal_mix" ->
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(floor((0.4 * (len(list_distinct(t)) / (len(t) * 1.0))
+         |      + 0.3 * (1.0 - len(list_filter(t,
+         |          x -> list_contains(['the','a','of','and','to'], x)))
+         |        / (len(t) * 1.0))
+         |      + 0.3 * least(len(t) / 100.0, 1.0)) * 10000 + 0.5)
+         |      AS BIGINT) AS q,
+         |    (doc_id * 2654435761) % 4294967296 AS h
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+         |        FROM documents)),
+         |p1 AS (
+         |  SELECT source, doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER w AS BIGINT) AS cum,
+         |    CAST(row_number() OVER w AS BIGINT) AS pos
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY source ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |p1r AS (
+         |  SELECT source, CAST(1 AS BIGINT) AS phase,
+         |    CAST(0 AS BIGINT) AS epoch, pos, doc_id, n_tokens
+         |  FROM p1 WHERE cum - n_tokens < $AnnealB1),
+         |el AS (
+         |  SELECT source, doc_id, n_tokens, h FROM (
+         |    SELECT source, doc_id, n_tokens, h,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY q DESC, doc_id) AS rk,
+         |      count(*) OVER (PARTITION BY source) AS ndocs
+         |    FROM base)
+         |  WHERE rk <= ndocs // $AnnealTopDiv),
+         |sx AS (
+         |  SELECT source, $AnnealB2 // t2 AS e, $AnnealB2 % t2 AS rem
+         |  FROM (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t2
+         |        FROM el GROUP BY 1)),
+         |elo AS (
+         |  SELECT el.source, doc_id, n_tokens, e, rem,
+         |    CAST(row_number() OVER w AS BIGINT) AS pos,
+         |    CAST(sum(n_tokens) OVER w AS BIGINT) AS cum2
+         |  FROM el JOIN sx ON el.source = sx.source
+         |  WINDOW w AS (PARTITION BY el.source ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |fullr AS (
+         |  SELECT source, CAST(2 AS BIGINT) AS phase,
+         |    CAST(u.epoch AS BIGINT) AS epoch, pos, doc_id, n_tokens
+         |  FROM elo, unnest(range(0, e)) u(epoch)),
+         |remr AS (
+         |  SELECT source, CAST(2 AS BIGINT) AS phase,
+         |    CAST(e AS BIGINT) AS epoch, pos, doc_id, n_tokens
+         |  FROM elo WHERE cum2 - n_tokens < rem)
+         |SELECT * FROM (
+         |  SELECT * FROM p1r UNION ALL
+         |  SELECT * FROM fullr UNION ALL
+         |  SELECT * FROM remr)
+         |ORDER BY source, phase, epoch, pos""".stripMargin,
     "p_token_mixture" ->
       """SELECT doc_id, source, n_tokens, cum FROM (
         |  SELECT doc_id, source, n_tokens,

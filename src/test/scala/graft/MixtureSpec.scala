@@ -214,4 +214,64 @@ class MixtureSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(t.toSeq == Seq((1L, 2L, 3L)), s"got ${t.toSeq}")
   }
+
+  private def annealFixture = {
+    import spark.implicits._
+    // 12 docs, one source: 6 low-quality repeats (q low: all-same
+    // tokens) and 6 high-quality (all-distinct tokens), 4-6 tokens each
+    (0 until 12).map { i =>
+      val text =
+        if (i < 6) Seq.fill(4 + i % 3)("dup").mkString(" ")
+        else (0 until (4 + i % 3)).map(j => s"u${i}x$j").mkString(" ")
+      (i.toLong, "srcA", text)
+    }.toDF("doc_id", "source", "text")
+  }
+
+  test("anneal: phase-1 is the per-source greedy hash-order fill with " +
+      "the crossing doc kept; phase-2 full epochs are exact copies of " +
+      "the quality-elite set and the remainder is its hash-order prefix") {
+    val rows = TrainingSet.annealMix(annealFixture,
+        b1 = 20L, b2 = 23L, topDiv = 6L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val p1 = rows.filter(_._2 == 1L).sortBy(_._4)
+    // greedy fill: every proper prefix before the last doc is < b1,
+    // and the fill stops exactly at the crossing doc
+    val cums = p1.map(_._6).scanLeft(0L)(_ + _).tail
+    assert(cums.init.forall(_ < 20L) && cums.last >= 20L,
+      s"crossing-doc fill violated: $cums")
+    // eligibility: top 12/6 = 2 docs by (q desc, doc_id) — the two
+    // all-distinct 4-token docs (highest TTR·length mix), smallest ids
+    // on ties: docs 6 and 9 (4 tokens, q equal) beat the 5/6-token ones
+    // only if their q is higher — recompute the claim from the engine
+    // by checking phase-2 doc sets directly
+    val p2 = rows.filter(_._2 == 2L)
+    val byEpoch = p2.groupBy(_._3).view.mapValues(
+      _.map(x => (x._4, x._5)).toSet).toMap
+    assert(byEpoch(0L).size == 2, s"elite set must hold 2 docs: $byEpoch")
+    // all full epochs identical
+    val e = p2.map(_._3).max
+    (0L until e).foreach(ep => assert(byEpoch(ep) == byEpoch(0L),
+      s"epoch $ep differs: $byEpoch"))
+    // remainder epoch: hash-order prefix of the elite set (positions
+    // are a 1..k prefix), crossing-doc convention
+    val remPos = p2.filter(_._3 == e).map(_._4).sorted.toList
+    assert(remPos == (1L to remPos.length.toLong).toList,
+      s"not a prefix: $remPos")
+    // budget law: e·t2 <= b2 (full epochs never overshoot)
+    val t2 = byEpoch(0L).toSeq.map(_._2).sum
+    assert(e * t2 <= 23L && (e + 1) * t2 > 23L, s"e=$e t2=$t2")
+  }
+
+  test("anneal: a budget cycling the elite set past the epoch cap " +
+      "fails loud instead of looping") {
+    val e = intercept[Exception] {
+      TrainingSet.annealMix(annealFixture,
+        b1 = 10L, b2 = 100000L, topDiv = 6L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("annealMix")))
+  }
 }
