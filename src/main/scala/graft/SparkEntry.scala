@@ -30,8 +30,10 @@ object SparkEntry {
     FilterQueries.queries ++ StreamAnalogs.queries ++ Relational.queries ++
       Dedup.queries ++ Similarity.queries ++ Fingerprints.allQueries ++
       TextAnalysis.queries ++ Multimodal.queries ++ EventWindows.queries ++
-      TrainingSet.queries ++ Agreement.queries ++ Bpe.queries ++ Unigram.queries ++
+      TrainingSet.queries ++ Agreement.queries ++ Bpe.queries ++
+      WordPiece.queries ++ Unigram.queries ++
       CorpusOps.queries ++ KMeansOps.queries ++ Retrieval.queries ++
+      BleuEval.queries ++
       Classifier.queries ++ Projection.queries ++ Preference.queries ++
       GraphRank.queries ++ graft.operators.FuzzyJoin.queries ++
       graft.operators.BandJoin.queries ++
@@ -44,8 +46,10 @@ object SparkEntry {
     FilterQueries.oracles ++ StreamAnalogs.oracles ++ Relational.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Fingerprints.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ EventWindows.oracles ++
-      TrainingSet.oracles ++ Agreement.oracles ++ Bpe.oracles ++ Unigram.oracles ++
+      TrainingSet.oracles ++ Agreement.oracles ++ Bpe.oracles ++
+      WordPiece.oracles ++ Unigram.oracles ++
       CorpusOps.oracles ++ KMeansOps.oracles ++ Retrieval.oracles ++
+      BleuEval.oracles ++
       Classifier.oracles ++ Projection.oracles ++ Preference.oracles ++
       GraphRank.oracles ++ graft.operators.FuzzyJoin.oracles ++
       graft.operators.BandJoin.oracles ++

@@ -1,0 +1,164 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** BLEU statistics — the n-gram-overlap half of generation eval
+  * (Papineni et al. 2002), joining nDCG ([[Retrieval]]) and the
+  * win-rate CIs ([[Preference]], [[Agreement]]) in the eval family.
+  *
+  * The operator computes, per (candidate, reference) pair and per n in
+  * 1..4, the EXACT integer sufficient statistics of BLEU: clipped
+  * modified n-gram matches (`Σ_g min(cnt_cand(g), cnt_ref(g))`), the
+  * candidate n-gram total, both lengths, and the DIV-exact micro
+  * precisions. Deliberately NOT the combined geometric-mean score: that
+  * needs `exp`/4th roots (float, engine-divergent at ulp boundaries),
+  * while corpus BLEU is a function of the SUMS of these statistics —
+  * the caller aggregates matches/totals/lengths and applies the
+  * brevity penalty driver-side, which is also the statistically right
+  * order (corpus BLEU is not the mean of sentence BLEUs). Every cell
+  * here is BIGINT, so the DuckDB twin hash-matches.
+  *
+  * Scale shape: gram counting is one groupBy per side on the
+  * (pair, n, gram) key; the clip join runs on the same key the counts
+  * were just partitioned by (no extra exchange beyond the aggregation's
+  * own), and everything downstream is (pairs × 4)-sized. Pair-mass
+  * linear — the corpus is scanned once per side.
+  *
+  * The registry query demonstrates it reference-free (the
+  * [[TrainingSet]] p_sft_pairs synthesis discipline): the reference is
+  * each document's own token stream and the candidate is the same
+  * stream with ~1/16 of tokens deterministically dropped (first md5
+  * nibble of `doc_id:pos:bleu`), so precisions near 1e6 and a brevity
+  * gap are both exercised and the twin re-derives the identical pair.
+  */
+object BleuEval {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(c: Column): Column =
+    filter(split(c, " "), w => length(w) > 0)
+
+  /** Contiguous n-grams of a token array as space-joined strings. */
+  def ngrams(arr: Column, n: Int): Column =
+    when(size(arr) >= n,
+      transform(sequence(lit(1), size(arr) - (n - 1)),
+        i => concat_ws(" ", slice(arr, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** BLEU sufficient statistics per pair and n in 1..maxN.
+    * Input: (pair_id, cand, ref) with token-array sides.
+    * Output: pair_id, n, cand_len, ref_len, len_ratio_micro, matches,
+    * total, p_micro — all BIGINT, DIV-exact.
+    */
+  def bleuStats(pairs: DataFrame, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN=$maxN out of the sane band")
+    val ns = 1 to maxN
+    def gramCounts(side: String): DataFrame =
+      ns.map { n =>
+        pairs.select(col("pair_id"), lit(n).as("n"),
+          explode(ngrams(col(side), n)).as("g"))
+      }.reduce(_.union(_))
+        .groupBy("pair_id", "n", "g")
+        .agg(count(lit(1)).as(s"c_$side"))
+    val cc = gramCounts("cand")
+    val rc = gramCounts("ref")
+    val matched = cc.join(rc, Seq("pair_id", "n", "g"))
+      .groupBy("pair_id", "n")
+      .agg(sum(least(col("c_cand"), col("c_ref"))).as("matches"))
+    val totals = cc.groupBy("pair_id", "n")
+      .agg(sum(col("c_cand")).as("total"))
+    val base = pairs.select(col("pair_id"),
+        size(col("cand")).cast("long").as("cand_len"),
+        size(col("ref")).cast("long").as("ref_len"),
+        explode(sequence(lit(1), lit(maxN))).as("n"))
+    base.join(totals, Seq("pair_id", "n"), "left")
+      .join(matched, Seq("pair_id", "n"), "left")
+      .select(col("pair_id"), col("n").cast("long").as("n"),
+        col("cand_len"), col("ref_len"),
+        when(col("ref_len") > 0, expr("cand_len * 1000000 DIV ref_len"))
+          .otherwise(0L).as("len_ratio_micro"),
+        coalesce(col("matches"), lit(0L)).as("matches"),
+        coalesce(col("total"), lit(0L)).as("total"))
+      .withColumn("p_micro",
+        when(col("total") > 0, expr("matches * 1000000 DIV total"))
+          .otherwise(0L))
+  }
+
+  /** The deterministic candidate side: each 1-based token position
+    * survives unless the first md5 nibble of `doc_id:pos:bleu` is '0'.
+    */
+  def corruptedCandidate(docId: Column, ref: Column): Column =
+    transform(
+      filter(zip_with(ref, sequence(lit(1), size(ref)),
+          (t, i) => struct(t.as("t"), i.as("i"))),
+        s => substring(md5(concat(docId.cast("string"), lit(":"),
+          s.getField("i").cast("string"), lit(":bleu"))), 1, 1) =!= "0"),
+      s => s.getField("t"))
+
+  val queries: Map[String, Q] = Map(
+    "a_bleu" -> { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").as("pair_id"), toks(col("text")).as("ref"))
+      val pairs = docs.select(col("pair_id"),
+        corruptedCandidate(col("pair_id"), col("ref")).as("cand"),
+        col("ref"))
+      bleuStats(pairs).orderBy("pair_id", "n")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "a_bleu" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS pair_id,
+        |    list_filter(string_split(text, ' '), w -> len(w) > 0) AS r
+        |  FROM documents WHERE text IS NOT NULL),
+        |pair AS MATERIALIZED (
+        |  SELECT pair_id, r,
+        |    list_transform(
+        |      list_filter(range(1, len(r) + 1), i ->
+        |        substr(md5(CAST(pair_id AS VARCHAR) || ':' ||
+        |          CAST(i AS VARCHAR) || ':bleu'), 1, 1) != '0'),
+        |      i -> r[i]) AS c
+        |  FROM tk),
+        |ns AS (SELECT unnest(range(1, 5)) AS n),
+        |cg AS (
+        |  SELECT pair_id, n,
+        |    array_to_string(list_slice(c, i, i + n - 1), ' ') AS g,
+        |    CAST(count(*) AS BIGINT) AS cc
+        |  FROM pair, ns, unnest(range(1, len(c) - n + 2)) u(i)
+        |  WHERE len(c) >= n
+        |  GROUP BY 1, 2, 3),
+        |rg AS (
+        |  SELECT pair_id, n,
+        |    array_to_string(list_slice(r, i, i + n - 1), ' ') AS g,
+        |    CAST(count(*) AS BIGINT) AS rc
+        |  FROM pair, ns, unnest(range(1, len(r) - n + 2)) u(i)
+        |  WHERE len(r) >= n
+        |  GROUP BY 1, 2, 3),
+        |mt AS (
+        |  SELECT pair_id, n, CAST(sum(least(cc, rc)) AS BIGINT) AS matches
+        |  FROM cg JOIN rg USING (pair_id, n, g)
+        |  GROUP BY 1, 2),
+        |tt AS (
+        |  SELECT pair_id, n, CAST(sum(cc) AS BIGINT) AS total
+        |  FROM cg GROUP BY 1, 2),
+        |base AS (
+        |  SELECT pair_id, CAST(n AS BIGINT) AS n,
+        |    CAST(len(c) AS BIGINT) AS cand_len,
+        |    CAST(len(r) AS BIGINT) AS ref_len
+        |  FROM pair, ns)
+        |SELECT base.pair_id, base.n, cand_len, ref_len,
+        |  CASE WHEN ref_len > 0 THEN cand_len * 1000000 // ref_len
+        |       ELSE 0 END AS len_ratio_micro,
+        |  coalesce(matches, 0) AS matches,
+        |  coalesce(total, 0) AS total,
+        |  CASE WHEN coalesce(total, 0) > 0
+        |       THEN coalesce(matches, 0) * 1000000 // total
+        |       ELSE 0 END AS p_micro
+        |FROM base
+        |LEFT JOIN tt ON tt.pair_id = base.pair_id AND tt.n = base.n
+        |LEFT JOIN mt ON mt.pair_id = base.pair_id AND mt.n = base.n
+        |ORDER BY base.pair_id, base.n""".stripMargin)
+}

@@ -1,0 +1,219 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** WordPiece merge learning — the BERT-family tokenizer trainer, the
+  * likelihood-scored sibling of [[Bpe.learnMerges]]. Two things change
+  * versus BPE, both semantic:
+  *
+  *  1. **Scoring.** A candidate pair is ranked by the likelihood gain
+  *     `count(a,b) / (count(a) · count(b))` — merging the pair that most
+  *     exceeds its unigram-independence expectation — not by raw pair
+  *     count. On the engine's integer discipline the score lives on a
+  *     1e-9 grid: `cnt · 10⁹ DIV (cₐ · c_b)`, with ties broken by count
+  *     desc then pair lexicographic (a total, engine-portable order).
+  *     The grid changes which near-tied pair wins versus exact rational
+  *     comparison — the documented micro-grid trade (the
+  *     [[CorpusOps.doremiWeights]] precedent) that buys an exact DuckDB
+  *     replay.
+  *  2. **The `##` continuation convention.** A word's first character is
+  *     a plain symbol; every later character is `##`-prefixed, and a
+  *     merge of (a, b) names the new symbol `a + b.stripPrefix("##")` —
+  *     so learned word-initial pieces and word-internal pieces never
+  *     collide, exactly the BERT vocabulary shape.
+  *
+  * **Why there is no batched-round optimization here** (BPE accepts a
+  * provably-sequential-equivalent batch per driver round,
+  * [[Bpe.learnMerges]]): BPE's argument bounds a CREATED pair's count by
+  * the overlapping old pairs' counts, all ranked below the accepted
+  * prefix. WordPiece ranks by a RATIO — a pair created by an accepted
+  * merge has the brand-new merged symbol in its denominator, whose
+  * unigram count can be arbitrarily small, so its score can exceed any
+  * later prefix member's. No count bound survives the division; the
+  * trainer therefore runs exactly one merge per driver round.
+  *
+  * Scale shape (identical to BPE): pair and unigram statistics live on
+  * the DISTINCT-WORD vocabulary weighted by word frequency — every
+  * round aggregates a vocabulary-sized frame, never the corpus; the
+  * corpus is touched once (the word count). The score grid bounds the
+  * integer products: `cnt · 10⁹` and `cₐ · c_b` must stay under 2⁶³, so
+  * the trainer require-guards total symbol mass ≤ 2·10⁹ — past that,
+  * train on a deterministic sample (the [[Classifier]] MaxSample
+  * discipline) or coarsen the grid.
+  *
+  * Oracle-backed from birth: the DuckDB twin replays the loop unrolled
+  * one merge per round — unigram counts, pair counts, the integer-grid
+  * argmax, then the greedy non-overlapping merge application as the
+  * island-parity window [[Bpe]] introduced (`a + strip(b)` is strictly
+  * longer than `a`, so a merged symbol never re-matches as the left side
+  * within the same scan — the parity rule holds unchanged).
+  * WordPieceSpec additionally pins the result against an independent
+  * in-memory sequential reference and a hand-computed fixture.
+  */
+object WordPiece {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Score grid: 1e-9. `cnt · Grid DIV (cₐ · c_b)` — see the class doc
+    * for the overflow contract that fixes this value.
+    */
+  val Grid = 1000000000L
+
+  /** Greedy left-to-right single-merge application with an explicit
+    * merged-symbol name (WordPiece's `a + b.stripPrefix("##")` differs
+    * from BPE's plain concatenation). Same non-overlapping fold as
+    * [[Bpe.applyMerge]].
+    */
+  def applyMergeAs(symbols: Column, a: String, b: String,
+      merged: String): Column =
+    aggregate(symbols, array().cast("array<string>"), (acc, s) =>
+      when(try_element_at(acc, lit(-1)) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Initial symbol state: first char plain, later chars `##`-prefixed. */
+  def initialSymbols(word: Column): Column = {
+    val chars = filter(split(word, ""), c => length(c) > 0)
+    zip_with(chars, sequence(lit(1), size(chars)), (c, i) =>
+      when(i === 1, c).otherwise(concat(lit("##"), c)))
+  }
+
+  /** Learn `nMerges` WordPiece merges from (word, freq) vocabulary rows.
+    * Returns (rank, left, right, pair_count, score_nano) in learned
+    * order — score_nano is the 1e-9-grid likelihood score the argmax
+    * ranked by.
+    */
+  def learnMerges(vocab0: DataFrame,
+      nMerges: Int): Seq[(Int, String, String, Long, Long)] = {
+    var vocab = vocab0
+      .select(col("freq"), initialSymbols(col("w")).as("sym"))
+      .persist()
+    val mass = vocab.select(
+      coalesce(sum(col("freq") * size(col("sym"))), lit(0L))
+        .cast("long").as("m"))
+      .collect()(0).getLong(0)
+    require(mass <= 2000000000L,
+      s"$mass weighted symbols: cnt·10⁹ and cₐ·c_b must stay under " +
+        "2⁶³ — train on a deterministic sample or coarsen the grid")
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long)]
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val uni = vocab
+        .select(col("freq"), explode(col("sym")).as("s"))
+        .groupBy("s").agg(sum(col("freq")).as("c"))
+      val pairs = vocab.select(col("freq"), explode(zip_with(
+          slice(col("sym"), lit(1), size(col("sym")) - 1),
+          slice(col("sym"), lit(2), size(col("sym")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+      val top = pairs
+        .join(uni.select(col("s").as("a"), col("c").as("ca")), "a")
+        .join(uni.select(col("s").as("b"), col("c").as("cb")), "b")
+        .select(col("a"), col("b"), col("cnt"),
+          expr(s"cnt * $Grid DIV (ca * cb)").as("score"))
+        .orderBy(col("score").desc, col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top(0)
+        val (a, b) = (r.getString(0), r.getString(1))
+        val cnt = r.getLong(2)
+        val score = r.getLong(3)
+        val merged = a + b.stripPrefix("##")
+        merges += ((merges.size + 1, a, b, cnt, score))
+        val next = vocab
+          .select(col("freq"),
+            applyMergeAs(col("sym"), a, b, merged).as("sym"))
+          .localCheckpoint(true)
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t_wordpiece_merges" -> { (s, d) =>
+      val merges = learnMerges(
+        Bpe.vocabulary(Tables.spread(Tables.documents(s, d))), 10)
+      s.createDataFrame(merges)
+        .toDF("rank", "left", "right", "pair_count", "score_nano")
+        .orderBy("rank")
+    })
+
+  /** One unrolled WordPiece round for the DuckDB twin: unigram counts,
+    * likelihood-scored pair argmax (score desc, count desc, pair
+    * lexicographic), then the island-parity greedy merge application
+    * with the `a || strip(b)` merged name.
+    */
+  private def wpRound(r: Int): String =
+    s"""u$r AS MATERIALIZED (
+       |  SELECT s, CAST(sum(freq) AS BIGINT) AS c FROM (
+       |    SELECT freq, unnest(sym) AS s FROM v${r - 1}) t
+       |  GROUP BY 1),
+       |p$r AS MATERIALIZED (
+       |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, sym[i] AS a, sym[i + 1] AS b
+       |    FROM v${r - 1}, unnest(range(1, len(sym))) u(i)) t
+       |  GROUP BY 1, 2),
+       |m$r AS MATERIALIZED (
+       |  SELECT p.a, p.b, p.cnt,
+       |    CAST((p.cnt * ${Grid}) // (ua.c * ub.c) AS BIGINT) AS score
+       |  FROM p$r p
+       |  JOIN u$r ua ON ua.s = p.a
+       |  JOIN u$r ub ON ub.s = p.b
+       |  ORDER BY score DESC, p.cnt DESC, p.a, p.b LIMIT 1),
+       |mn$r AS MATERIALIZED (
+       |  SELECT a || regexp_replace(b, '^##', '') AS nm FROM m$r),
+       |pos$r AS MATERIALIZED (
+       |  SELECT w, freq, i, sym[i] AS s,
+       |    coalesce(sym[i] = (SELECT a FROM m$r)
+       |      AND sym[i + 1] = (SELECT b FROM m$r), FALSE) AS m
+       |  FROM v${r - 1}, unnest(range(1, len(sym) + 1)) u(i)),
+       |sel$r AS MATERIALIZED (
+       |  SELECT w, i FROM (
+       |    SELECT w, i,
+       |      row_number() OVER (PARTITION BY w, g ORDER BY i) AS rn
+       |    FROM (
+       |      SELECT w, i,
+       |        i - row_number() OVER (PARTITION BY w ORDER BY i) AS g
+       |      FROM pos$r WHERE m))
+       |  WHERE rn % 2 = 1),
+       |v$r AS MATERIALIZED (
+       |  SELECT p.w, min(p.freq) AS freq,
+       |    list(CASE WHEN s.i IS NOT NULL THEN (SELECT nm FROM mn$r)
+       |      ELSE p.s END ORDER BY p.i) AS sym
+       |  FROM pos$r p
+       |  LEFT JOIN sel$r s ON s.w = p.w AND s.i = p.i
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM sel$r s2 WHERE s2.w = p.w AND s2.i = p.i - 1)
+       |  GROUP BY p.w)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "t_wordpiece_merges" -> {
+      val v0 =
+        """v0 AS MATERIALIZED (
+          |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+          |    list_transform(range(1, len(w) + 1), i ->
+          |      CASE WHEN i = 1 THEN w[i] ELSE '##' || w[i] END) AS sym
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+          |        FROM documents WHERE text IS NOT NULL) t
+          |  WHERE len(w) > 0
+          |  GROUP BY w)""".stripMargin
+      val union = (1 to 10).map(r =>
+        s"""SELECT CAST($r AS INTEGER) AS rank, a AS "left",
+           |  b AS "right", cnt AS pair_count, score AS score_nano
+           |  FROM m$r""".stripMargin)
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $v0,
+         |${(1 to 10).map(wpRound).mkString(",\n")}
+         |SELECT * FROM (
+         |  $union)
+         |ORDER BY rank""".stripMargin
+    })
+}
