@@ -101,22 +101,36 @@ object WordPiece {
       .empty[(Int, String, String, Long, Long)]
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {
-      val uni = vocab
-        .select(col("freq"), explode(col("sym")).as("s"))
-        .groupBy("s").agg(sum(col("freq")).as("c"))
-      val pairs = vocab.select(col("freq"), explode(zip_with(
-          slice(col("sym"), lit(1), size(col("sym")) - 1),
-          slice(col("sym"), lit(2), size(col("sym")) - 1),
+      // ONE vocabulary pass feeds both statistics: every position i is
+      // emitted exactly once as (sym_i, sym_{i+1} | NULL-at-the-end), so
+      // the (a, b) count frame holds the pair counts (b non-null) AND
+      // the unigram counts (Σ_b cnt over each a — every occurrence of a
+      // symbol is someone's left exactly once). The second aggregation
+      // runs on the already-tiny distinct-pair frame, not the vocabulary.
+      val pc = vocab.select(col("freq"), explode(zip_with(
+          col("sym"),
+          concat(slice(col("sym"), lit(2),
+            greatest(size(col("sym")) - 1, lit(0))),
+            array(lit(null).cast("string"))),
           (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
-      val top = pairs
-        .join(uni.select(col("s").as("a"), col("c").as("ca")), "a")
-        .join(uni.select(col("s").as("b"), col("c").as("cb")), "b")
+        .persist()
+      val uni = pc.groupBy("a").agg(sum(col("cnt")).as("c"))
+        .select(col("a").as("s"), col("c"))
+      // the unigram table is symbol-alphabet-sized (a few thousand rows
+      // at any corpus size) — broadcast both sides of the score join so
+      // the argmax plan is one shuffle (the pair count), not three
+      val top = pc.filter(col("b").isNotNull)
+        .join(broadcast(uni.select(col("s").as("a"), col("c").as("ca"))),
+          "a")
+        .join(broadcast(uni.select(col("s").as("b"), col("c").as("cb"))),
+          "b")
         .select(col("a"), col("b"), col("cnt"),
           expr(s"cnt * $Grid DIV (ca * cb)").as("score"))
         .orderBy(col("score").desc, col("cnt").desc, col("a"), col("b"))
         .limit(1).collect()
+      pc.unpersist()
       if (top.isEmpty) exhausted = true
       else {
         val r = top(0)
