@@ -39,7 +39,11 @@ object Preference {
     * globally-unique match identity the bootstrap tier keys its
     * deterministic resample weights on.
     */
-  def matches(events: DataFrame, cap: Int = 16): DataFrame = {
+  /** The shared capped-group derivation: first `cap` events per
+    * (user, day) by (ts, event_id) — the skew guard every match-derived
+    * tier rides.
+    */
+  private def cappedEvents(events: DataFrame, cap: Int): DataFrame = {
     require(cap >= 2 && cap <= 1024,
       s"cap=$cap: per-group pair mass is cap² — keep it bounded")
     // FLOOR division onto days (the packSequences pmod idiom): Spark's
@@ -52,13 +56,20 @@ object Preference {
     val day = graft.TimeBuckets.epochDay()
     val w = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("ts"), col("event_id"))
-    val capped = events
+    events
       .select(col("user_id"), day.as("day"), col("ts"), col("event_id"),
         col("event_type"), col("value"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cap)
       .select(col("user_id"), col("day"), col("event_id"),
         col("event_type"), col("value"))
+  }
+
+  /** The in-group pair product over [[cappedEvents]], values retained:
+    * (ta, tb, va, vb, ea, eb) with ta < tb.
+    */
+  private def pairProduct(events: DataFrame, cap: Int): DataFrame = {
+    val capped = cappedEvents(events, cap)
     val a = capped.select(col("user_id"), col("day"),
       col("event_type").as("ta"), col("value").as("va"),
       col("event_id").as("ea"))
@@ -67,9 +78,14 @@ object Preference {
       col("event_id").as("eb"))
     a.join(b, Seq("user_id", "day"))
       .filter(col("ta") < col("tb"))
+      .select(col("ta"), col("tb"), col("va"), col("vb"), col("ea"),
+        col("eb"))
+  }
+
+  def matches(events: DataFrame, cap: Int = 16): DataFrame =
+    pairProduct(events, cap)
       .select(col("ta"), col("tb"), (col("va") >= col("vb")).as("a_wins"),
         col("ea"), col("eb"))
-  }
 
   /** Win-rate matrix: one row per unordered type pair (ta < tb) with
     * match count, a's wins, and a's win rate on the exact micro grid
@@ -247,9 +263,61 @@ object Preference {
         Window.orderBy(desc("bt_micro"), col("event_type"))).cast("long"))
   }
 
+  /** DPO training-pair construction — the per-example materialization
+    * the aggregate tiers above feed on: one (chosen, rejected) row per
+    * match, oriented by the winner rule (higher value wins, ties to the
+    * lexicographically smaller type — [[matches]]' exact convention),
+    * with the preference margin on the 1e-6 integer grid (floored —
+    * abs/sub/mul/floor are order-pinned IEEE ops, the round4HalfUp
+    * float contract, so the twin reproduces the integer exactly).
+    *
+    * The curation knob is PER-CELL BALANCING: a real judgment log is
+    * dominated by a few hot comparison types, and a DPO set sampled
+    * uniformly would teach mostly those; capping each
+    * (chosen_type, rejected_type) cell at `perCell` examples in
+    * deterministic md5 order balances the grid. The cap runs through
+    * the engine's bounded-heap [[graft.plans.TopKPerKey]] — a hot cell
+    * is never fully sorted, the heap sees cap² match rows per (user,
+    * day) group and keeps `perCell` per cell.
+    *
+    * Shape at 100 TB: match derivation is the capped pair product
+    * (cap²-bounded per group); the balance cap is one TopKPerKey over
+    * the |types|²-keyed stream; output is |types|²·perCell rows —
+    * driver-scale by construction.
+    */
+  def dpoDataset(events: DataFrame, cap: Int = 16,
+      perCell: Int = 8): DataFrame = {
+    require(perCell >= 1 && perCell <= 10000,
+      s"perCell=$perCell: the output is |types|²·perCell — keep it bounded")
+    import graft.syntax._
+    val m = pairProduct(events, cap)
+    val aWins = col("va") >= col("vb")
+    val oriented = m.select(
+      when(aWins, col("ta")).otherwise(col("tb")).as("chosen_type"),
+      when(aWins, col("tb")).otherwise(col("ta")).as("rejected_type"),
+      when(aWins, col("ea")).otherwise(col("eb")).as("chosen_event"),
+      when(aWins, col("eb")).otherwise(col("ea")).as("rejected_event"),
+      floor(abs(col("va") - col("vb")) * lit(1000000))
+        .cast("long").as("margin_micro"),
+      md5(concat(col("ea").cast("string"), lit(":"),
+        col("eb").cast("string"), lit(":dpo"))).as("hkey"),
+      col("ea"), col("eb"))
+    oriented
+      .graftTopKPerKey(Seq("chosen_type", "rejected_type"),
+        Seq(("hkey", false), ("ea", false), ("eb", false)), perCell)
+      .select(col("chosen_type"), col("rejected_type"),
+        col("chosen_event"), col("rejected_event"), col("margin_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p_preference_pairs" -> { (s, d) =>
       pairMatrix(Tables.events(s, d)).orderBy("ta", "tb")
+    },
+    // per-cell-balanced DPO example table (8 per comparison cell)
+    "p_dpo_dataset" -> { (s, d) =>
+      dpoDataset(Tables.events(s, d))
+        .orderBy("chosen_type", "rejected_type", "chosen_event",
+          "rejected_event")
     },
     // full Bradley–Terry MM fit (5 rounds) on the integer micro grid —
     // oracle-backed from birth (unrolled-round twin); typeRank remains
@@ -270,29 +338,31 @@ object Preference {
   // 16 events per (user, day) by (ts, event_id), ties to the smaller
   // type via >=. Every count/sum output is CAST to BIGINT (DuckDB
   // sum(BIGINT) is HUGEINT — the fenced red-row class).
-  private val matchCtes =
-    """WITH ev AS (
-      |  SELECT user_id,
-      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
-      |      // 86400 AS day,
-      |    ts, event_id, event_type, value
-      |  FROM events),
-      |capped AS (
-      |  SELECT user_id, day, event_id, event_type, value FROM (
-      |    SELECT *, row_number() OVER (
-      |      PARTITION BY user_id, day ORDER BY ts, event_id) rn
-      |    FROM ev) WHERE rn <= 16),
-      |m AS (
-      |  SELECT a.event_type ta, b.event_type tb,
-      |    a.value >= b.value AS a_wins,
-      |    a.event_id ea, b.event_id eb
-      |  FROM capped a JOIN capped b
-      |    ON a.user_id = b.user_id AND a.day = b.day
-      |   AND a.event_type < b.event_type),
-      |pm AS (
-      |  SELECT ta, tb, CAST(count(*) AS BIGINT) n,
-      |    CAST(sum(CASE WHEN a_wins THEN 1 ELSE 0 END) AS BIGINT) wa
-      |  FROM m GROUP BY 1, 2)""".stripMargin
+  private def matchCtesWith(extraMatchCols: String): String =
+    s"""WITH ev AS (
+       |  SELECT user_id,
+       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+       |      // 86400 AS day,
+       |    ts, event_id, event_type, value
+       |  FROM events),
+       |capped AS (
+       |  SELECT user_id, day, event_id, event_type, value FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY user_id, day ORDER BY ts, event_id) rn
+       |    FROM ev) WHERE rn <= 16),
+       |m AS (
+       |  SELECT a.event_type ta, b.event_type tb,
+       |    a.value >= b.value AS a_wins,$extraMatchCols
+       |    a.event_id ea, b.event_id eb
+       |  FROM capped a JOIN capped b
+       |    ON a.user_id = b.user_id AND a.day = b.day
+       |   AND a.event_type < b.event_type),
+       |pm AS (
+       |  SELECT ta, tb, CAST(count(*) AS BIGINT) n,
+       |    CAST(sum(CASE WHEN a_wins THEN 1 ELSE 0 END) AS BIGINT) wa
+       |  FROM m GROUP BY 1, 2)""".stripMargin
+
+  private val matchCtes = matchCtesWith("")
 
   /** One unrolled Bradley–Terry MM round for the DuckDB twin: each
     * term (nᵢⱼ·10⁶) // (wᵢ+wⱼ) floors BEFORE the sum, exactly as the
@@ -320,6 +390,30 @@ object Preference {
        |  FROM raw$r)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // winner orientation, floored micro margin, md5-ordered per-cell
+    // rank — the TopKPerKey cap replayed as a row_number window
+    "p_dpo_dataset" -> (matchCtesWith("\n    a.value va, b.value vb,") +
+      """,
+        |orient AS (
+        |  SELECT
+        |    CASE WHEN a_wins THEN ta ELSE tb END chosen_type,
+        |    CASE WHEN a_wins THEN tb ELSE ta END rejected_type,
+        |    CASE WHEN a_wins THEN ea ELSE eb END chosen_event,
+        |    CASE WHEN a_wins THEN eb ELSE ea END rejected_event,
+        |    CAST(floor(abs(va - vb) * 1000000) AS BIGINT) margin_micro,
+        |    md5(CAST(ea AS VARCHAR) || ':' || CAST(eb AS VARCHAR) ||
+        |      ':dpo') hkey, ea, eb
+        |  FROM m),
+        |rk AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY chosen_type, rejected_type
+        |    ORDER BY hkey, ea, eb) r
+        |  FROM orient)
+        |SELECT chosen_type, rejected_type, chosen_event, rejected_event,
+        |  margin_micro
+        |FROM rk WHERE r <= 8
+        |ORDER BY chosen_type, rejected_type, chosen_event,
+        |  rejected_event""".stripMargin),
     // the 5-round MM fit replayed: symmetric pair counts, per-type win
     // totals, then btRound ×5 — all integer floor arithmetic
     "p_bradley_terry" -> (matchCtes +

@@ -163,4 +163,40 @@ class PreferenceSpec extends AnyFunSuite {
         s"true rate $winrate outside [$lo, $hi] for ${r.getString(0)}")
     }
   }
+
+  test("dpoDataset: winner orientation, floored micro margin, tie rule") {
+    // one user, one day: A(3.25) B(1.0) C(2.0), plus D(2.0) tying C
+    val events = toDf(Seq(
+      ev(1, 1, 100, "A", 3.25), ev(2, 1, 200, "B", 1.0),
+      ev(3, 1, 300, "C", 2.0), ev(4, 1, 400, "D", 2.0)))
+    val rows = Preference.dpoDataset(events).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // every cell holds exactly one example here (6 pairs, all distinct)
+    assert(rows.size == 6)
+    assert(rows(("A", "B")) == ((1L, 2L, 2250000L)))
+    assert(rows(("A", "C")) == ((1L, 3L, 1250000L)))
+    assert(rows(("A", "D")) == ((1L, 4L, 1250000L)))
+    assert(rows(("C", "B")) == ((3L, 2L, 1000000L)))
+    assert(rows(("D", "B")) == ((4L, 2L, 1000000L)))
+    // the C-D tie orients to the lexicographically smaller type, margin 0
+    assert(rows(("C", "D")) == ((3L, 4L, 0L)))
+  }
+
+  test("dpoDataset: per-cell balance cap binds on a hot cell") {
+    // 20 (user, day) groups each produce one A-beats-B match; an
+    // unbalanced build would emit 20 rows for the (A, B) cell
+    val events = toDf((1 to 20).flatMap { u =>
+      Seq(ev(u * 2L, u.toLong, 100, "A", 2.0),
+        ev(u * 2L + 1, u.toLong, 200, "B", 1.0))
+    })
+    val got = Preference.dpoDataset(events, perCell = 8).collect()
+    assert(got.length == 8)
+    assert(got.forall(r =>
+      r.getString(0) == "A" && r.getString(1) == "B"))
+    // deterministic: the same 8 examples under any partitioning
+    val again = Preference.dpoDataset(
+      events.repartition(13), perCell = 8).collect()
+    assert(got.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
 }
