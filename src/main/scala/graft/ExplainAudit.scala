@@ -387,6 +387,21 @@ object ExplainAudit {
     // retrieval eval: both the actual and the ideal ranking run through
     // the bounded heap — no per-query sort of the hit list
     audit("a_retrieval_ndcg", "TopKPerKey")
+    // BLEU stats: gram counting map-side-combines, and each side's
+    // grams for ALL n come from ONE explode (the (n, gram)-struct
+    // concat), never one per (side, n) — the union shape would show 8+
+    // Generates. Budget: cand grams appear twice (the clip join and the
+    // totals both consume them — cache-collapsed in the real run, but
+    // planOf clears caches by design), ref grams once, the 4-row base
+    // n explode once.
+    audit("a_bleu", "partial_count")
+    auditAtMost("a_bleu", "Generate explode", 4)
+    // DPO dataset: the per-cell balance cap is the bounded heap, not a
+    // global sort, and the match product stays a hash join on the
+    // capped (user, day) groups
+    audit("p_dpo_dataset", "TopKPerKey")
+    auditAtMost("p_dpo_dataset",
+      "CartesianProduct|BroadcastNestedLoopJoin", 0)
     // (s_covariance's aggregate runs at query-construction time — its
     // registered frame is a driver-local relation, so the map-side-
     // partial plan shape is asserted in PcaSpec instead of here)

@@ -40,28 +40,35 @@ object BleuEval {
   private def toks(c: Column): Column =
     filter(split(c, " "), w => length(w) > 0)
 
-  /** Contiguous n-grams of a token array as space-joined strings. */
-  def ngrams(arr: Column, n: Int): Column =
-    when(size(arr) >= n,
-      transform(sequence(lit(1), size(arr) - (n - 1)),
-        i => concat_ws(" ", slice(arr, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-
   /** BLEU sufficient statistics per pair and n in 1..maxN.
     * Input: (pair_id, cand, ref) with token-array sides.
     * Output: pair_id, n, cand_len, ref_len, len_ratio_micro, matches,
     * total, p_micro — all BIGINT, DIV-exact.
     */
-  def bleuStats(pairs: DataFrame, maxN: Int = 4): DataFrame = {
+  def bleuStats(pairs0: DataFrame, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN=$maxN out of the sane band")
     val ns = 1 to maxN
-    def gramCounts(side: String): DataFrame =
-      ns.map { n =>
-        pairs.select(col("pair_id"), lit(n).as("n"),
-          explode(ngrams(col(side), n)).as("g"))
-      }.reduce(_.union(_))
+    // the token-array frame feeds a 3-way diamond (cand counts, ref
+    // counts, the base lens) — lazy persist per the repo's diamond rule
+    // so the side derivations (the candidate's per-token md5 in the
+    // registered query) run once, not once per consumer
+    val pairs = pairs0.persist()
+    // ONE explode per side covering every n: each row's grams for all
+    // n are concatenated as (n, gram) structs, so the side array is
+    // evaluated once instead of once per union branch
+    def gramCounts(side: String): DataFrame = {
+      val structs = ns.map { n =>
+        when(size(col(side)) >= n,
+          transform(sequence(lit(1), size(col(side)) - (n - 1)),
+            i => struct(lit(n).as("n"),
+              concat_ws(" ", slice(col(side), i, lit(n))).as("g"))))
+          .otherwise(array().cast("array<struct<n:int,g:string>>"))
+      }.reduce(concat(_, _))
+      pairs.select(col("pair_id"), explode(structs).as("x"))
+        .select(col("pair_id"), col("x.n").as("n"), col("x.g").as("g"))
         .groupBy("pair_id", "n", "g")
         .agg(count(lit(1)).as(s"c_$side"))
+    }
     val cc = gramCounts("cand")
     val rc = gramCounts("ref")
     val matched = cc.join(rc, Seq("pair_id", "n", "g"))
