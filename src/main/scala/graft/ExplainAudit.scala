@@ -402,6 +402,14 @@ object ExplainAudit {
     audit("p_dpo_dataset", "TopKPerKey")
     auditAtMost("p_dpo_dataset",
       "CartesianProduct|BroadcastNestedLoopJoin", 0)
+    // calibration eval: deciles and ranks run in per-SOURCE windows
+    // (the bounded-stratum rule) — the window exchange must be a hash
+    // partitioning on source, never a global range sort of the corpus
+    audit("a_reliability", "Exchange hashpartitioning(source")
+    audit("a_auc", "Exchange hashpartitioning(source")
+    auditAtMost("a_reliability",
+      "Exchange rangepartitioning(s_micro", 0)
+    auditAtMost("a_auc", "Exchange rangepartitioning(s_micro", 0)
     // (s_covariance's aggregate runs at query-construction time — its
     // registered frame is a driver-local relation, so the map-side-
     // partial plan shape is asserted in PcaSpec instead of here)

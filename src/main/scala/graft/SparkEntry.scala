@@ -33,7 +33,7 @@ object SparkEntry {
       TrainingSet.queries ++ Agreement.queries ++ Bpe.queries ++
       WordPiece.queries ++ Unigram.queries ++
       CorpusOps.queries ++ KMeansOps.queries ++ Retrieval.queries ++
-      BleuEval.queries ++
+      BleuEval.queries ++ Calibration.queries ++
       Classifier.queries ++ Projection.queries ++ Preference.queries ++
       GraphRank.queries ++ graft.operators.FuzzyJoin.queries ++
       graft.operators.BandJoin.queries ++
@@ -49,7 +49,7 @@ object SparkEntry {
       TrainingSet.oracles ++ Agreement.oracles ++ Bpe.oracles ++
       WordPiece.oracles ++ Unigram.oracles ++
       CorpusOps.oracles ++ KMeansOps.oracles ++ Retrieval.oracles ++
-      BleuEval.oracles ++
+      BleuEval.oracles ++ Calibration.oracles ++
       Classifier.oracles ++ Projection.oracles ++ Preference.oracles ++
       GraphRank.oracles ++ graft.operators.FuzzyJoin.oracles ++
       graft.operators.BandJoin.oracles ++
