@@ -38,6 +38,7 @@ object SparkEntry {
       GraphRank.queries ++ graft.operators.FuzzyJoin.queries ++
       graft.operators.BandJoin.queries ++
       graft.operators.IntervalJoin.queries ++
+      graft.operators.QuantileSketch.queries ++
       graft.sources.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -54,5 +55,6 @@ object SparkEntry {
       GraphRank.oracles ++ graft.operators.FuzzyJoin.oracles ++
       graft.operators.BandJoin.oracles ++
       graft.operators.IntervalJoin.oracles ++
+      graft.operators.QuantileSketch.oracles ++
       graft.sources.SourceQueries.oracles
 }
