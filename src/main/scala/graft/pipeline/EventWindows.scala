@@ -37,6 +37,59 @@ object EventWindows {
     * flowing). No per-user event list is ever materialized — state per
     * user is one timestamp per stage.
     */
+  /** Multi-touch conversion attribution — the credit-assignment step
+    * downstream of the funnel: each conversion event looks back
+    * `lookbackDays` over the SAME user's touch events and splits credit
+    * across the touching channels under two standard models at once:
+    *
+    *  - LAST-TOUCH: the latest touch (microsecond order, event_id
+    *    tie-break — a total order both engines share) takes the whole
+    *    conversion;
+    *  - LINEAR: each of the k touches takes 10⁶ DIV k micro-credits,
+    *    with the remainder assigned to the last touch so every
+    *    conversion's credits sum to EXACTLY 10⁶ (spec-pinned
+    *    invariant) — integer arithmetic end to end, so the twin
+    *    hash-matches.
+    *
+    * Timestamps compare as `unix_micros` integers (epoch seconds would
+    * erase sub-second order inside the last-touch rank). Shape at
+    * scale: the touch-conversion join keys on user_id — per-user pair
+    * mass, the funnel family's budget; a skew-heavy log would cap
+    * touches per (user, day) first, the [[Preference]] cappedEvents
+    * discipline. Windows partition by conversion id — bounded by that
+    * conversion's own touch count. Output is |channels|-sized.
+    */
+  def attribution(events: DataFrame, touchTypes: Seq[String],
+      convType: String, lookbackDays: Int = 7): DataFrame = {
+    require(touchTypes.nonEmpty && lookbackDays >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val lookbackUs = lookbackDays * 86400000000L
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("user_id"), unix_micros(col("ts")).as("cus"),
+        col("event_id").as("cid"))
+    val touch = events.filter(col("event_type").isInCollection(touchTypes))
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id").as("tid"), col("event_type"))
+    val joined = conv.join(touch, Seq("user_id"))
+      .filter(col("tus") <= col("cus") &&
+        col("tus") > col("cus") - lookbackUs)
+    val byConv = Window.partitionBy("cid")
+    val order = Window.partitionBy("cid")
+      .orderBy(col("tus").desc, col("tid").desc)
+    val credited = joined
+      .withColumn("k", count(lit(1)).over(byConv))
+      .withColumn("rn", row_number().over(order))
+      .withColumn("linear_micro",
+        when(col("rn") === 1,
+          lit(1000000L) - (col("k") - 1L) * expr("1000000 DIV k"))
+          .otherwise(expr("1000000 DIV k")))
+    credited.groupBy("event_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L))
+          .as("last_touch_conversions"),
+        sum(col("linear_micro")).as("linear_credit_micro"))
+  }
+
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.size >= 2, "a funnel needs at least 2 stages")
     val s0 = events.filter(col("event_type") === stages.head)
@@ -450,6 +503,11 @@ object EventWindows {
       funnel(Tables.events(s, d),
         Seq("signup", "view", "click", "purchase")).orderBy("stage")
     },
+    // last-touch + exact-integer linear credit over a 7-day lookback
+    "w_attribution" -> { (s, d) =>
+      attribution(Tables.events(s, d), Seq("view", "click"), "purchase")
+        .orderBy("event_type")
+    },
     // trailing-7-day distinct active users per observed day
     "w_active_users" -> { (s, d) =>
       rollingActiveUsers(Tables.events(s, d), 7).orderBy("report_day")
@@ -526,6 +584,35 @@ object EventWindows {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // microsecond-exact lookback join, last-touch rank by (tus, tid)
+    // desc, linear credit with the remainder-to-last-touch rule
+    "w_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) cus,
+        |    event_id cid
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) tus,
+        |    event_id tid, event_type
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT c.cid, t.tid, t.tus, t.event_type
+        |  FROM conv c JOIN touch t ON t.user_id = c.user_id
+        |  WHERE t.tus <= c.cus AND t.tus > c.cus - 604800000000),
+        |cr AS (
+        |  SELECT event_type,
+        |    row_number() OVER (
+        |      PARTITION BY cid ORDER BY tus DESC, tid DESC) rn,
+        |    count(*) OVER (PARTITION BY cid) k
+        |  FROM j)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) n_touches,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    last_touch_conversions,
+        |  CAST(sum(CASE WHEN rn = 1
+        |      THEN 1000000 - (k - 1) * (1000000 // k)
+        |      ELSE 1000000 // k END) AS BIGINT) linear_credit_micro
+        |FROM cr GROUP BY 1 ORDER BY event_type""".stripMargin,
     "w_gapfill" ->
       """WITH ev AS (
         |  SELECT event_type, date_trunc('hour', ts) h FROM events),
