@@ -151,6 +151,30 @@ object WordPiece {
     merges.toSeq
   }
 
+  /** WordPiece ENCODING — the inference twin of [[learnMerges]]
+    * ([[Bpe.encode]]'s sibling): each distinct word starts from the
+    * `##` initial state and folds through the merge table in rank
+    * order; docs join the word → n_subwords table back on the word.
+    * Same dedupe-then-weight shape: the fold chain evaluates per
+    * DISTINCT word, the corpus is scanned, never folded per occurrence.
+    */
+  def encode(docs: DataFrame,
+      merges: Seq[(Int, String, String, Long, Long)]): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val sym = merges.sortBy(_._1)
+      .foldLeft(initialSymbols(col("w"))) {
+        case (c, (_, a, b, _, _)) =>
+          applyMergeAs(c, a, b, a + b.stripPrefix("##"))
+      }
+    val encodedVocab = words.select("w").distinct()
+      .select(col("w"), size(sym).cast("long").as("n_sub"))
+    words.join(encodedVocab, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t_wordpiece_merges" -> { (s, d) =>
       val merges = learnMerges(
@@ -158,6 +182,14 @@ object WordPiece {
       s.createDataFrame(merges)
         .toDF("rank", "left", "right", "pair_count", "score_nano")
         .orderBy("rank")
+    },
+    // train 10 merges, then encode the same corpus with them; the
+    // oracle rides the shared training replay — the round-10 vocabulary
+    // state IS every word's encoding (the t_bpe_encode argument)
+    "t_wordpiece_encode" -> { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+      val merges = learnMerges(Bpe.vocabulary(docs), 10)
+      encode(docs, merges).orderBy("doc_id")
     })
 
   /** One unrolled WordPiece round for the DuckDB twin: unigram counts,
@@ -208,26 +240,40 @@ object WordPiece {
        |    SELECT 1 FROM sel$r s2 WHERE s2.w = p.w AND s2.i = p.i - 1)
        |  GROUP BY p.w)""".stripMargin
 
+  private val v0Cte =
+    """v0 AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+      |    list_transform(range(1, len(w) + 1), i ->
+      |      CASE WHEN i = 1 THEN w[i] ELSE '##' || w[i] END) AS sym
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |        FROM documents WHERE text IS NOT NULL) t
+      |  WHERE len(w) > 0
+      |  GROUP BY w)""".stripMargin
+
+  private def trainCtes(n: Int): String =
+    s"$v0Cte,\n${(1 to n).map(wpRound).mkString(",\n")}"
+
   val oracles: Map[String, String] = Map(
     "t_wordpiece_merges" -> {
-      val v0 =
-        """v0 AS MATERIALIZED (
-          |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
-          |    list_transform(range(1, len(w) + 1), i ->
-          |      CASE WHEN i = 1 THEN w[i] ELSE '##' || w[i] END) AS sym
-          |  FROM (SELECT unnest(string_split(text, ' ')) AS w
-          |        FROM documents WHERE text IS NOT NULL) t
-          |  WHERE len(w) > 0
-          |  GROUP BY w)""".stripMargin
       val union = (1 to 10).map(r =>
         s"""SELECT CAST($r AS INTEGER) AS rank, a AS "left",
            |  b AS "right", cnt AS pair_count, score AS score_nano
            |  FROM m$r""".stripMargin)
         .mkString("\n  UNION ALL\n  ")
-      s"""WITH $v0,
-         |${(1 to 10).map(wpRound).mkString(",\n")}
+      s"""WITH ${trainCtes(10)}
          |SELECT * FROM (
          |  $union)
          |ORDER BY rank""".stripMargin
-    })
+    },
+    "t_wordpiece_encode" ->
+      s"""WITH ${trainCtes(10)},
+         |enc AS MATERIALIZED (
+         |  SELECT w, CAST(len(sym) AS BIGINT) AS n_sub FROM v10),
+         |dw AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_sub) AS BIGINT) AS n_subwords
+         |FROM (SELECT * FROM dw WHERE len(w) > 0) JOIN enc USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

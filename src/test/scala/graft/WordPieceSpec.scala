@@ -136,6 +136,36 @@ class WordPieceSpec extends AnyFunSuite {
     assert(got.map(m => (m._1, m._2, m._3)) == Seq((1, "a", "##b")))
   }
 
+  test("encode: the trained vocabulary state IS every word's encoding") {
+    val docs = Seq((1L, "hello help hello"), (2L, "lolly pole"))
+      .toDF("doc_id", "text")
+    val vocab = Map("hello" -> 2L, "help" -> 1L, "lolly" -> 1L,
+      "pole" -> 1L)
+    val merges = WordPiece.learnMerges(vocab.toSeq.toDF("w", "freq"), 4)
+    val got = WordPiece.encode(docs, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // reference: fold each word through the merges sequentially
+    def foldWord(w: String): Int = {
+      var s = w.split("").toVector.zipWithIndex.map { case (c, i) =>
+        if (i == 0) c else "##" + c }
+      for ((_, a, b, _, _) <- merges.sortBy(_._1)) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+            out += (a + b.stripPrefix("##")); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        s = out.result()
+      }
+      s.length
+    }
+    assert(got(1L) == ((3L, (2 * foldWord("hello") + foldWord("help"))
+      .toLong)))
+    assert(got(2L) == ((2L, (foldWord("lolly") + foldWord("pole"))
+      .toLong)))
+  }
+
   test("symbol-mass guard fails loud past the grid contract") {
     val e = intercept[IllegalArgumentException] {
       WordPiece.learnMerges(
