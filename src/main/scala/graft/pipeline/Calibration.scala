@@ -99,12 +99,71 @@ object Calibration {
           .otherwise(lit(null).cast("long")).as("auc_micro"))
   }
 
+  /** Per-(doc, judge) synthesized votes for the agreement audit: the
+    * base category is the score tercile (fixed integer thresholds on
+    * s_micro), and each judge flips to an md5-drawn category on a 1-in-5
+    * draw — so agreement is real but imperfect, the regime kappa is
+    * built to measure. (doc_id, judge, vote ∈ {0,1,2}).
+    */
+  def judgeVotes(docs: DataFrame, judges: Int = 5): DataFrame = {
+    require(judges >= 2 && judges <= 64, s"judges=$judges")
+    val base = when(col("s_micro") < -100000L, 0L)
+      .when(col("s_micro") < 100000L, 1L).otherwise(2L)
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), col("j").cast("string"), lit(":fk"))), 1, 5), 16, 10)
+      .cast("long")
+    scoredDocs(docs)
+      .select(col("doc_id"), base.as("b"),
+        explode(sequence(lit(0), lit(judges - 1))).as("j"))
+      .select(col("doc_id"), col("j").cast("long").as("judge"),
+        when(h % 5L === 0L, h % 3L).otherwise(col("b")).as("vote"))
+  }
+
+  /** Fleiss' kappa over the judge panel — the inter-annotator-agreement
+    * QA step of judgment/preference data collection (Fleiss 1971),
+    * entirely on the micro grid:
+    *
+    *   P_i  = (Σ_k n_ik² − n) · 10⁶ DIV (n(n−1))   per item
+    *   P̄    = Σ_i P_i DIV N
+    *   p_k  = (Σ_i n_ik) · 10⁶ DIV (N·n),  P̄e = Σ_k p_k² DIV 10⁶
+    *   κ    = (P̄ − P̄e) · 10⁶ DIV (10⁶ − P̄e)
+    *
+    * Every division is integer; negative κ (worse-than-chance) is safe
+    * because Spark's DIV and DuckDB's // both truncate toward zero.
+    * Shape at scale: two map-side-combined aggregations ((item, vote)
+    * counts, then per-item sums) and a |categories|-row chance table —
+    * the result is one row.
+    */
+  def fleissKappa(docs: DataFrame, judges: Int = 5): DataFrame = {
+    val n = judges.toLong
+    val counts = judgeVotes(docs, judges)
+      .groupBy("doc_id", "vote").agg(count(lit(1)).as("nik"))
+    val perItem = counts.groupBy("doc_id")
+      .agg(sum(col("nik") * col("nik")).as("sq"))
+      .select(col("doc_id"),
+        expr(s"(sq - $n) * 1000000 DIV (${n * (n - 1)})").as("pi"))
+    val pbar = perItem.agg(count(lit(1)).as("n_items"),
+      expr("sum(pi) DIV count(1)").as("pbar_micro"))
+    val pe = counts.groupBy("vote").agg(sum(col("nik")).as("tot"))
+      .crossJoin(broadcast(perItem.agg(count(lit(1)).as("ni"))))
+      .select(expr(s"tot * 1000000 DIV (ni * $n)").as("pk"))
+      .agg(expr("sum(pk * pk) DIV 1000000").as("pe_micro"))
+    pbar.crossJoin(broadcast(pe))
+      .select(col("n_items"), col("pbar_micro"), col("pe_micro"),
+        expr("(pbar_micro - pe_micro) * 1000000 DIV " +
+          "(1000000 - pe_micro)").as("kappa_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "a_reliability" -> { (s, d) =>
       reliability(Tables.documents(s, d)).orderBy("source", "bucket")
     },
     "a_auc" -> { (s, d) =>
       rankAuc(Tables.documents(s, d)).orderBy("source")
+    },
+    // inter-annotator agreement over the 5-judge synthetic panel
+    "a_fleiss_kappa" -> { (s, d) =>
+      fleissKappa(Tables.documents(s, d))
     })
 
   /** The scored-frame CTEs for the twin: the t_hash_classifier weight
@@ -153,6 +212,51 @@ object Calibration {
         |  max(s_micro) AS max_s_micro
         |FROM nt GROUP BY 1, 2
         |ORDER BY source, bucket""".stripMargin),
+    // the judge panel replayed: tercile base, 1-in-5 md5 flip, then the
+    // Fleiss arithmetic with every division integer (both engines'
+    // integer division truncates toward zero, so negative kappa is safe)
+    "a_fleiss_kappa" -> (scoredCtes +
+      """,
+        |votes AS (
+        |  SELECT doc_id,
+        |    CASE WHEN h2 % 5 = 0 THEN h2 % 3
+        |         WHEN s_micro < -100000 THEN 0
+        |         WHEN s_micro < 100000 THEN 1 ELSE 2 END AS vote
+        |  FROM (
+        |    SELECT doc_id, s_micro,
+        |      (strpos('0123456789abcdef', substr(h5, 1, 1)) - 1) * 65536 +
+        |      (strpos('0123456789abcdef', substr(h5, 2, 1)) - 1) * 4096 +
+        |      (strpos('0123456789abcdef', substr(h5, 3, 1)) - 1) * 256 +
+        |      (strpos('0123456789abcdef', substr(h5, 4, 1)) - 1) * 16 +
+        |      (strpos('0123456789abcdef', substr(h5, 5, 1)) - 1) AS h2
+        |    FROM (
+        |      SELECT doc_id, s_micro, j,
+        |        md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |            CAST(j AS VARCHAR) || ':fk') h5
+        |      FROM base, unnest(range(0, 5)) u(j)))),
+        |cnt AS (
+        |  SELECT doc_id, vote, CAST(count(*) AS BIGINT) nik
+        |  FROM votes GROUP BY 1, 2),
+        |pi AS (
+        |  SELECT doc_id,
+        |    (CAST(sum(nik * nik) AS BIGINT) - 5) * 1000000 // 20 AS pi
+        |  FROM cnt GROUP BY 1),
+        |pb AS (
+        |  SELECT CAST(count(*) AS BIGINT) n_items,
+        |    CAST(sum(pi) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |      AS pbar_micro
+        |  FROM pi),
+        |pk AS (
+        |  SELECT CAST(sum(nik) AS BIGINT) * 1000000
+        |    // ((SELECT n_items FROM pb) * 5) AS pk
+        |  FROM cnt GROUP BY vote),
+        |pe AS (
+        |  SELECT CAST(sum(pk * pk) AS BIGINT) // 1000000 AS pe_micro
+        |  FROM pk)
+        |SELECT n_items, pbar_micro, pe_micro,
+        |  (pbar_micro - pe_micro) * 1000000 // (1000000 - pe_micro)
+        |    AS kappa_micro
+        |FROM pb, pe""".stripMargin),
     "a_auc" -> (scoredCtes +
       """,
         |rk AS (

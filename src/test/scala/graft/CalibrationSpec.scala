@@ -87,6 +87,38 @@ class CalibrationSpec extends AnyFunSuite {
     assert(r.isNullAt(3))
   }
 
+  test("fleissKappa equals an independent in-memory reference and " +
+      "sits above chance on the fixture") {
+    val docs = graft.Tables.documents(spark, sf)
+    val votes = Calibration.judgeVotes(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // structural: exactly 5 votes per item, categories in range
+    val byItem = votes.groupBy(_._1)
+    assert(byItem.values.forall(_.length == 5))
+    assert(votes.forall(v => v._3 >= 0 && v._3 <= 2))
+    // independent Fleiss computation on the integer grid
+    val n = 5L
+    val items = byItem.values.toSeq
+    val pis = items.map { g =>
+      val sq = g.groupBy(_._3).values.map(c => c.size.toLong *
+        c.size).sum
+      (sq - n) * 1000000L / (n * (n - 1))
+    }
+    val nItems = items.size.toLong
+    val pbar = pis.sum / nItems
+    val pks = votes.groupBy(_._3).values.map(g =>
+      g.size.toLong * 1000000L / (nItems * n))
+    val pe = pks.map(p => p * p).sum / 1000000L
+    val kappa = (pbar - pe) * 1000000L / (1000000L - pe)
+    val got = Calibration.fleissKappa(docs).collect()(0)
+    assert(got.getLong(0) == nItems)
+    assert(got.getLong(1) == pbar && got.getLong(2) == pe)
+    assert(got.getLong(3) == kappa, s"kappa ${got.getLong(3)} vs $kappa")
+    // 4-in-5 draws keep the base category: agreement well above chance
+    assert(kappa > 300000L, s"kappa=$kappa should be well above 0")
+    assert(kappa < 1000000L)
+  }
+
   test("reliability: decile structure and monotone positive rate") {
     val rel = Calibration.reliability(
       graft.Tables.documents(spark, sf)).collect()
