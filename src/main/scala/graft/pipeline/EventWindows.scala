@@ -62,14 +62,26 @@ object EventWindows {
   def attribution(events: DataFrame, touchTypes: Seq[String],
       convType: String, lookbackDays: Int = 7): DataFrame = {
     require(touchTypes.nonEmpty && lookbackDays >= 1)
-    import org.apache.spark.sql.expressions.Window
-    val lookbackUs = lookbackDays * 86400000000L
     val conv = events.filter(col("event_type") === convType)
       .select(col("user_id"), unix_micros(col("ts")).as("cus"),
         col("event_id").as("cid"))
     val touch = events.filter(col("event_type").isInCollection(touchTypes))
       .select(col("user_id"), unix_micros(col("ts")).as("tus"),
         col("event_id").as("tid"), col("event_type"))
+    attributionFromMicros(conv, touch, lookbackDays * 86400000000L)
+  }
+
+  /** The credit derivation on micros frames — the seam the streaming
+    * twin ([[graft.streaming.AttributionStream]]) shares with the batch
+    * operator, so stream ≡ batch cannot drift. `conv`: (user_id, cus,
+    * cid); `touch`: (user_id, tus, tid, event_type). The per-channel
+    * output aggregate is ADDITIVE across disjoint conversion sets
+    * (each conversion's credits are computed within its own rows) —
+    * what makes the twin's finalize-then-vacuum compaction exact.
+    */
+  def attributionFromMicros(conv: DataFrame, touch: DataFrame,
+      lookbackUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val joined = conv.join(touch, Seq("user_id"))
       .filter(col("tus") <= col("cus") &&
         col("tus") > col("cus") - lookbackUs)

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.EventWindows
+import graft.streaming.AttributionStream
+
+/** The streaming attribution view must equal the batch w_attribution
+  * frame over the union of everything ingested under ANY batch split —
+  * including a LATE touch retroactively re-crediting an already-seen
+  * conversion — replay idempotently, and stay exact across the
+  * finalize-then-vacuum compaction.
+  */
+class AttributionStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val Touch = Seq("view", "click")
+  private val Conv = "purchase"
+
+  private def ev(id: Long, user: Long, ms: Long, tpe: String) =
+    (id, new Timestamp(ms), user, tpe, 1.0)
+
+  private def toDf(rows: Seq[(Long, Timestamp, Long, String, Double)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  private def rows(df: DataFrame): Map[String, (Long, Long, Long)] =
+    df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  private def batchAnswer(
+      evs: Seq[(Long, Timestamp, Long, String, Double)]) =
+    rows(EventWindows.attribution(toDf(evs), Touch, Conv))
+
+  test("split-stream view equals batch, incl. a late touch re-credit") {
+    val day = 86400000L
+    val all = Seq(
+      ev(1, 1, 1 * day, "view"),
+      ev(2, 1, 2 * day, "click"),
+      ev(3, 1, 3 * day, "purchase"),
+      ev(4, 2, 2 * day, "view"),
+      ev(5, 2, 4 * day, "purchase"))
+    val root = Files.createTempDirectory("attrstream").toString
+    // batch 0: everything EXCEPT user 1's click (it arrives late)
+    AttributionStream.ingestBatch(
+      toDf(all.filterNot(_._1 == 2L)), 0L, root, Touch, Conv)
+    val before = rows(AttributionStream.creditView(spark, root))
+    // before the late click, the view alone owns user 1's conversion
+    assert(before("view") == ((2L, 2L, 2000000L)))
+    assert(!before.contains("click"))
+    // batch 1: the late click lands INSIDE conversion 3's lookback —
+    // k goes 1→2 for that conversion, the last touch flips to the
+    // click, and the view must now equal the batch answer on the union
+    AttributionStream.ingestBatch(toDf(all.filter(_._1 == 2L)), 1L,
+      root, Touch, Conv)
+    val after = rows(AttributionStream.creditView(spark, root))
+    assert(after == batchAnswer(all), s"got $after")
+    assert(after("click") == ((1L, 1L, 500000L)))
+    assert(after("view") == ((2L, 1L, 1500000L)))
+    // at-least-once replay: re-running batch 1 changes nothing
+    AttributionStream.ingestBatch(toDf(all.filter(_._1 == 2L)), 1L,
+      root, Touch, Conv)
+    assert(rows(AttributionStream.creditView(spark, root)) == after)
+  }
+
+  test("3-way split of the fixture corpus equals the batch answer") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val want = rows(EventWindows.attribution(events, Touch, Conv))
+    val root = Files.createTempDirectory("attrcorpus").toString
+    (0 until 3).foreach(i => AttributionStream.ingestBatch(
+      events.filter(col("event_id") % 3 === i), i.toLong, root,
+      Touch, Conv))
+    assert(rows(AttributionStream.creditView(spark, root)) == want)
+  }
+
+  test("vacuum finalizes old conversions exactly; view unchanged") {
+    val day = 86400000L
+    val all = Seq(
+      ev(1, 1, 1 * day, "view"),
+      ev(2, 1, 2 * day, "purchase"),       // old: finalized
+      ev(3, 1, 30 * day, "click"),
+      ev(4, 1, 31 * day, "purchase"),      // recent: stays live
+      ev(5, 2, 29 * day, "view"))          // touch for a live window
+    val root = Files.createTempDirectory("attrvac").toString
+    AttributionStream.ingestBatch(toDf(all), 0L, root, Touch, Conv)
+    val want = batchAnswer(all)
+    assert(rows(AttributionStream.creditView(spark, root)) == want)
+    // horizon at day 20: conversion 2 is final, its rows drop; touch 1
+    // (day 1 <= 20d - 7d lookback) drops too
+    AttributionStream.vacuum(spark, root, 20 * day * 1000L)
+    assert(rows(AttributionStream.creditView(spark, root)) == want)
+    // the live tables really shrank: only post-horizon-window rows
+    val liveTouches = spark.read.parquet(s"$root/touch/batch=compacted")
+      .collect().map(_.getLong(2)).toSet
+    assert(liveTouches == Set(3L, 5L))
+    // a SECOND vacuum (idempotent horizon rerun) still answers the same
+    AttributionStream.vacuum(spark, root, 20 * day * 1000L)
+    assert(rows(AttributionStream.creditView(spark, root)) == want)
+  }
+
+  test("streaming wiring: foreachBatch reaches the same frame") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val want = rows(EventWindows.attribution(events, Touch, Conv))
+    val root = Files.createTempDirectory("attrwire").toString
+    val src = s"$root/src"
+    events.write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(
+      spark.read.parquet(src).schema).parquet(src)
+    val q = AttributionStream.start(stream, s"$root/state",
+      s"$root/ckpt", Touch, Conv)
+    try q.processAllAvailable() finally q.stop()
+    assert(rows(AttributionStream.creditView(spark, s"$root/state"))
+      == want)
+  }
+}
