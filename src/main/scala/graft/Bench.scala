@@ -80,8 +80,12 @@ object Bench {
         // subtree) would read materialized cache blocks and report a
         // cache-read time as the query's cost. Every sample pays the
         // full cold-cache execution, including materializing its own
-        // persisted frames.
-        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        // persisted frames. SPARK_GRAFT_BENCH_NOCLEAR=1 restores the
+        // round-9 warm-cache sampling for apples-to-apples methodology
+        // comparisons (see SCALING.md's round-10 bench-methodology note)
+        // — diagnostics only, the round driver leaves it unset.
+        if (!sys.env.contains("SPARK_GRAFT_BENCH_NOCLEAR"))
+          try spark.catalog.clearCache() catch { case _: Throwable => () }
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
