@@ -138,8 +138,12 @@ class StatefulSessionSpec extends AnyFunSuite {
         mem.addData(rec("k", 2, base + 1)); Thread.sleep(1000)
         mem.addData(rec("k", 3, base + 2))
         // now idle: the final timer (last activity + gap) must flush ONE
-        // session carrying all three records
-        val deadline = System.currentTimeMillis() + 60000
+        // session carrying all three records. Generous deadline: under
+        // full-suite contention (32 busy threads, RocksDB state store)
+        // the timer batch has been observed to take over a minute to
+        // fire — the poll returns as soon as the row lands, so the
+        // deadline only costs time when the flush is genuinely missing.
+        val deadline = System.currentTimeMillis() + 180000
         var rows = Array.empty[(String, Long)]
         while (rows.isEmpty && System.currentTimeMillis() < deadline) {
           Thread.sleep(500)
