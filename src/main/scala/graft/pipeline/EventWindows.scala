@@ -95,11 +95,25 @@ object EventWindows {
         when(col("rn") === 1,
           lit(1000000L) - (col("k") - 1L) * expr("1000000 DIV k"))
           .otherwise(expr("1000000 DIV k")))
+      // position-based (U-shaped) model: 40% to the FIRST touch
+      // (rn = k in the desc rank), 40% to the LAST (rn = 1), the middle
+      // 20% split evenly with the integer remainder assigned to the
+      // last touch — so U credits also sum to exactly 10⁶ per
+      // conversion. k = 1 takes everything; k = 2 splits 50/50.
+      .withColumn("u_micro",
+        when(col("k") === 1L, lit(1000000L))
+          .when(col("k") === 2L, lit(500000L))
+          .when(col("rn") === col("k"), lit(400000L))
+          .when(col("rn") === 1L,
+            lit(400000L) + lit(200000L) -
+              (col("k") - 2L) * expr("200000 DIV (k - 2)"))
+          .otherwise(expr("200000 DIV (k - 2)")))
     credited.groupBy("event_type")
       .agg(count(lit(1)).as("n_touches"),
         sum(when(col("rn") === 1, 1L).otherwise(0L))
           .as("last_touch_conversions"),
-        sum(col("linear_micro")).as("linear_credit_micro"))
+        sum(col("linear_micro")).as("linear_credit_micro"),
+        sum(col("u_micro")).as("u_credit_micro"))
   }
 
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
@@ -623,7 +637,13 @@ object EventWindows {
         |    last_touch_conversions,
         |  CAST(sum(CASE WHEN rn = 1
         |      THEN 1000000 - (k - 1) * (1000000 // k)
-        |      ELSE 1000000 // k END) AS BIGINT) linear_credit_micro
+        |      ELSE 1000000 // k END) AS BIGINT) linear_credit_micro,
+        |  CAST(sum(CASE WHEN k = 1 THEN 1000000
+        |      WHEN k = 2 THEN 500000
+        |      WHEN rn = k THEN 400000
+        |      WHEN rn = 1
+        |        THEN 400000 + 200000 - (k - 2) * (200000 // (k - 2))
+        |      ELSE 200000 // (k - 2) END) AS BIGINT) u_credit_micro
         |FROM cr GROUP BY 1 ORDER BY event_type""".stripMargin,
     "w_gapfill" ->
       """WITH ev AS (

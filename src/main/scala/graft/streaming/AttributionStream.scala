@@ -44,7 +44,8 @@ object AttributionStream {
     StructField("event_type", StringType),
     StructField("n_touches", LongType),
     StructField("last_touch_conversions", LongType),
-    StructField("linear_credit_micro", LongType)))
+    StructField("linear_credit_micro", LongType),
+    StructField("u_credit_micro", LongType)))
 
   /** One micro-batch: the relevant slices into this batch's partitions.
     * Public so the spec drives the identical body without a stream.
@@ -80,7 +81,8 @@ object AttributionStream {
       .groupBy("event_type")
       .agg(sum(col("n_touches")).as("n_touches"),
         sum(col("last_touch_conversions")).as("last_touch_conversions"),
-        sum(col("linear_credit_micro")).as("linear_credit_micro"))
+        sum(col("linear_credit_micro")).as("linear_credit_micro"),
+        sum(col("u_credit_micro")).as("u_credit_micro"))
 
   /** Fold conversions with cus < `horizonUs` into the finalized table
     * and physically drop their rows, plus touches no live conversion

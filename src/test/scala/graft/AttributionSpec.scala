@@ -24,7 +24,8 @@ class AttributionSpec extends AnyFunSuite {
     EventWindows.attribution(toDf(rows), Seq("view", "click"),
       "purchase").collect()
       .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))).toMap
 
   test("hand fixture: lookback window, last touch, exact linear split") {
     val day = 86400000L
@@ -37,11 +38,14 @@ class AttributionSpec extends AnyFunSuite {
       ev(4, 1, 10L * day, "click"),
       ev(5, 1, 12L * day, "purchase")))
     // k=3 touches: each gets 333333, the LAST touch (click id=4) takes
-    // the remainder: 1000000 - 2*333333 = 333334
-    assert(got("view") == ((1L, 0L, 333333L)))
-    assert(got("click") == ((2L, 1L, 333333L + 333334L)))
-    // credits sum to exactly one conversion
+    // the remainder: 1000000 - 2*333333 = 333334. U-shaped: first
+    // (view id=2) 400000, middle (click id=3) 200000, last (click
+    // id=4) 400000 + zero remainder
+    assert(got("view") == ((1L, 0L, 333333L, 400000L)))
+    assert(got("click") == ((2L, 1L, 333333L + 333334L, 600000L)))
+    // both credit models sum to exactly one conversion
     assert(got.values.map(_._3).sum == 1000000L)
+    assert(got.values.map(_._4).sum == 1000000L)
   }
 
   test("a touch at the conversion instant counts; ties rank by id") {
@@ -51,8 +55,9 @@ class AttributionSpec extends AnyFunSuite {
       ev(3, 1, 1000, "purchase")))
     // both touches at tus == cus are inside (<=); the tie resolves to
     // the larger event_id (2, the click) as last touch
-    assert(got("view") == ((1L, 0L, 500000L)))
-    assert(got("click") == ((1L, 1L, 500000L)))
+    // k=2: linear and U-shaped both split 50/50
+    assert(got("view") == ((1L, 0L, 500000L, 500000L)))
+    assert(got("click") == ((1L, 1L, 500000L, 500000L)))
   }
 
   test("per-conversion credit always sums to 10^6 on the fixture corpus") {
@@ -60,10 +65,13 @@ class AttributionSpec extends AnyFunSuite {
     val got = EventWindows.attribution(events, Seq("view", "click"),
       "purchase").collect()
     val totalLinear = got.map(_.getLong(3)).sum
+    val totalU = got.map(_.getLong(4)).sum
     val conversions = got.map(_.getLong(2)).sum // each conv has 1 last
     assert(conversions > 0)
     assert(totalLinear == conversions * 1000000L,
       s"linear credit $totalLinear != $conversions conversions")
+    assert(totalU == conversions * 1000000L,
+      s"U credit $totalU != $conversions conversions")
   }
 
   test("an untouched conversion earns no row; zero-touch corpus is empty") {

@@ -29,9 +29,9 @@ class AttributionStreamSpec extends AnyFunSuite {
   private def toDf(rows: Seq[(Long, Timestamp, Long, String, Double)]) =
     rows.toDF("event_id", "ts", "user_id", "event_type", "value")
 
-  private def rows(df: DataFrame): Map[String, (Long, Long, Long)] =
+  private def rows(df: DataFrame): Map[String, (Long, Long, Long, Long)] =
     df.collect().map(r => r.getString(0) ->
-      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
 
   private def batchAnswer(
       evs: Seq[(Long, Timestamp, Long, String, Double)]) =
@@ -51,7 +51,7 @@ class AttributionStreamSpec extends AnyFunSuite {
       toDf(all.filterNot(_._1 == 2L)), 0L, root, Touch, Conv)
     val before = rows(AttributionStream.creditView(spark, root))
     // before the late click, the view alone owns user 1's conversion
-    assert(before("view") == ((2L, 2L, 2000000L)))
+    assert(before("view") == ((2L, 2L, 2000000L, 2000000L)))
     assert(!before.contains("click"))
     // batch 1: the late click lands INSIDE conversion 3's lookback —
     // k goes 1→2 for that conversion, the last touch flips to the
@@ -60,8 +60,8 @@ class AttributionStreamSpec extends AnyFunSuite {
       root, Touch, Conv)
     val after = rows(AttributionStream.creditView(spark, root))
     assert(after == batchAnswer(all), s"got $after")
-    assert(after("click") == ((1L, 1L, 500000L)))
-    assert(after("view") == ((2L, 1L, 1500000L)))
+    assert(after("click") == ((1L, 1L, 500000L, 500000L)))
+    assert(after("view") == ((2L, 1L, 1500000L, 1500000L)))
     // at-least-once replay: re-running batch 1 changes nothing
     AttributionStream.ingestBatch(toDf(all.filter(_._1 == 2L)), 1L,
       root, Touch, Conv)
