@@ -53,6 +53,33 @@ object ExplainAudit {
       else { failed += 1
         println(s"AUDIT $name: $n × $pattern, expected ≤ $max") }
     }
+    /** Diamond-reuse gate: the query's shared subtree must be PERSISTED
+      * and consumed from cache by ≥ `minReads` plan branches — i.e. the
+      * dominant pass executes once, not once per consumer (the
+      * round-10 `weak` class: three bench-top queries paying their
+      * corpus pass twice). Unlike the other audits this one must NOT
+      * clear the cache after construction (the builder's persist()
+      * registers at construction time and planOf's clear would undo
+      * it), so it clears FIRST, then constructs + executes and counts
+      * cached reads in the final adaptive plan.
+      */
+    def auditDiamond(name: String, minReads: Int): Unit = {
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      val df = SparkEntry.queries(name)(spark, d)
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      val n = "InMemoryTableScan|TableCacheQueryStage".r
+        .findAllIn(plan).size
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      if (n >= minReads) println(s"AUDIT $name: OK ($n cached reads)")
+      else { failed += 1
+        println(s"AUDIT $name: $n cached reads, expected ≥ $minReads " +
+          "— a shared subtree lost its persist (diamond rule)") }
+    }
+
     /** `marker` present and no `banned` anywhere BELOW it (tree prints
       * top-down, so "below" = after the marker's line).
       */
@@ -327,6 +354,17 @@ object ExplainAudit {
     // all equi-joins — never a pair product
     auditAtMost("a_source_overlap",
       "CartesianProduct|BroadcastNestedLoopJoin", 0)
+    // diamond-reuse gates (the round-10 weak class): every query whose
+    // dominant corpus pass feeds >1 consumer must read it from cache in
+    // every consuming branch — both self-join sides of the (source, fp)
+    // frame; both the df build and the probe side of the shingle
+    // explode (×2 queries); both anti-join directions of each pairDrift
+    // tier; all three bleuStats consumers of the token-array frame
+    auditDiamond("a_source_overlap", 2)
+    auditDiamond("t_informativeness", 2)
+    auditDiamond("t_ngram_novelty", 2)
+    auditDiamond("a_capped_pair_drift", 4)
+    auditDiamond("a_bleu", 3)
     // hilbert curve expression participates in whole-stage codegen
     audit("r_hilbert_curve", "*(")
     // gap-fill: the calendar grid rides broadcasts (one-row bounds +
@@ -407,9 +445,12 @@ object ExplainAudit {
     // partitioning on source, never a global range sort of the corpus
     audit("a_reliability", "Exchange hashpartitioning(source")
     audit("a_auc", "Exchange hashpartitioning(source")
+    // NB: auditAtMost compiles its pattern as a REGEX — the literal
+    // paren must be escaped (unescaped it throws PatternSyntaxException
+    // and killed the whole audit run from round 10 until caught here)
     auditAtMost("a_reliability",
-      "Exchange rangepartitioning(s_micro", 0)
-    auditAtMost("a_auc", "Exchange rangepartitioning(s_micro", 0)
+      "Exchange rangepartitioning\\(s_micro", 0)
+    auditAtMost("a_auc", "Exchange rangepartitioning\\(s_micro", 0)
     // (s_covariance's aggregate runs at query-construction time — its
     // registered frame is a driver-local relation, so the map-side-
     // partial plan shape is asserted in PcaSpec instead of here)

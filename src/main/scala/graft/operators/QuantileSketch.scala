@@ -46,8 +46,16 @@ object QuantileSketch {
   def sketch(rows: DataFrame, key: Column, value: Column,
       binCents: Long): DataFrame = {
     require(binCents >= 1, s"binCents=$binCents")
+    // FLOOR division (the pmod idiom), not DIV: DIV truncates toward
+    // zero, so for negative cents bin 0 would span (−binCents, +binCents)
+    // — two widths — and bin·binCents would no longer be a lower bound,
+    // breaking the "deterministic under-estimate, error < one bin width"
+    // contract for any negative-valued use. pmod's remainder is always
+    // non-negative, so (c − pmod(c, w)) is the largest multiple of w ≤ c
+    // on both signs; the twin floors the same way explicitly.
     rows.select(key.as("k"), cents(value).as("c"))
-      .select(col("k"), expr(s"c DIV $binCents").as("bin"))
+      .select(col("k"),
+        expr(s"(c - pmod(c, $binCents)) DIV $binCents").as("bin"))
       .groupBy("k", "bin")
       .agg(count(lit(1)).as("n"))
   }
@@ -91,12 +99,17 @@ object QuantileSketch {
 
   val oracles: Map[String, String] = Map(
     "r_quantile_portable" ->
-      """WITH sk AS (
+      """WITH cs AS (
         |  SELECT l_returnflag AS k,
-        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
-        |      // 1000 AS bin,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem),
+        |-- explicit pmod floor: DuckDB's // truncates toward zero on
+        |-- negatives (like Spark's DIV), so both engines floor the same
+        |-- way by subtracting the non-negative remainder first
+        |sk AS (
+        |  SELECT k, (c - ((c % 1000) + 1000) % 1000) // 1000 AS bin,
         |    CAST(count(*) AS BIGINT) AS n
-        |  FROM lineitem GROUP BY 1, 2),
+        |  FROM cs GROUP BY 1, 2),
         |cum AS (
         |  SELECT k, bin, n,
         |    CAST(sum(n) OVER (PARTITION BY k ORDER BY bin) AS BIGINT)

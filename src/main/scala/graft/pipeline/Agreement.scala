@@ -260,9 +260,16 @@ object Agreement {
     * scaladoc above for the scale argument).
     */
   def sourceOverlap(docs: DataFrame): DataFrame = {
+    // the distinct-collapsed (source, fp) frame feeds BOTH sides of the
+    // self-join — lazy persist per the diamond rule ([[pairDrift]]), or
+    // the winnow pass (the engine's most expensive per-token rolling-
+    // hash expression) plus the join+distinct executes twice. The
+    // cached frame is ≤ |distinct fingerprints|·|sources| rows of two
+    // columns — far below the corpus at any scale (DiamondReuseSpec
+    // gates the reuse; the caller/harness owns release).
     val fp = Fingerprints.winnow(docs)
       .join(Tables.spread(docs).select("doc_id", "source"), "doc_id")
-      .select("source", "fp").distinct()
+      .select("source", "fp").distinct().persist()
     fp.select(col("source").as("src_a"), col("fp"))
       .join(fp.select(col("source").as("src_b"), col("fp")), "fp")
       .filter(col("src_a") < col("src_b"))

@@ -51,7 +51,16 @@ object BleuEval {
     // the token-array frame feeds a 3-way diamond (cand counts, ref
     // counts, the base lens) — lazy persist per the repo's diamond rule
     // so the side derivations (the candidate's per-token md5 in the
-    // registered query) run once, not once per consumer
+    // registered query) run once, not once per consumer.
+    // CACHE LIFETIME: the result is lazy, so this function cannot
+    // unpersist without defeating the cache (unlike WordPiece's
+    // in-round persists, which bracket their own actions). The CALLER
+    // owns release once the result is materialized — the repo-wide
+    // diamond contract (DiamondReuseSpec documents and gates it):
+    // Verify clearCache()s after every query, Bench before every
+    // sample, specs via the shared-session teardown. A long-lived
+    // embedder should spark.catalog.clearCache() (or unpersist this
+    // frame by plan) after consuming the result.
     val pairs = pairs0.persist()
     // ONE explode per side covering every n: each row's grams for all
     // n are concatenated as (n, gram) structs, so the side array is

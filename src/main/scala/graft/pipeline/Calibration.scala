@@ -48,7 +48,12 @@ object Calibration {
   def scoredDocs(docs: DataFrame): DataFrame = {
     val h = conv(substring(md5(concat(col("doc_id").cast("string"),
       lit(":cal"))), 1, 5), 16, 10).cast("long")
-    docs.select(col("doc_id"), col("source"),
+    // NULL text would yield NULL ws/s_micro, and the engines ORDER nulls
+    // differently (Spark NULLS FIRST, DuckDB NULLS LAST) — ntile buckets
+    // and row_number ranks would diverge. Filter like BleuEval/WordPiece;
+    // the twin's scoredCtes carries the same WHERE.
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
         TextAnalysis.hashClassifierWeightSum(col("text")).as("ws"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n"),
         h.as("h"))
@@ -148,10 +153,17 @@ object Calibration {
       .crossJoin(broadcast(perItem.agg(count(lit(1)).as("ni"))))
       .select(expr(s"tot * 1000000 DIV (ni * $n)").as("pk"))
       .agg(expr("sum(pk * pk) DIV 1000000").as("pe_micro"))
+    // Unanimous votes make pe_micro exactly 10⁶ and the denominator 0;
+    // Spark's non-ANSI DIV would return NULL while DuckDB's // throws —
+    // an engine divergence, not a matched result. κ is undefined at
+    // P̄e = 1 (no room above chance), so BOTH engines emit NULL
+    // explicitly (the rankAuc one-class discipline).
     pbar.crossJoin(broadcast(pe))
       .select(col("n_items"), col("pbar_micro"), col("pe_micro"),
-        expr("(pbar_micro - pe_micro) * 1000000 DIV " +
-          "(1000000 - pe_micro)").as("kappa_micro"))
+        when(col("pe_micro") < 1000000L,
+          expr("(pbar_micro - pe_micro) * 1000000 DIV " +
+            "(1000000 - pe_micro)"))
+          .otherwise(lit(null).cast("long")).as("kappa_micro"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -184,7 +196,7 @@ object Calibration {
       |    (strpos('0123456789abcdef', substr(h5, 4, 1)) - 1) * 16 +
       |    (strpos('0123456789abcdef', substr(h5, 5, 1)) - 1) AS h
       |  FROM (SELECT *, md5(CAST(doc_id AS VARCHAR) || ':cal') h5
-      |        FROM documents)),
+      |        FROM documents WHERE text IS NOT NULL)),
       |base AS (
       |  SELECT doc_id, source,
       |    -- explicit pmod floor: DuckDB's // truncates toward zero on
@@ -254,8 +266,10 @@ object Calibration {
         |  SELECT CAST(sum(pk * pk) AS BIGINT) // 1000000 AS pe_micro
         |  FROM pk)
         |SELECT n_items, pbar_micro, pe_micro,
-        |  (pbar_micro - pe_micro) * 1000000 // (1000000 - pe_micro)
-        |    AS kappa_micro
+        |  CASE WHEN pe_micro < 1000000
+        |       THEN (pbar_micro - pe_micro) * 1000000
+        |            // (1000000 - pe_micro)
+        |       ELSE NULL END AS kappa_micro
         |FROM pb, pe""".stripMargin),
     "a_auc" -> (scoredCtes +
       """,

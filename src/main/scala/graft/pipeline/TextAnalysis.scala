@@ -283,9 +283,20 @@ object TextAnalysis {
     // (df build, per-doc sum); the df side is a broadcast at any scale
     // where it fits, else a plain equi-join.
     "t_informativeness" -> { (s, d) =>
+      // the exploded (doc_id, ngram) frame feeds BOTH the df build and
+      // the join probe side — lazy persist per the diamond rule
+      // ([[Agreement.pairDrift]]), or the corpus scan + tokenize +
+      // trigram explode runs twice. The frame is shingle-mass-sized
+      // (≈ tokens − 2 per doc), so MEMORY_AND_DISK: partitions that
+      // don't fit executor memory spill to local disk instead of
+      // evicting — at 100 TB that's still strictly cheaper than a
+      // second full scan+explode, and on executor loss lineage recovery
+      // recomputes only the lost partitions (DiamondReuseSpec gates the
+      // reuse; the harness owns release).
       val sh = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), explode(Dedup.shingles(col("text")))
           .as("ngram"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val df_ = sh.groupBy("ngram").agg(count(lit(1)).as("df"))
       sh.join(df_, "ngram")
         .groupBy("doc_id").agg(
@@ -463,8 +474,12 @@ object TextAnalysis {
     // shuffle for min(doc_id), one gram-keyed join back, per-doc
     // aggregate — nothing pairwise, nothing corpus².
     "t_ngram_novelty" -> { (s, d) =>
+      // same (doc_id, gram) diamond as t_informativeness: the explode
+      // feeds both the min(doc_id) aggregate and the probe side — lazy
+      // MEMORY_AND_DISK persist so the dominant corpus pass runs once
       val sh = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val first = sh.groupBy("g").agg(min("doc_id").as("fdoc"))
       sh.join(first, "g")
         .groupBy("doc_id").agg(count(lit(1)).as("n_grams"),

@@ -103,6 +103,48 @@ class AttributionStreamSpec extends AnyFunSuite {
     assert(rows(AttributionStream.creditView(spark, root)) == want)
   }
 
+  test("vacuum crash between live delete and tmp rename loses nothing") {
+    val day = 86400000L
+    val all = Seq(
+      ev(1, 1, 1 * day, "view"),
+      ev(2, 1, 2 * day, "purchase"),       // old: finalized
+      ev(3, 1, 30 * day, "click"),
+      ev(4, 1, 31 * day, "purchase"),      // recent: must SURVIVE the crash
+      ev(5, 2, 29 * day, "view"))
+    val root = Files.createTempDirectory("attrcrash").toString
+    AttributionStream.ingestBatch(toDf(all), 0L, root, Touch, Conv)
+    val want = batchAnswer(all)
+    AttributionStream.vacuum(spark, root, 20 * day * 1000L)
+    assert(rows(AttributionStream.creditView(spark, root)) == want)
+    // Manufacture the exact mid-swap crash state for BOTH tables: the
+    // completed compaction (with its _SUCCESS) sits in <name>.tmp, the
+    // live dir is already deleted, the rename never ran. Before the
+    // recovery rule, a vacuum rerun recomputed kept rows from the empty
+    // live dir and overwrote the tmp with an empty frame — permanently
+    // losing every live conversion and touch.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    for (name <- Seq("conv", "touch")) {
+      val live = new org.apache.hadoop.fs.Path(s"$root/$name")
+      fs.rename(new org.apache.hadoop.fs.Path(s"$root/$name/batch=compacted"),
+        new org.apache.hadoop.fs.Path(s"$root/$name.tmp"))
+      fs.delete(live, true)
+    }
+    // the rerun must install the leftover tmps instead of recomputing
+    AttributionStream.vacuum(spark, root, 20 * day * 1000L)
+    assert(rows(AttributionStream.creditView(spark, root)) == want)
+    val liveTouches = spark.read.parquet(s"$root/touch/batch=compacted")
+      .collect().map(_.getLong(2)).toSet
+    assert(liveTouches == Set(3L, 5L), "live touches survived the crash")
+    // and a PARTIAL leftover tmp (crash mid-write, no _SUCCESS — live
+    // still intact) is discarded, not installed
+    val junk = new org.apache.hadoop.fs.Path(s"$root/touch.tmp/part-junk")
+    val out = fs.create(junk); out.writeBytes("partial"); out.close()
+    AttributionStream.vacuum(spark, root, 20 * day * 1000L)
+    assert(rows(AttributionStream.creditView(spark, root)) == want)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/touch.tmp")))
+  }
+
   test("streaming wiring: foreachBatch reaches the same frame") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val want = rows(EventWindows.attribution(events, Touch, Conv))

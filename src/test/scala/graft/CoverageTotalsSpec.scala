@@ -40,7 +40,7 @@ class CoverageTotalsSpec extends AnyFunSuite {
   }
 
   test("stated ExplainAudit gate count equals the audit calls in source") {
-    val gates = """(?m)^\s+audit(AtMost|NoneBelow)?\("""".r
+    val gates = """(?m)^\s+audit(AtMost|NoneBelow|Diamond)?\("""".r
       .findAllIn(read("src/main/scala/graft/ExplainAudit.scala")).size
     assert(num("""\*\*(\d+) ExplainAudit gates\*\*""") == gates)
   }

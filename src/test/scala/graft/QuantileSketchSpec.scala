@@ -69,6 +69,29 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(sk == Map(1L -> 1L, 0L -> 1L), s"got $sk")
   }
 
+  test("negative values: bins floor, lower bound + width still bracket") {
+    // −0.01 → −1 cents → bin −1 (floor), NOT bin 0: truncation toward
+    // zero would give bin 0 a double width spanning (−Bin, +Bin) and
+    // bin·Bin would exceed the value — the broken lower-bound case.
+    val df = Seq(("n", -0.01), ("n", -10.00), ("n", -9.99), ("n", 0.00))
+      .toDF("k", "v")
+    val sk = QuantileSketch.sketch(df, col("k"), col("v"), Bin)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // cents: −1 → bin −1; −1000 → bin −1 (exact multiple floors to
+    // itself); −999 → bin −1; 0 → bin 0
+    assert(sk == Map(-1L -> 3L, 0L -> 1L), s"got $sk")
+    // the accuracy contract holds on the negative axis too
+    val est = QuantileSketch.quantiles(
+      QuantileSketch.sketch(df, col("k"), col("v"), Bin), Bin, Seq(50, 99))
+      .collect()(0)
+    val sorted = Seq(-1000L, -999L, -1L, 0L)
+    for ((q, i) <- Seq(50, 99).zipWithIndex) {
+      val exact = sorted((q * sorted.length + 99) / 100 - 1)
+      val e = est.getLong(2 + i)
+      assert(e <= exact && exact < e + Bin, s"q$q: estimate $e vs $exact")
+    }
+  }
+
   test("single-row group: every quantile is that row's bin floor") {
     val df = Seq(("z", 12345.67)).toDF("k", "v")
     val q = QuantileSketch.quantiles(
