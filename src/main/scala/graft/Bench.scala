@@ -9,14 +9,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * tail window is printed LAST (build.sbt sets StdoutOutput +
   * showSuccess:=false so no sbt prefix/epilogue breaks last-line parsing).
   *
-  * Sampling: 3 samples per query, MEDIAN reported. The build host has a
-  * wide contention-noise band (trivial scans spike 10-30 s at random) and
-  * the first sample of each machinery family additionally pays one-time
-  * JIT; the median of 3 is robust to one outlier of either kind without
-  * the optimism of min (which hid a real regression behind a lucky
-  * sample). If the median itself is slow (>5 s) one extra sample is taken
-  * and the lower-middle of 4 reported, so a single minute-scale burst
-  * spanning two samples can't define the recorded cost.
+  * Sampling: 3 samples per query, MEDIAN reported, taken in
+  * INTERLEAVED PASSES over the whole registry (pass 1 = sample 1 of
+  * every query, then pass 2, pass 3) rather than back-to-back per
+  * query. The build host has a wide contention-noise band (trivial
+  * scans spike 10-30 s at random; the round-10 driver artifact read
+  * one query at 7.2 s vs 3.0 s minutes apart under identical
+  * methodology) and a minute-scale burst spans several CONSECUTIVE
+  * samples — back-to-back sampling let one burst own all 3 samples of
+  * a query and define its recorded median. Interleaving puts ~the full
+  * sweep length between a query's samples, so a burst lands on at most
+  * one sample of each query it touches and the median discards it.
+  * The first sample of each machinery family additionally pays
+  * one-time JIT; the median of 3 is robust to one outlier of either
+  * kind without the optimism of min (which hid a real regression
+  * behind a lucky sample). If the median itself is slow (>5 s) one
+  * extra sample is taken in a final pass and the lower-middle of 4
+  * reported.
   *
   * Each query also records an 8-hex hash of its canonicalized ANALYZED ⊕
   * OPTIMIZED logical plans, so the next round can tell plan drift from
@@ -70,37 +79,46 @@ object Bench {
     // optional comma-separated subset for fast local iteration; the round
     // driver leaves it unset and benches everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      def sample(): (Boolean, Double) = {
-        // Some builders persist() shared frames, and CacheManager matches
-        // cached plans by canonical form across builder calls — without
-        // this clear, sample 2 (or a later query sharing a cached
-        // subtree) would read materialized cache blocks and report a
-        // cache-read time as the query's cost. Every sample pays the
-        // full cold-cache execution, including materializing its own
-        // persisted frames. SPARK_GRAFT_BENCH_NOCLEAR=1 restores the
-        // round-9 warm-cache sampling for apples-to-apples methodology
-        // comparisons (see SCALING.md's round-10 bench-methodology note)
-        // — diagnostics only, the round driver leaves it unset.
-        if (!sys.env.contains("SPARK_GRAFT_BENCH_NOCLEAR"))
-          try spark.catalog.clearCache() catch { case _: Throwable => () }
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        (ok, (System.nanoTime() - t0) / 1e9)
-      }
-      def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
-      val three = (1 to 3).map(_ => sample())
-      // Contention insurance: if even the median of 3 is slow, buy one
-      // more sample (lower-middle of 4) — bounded extra work, only for
-      // already-slow queries.
-      val samples = three.filter(_._1).map(_._2) match {
-        case s if s.nonEmpty && median(s) > 5.0 => three :+ sample()
-        case _ => three
-      }
+    def sample(fn: (SparkSession, String) => DataFrame)
+        : (Boolean, Double) = {
+      // Some builders persist() shared frames, and CacheManager matches
+      // cached plans by canonical form across builder calls — without
+      // this clear, a later sample (or a later query sharing a cached
+      // subtree) would read materialized cache blocks and report a
+      // cache-read time as the query's cost. Every sample pays the
+      // full cold-cache execution, including materializing its own
+      // persisted frames. SPARK_GRAFT_BENCH_NOCLEAR=1 restores the
+      // round-9 warm-cache sampling for apples-to-apples methodology
+      // comparisons (see SCALING.md's round-10 bench-methodology note)
+      // — diagnostics only, the round driver leaves it unset.
+      if (!sys.env.contains("SPARK_GRAFT_BENCH_NOCLEAR"))
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      (ok, (System.nanoTime() - t0) / 1e9)
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+    // three interleaved passes over the whole registry (see the
+    // sampling note in the scaladoc): a query's samples sit a full
+    // sweep apart, so one contention burst can't own them all
+    val acc = scala.collection.mutable.LinkedHashMap[String,
+      Vector[(Boolean, Double)]](entries.map(_._1 -> Vector.empty): _*)
+    for (_ <- 1 to 3; (name, fn) <- entries)
+      acc(name) = acc(name) :+ sample(fn)
+    // Contention insurance, also as its own pass: if even the median of
+    // 3 is slow, buy one more sample (lower-middle of 4) — bounded
+    // extra work, only for already-slow queries.
+    for ((name, fn) <- entries) {
+      val good = acc(name).filter(_._1).map(_._2)
+      if (good.nonEmpty && median(good) > 5.0)
+        acc(name) = acc(name) :+ sample(fn)
+    }
+    val results = entries.map { case (name, fn) =>
+      val samples = acc(name)
       // median over SUCCESSFUL samples only — a fast failure must not mask
       // a slow success. A query with NO successful sample keeps its worst
       // elapsed AND lands in the "failed" list: an analysis-time throw
@@ -133,11 +151,19 @@ object Bench {
     val plansDigest = java.security.MessageDigest.getInstance("MD5")
       .digest(results.map(_._4).mkString(",").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8)
+    // cache/sampling keys make the methodology machine-readable IN the
+    // artifact (the round-10 lesson: a methodology change without a
+    // bridge marker kills the round-over-round signal for a round) —
+    // cold-cache per-sample clears + interleaved passes are the pinned
+    // methodology from round 11 on
+    val cacheMode =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_NOCLEAR")) "warm" else "cold"
+    val method = s""""cache":"$cacheMode","sampling":"interleaved""""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""plan_hash":$plans,"sample_counts":$counts,"failed":$failed,""" +
-        s""""samples":3,"samples_max":4,"agg":"median","plans_digest":"$plansDigest",""" +
-        s""""sf":"${esc(sfDir)}"}"""
+        s""""samples":3,"samples_max":4,"agg":"median",$method,""" +
+        s""""plans_digest":"$plansDigest","sf":"${esc(sfDir)}"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
@@ -155,7 +181,7 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$top,""" +
         f""""failed":$failed,"n_queries":${results.size},"samples":3,"samples_max":4,""" +
-        f""""agg":"median","plans_digest":"$plansDigest",""" +
+        f""""agg":"median",$method%s,"plans_digest":"$plansDigest",""" +
         f""""queries_full":"${esc(out)}","sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
