@@ -41,6 +41,48 @@ object SparkEntry {
       graft.operators.QuantileSketch.queries ++
       graft.sources.SourceQueries.queries
 
+  /** Machine-readable intent for every registered query that carries NO
+    * oracleSql entry: name → (oracle-green sibling, why no oracle can
+    * exist). The registry is finished BY CONSTRUCTION: CoverageTotalsSpec
+    * asserts this map's key set EQUALS `queries.keySet -- oracleSql
+    * .keySet` and that every named sibling IS oracle-backed, so a future
+    * query registered without either an oracle or an annotation fails
+    * the build instead of shipping as an unexplained no_oracle row.
+    * Verify dumps it as `no_oracle.json` next to `oracle_sql.json` so
+    * the driver-side comparator sees the same contract.
+    */
+  def noOracle: Map[String, (String, String)] = Map(
+    "d_minhash_lsh" -> ("d_minhash_portable",
+      "banded MinHash-LSH candidates depend on the JVM hash seeds; " +
+        "recall vs the exact tier is spec-pinned (FingerprintsSpec), " +
+        "the engine-portable MinHash twin is oracle-green"),
+    "d_simhash" -> ("d_simhash_portable",
+      "SimHash bands over xxhash64 bits are seed-dependent; " +
+        "reference-equality + recall specs pin it, the portable " +
+        "md5-bit twin is oracle-green"),
+    "d_embedding_dup_lsh" -> ("d_embedding_dup",
+      "random-hyperplane LSH buckets are seed-dependent; the spec pins " +
+        "its pairs ⊆ the exact tier's, which is oracle-green"),
+    "s_ann_lsh" -> ("s_ann_bruteforce",
+      "hyperplane-bucketed ANN shortlists are seed-dependent; recall " +
+        "vs the oracle-green brute-force top-k is spec-pinned"),
+    "s_mahalanobis" -> ("s_mahalanobis_diag",
+      "the full-covariance inverse is iterative float linear algebra " +
+        "(engine-divergent at ulp level); the diagonal variant walks " +
+        "the same scoring path and is oracle-green"),
+    "r_approx_distinct" -> ("r_count_distinct",
+      "HLL++ estimates are implementation-defined (Spark's sketch ≠ " +
+        "DuckDB's); the error bound is spec-pinned against the " +
+        "oracle-green exact count"),
+    "t_cms_freq" -> ("t_cms_portable",
+      "Spark's count_min_sketch binary layout/seeds are " +
+        "implementation-defined; the md5-hash portable CMS twin " +
+        "replays the same estimates oracle-green"),
+    "p_quality_gate_approx" -> ("p_quality_gate",
+      "approx_percentile cutoffs are sketch-implementation-defined; " +
+        "the ≥97% keep-set agreement with the exact gate is " +
+        "spec-pinned, the exact gate is oracle-green"))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -65,6 +65,16 @@ object Verify {
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // every intentionally-oracle-less query, with its oracle-green
+    // sibling and the reason — so the comparator side can tell an
+    // annotated scale-path tier from an unexplained coverage hole
+    // (CoverageTotalsSpec enforces the same contract at build time)
+    val noOracleJson = SparkEntry.noOracle
+      .map { case (k, (sib, why)) =>
+        s"${q(k)}: {${q("supersededBy")}: ${q(sib)}, " +
+          s"${q("why")}: ${q(why)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/no_oracle.json"), noOracleJson)
     spark.stop()
   }
 }

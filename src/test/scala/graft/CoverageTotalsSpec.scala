@@ -49,4 +49,18 @@ class CoverageTotalsSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
+
+  test("every no-oracle query is annotated; every annotation is honest") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // exact equality both ways: an unannotated no-oracle query AND a
+    // stale annotation (query since graduated or dropped) both fail
+    assert(SparkEntry.noOracle.keySet == rowsOnly,
+      s"unannotated: ${rowsOnly -- SparkEntry.noOracle.keySet}; " +
+        s"stale: ${SparkEntry.noOracle.keySet -- rowsOnly}")
+    for ((q, (sibling, why)) <- SparkEntry.noOracle) {
+      assert(SparkEntry.oracleSql.contains(sibling),
+        s"$q names sibling $sibling, which is not oracle-backed")
+      assert(why.trim.length >= 20, s"$q: why-note too thin to audit")
+    }
+  }
 }

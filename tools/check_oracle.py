@@ -68,6 +68,32 @@ def main(outdir, sfdir):
             print(f"  spark : {sorted(grows)[bad]}")
             print(f"  oracle: {sorted(orows)[bad]}")
             fail += 1
+    # no-oracle accounting: every query dir Verify wrote that has no
+    # oracle must carry an annotation (supersededBy + why) naming an
+    # oracle-backed sibling — "the registry reads finished by
+    # construction"; an unannotated row is a coverage hole, not a tier.
+    import os
+    try:
+        no_oracle = json.load(open(f"{outdir}/no_oracle.json"))
+    except FileNotFoundError:
+        no_oracle = None
+    if no_oracle is not None:
+        written = {d for d in os.listdir(outdir)
+                   if os.path.isdir(os.path.join(outdir, d))}
+        unannotated = written - set(oracles) - set(no_oracle)
+        stale = {q for q in no_oracle if q in oracles}
+        for q in sorted(unannotated):
+            print(f"FAIL {q}: no oracle and no no_oracle.json annotation")
+            fail += 1
+        for q in sorted(stale):
+            print(f"FAIL {q}: annotated no_oracle but HAS an oracle "
+                  f"(stale annotation)")
+            fail += 1
+        for q, meta in sorted(no_oracle.items()):
+            sib = meta.get("supersededBy")
+            if sib not in oracles:
+                print(f"FAIL {q}: sibling {sib} is not oracle-backed")
+                fail += 1
     print(f"\n{ok} ok, {fail} fail / {ok+fail} total")
     return 1 if fail else 0
 
