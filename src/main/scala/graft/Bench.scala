@@ -126,8 +126,21 @@ object Bench {
       // the round-over-round total.
       val good = samples.filter(_._1).map(_._2)
       val t = if (good.nonEmpty) median(good) else samples.map(_._2).max
-      val ph = try { planHash(fn(spark, sfDir)) }
-        catch { case _: Throwable => "error" }
+      // hash under a CACHE-FREE plan: CacheManager substitutes cached
+      // plans into the optimized tree as InMemoryRelations whose
+      // printed form is RUN-VARIANT (cache-builder/RDD identifiers
+      // survive canonicalization) — measured 37 spuriously-differing
+      // hashes between two identical sweeps, which would bury real
+      // plan drift in noise. Clearing between CONSTRUCTION (where a
+      // builder's own persist() registers) and the lazy optimizedPlan
+      // access leaves nothing to substitute, so the hash covers the
+      // full deterministic tree. The persist still takes effect in the
+      // timed samples — each sample constructs its own frame.
+      val ph = try {
+        val df = fn(spark, sfDir)
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        planHash(df)
+      } catch { case _: Throwable => "error" }
       (name, t, good.nonEmpty, ph, samples.size)
     }
     // escape interpolated strings — a quote/backslash in a query name or
@@ -142,6 +155,15 @@ object Bench {
     val counts = results
       .map { case (k, _, _, _, n) => "\"" + esc(k) + "\":" + n }
       .mkString("{", ",", "}")
+    // raw per-sample seconds in pass order (full file only): the
+    // evidence trail for contention analysis — per-query spread, which
+    // pass a burst landed on — that a median-only artifact can't
+    // carry; a FAILED sample is encoded as its elapsed time negated
+    val raw = results.map { case (k, _, _, _, _) =>
+      "\"" + esc(k) + "\":[" +
+        acc(k).map { case (ok, t) =>
+          (if (ok) "" else "-") + f"$t%.3f" }.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val failed = results
       .collect { case (k, _, false, _, _) => "\"" + esc(k) + "\"" }
       .mkString("[", ",", "]")
@@ -161,7 +183,8 @@ object Bench {
     val method = s""""cache":"$cacheMode","sampling":"interleaved""""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""plan_hash":$plans,"sample_counts":$counts,"failed":$failed,""" +
+        s""""plan_hash":$plans,"sample_counts":$counts,""" +
+        s""""samples_raw":$raw,"failed":$failed,""" +
         s""""samples":3,"samples_max":4,"agg":"median",$method,""" +
         s""""plans_digest":"$plansDigest","sf":"${esc(sfDir)}"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
