@@ -158,15 +158,25 @@ object EventWindows {
     */
   def cohortRetention(events: DataFrame, cohortType: String): DataFrame = {
     val wk = graft.TimeBuckets.epochWeek()
-    val cohorts = events.filter(col("event_type") === cohortType)
-      .groupBy("user_id").agg(min(wk).as("cw"))
-    val active = events.select(col("user_id"), wk.as("wk")).distinct()
+    retentionFrom(
+      events.filter(col("event_type") === cohortType)
+        .groupBy("user_id").agg(min(wk).as("cw")),
+      events.select(col("user_id"), wk.as("wk")).distinct())
+  }
+
+  /** The retention fold shared by the batch operator above and
+    * [[graft.streaming.RetentionStream]]'s cumulative view, so the two
+    * cannot drift: `cohorts` = (user_id, cw) first-cohort week per
+    * user, `active` = DISTINCT (user_id, wk) activity pairs — both are
+    * idempotent-mergeable statistics (min; set union), which is what
+    * makes the streaming twin exact under any batch split.
+    */
+  def retentionFrom(cohorts: DataFrame, active: DataFrame): DataFrame =
     active.join(cohorts, "user_id")
       .filter(col("wk") >= col("cw"))
       .groupBy(col("cw").as("cohort_week"),
         (col("wk") - col("cw")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
-  }
 
   /** Next-event transition counts (first-order Markov structure of the
     * event stream): for each user's ts-ordered events, count
