@@ -184,9 +184,20 @@ object EventWindows {
     * event_id so the lead() is deterministic. One shuffle (user-keyed
     * window), then a #types²-sized aggregate.
     */
-  def transitions(events: DataFrame): DataFrame = {
+  def transitions(events: DataFrame): DataFrame =
+    transitionsFromMicros(events.select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      col("event_type")))
+
+  /** The transition fold shared by the batch operator above and
+    * [[graft.streaming.TransitionsStream]]'s live view, on the
+    * micros-projected frame the stream persists — ordering by
+    * (us, event_id) is ordering by (ts, event_id) exactly (micros are
+    * the timestamp's full precision), so the two cannot drift.
+    */
+  def transitionsFromMicros(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
     events
       .select(col("event_type"),
         lead("event_type", 1).over(w).as("next_type"))

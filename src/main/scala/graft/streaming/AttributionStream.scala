@@ -101,15 +101,12 @@ object AttributionStream {
     // left the survivors ONLY in <name>.tmp — recomputing kept rows
     // from the now-empty live dir would overwrite that tmp with an
     // empty frame and permanently lose every live conversion/touch.
-    // The recovery rule pairs with the write-once finalize below:
-    //  - tmp complete (_SUCCESS): it IS the surviving live table (the
-    //    crashed run's finalize committed before any tmp write began,
-    //    so its folded credits are durable) → finish the crashed swap
-    //    by installing it, whatever state the live dir is in;
-    //  - tmp partial (no _SUCCESS): the crashed run died mid-write,
-    //    BEFORE any delete (writes precede deletes in program order),
-    //    so the live dir is intact → discard the partial tmp.
-    recoverSwap(fs0, root, "conv"); recoverSwap(fs0, root, "touch")
+    // The recovery rule ([[CompactSwap]]) pairs with the write-once
+    // finalize below: a complete tmp implies the finalize committed, so
+    // installing it never loses credits; a partial tmp implies no
+    // delete ran yet, so the live dir is intact and the tmp drops.
+    CompactSwap.recoverSwap(fs0, root, "conv")
+    CompactSwap.recoverSwap(fs0, root, "touch")
     val conv = liveConv(spark, root).persist()
     val touch = liveTouch(spark, root).persist()
     val finalPart =
@@ -135,38 +132,8 @@ object AttributionStream {
     keptConv.write.mode("overwrite").parquet(s"$root/conv.tmp")
     keptTouch.write.mode("overwrite").parquet(s"$root/touch.tmp")
     conv.unpersist(); touch.unpersist()
-    installTmp(fs0, root, "conv"); installTmp(fs0, root, "touch")
-  }
-
-  /** Finish a swap: replace the live dir with the completed `.tmp`
-    * compaction. Not atomic — but every intermediate state is
-    * recoverable by [[recoverSwap]] at the next vacuum start (the tmp
-    * is only deleted by its own rename into place).
-    */
-  private def installTmp(fs: org.apache.hadoop.fs.FileSystem,
-      root: String, name: String): Unit = {
-    val live = new org.apache.hadoop.fs.Path(s"$root/$name")
-    val tmp = new org.apache.hadoop.fs.Path(s"$root/$name.tmp")
-    // a non-numeric partition name can never collide with (or be
-    // clobbered by) a replayed stream batch id
-    val dst = new org.apache.hadoop.fs.Path(s"$root/$name/batch=compacted")
-    fs.delete(live, true)
-    fs.mkdirs(live)
-    fs.rename(tmp, dst)
-  }
-
-  /** Start-of-vacuum crash recovery — see the rule at the vacuum call
-    * site. A complete leftover tmp is installed (never recomputed); a
-    * partial one is discarded (the live dir is still intact).
-    */
-  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
-      root: String, name: String): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(s"$root/$name.tmp")
-    if (fs.exists(tmp)) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
-        installTmp(fs, root, name)
-      else fs.delete(tmp, true)
-    }
+    CompactSwap.installTmp(fs0, root, "conv")
+    CompactSwap.installTmp(fs0, root, "touch")
   }
 
   /** Start the ingest on a streaming events frame. */

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.EventWindows
+import graft.streaming.TransitionsStream
+
+/** The streaming transition-count view must equal the batch
+  * w_transitions frame over the union of everything ingested under ANY
+  * batch split — including a LATE event inserted between two
+  * already-paired events SPLITTING their transition — replay
+  * idempotently, and stay exact across the finalize-then-vacuum
+  * compaction including the cross-horizon transition.
+  */
+class TransitionsStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def ev(id: Long, user: Long, ms: Long, tpe: String) =
+    (id, new Timestamp(ms), user, tpe, 1.0)
+
+  private def toDf(rows: Seq[(Long, Timestamp, Long, String, Double)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  private def rows(df: DataFrame): Map[(String, String), Long] =
+    df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+
+  test("late event inserted between a pair splits their transition") {
+    val hour = 3600000L
+    val all = Seq(
+      ev(1, 1, 1 * hour, "view"),
+      ev(2, 1, 2 * hour, "click"),    // LATE: arrives in batch 1
+      ev(3, 1, 3 * hour, "purchase"),
+      ev(4, 2, 1 * hour, "view"),
+      ev(5, 2, 2 * hour, "view"))
+    val root = Files.createTempDirectory("transtream").toString
+    TransitionsStream.ingestBatch(
+      toDf(all.filterNot(_._1 == 2L)), 0L, root)
+    val before = rows(TransitionsStream.counts(spark, root))
+    assert(before((("view", "purchase"))) == 1L, s"got $before")
+    // the late click lands BETWEEN view@1h and purchase@3h: the
+    // (view → purchase) transition must DISAPPEAR and two new ones
+    // appear — per-transition counters could never take one away
+    TransitionsStream.ingestBatch(toDf(all.filter(_._1 == 2L)), 1L, root)
+    val after = rows(TransitionsStream.counts(spark, root))
+    assert(after == rows(EventWindows.transitions(toDf(all))),
+      s"got $after")
+    assert(!after.contains(("view", "purchase")))
+    assert(after((("view", "click"))) == 1L &&
+      after((("click", "purchase"))) == 1L)
+    // at-least-once replay: re-running batch 1 changes nothing
+    TransitionsStream.ingestBatch(toDf(all.filter(_._1 == 2L)), 1L, root)
+    assert(rows(TransitionsStream.counts(spark, root)) == after)
+  }
+
+  test("3-way split of the fixture corpus equals the batch answer") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val want = rows(EventWindows.transitions(events))
+    val root = Files.createTempDirectory("transcorpus").toString
+    (0 until 3).foreach(i => TransitionsStream.ingestBatch(
+      events.filter(col("event_id") % 3 === i), i.toLong, root))
+    assert(rows(TransitionsStream.counts(spark, root)) == want)
+  }
+
+  test("vacuum finalizes intra-horizon pairs; crossing pair stays live") {
+    val hour = 3600000L
+    val all = Seq(
+      ev(1, 1, 1 * hour, "view"),
+      ev(2, 1, 2 * hour, "click"),     // (view→click) finalized
+      ev(3, 1, 10 * hour, "purchase"), // (click→purchase) CROSSES horizon
+      ev(4, 2, 1 * hour, "view"),      // boundary-only user: no live pair
+      ev(5, 3, 11 * hour, "view"))     // fully post-horizon user
+    val root = Files.createTempDirectory("transvac").toString
+    TransitionsStream.ingestBatch(toDf(all), 0L, root)
+    val want = rows(EventWindows.transitions(toDf(all)))
+    val horizon = 5 * hour * 1000L
+    TransitionsStream.vacuum(spark, root, horizon)
+    assert(rows(TransitionsStream.counts(spark, root)) == want)
+    // the live table physically shrank: post-horizon rows + one
+    // boundary row per pre-horizon user (ids 2 and 4), id 1 dropped
+    val liveIds = spark.read.parquet(s"$root/ev/batch=compacted")
+      .collect().map(_.getLong(2)).toSet
+    assert(liveIds == Set(2L, 3L, 4L, 5L), s"got $liveIds")
+    // idempotent horizon rerun (write-once finalize + recoverable swap)
+    TransitionsStream.vacuum(spark, root, horizon)
+    assert(rows(TransitionsStream.counts(spark, root)) == want)
+    // post-vacuum ingest still composes: a later event for user 2
+    // pairs with their kept boundary row
+    TransitionsStream.ingestBatch(
+      toDf(Seq(ev(6, 2, 12 * hour, "purchase"))), 1L, root)
+    val extended = rows(TransitionsStream.counts(spark, root))
+    assert(extended == rows(EventWindows.transitions(
+      toDf(all :+ ev(6, 2, 12 * hour, "purchase")))))
+  }
+
+  test("streaming wiring: foreachBatch reaches the same frame") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val want = rows(EventWindows.transitions(events))
+    val root = Files.createTempDirectory("transwire").toString
+    val src = s"$root/src"
+    events.write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(
+      spark.read.parquet(src).schema).parquet(src)
+    val q = TransitionsStream.start(stream, s"$root/state", s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    assert(rows(TransitionsStream.counts(spark, s"$root/state")) == want)
+  }
+}
