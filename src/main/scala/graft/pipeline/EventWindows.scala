@@ -225,9 +225,20 @@ object EventWindows {
     * oracle can pin.
     */
   def rollingActiveUsers(events: DataFrame, windowDays: Int): DataFrame = {
-    require(windowDays >= 1, "windowDays must be >= 1")
     val day = graft.TimeBuckets.epochDay()
-    val pairs = events.select(col("user_id"), day.as("day")).distinct()
+    rollingActiveUsersFromPairs(
+      events.select(col("user_id"), day.as("day")).distinct(), windowDays)
+  }
+
+  /** The trailing-window fold shared by the batch operator above and
+    * [[graft.streaming.ActiveUsersStream]]'s cumulative view: `pairs`
+    * is the DISTINCT (user_id, day) activity set — an
+    * idempotent-mergeable statistic (set union), which is what makes
+    * the streaming twin exact under any batch split.
+    */
+  def rollingActiveUsersFromPairs(pairs: DataFrame,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
     val observed = pairs.select(col("day").as("report_day")).distinct()
     pairs
       .select(col("user_id"), explode(
