@@ -99,6 +99,34 @@ class TransitionsStreamSpec extends AnyFunSuite {
       toDf(all :+ ev(6, 2, 12 * hour, "purchase")))))
   }
 
+  test("sequential vacuums at advancing horizons never double-count") {
+    // the subtle law: a transition crossing horizon h1 is NOT finalized
+    // at h1 (second endpoint is post-h1, it stays live via the kept
+    // boundary row) and IS finalized at h2 once both endpoints predate
+    // h2 — exactly once overall. A bug either double-counts it (h1
+    // finalize too eager) or loses it (boundary row not kept).
+    val hour = 3600000L
+    val all = Seq(
+      ev(1, 1, 1 * hour, "view"),
+      ev(2, 1, 2 * hour, "click"),      // (view→click): finalized at h1
+      ev(3, 1, 8 * hour, "purchase"),   // (click→purchase): crosses h1
+      ev(4, 1, 14 * hour, "view"))      // (purchase→view): crosses h2
+    val root = Files.createTempDirectory("transvac2").toString
+    TransitionsStream.ingestBatch(toDf(all), 0L, root)
+    val want = rows(EventWindows.transitions(toDf(all)))
+    val h1 = 5 * hour * 1000L
+    val h2 = 10 * hour * 1000L
+    TransitionsStream.vacuum(spark, root, h1)
+    assert(rows(TransitionsStream.counts(spark, root)) == want)
+    TransitionsStream.vacuum(spark, root, h2)
+    assert(rows(TransitionsStream.counts(spark, root)) == want,
+      "crossing transition finalized exactly once across horizons")
+    // after h2 only the new boundary (purchase@8h) and post-h2 rows live
+    val liveIds = spark.read.parquet(s"$root/ev/batch=compacted")
+      .collect().map(_.getLong(2)).toSet
+    assert(liveIds == Set(3L, 4L), s"got $liveIds")
+  }
+
   test("streaming wiring: foreachBatch reaches the same frame") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val want = rows(EventWindows.transitions(events))
