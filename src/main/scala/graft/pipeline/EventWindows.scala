@@ -421,6 +421,29 @@ object EventWindows {
           col("acc.den").cast("double"), 4).as("ema"))
   }
 
+  /** Adaptive spike flags against the SMOOTHED baseline over an
+    * already-aggregated counts frame — shared verbatim with
+    * [[graft.streaming.GapFillStream.emaAnomalyView]] (the
+    * emaFromCounts sharing discipline): hour flagged when its count
+    * exceeds 3× the previous hour's EMA + 3 — the adaptive twin of
+    * w_anomaly's fixed two-sigma test (the EMA baseline tracks drift,
+    * so a ramp doesn't stay flagged forever; the +3 floor keeps
+    * near-zero baselines from flagging single events; the first grid
+    * hour never flags). Exactness: ema is grid-rounded, 3x+3 is the
+    * same IEEE ops in both engines. The lag/compare runs on the
+    * calendar-sized smoothed frame.
+    */
+  def emaAnomalyFromCounts(counts: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("hour")
+    emaFromCounts(counts, k)
+      .withColumn("ema_prev", lag(col("ema"), 1).over(w))
+      .select(col("event_type"), col("hour"), col("n"),
+        (col("ema_prev").isNotNull &&
+          col("n").cast("double") >
+            lit(3.0) * col("ema_prev") + lit(3.0)).as("flagged"))
+  }
+
   /** CUSUM change-point detection over the gap-filled hourly series
     * (Page 1954 — the sequential test that catches a SUSTAINED rate
     * shift long before any single hour trips a spike test, and the
@@ -518,14 +541,7 @@ object EventWindows {
     // runs on the calendar-sized smoothed frame; exactness: ema is
     // grid-rounded, 3x+3 is the same IEEE ops in both engines
     "w_ema_anomaly" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("event_type").orderBy("hour")
-      emaHourly(Tables.events(s, d))
-        .withColumn("ema_prev", lag(col("ema"), 1).over(w))
-        .select(col("event_type"), col("hour"), col("n"),
-          (col("ema_prev").isNotNull &&
-            col("n").cast("double") >
-              lit(3.0) * col("ema_prev") + lit(3.0)).as("flagged"))
+      emaAnomalyFromCounts(hourlyCounts(Tables.events(s, d)))
         .orderBy("event_type", "hour")
     },
     // tumbling 1-hour windows per event type

@@ -70,6 +70,30 @@ object GapFillStream {
     EventWindows.cusumFromCounts(counts)
   }
 
+  /** The adaptive spike-flag answer — shaped exactly like
+    * `w_ema_anomaly` (same shared-machinery argument as [[emaView]]:
+    * the SAME emaAnomalyFromCounts the batch operator runs, so a late
+    * batch that shifts the smoothed baseline retroactively re-evaluates
+    * flags — exactly the batch answer on the union, the twin contract).
+    */
+  def emaAnomalyView(spark: SparkSession, outPath: String): DataFrame = {
+    val counts = readPartsWithBatch(spark, outPath, -1L, CountSchema)
+      .groupBy("event_type", "h").agg(sum(col("n0")).as("n0"))
+    EventWindows.emaAnomalyFromCounts(counts)
+  }
+
+  /** The two-sided sustained-shift answer — shaped exactly like
+    * `w_cusum_twosided` (same parameterization: k = μ/4, h = 4μ, plus
+    * the mirrored downward test), through the SAME cusumFromCounts.
+    */
+  def cusumTwoSidedView(spark: SparkSession,
+      outPath: String): DataFrame = {
+    val counts = readPartsWithBatch(spark, outPath, -1L, CountSchema)
+      .groupBy("event_type", "h").agg(sum(col("n0")).as("n0"))
+    EventWindows.cusumFromCounts(counts, slackDiv = 4L, hMult = 4L,
+      twoSided = true)
+  }
+
   /** The seasonal hour-of-week answer — shaped exactly like
     * `w_seasonal_anomaly` (slot baselines are series-relative like
     * cusum's μ: a batch adding a new week retroactively re-evaluates

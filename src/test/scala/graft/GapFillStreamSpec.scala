@@ -52,6 +52,22 @@ class GapFillStreamSpec extends AnyFunSuite {
         .sorted.toSeq
     assert(canonSeasonal(GapFillStream.seasonalView(spark, out)) ==
       canonSeasonal(EventWindows.seasonalAnomalies(ev)))
+    // adaptive spike flags — the SAME emaAnomalyFromCounts fold
+    def canonFlag(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("event_type", "hour", "n", "flagged").collect()
+        .map(r => s"${r.getString(0)}|${r.getString(1)}|" +
+          s"${r.getLong(2)}|${r.getBoolean(3)}").sorted.toSeq
+    assert(canonFlag(GapFillStream.emaAnomalyView(spark, out)) ==
+      canonFlag(SparkEntry.queries("w_ema_anomaly")(spark, d)))
+    // two-sided CUSUM — the same (k = μ/4, h = 4μ) parameterization
+    def canonTwo(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("event_type", "hour", "n", "s_micro", "flagged",
+          "lo_micro", "flagged_lo")
+        .collect().map(r => s"${r.getString(0)}|${r.getString(1)}|" +
+          s"${r.getLong(2)}|${r.getLong(3)}|${r.getBoolean(4)}|" +
+          s"${r.getLong(5)}|${r.getBoolean(6)}").sorted.toSeq
+    assert(canonTwo(GapFillStream.cusumTwoSidedView(spark, out)) ==
+      canonTwo(SparkEntry.queries("w_cusum_twosided")(spark, d)))
   }
 
   test("a late batch with OLDER hours extends the grid retroactively; " +
