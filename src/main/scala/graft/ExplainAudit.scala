@@ -365,6 +365,39 @@ object ExplainAudit {
     auditDiamond("t_ngram_novelty", 2)
     auditDiamond("a_capped_pair_drift", 4)
     auditDiamond("a_bleu", 3)
+    // round-12 closures of the same class: the capped posting-list seam
+    // (shingle frame ×3 consumers + drop-adjusted sizes ×2 inside
+    // jaccardPairsFrom/containmentPairsFrom/incrementalJaccardPairs),
+    // the prefix tier's exploded/ordered diamonds, and the two text
+    // queries (tri ×2, tf ×2)
+    auditDiamond("d_ngram_jaccard_capped", 4)
+    auditDiamond("d_containment_dup", 4)
+    auditDiamond("d_incremental_dedup", 4)
+    auditDiamond("d_ngram_jaccard", 2)    // uncapped: sizes feed both joins
+    auditDiamond("d_jaccard_prefix", 4)
+    auditDiamond("t_charngram_langid", 2)
+    auditDiamond("t_tfidf_keywords", 2)
+    // d_dup_clusters takes the driver union-find path at audit scale, so
+    // its FINAL plan is a local relation (the diamond executes in the
+    // pair-production jobs during construction) — gate the pair subquery
+    // it feeds to dupClusters instead, which is the registered tier
+    // d_ngram_jaccard_capped's exact lineage
+    locally {
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      val pairs = graft.pipeline.Dedup.jaccardPairs(
+        Tables.documents(spark, d), 0.8, maxDf = 20)
+      pairs.collect()
+      val plan = pairs.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      val n = "InMemoryTableScan|TableCacheQueryStage".r.findAllIn(plan).size
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      if (n >= 4) println(s"AUDIT d_dup_clusters(pairs): OK ($n cached reads)")
+      else { failed += 1
+        println(s"AUDIT d_dup_clusters(pairs): $n cached reads, " +
+          "expected ≥ 4 — the capped posting-list seam lost its persist") }
+    }
     // hilbert curve expression participates in whole-stage codegen
     audit("r_hilbert_curve", "*(")
     // gap-fill: the calendar grid rides broadcasts (one-row bounds +

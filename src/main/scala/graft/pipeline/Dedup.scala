@@ -110,17 +110,32 @@ object Dedup {
     // in one aggregation buffer — the exact OOM the cap exists to
     // prevent. The hot set is tiny by construction, so the anti-join
     // broadcasts; per-doc drop counts reuse it for the size adjustment.
+    //
+    // DIAMONDS (the round-11 weak class): under a cap the shingle frame
+    // feeds THREE consumers (hot-df count, per-doc drop counts, kept
+    // rows) and the drop-adjusted sizes feed both final pair joins — so
+    // both are lazily persisted here, shingle mass at MEMORY_AND_DISK,
+    // exactly the seam dedupReport already threads (caller/harness owns
+    // release, the registry-builder contract). In the uncapped tier the
+    // shingle frame has ONE consumer, but the sizes frame still feeds
+    // both join sides, so it persists in both branches (doc_id + long —
+    // narrow at any corpus size).
     val (keptRows, sizes) =
-      if (maxDf <= 0) (exploded, rawSizes.withColumnRenamed("n0", "n"))
+      if (maxDf <= 0)
+        (exploded, rawSizes.withColumnRenamed("n0", "n").persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else {
-        val hot = exploded.groupBy("s").agg(count(lit(1)).as("dfc"))
+        val ex = exploded.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hot = ex.groupBy("s").agg(count(lit(1)).as("dfc"))
           .filter(col("dfc") > maxDf).select("s")
-        val drops = exploded.join(hot, Seq("s"))
+        val drops = ex.join(hot, Seq("s"))
           .groupBy("doc_id").agg(count(lit(1)).as("dropped"))
         val szs = rawSizes.join(drops, Seq("doc_id"), "left")
           .select(col("doc_id"),
             (col("n0") - coalesce(col("dropped"), lit(0L))).as("n"))
-        (exploded.join(hot, Seq("s"), "left_anti"), szs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (ex.join(hot, Seq("s"), "left_anti"), szs)
       }
     val inter = keptRows
       .groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
@@ -169,17 +184,24 @@ object Dedup {
   private[pipeline] def containmentPairsFrom(exploded: DataFrame,
       rawSizes: DataFrame, pct: Int, maxDf: Int,
       minShingles: Int): DataFrame = {
+    // same diamond discipline as [[jaccardPairsFrom]]: capped shingle
+    // frame ×3 consumers, sizes ×2 — lazily persisted, caller releases
     val (keptRows, sizes) =
-      if (maxDf <= 0) (exploded, rawSizes.withColumnRenamed("n0", "n"))
+      if (maxDf <= 0)
+        (exploded, rawSizes.withColumnRenamed("n0", "n").persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else {
-        val hot = exploded.groupBy("s").agg(count(lit(1)).as("dfc"))
+        val ex = exploded.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hot = ex.groupBy("s").agg(count(lit(1)).as("dfc"))
           .filter(col("dfc") > maxDf).select("s")
-        val drops = exploded.join(hot, Seq("s"))
+        val drops = ex.join(hot, Seq("s"))
           .groupBy("doc_id").agg(count(lit(1)).as("dropped"))
         val szs = rawSizes.join(drops, Seq("doc_id"), "left")
           .select(col("doc_id"),
             (col("n0") - coalesce(col("dropped"), lit(0L))).as("n"))
-        (exploded.join(hot, Seq("s"), "left_anti"), szs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (ex.join(hot, Seq("s"), "left_anti"), szs)
       }
     // enumerate each UNORDERED pair once (half the shuffle of emitting
     // both directions through the heavy groupBy), then test containment
@@ -247,8 +269,14 @@ object Dedup {
         "0 < t <= 1 (t = 0 degenerates to all-pairs)")
     def safeCeil(x: Column): Column = ceil(x - lit(1e-9))
     val spreadDocs = graft.Tables.spread(docs)
+    // diamond persists: the shingle frame feeds the df count AND the
+    // ordering join; the ordered per-doc arrays feed the prefix explode
+    // AND both full-set verification joins — without the caches the
+    // dominant explode runs twice and the doc-sized sort-aggregate three
+    // times (the round-11 weak class; caller/harness owns release)
     val exploded = spreadDocs
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = exploded.groupBy("s").agg(count(lit(1)).as("dfc"))
     // per-doc shingles sorted by the global (df, hash) order; struct
     // sort is lexicographic by field position, and the hash tiebreak
@@ -259,6 +287,7 @@ object Dedup {
       .select(col("doc_id"),
         transform(col("p"), x => x.getField("s")).as("os"),
         size(col("p")).cast("long").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixes = ordered.select(col("doc_id"), col("n"),
       explode(slice(col("os"), lit(1),
         (col("n") - safeCeil(lit(threshold) * col("n")) + 1)
@@ -304,18 +333,24 @@ object Dedup {
       size(shingleHashes(col("text"))).cast("long").as("n0"))
     // df FIRST, hot rows dropped BEFORE collect_list — same memory-bound
     // rationale as jaccardPairs: a hot shingle's posting list must never
-    // materialize in an aggregation buffer just to be discarded
+    // materialize in an aggregation buffer just to be discarded. Same
+    // diamond persists too (capped shingle frame ×3, sizes ×2).
     val (keptRows, sizes) =
-      if (maxDf <= 0) (exploded, rawSizes.withColumnRenamed("n0", "n"))
+      if (maxDf <= 0)
+        (exploded, rawSizes.withColumnRenamed("n0", "n").persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else {
-        val hot = exploded.groupBy("s").agg(count(lit(1)).as("dfc"))
+        val ex = exploded.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hot = ex.groupBy("s").agg(count(lit(1)).as("dfc"))
           .filter(col("dfc") > maxDf).select("s")
-        val drops = exploded.join(hot, Seq("s"))
+        val drops = ex.join(hot, Seq("s"))
           .groupBy("doc_id").agg(count(lit(1)).as("dropped"))
         val szs = rawSizes.join(drops, Seq("doc_id"), "left")
           .select(col("doc_id"),
             (col("n0") - coalesce(col("dropped"), lit(0L))).as("n"))
-        (exploded.join(hot, Seq("s"), "left_anti"), szs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (ex.join(hot, Seq("s"), "left_anti"), szs)
       }
     val inter = keptRows
       .groupBy("s").agg(

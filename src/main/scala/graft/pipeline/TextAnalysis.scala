@@ -451,7 +451,11 @@ object TextAnalysis {
     "t_tfidf_keywords" -> { (s, d) =>
       val toks = Tables.spread(Tables.documents(s, d))
         .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      // tf feeds BOTH the source-df aggregation and the scoring join —
+      // lazy persist per the diamond rule, or the token explode + first
+      // groupBy runs twice (vocabulary×sources rows, so default level)
       val tf = toks.groupBy("source", "word").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // tf rows are distinct (source, word) ⇒ count per word = source-df
       val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
       val nSrc = Tables.documents(s, d)
@@ -508,8 +512,13 @@ object TextAnalysis {
         transform(sequence(lit(1), length(col("text")) - 2),
           i => col("text").substr(i, lit(3))))
         .otherwise(array().cast("array<string>"))
+      // tri — the full char-trigram explode of the corpus — feeds BOTH
+      // the profile aggregation and the scoring side: lazy
+      // MEMORY_AND_DISK persist per the diamond rule, or the dominant
+      // explode runs twice (the round-11 weak pair; harness releases)
       val tri = docs.select(col("doc_id"), col("lang"),
         explode(grams).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lc = tri.groupBy("lang", "g").agg(count(lit(1)).as("n"))
       val prof = graft.plans.TopKPerKey.topKPerKey(lc,
         Seq("lang"), Seq(("n", true), ("g", false)), 20)

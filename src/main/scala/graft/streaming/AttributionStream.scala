@@ -94,8 +94,10 @@ object AttributionStream {
     */
   def vacuum(spark: SparkSession, root: String, horizonUs: Long,
       lookbackUs: Long = 604800000000L): Unit = {
-    val fs0 = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // FS derived from the ROOT path, not fs.defaultFS — a sink root on
+    // a different scheme would make every exists/create fail Wrong-FS
+    val fs0 = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // CRASH RECOVERY (must run before anything reads the live dirs): a
     // vacuum that died between its live-dir delete and the tmp rename
     // left the survivors ONLY in <name>.tmp — recomputing kept rows
@@ -120,8 +122,13 @@ object AttributionStream {
     // documented non-atomic window of the compaction contract. (That
     // window is the ONLY exposure: events can never be LOST to a crash
     // — [[recoverSwap]] above installs a complete leftover compaction
-    // instead of recomputing it from a half-swapped live dir.)
-    if (!fs0.exists(finalPart)) {
+    // instead of recomputing it from a half-swapped live dir.) The gate
+    // checks COMPLETENESS (_SUCCESS), not dir existence: a crash
+    // mid-finalize leaves a partial dir, and treating it as committed
+    // would drop the pre-horizon rows with their credits lost forever;
+    // overwrite mode replaces the partial dir on the rerun.
+    if (!fs0.exists(
+        new org.apache.hadoop.fs.Path(finalPart, "_SUCCESS"))) {
       val old = conv.filter(col("cus") < horizonUs)
       EventWindows.attributionFromMicros(old, touch, lookbackUs)
         .write.mode("overwrite").parquet(finalPart.toString)

@@ -230,53 +230,15 @@ object BoilerplateStream {
     * make the replay exclude ALL history. Folding only the
     * strictly-older (necessarily committed) parts keeps replay exact.
     *
-    * Crash-safe via a marker protocol, per state dir: the merged copy
-    * is fully written to `<sub>.tmp/batch=<foldId>` first; only then is
-    * a `<sub>.SWAP` marker created, the folded source partitions
-    * (id <= foldId) deleted, the merged partition renamed in, and the
-    * marker removed. Re-running compact after a crash at any boundary
-    * either completes the swap (marker present: tmp is authoritative)
-    * or discards the incomplete tmp (no marker).
+    * Crash-safe via the shared [[CompactSwap.foldCompact]] `.SWAP`-
+    * marker protocol, per state dir (crash-boundary matrix spec'd in
+    * BoilerplateStreamSpec against the shared utility).
     */
   def compact(spark: SparkSession, indexPath: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    def path(s: String) = new org.apache.hadoop.fs.Path(s)
-    val fs = path(indexPath).getFileSystem(conf)
     def idOf(p: String) = p.split("batch=").last.toLong
 
-    def finishSwap(live: String, tmp: String,
-        marker: org.apache.hadoop.fs.Path): Unit = {
-      val tmpParts = parts(spark, tmp, -1L)
-      if (tmpParts.isEmpty) { // crashed between rename and marker delete
-        fs.delete(marker, false)
-        if (fs.exists(path(tmp))) fs.delete(path(tmp), true)
-        return
-      }
-      val mergedPart = tmpParts.head
-      val foldId = idOf(mergedPart)
-      parts(spark, live, -1L).filter(idOf(_) <= foldId)
-        .foreach(p => fs.delete(path(p), true))
-      fs.rename(path(mergedPart), path(s"$live/batch=$foldId"))
-      fs.delete(marker, false)
-      fs.delete(path(tmp), true)
-    }
-
-    def swap(sub: String)(merged: Seq[String] => DataFrame): Unit = {
-      val live = s"$indexPath/$sub"
-      val tmp = s"$indexPath/$sub.tmp"
-      val marker = path(s"$indexPath/$sub.SWAP")
-      if (fs.exists(marker)) { finishSwap(live, tmp, marker); return }
-      if (fs.exists(path(tmp))) fs.delete(path(tmp), true) // half-write
-      val ps = parts(spark, live, -1L)
-      if (ps.size < 3) return // nothing worth folding below the newest
-      val lastId = ps.map(idOf).max
-      val fold = ps.filter(idOf(_) < lastId)
-      val foldId = fold.map(idOf).max
-      merged(fold).localCheckpoint(true)
-        .write.mode("overwrite").parquet(s"$tmp/batch=$foldId")
-      fs.create(marker, true).close()
-      finishSwap(live, tmp, marker)
-    }
+    def swap(sub: String)(merged: Seq[String] => DataFrame): Unit =
+      CompactSwap.foldCompact(spark, s"$indexPath/$sub")(merged)
 
     swap("counts") { ps =>
       spark.read.parquet(ps: _*).select("source", "g", "dc")

@@ -34,9 +34,13 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField,
   *
   * Crash matrix (single writer — foreachBatch serializes batches):
   * die before data completes → orphan uncommitted dir, replay
-  * overwrites it; die between data and marker → same; die after
-  * marker but before the STREAM checkpoint commits → replay hits the
-  * fence and no-ops. Every path converges to the same table
+  * overwrites it; die between data and marker → same; die MID-MARKER
+  * write → only `_commit.tmp` exists (the marker is tmp+rename, so a
+  * visible `_commit` is always complete), version stays uncommitted,
+  * replay overwrites — and even a corrupt `_commit` reads as
+  * uncommitted instead of bricking the sink; die after the rename but
+  * before the STREAM checkpoint commits → replay hits the fence and
+  * no-ops. Every path converges to the same table
   * (ExactlyOnceSinkSpec replays each).
   *
   * Scale shape: the merge is one `union` + map-side-combined
@@ -50,33 +54,48 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField,
   * [[vacuum]] bounds the version history.
   */
 object ExactlyOnceSink {
+  // k is a STRING — Kinesis partition keys are strings (SURVEY §1.1);
+  // the checkpoint-analog demo casts its long user ids through
   private val SinkSchema = StructType(Seq(
-    StructField("k", LongType), StructField("v", StringType),
+    StructField("k", StringType), StructField("v", StringType),
     StructField("seq", LongType)))
 
-  private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  // FS derived from the sink ROOT's scheme, not fs.defaultFS — a root
+  // on a different filesystem would fail every exists/create Wrong-FS
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The marker's recorded batch id, or None when the marker is
+    * unreadable or unparsable. The marker is written via tmp+rename
+    * (atomic), so an empty/truncated `_commit` should be impossible —
+    * but a version whose marker can't be parsed must read as
+    * UNCOMMITTED, not brick the sink: counting it committed with a
+    * garbage fence would throw on every subsequent table()/applyBatch()
+    * call forever (the round-11 advice finding).
+    */
+  private def markerBatchId(f: FileSystem, root: String,
+      n: Long): Option[Long] =
+    try {
+      val in = f.open(new Path(s"$root/v=$n/_commit"))
+      val s = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      Some(s.toLong)
+    } catch { case _: Exception => None }
 
   /** (version, appliedBatchId) of the newest COMMITTED version;
-    * (0, −1) for an empty sink. Uncommitted dirs are invisible.
+    * (0, −1) for an empty sink. Uncommitted dirs — including dirs whose
+    * marker exists but is unreadable/unparsable — are invisible.
     */
   def latestCommitted(spark: SparkSession, root: String): (Long, Long) = {
-    val f = fs(spark)
+    val f = fs(spark, root)
     val dir = new Path(root)
     if (!f.exists(dir)) return (0L, -1L)
     val committed = f.listStatus(dir).toSeq
       .map(_.getPath.getName)
       .filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toLong)
-      .filter(n => f.exists(new Path(s"$root/v=$n/_commit")))
-    if (committed.isEmpty) (0L, -1L)
-    else {
-      val n = committed.max
-      val in = f.open(new Path(s"$root/v=$n/_commit"))
-      val id = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-        finally in.close()
-      (n, id)
-    }
+      .flatMap(n => markerBatchId(f, root, n).map(id => (n, id)))
+    if (committed.isEmpty) (0L, -1L) else committed.maxBy(_._1)
   }
 
   /** The current committed sink table — (k, v, seq). */
@@ -104,10 +123,26 @@ object ExactlyOnceSink {
       .agg(max_by(col("v"), col("seq")).as("v"), max(col("seq")).as("seq"))
     // overwrite: a crashed earlier attempt at this version is replaced
     merged.write.mode("overwrite").parquet(s"$root/v=${n + 1}/data")
-    // THE commit point: marker present ⇒ version readable ∧ fence moved
-    val out = fs(spark).create(
-      new Path(s"$root/v=${n + 1}/_commit"), true)
+    // THE commit point: marker present ⇒ version readable ∧ fence
+    // moved. Written ATOMICALLY via tmp + rename (the CompactSwap
+    // primitive): fs.create makes a path visible before its bytes are
+    // durable, so a crash mid-write would otherwise leave an
+    // empty/truncated marker that looked committed (crash-matrix row:
+    // die mid-marker-write → tmp only, version stays uncommitted,
+    // replay overwrites; die between rename and stream checkpoint →
+    // fence catches the replay, same as die-after-marker).
+    val f = fs(spark, root)
+    val tmp = new Path(s"$root/v=${n + 1}/_commit.tmp")
+    val out = f.create(tmp, true)
     try out.writeBytes(s"$batchId\n") finally out.close()
+    val marker = new Path(s"$root/v=${n + 1}/_commit")
+    // any marker already at n+1 is CORRUPT by construction (a valid one
+    // would have made latestCommitted pick n+1 as the fence) — clear it
+    // or the rename would fail and re-strand the version
+    if (f.exists(marker)) f.delete(marker, false)
+    if (!f.rename(tmp, marker))
+      throw new java.io.IOException(
+        s"commit rename failed for $marker — version left uncommitted")
   }
 
   /** Drop every version below the newest committed one — the retention
@@ -115,7 +150,7 @@ object ExactlyOnceSink {
     * between batches (foreachBatch serializes the single writer).
     */
   def vacuum(spark: SparkSession, root: String): Unit = {
-    val f = fs(spark)
+    val f = fs(spark, root)
     val (keep, _) = latestCommitted(spark, root)
     if (!f.exists(new Path(root))) return
     f.listStatus(new Path(root)).toSeq.map(_.getPath)
@@ -130,7 +165,7 @@ object ExactlyOnceSink {
   def start(events: DataFrame, root: String,
       checkpoint: String): StreamingQuery = {
     val body: (DataFrame, Long) => Unit = (b, id) =>
-      applyBatch(b.select(col("user_id").as("k"),
+      applyBatch(b.select(col("user_id").cast("string").as("k"),
         col("event_type").as("v"), col("event_id").as("seq")), id, root)
     events.writeStream
       .foreachBatch(body)

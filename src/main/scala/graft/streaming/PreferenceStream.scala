@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
   StructField, StructType, TimestampType}
 
 import graft.pipeline.Preference
-import graft.streaming.IncrementalDedupStream.{parts, readPartsWithBatch}
+import graft.streaming.IncrementalDedupStream.readPartsWithBatch
 
 /** Streaming twin of `p_preference_pairs` / `p_preference_rank` — the
   * pairwise-preference aggregates maintained as comparison events
@@ -113,46 +113,12 @@ object PreferenceStream {
     * id a replay would reuse — folding it would make replay exclude
     * history; strictly-older parts are necessarily committed). Lossless
     * for every view by the k-smallest merge law. Crash-safe via the
-    * BoilerplateStream marker protocol: merged copy fully written to
-    * `.tmp/batch=<foldId>` first, then a `.SWAP` marker, then folded
-    * sources deleted, merged renamed in, marker removed — re-running
-    * after a crash at any boundary completes or cleanly discards.
+    * shared [[CompactSwap.foldCompact]] `.SWAP`-marker protocol
+    * (crash-boundary matrix spec'd in PreferenceStreamSpec against the
+    * shared utility).
     */
-  def compact(spark: SparkSession, outPath: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    def path(s: String) = new org.apache.hadoop.fs.Path(s)
-    val fs = path(outPath).getFileSystem(conf)
-    def idOf(p: String) = p.split("batch=").last.toLong
-    val tmp = outPath + ".tmp"
-    val marker = path(outPath + ".SWAP")
-
-    def finishSwap(): Unit = {
-      val tmpParts = parts(spark, tmp, -1L)
-      if (tmpParts.isEmpty) { // crashed between rename and marker delete
-        fs.delete(marker, false)
-        if (fs.exists(path(tmp))) fs.delete(path(tmp), true)
-        return
-      }
-      val mergedPart = tmpParts.head
-      val foldId = idOf(mergedPart)
-      parts(spark, outPath, -1L).filter(idOf(_) <= foldId)
-        .foreach(p => fs.delete(path(p), true))
-      fs.rename(path(mergedPart), path(s"$outPath/batch=$foldId"))
-      fs.delete(marker, false)
-      fs.delete(path(tmp), true)
+  def compact(spark: SparkSession, outPath: String): Unit =
+    CompactSwap.foldCompact(spark, outPath) { fold =>
+      capPerGroup(spark.read.schema(EvSchema).parquet(fold: _*))
     }
-
-    if (fs.exists(marker)) { finishSwap(); return }
-    if (fs.exists(path(tmp))) fs.delete(path(tmp), true) // half-write
-    val ps = parts(spark, outPath, -1L)
-    if (ps.size < 3) return // nothing worth folding below the newest
-    val lastId = ps.map(idOf).max
-    val fold = ps.filter(idOf(_) < lastId)
-    val foldId = fold.map(idOf).max
-    val merged = capPerGroup(
-      spark.read.schema(EvSchema).parquet(fold: _*)).localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(s"$tmp/batch=$foldId")
-    fs.create(marker, true).close()
-    finishSwap()
-  }
 }

@@ -75,6 +75,46 @@ trait MessageHandler extends Serializable {
       messageText: String, partitionKey: String): Boolean
 }
 
+/** The K2 delivery boundary as ONE selectable trait: each micro-batch
+  * of the record pipeline (with its `__pass` filter verdicts) is handed
+  * here. Two implementations ship:
+  *
+  *  - [[QueueRuntime.HandlerDispatch]] — the reference's contract:
+  *    per-record handler dispatch, at-least-once (a crash between
+  *    handler success and offset commit redelivers; the handler owns
+  *    idempotence, `KinesisThreadJobs.cs:404-408`);
+  *  - [[ExactlyOnceDelivery]] — the upgrade: passing records fold into
+  *    an [[ExactlyOnceSink]] versioned latest-wins table keyed by
+  *    partitionKey; the sink's replay fence absorbs redelivered
+  *    batches, so the observable table is exactly-once.
+  */
+trait DeliverySink extends Serializable {
+  /** Fold one micro-batch (pipeline schema incl. `__pass`); `batchId`
+    * is the foreachBatch id (monotone per checkpoint lineage).
+    */
+  def applyBatch(batch: DataFrame, batchId: Long): Unit
+}
+
+/** Exactly-once K2 delivery: passing records fold into the versioned
+  * latest-wins table at `root` — (k = partitionKey, v = messageText,
+  * seq = numeric sequence). Sequence numbers must parse as longs (true
+  * of every fixture and of [[QueueRuntime.push]]'s ids; real Kinesis
+  * ~56-digit sequence numbers would order through a (length, lex)
+  * struct instead — documented, not needed for the demo corpus).
+  * Filtered records leave no trace here; the queue-visible checkpoint
+  * table is the sink itself (latest seq per key), so there is no
+  * separate commit that could disagree with the data.
+  */
+final class ExactlyOnceDelivery(root: String) extends DeliverySink {
+  override def applyBatch(batch: DataFrame, batchId: Long): Unit =
+    ExactlyOnceSink.applyBatch(
+      batch.filter(col("__pass")).select(
+        col("partitionKey").as("k"),
+        col("messageText").as("v"),
+        col("messageId").cast("long").as("seq")),
+      batchId, root)
+}
+
 final class QueueRuntime(
     spark: SparkSession,
     queue: QueueConfig,
@@ -118,56 +158,76 @@ final class QueueRuntime(
       pred.as("__pass"))
   }
 
+  /** The reference's K2 dispatch as a [[DeliverySink]] (at-least-once):
+    * per-shard ordered serial dispatch + checkpoint-after-batch.
+    */
+  final class HandlerDispatch(handler: MessageHandler)
+      extends DeliverySink {
+    override def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+      // Per-shard ordered, serial processing (ST7): group a batch by
+      // partitionKey on the executors, dispatch each key's PASSING
+      // records in sequence order, record the last fetched sequence per
+      // key (TJ:404-408: filtered records advance the checkpoint too).
+      // The handler is copied to a LOCAL before the closure: referencing
+      // the field would drag `this` (and its $outer runtime, with its
+      // SparkSession) into the serialized task.
+      val h = handler
+      import batch.sparkSession.implicits._
+      val results = batch
+        .select(col("messageId"), col("messageBody"), col("messageText"),
+          col("partitionKey"), col("__pass"))
+        .as[(String, Array[Byte], String, String, Boolean)]
+        .groupByKey(_._4)
+        .mapGroups { (key, it) =>
+          var last: String = null
+          var n = 0L
+          var dropped = 0L
+          // Kinesis sequence numbers are decimal strings that grow in
+          // numeric value; order numerically via (length, lexicographic)
+          it.toSeq.sortBy(r => (r._1.length, r._1)).foreach { r =>
+            if (r._5) {
+              if (!h.process(r._1, r._2, r._3, r._4))
+                throw new RuntimeException( // K2 failure ⇒ batch retry
+                  s"Failed to process message: ${r._1}")
+              n += 1
+            } else dropped += 1
+            last = r._1
+          }
+          (key, last, n, dropped)
+        }.collect()
+      // handler succeeded for the whole batch ⇒ advance the
+      // queue-visible checkpoints (commit-after-process = at-least-once)
+      results.foreach { case (key, last, n, dropped) =>
+        if (last != null)
+          store.saveCheckpoint(queue.streamName, queueId, key, last)
+        delivered.addAndGet(n)
+        filtered.addAndGet(dropped)
+      }
+    }
+  }
+
   /** Start consuming. Handler runs per record, per partitionKey in
     * sequence order (ST7); checkpoint sequence is saved after each
     * partition's batch slice succeeds (ST1), exactly like
     * `SaveCheckpoint(records.Last())`.
     */
   def start(source: RecordSource, handler: MessageHandler,
+      checkpointLocation: String): StreamingQuery =
+    start(source, new HandlerDispatch(handler), checkpointLocation)
+
+  /** Start consuming into any [[DeliverySink]] — the one trait behind
+    * which the reference's at-least-once dispatch and the exactly-once
+    * table upgrade are selectable.
+    */
+  def start(source: RecordSource, sink: DeliverySink,
       checkpointLocation: String): StreamingQuery = {
-    val streamName = queue.streamName
-    val qid = queueId
-    val st = store
     val q = pipelineWithVerdict(source.stream(spark).toDF())
       .writeStream
       .option("checkpointLocation", checkpointLocation)
       .trigger(Trigger.ProcessingTime(
         s"${queue.shardBatchWaitTime} seconds")) // ST9 pacing
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // Per-shard ordered, serial processing (ST7): group a batch by
-        // partitionKey on the executors, dispatch each key's PASSING
-        // records in sequence order, record the last fetched sequence per
-        // key (TJ:404-408: filtered records advance the checkpoint too).
-        import batch.sparkSession.implicits._
-        val results = batch
-          .select(col("messageId"), col("messageBody"), col("messageText"),
-            col("partitionKey"), col("__pass"))
-          .as[(String, Array[Byte], String, String, Boolean)]
-          .groupByKey(_._4)
-          .mapGroups { (key, it) =>
-            var last: String = null
-            var n = 0L
-            var dropped = 0L
-            // Kinesis sequence numbers are decimal strings that grow in
-            // numeric value; order numerically via (length, lexicographic)
-            it.toSeq.sortBy(r => (r._1.length, r._1)).foreach { r =>
-              if (r._5) {
-                if (!handler.process(r._1, r._2, r._3, r._4))
-                  throw new RuntimeException( // K2 failure ⇒ batch retry
-                    s"Failed to process message: ${r._1}")
-                n += 1
-              } else dropped += 1
-              last = r._1
-            }
-            (key, last, n, dropped)
-          }.collect()
-        // handler succeeded for the whole batch ⇒ advance the
-        // queue-visible checkpoints (commit-after-process = at-least-once)
-        results.foreach { case (key, last, n, dropped) =>
-          if (last != null) st.saveCheckpoint(streamName, qid, key, last)
-          delivered.addAndGet(n)
-          filtered.addAndGet(dropped)
-        }
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink.applyBatch(batch, id)
       }
       .start()
     query = Some(q)

@@ -81,8 +81,10 @@ object TransitionsStream {
     * the swap crash-recoverable.
     */
   def vacuum(spark: SparkSession, root: String, horizonUs: Long): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // FS derived from the ROOT path, not fs.defaultFS — a sink root on
+    // a different scheme would make every exists/create fail Wrong-FS
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     CompactSwap.recoverSwap(fs, root, "ev")
     val ev = liveEv(spark, root).persist()
     val pre = ev.filter(col("us") < horizonUs)
@@ -91,8 +93,15 @@ object TransitionsStream {
     // transitions among pre-horizon events only — the lead() over the
     // pre slice pairs within it, so the crossing pair (whose second
     // endpoint is post-horizon) is NOT finalized; it stays live via
-    // the kept boundary row below
-    if (!fs.exists(finalPart))
+    // the kept boundary row below.
+    // Write-once gates on COMPLETENESS (_SUCCESS), not dir existence: a
+    // crash mid-finalize leaves the dir present but partial, and
+    // skipping the rerun's finalize would then compact away the
+    // pre-horizon rows with the finalized counts lost forever (the
+    // "never LOST to a crash" contract). Overwrite mode replaces a
+    // partial dir; a complete finalize still short-circuits.
+    if (!fs.exists(
+        new org.apache.hadoop.fs.Path(finalPart, "_SUCCESS")))
       EventWindows.transitionsFromMicros(pre)
         .write.mode("overwrite").parquet(finalPart.toString)
     val boundary = pre

@@ -103,6 +103,36 @@ class AttributionStreamSpec extends AnyFunSuite {
     assert(rows(AttributionStream.creditView(spark, root)) == want)
   }
 
+  test("crash mid-finalize (partial dir, no _SUCCESS): rerun redoes the " +
+      "finalize instead of treating the partial dir as committed") {
+    val day = 86400000L
+    val all = Seq(
+      ev(1, 1, 1 * day, "view"),
+      ev(2, 1, 2 * day, "purchase"),       // old: must still finalize
+      ev(3, 1, 30 * day, "click"),
+      ev(4, 1, 31 * day, "purchase"))
+    val root = Files.createTempDirectory("attrpartial").toString
+    AttributionStream.ingestBatch(toDf(all), 0L, root, Touch, Conv)
+    val want = batchAnswer(all)
+    val horizon = 20 * day * 1000L
+    // manufacture the crash: the finalize dir for this horizon exists
+    // but the writer died mid-parquet-write (no _SUCCESS). The old
+    // existence-gate would skip the finalize, then compact away the
+    // pre-horizon rows — conversion 2's credits permanently lost.
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$root/final/batch=$horizon/_temporary"))
+    AttributionStream.vacuum(spark, root, horizon)
+    assert(rows(AttributionStream.creditView(spark, root)) == want,
+      "partial finalize dir was treated as committed — credits lost")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/final/batch=$horizon/_SUCCESS")))
+    // and a COMPLETE finalize still short-circuits the rerun
+    AttributionStream.vacuum(spark, root, horizon)
+    assert(rows(AttributionStream.creditView(spark, root)) == want)
+  }
+
   test("vacuum crash between live delete and tmp rename loses nothing") {
     val day = 86400000L
     val all = Seq(

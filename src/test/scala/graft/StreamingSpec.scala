@@ -102,6 +102,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(rt.filteredCount == 1) // the k-missing record on shardB
   }
 
+  test("exactly-once K2 sink behind the runtime: full stream replay " +
+      "leaves the sink table byte-identical") {
+    val dir = Files.createTempDirectory("graft-xstream").toString
+    val sinkRoot = Files.createTempDirectory("graft-xsink").toString
+    val ckpt1 = Files.createTempDirectory("graft-xckpt1").toString
+    writeBatch(dir, Seq(
+      rec("shardA", 9, """{"k": 1}"""), rec("shardA", 10, """{"k": 2}"""),
+      rec("shardB", 5, """{"k": 4}"""),
+      rec("shardB", 6, """{"nope": 1}"""))) // filtered: no trace in sink
+    def runOnce(ckpt: String): Unit = {
+      val rt = new QueueRuntime(spark, newQueue(FilterSpec(Seq(
+        PayloadFilter("k", FilterVerbs.GreaterThanOrEqual, "1")))))
+      val q = rt.start(new FileRecordSource(dir),
+        new ExactlyOnceDelivery(sinkRoot), ckpt)
+      try q.processAllAvailable() finally rt.stop()
+    }
+    runOnce(ckpt1)
+    def table() = ExactlyOnceSink.table(spark, sinkRoot).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = table()
+    // latest passing record per key won (k-missing shardB/6 filtered out)
+    assert(want.map(t => (t._1, t._3)) ==
+      Set(("shardA", 10L), ("shardB", 5L)))
+    val fence = ExactlyOnceSink.latestCommitted(spark, sinkRoot)
+    // the crash-after-sink-commit-before-stream-checkpoint shape, at its
+    // WORST: the entire stream checkpoint is lost, so a restart replays
+    // EVERY batch from scratch — the sink's replay fence must absorb
+    // them all (batch ids restart at 0 ≤ fence), table unchanged
+    runOnce(Files.createTempDirectory("graft-xckpt2").toString)
+    assert(table() == want, "replayed stream mutated the sink table")
+    assert(ExactlyOnceSink.latestCommitted(spark, sinkRoot) == fence,
+      "replay moved the fence — a batch was folded twice")
+  }
+
   test("at-least-once: handler crash aborts batch, restart redelivers") {
     TestSink.reset()
     TestSink.failOnce.set(true)

@@ -127,6 +127,35 @@ class TransitionsStreamSpec extends AnyFunSuite {
     assert(liveIds == Set(3L, 4L), s"got $liveIds")
   }
 
+  test("crash mid-finalize (partial dir, no _SUCCESS): rerun redoes the " +
+      "finalize instead of treating the partial dir as committed") {
+    val hour = 3600000L
+    val all = Seq(
+      ev(1, 1, 1 * hour, "view"),
+      ev(2, 1, 2 * hour, "click"),     // (view→click) should finalize
+      ev(3, 1, 10 * hour, "purchase"))
+    val root = Files.createTempDirectory("transpartial").toString
+    TransitionsStream.ingestBatch(toDf(all), 0L, root)
+    val want = rows(EventWindows.transitions(toDf(all)))
+    val horizon = 5 * hour * 1000L
+    // manufacture the crash: a finalize dir exists for this horizon but
+    // the writer died mid-parquet-write — files present, no _SUCCESS.
+    // The old existence-gate would skip the finalize AND compact away
+    // the pre-horizon rows: (view→click) permanently lost.
+    val finalPart = s"$root/final/batch=$horizon"
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(finalPart, "_temporary"))
+    TransitionsStream.vacuum(spark, root, horizon)
+    assert(rows(TransitionsStream.counts(spark, root)) == want,
+      "partial finalize dir was treated as committed — counts lost")
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(finalPart, "_SUCCESS")))
+    // a COMPLETE finalize still short-circuits: rerun is idempotent
+    TransitionsStream.vacuum(spark, root, horizon)
+    assert(rows(TransitionsStream.counts(spark, root)) == want)
+  }
+
   test("streaming wiring: foreachBatch reaches the same frame") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val want = rows(EventWindows.transitions(events))

@@ -17,9 +17,13 @@ def load(path):
 
 
 def spreads(d):
+    # Only the 3 INTERLEAVED samples count: the optional 4th
+    # contention-insurance sample exists only for slow queries, so
+    # folding it in would both skew the spread and make the pass
+    # histogram report a pass 4 that fast queries never have.
     out = {}
     for q, raw in d.get("samples_raw", {}).items():
-        good = [abs(x) for x in raw if x > 0]
+        good = [abs(x) for x in raw[:3] if x > 0]
         if len(good) >= 2:
             med = statistics.median(good)
             out[q] = (max(good) - min(good)) / med if med > 0 else 0.0
@@ -47,12 +51,18 @@ def main(argv):
     # on pass 1 is first-touch cost (JIT/footer caches), not contention
     from collections import Counter
     c = Counter()
+    n_insurance = 0
     for q, raw in d["samples_raw"].items():
-        good = [(i, abs(x)) for i, x in enumerate(raw) if x > 0]
+        if len(raw) > 3:
+            n_insurance += 1
+        good = [(i, abs(x)) for i, x in enumerate(raw[:3]) if x > 0]
         if len(good) >= 2:
             c[max(good, key=lambda t: t[1])[0] + 1] += 1
-    print("slowest-sample pass histogram:",
+    print("slowest-sample pass histogram (interleaved passes only):",
           dict(sorted(c.items())))
+    if n_insurance:
+        print(f"insurance samples (pass 4, slow queries only): "
+              f"{n_insurance} queries")
     if len(argv) > 1:
         e = load(argv[1])
         qs, es = d.get("queries", {}), e.get("queries", {})
