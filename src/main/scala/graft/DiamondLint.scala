@@ -1,40 +1,60 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Registry-wide DIAMOND LINTER — makes the diamond-reuse rule
   * structural instead of enumerated.
   *
   * The rule (pinned at Agreement's pairDrift, gated per-query by
   * ExplainAudit.auditDiamond since round 11): a frame that feeds two or
-  * more consumers in one query must be lazily persisted, or its
-  * dominant pass executes once per consumer. Rounds 10 and 11 found
-  * violations piecemeal — three, then six more — because the gates
-  * were an enumerated list. This linter walks EVERY registered query's
-  * optimized logical plan and flags any duplicate compute-bearing
-  * subtree that still reads a file relation (i.e. is not cache-backed):
+  * more consumers in one query must execute once — via a lazy persist
+  * or physical exchange reuse — or its dominant pass runs once per
+  * consumer. Rounds 10 and 11 found violations piecemeal because the
+  * gates were an enumerated list; this linter sweeps EVERY registered
+  * query.
   *
-  *  - duplicate = the same canonicalized subtree appears ≥ 2 times in
-  *    one query's optimized plan (subquery plans included);
-  *  - compute-bearing = the subtree contains a Generate (explode),
-  *    Aggregate, Join, or Window — re-executing one of those per
-  *    consumer is the waste class; a bare re-scan of a parquet leaf
-  *    (dimension tables, second projections of the fact table) is NOT
-  *    flagged, because scans are cheap relative to recompute and the
-  *    columnar reader prunes them independently per consumer;
-  *  - not cache-backed = the subtree still contains a file relation
-  *    leaf. A persisted diamond is substituted by the CacheManager at
-  *    planning time, so its duplicate branches contain InMemoryRelation
-  *    leaves, not file scans — exactly the evidence auditDiamond counts
-  *    in the physical plan, read here at the logical level so the whole
-  *    registry can be swept without executing it.
+  * Two phases, because the logical plan alone cannot decide the rule
+  * (round 12's first cut flagged 36 false positives by judging it):
   *
-  * Only MAXIMAL duplicates are reported (a duplicated parent subsumes
-  * its duplicated children). Queries listed in [[waivers]] may keep a
-  * duplicate with the documented reason; anything else fails the sweep
-  * (ExplainAudit runs it and DiamondLintSpec keeps the waiver list
-  * honest — a stale waiver fails the build).
+  * 1. STRUCTURAL (cheap, no execution): walk the optimized logical
+  *    plan (subqueries included) for duplicate compute-bearing
+  *    subtrees that still read a file relation.
+  *     - duplicate = the same canonicalized subtree appears ≥ 2 times;
+  *     - compute-bearing = contains a Generate (explode), Aggregate,
+  *       Join, or Window — re-executing one of those per consumer is
+  *       the waste class; a bare re-scan of a parquet leaf is NOT
+  *       flagged (scans are cheap relative to recompute and the
+  *       columnar reader prunes them independently per consumer);
+  *     - not cache-backed = still contains a file-relation leaf (a
+  *       persisted diamond is substituted by the CacheManager at
+  *       planning time, so its branches read InMemoryRelation instead).
+  *    Only MAXIMAL duplicates are reported (a duplicated parent
+  *    subsumes its duplicated children).
+  *
+  * 2. PHYSICAL ADJUDICATION (only for queries phase 1 flags): execute
+  *    the query at lint scale and count reuse evidence in the FINAL
+  *    adaptive physical plan — `ReusedExchange` occurrences (physical
+  *    exchange reuse collapses logical duplicates at runtime; invisible
+  *    at the logical level) plus `InMemoryTableScan`/
+  *    `TableCacheQueryStage` reads (persists registered during
+  *    construction). A query passes when evidence ≥ the extra
+  *    executions its logical duplicates imply (Σ(occurrences − 1)):
+  *    a subtree duplicated n times that is persisted shows ≥ n cached
+  *    reads, and one collapsed by exchange reuse shows n − 1
+  *    ReusedExchange nodes — both satisfy the bound; only genuinely
+  *    re-executed compute fails it.
+  *
+  * Queries listed in [[waivers]] may keep an adjudicated finding with
+  * the documented reason. Enforcement: `runMain graft.DiamondLint`
+  * sweeps the registry and exits 1 on any unwaived adjudicated finding
+  * (run per-round; the green-run artifact is committed as
+  * `DIAMONDLINT_r{N}.txt`), and DiamondLintSpec keeps the machinery
+  * honest in `sbt test` — it proves the linter catches a seeded
+  * unpersisted diamond, passes the same diamond once persisted, and
+  * fails on a STALE waiver (a waived query that no longer flags), so
+  * the waiver list can only shrink truthfully.
   *
   * Known limitation, documented rather than papered over: queries that
   * EXECUTE at construction time and return a driver-local or
@@ -45,6 +65,17 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * d_ngram_jaccard_capped pair lineage, gated in ExplainAudit).
   */
 object DiamondLint {
+
+  /** One adjudicated violation: a duplicate compute subtree whose extra
+    * executions are NOT covered by physical reuse evidence.
+    */
+  final case class Finding(query: String, occurrences: Int, head: String,
+      reusedExchange: Int, cachedReads: Int, required: Int) {
+    def render: String =
+      s"DIAMOND $query (${occurrences}×): $head " +
+        s"[evidence reused=$reusedExchange cached=$cachedReads " +
+        s"< required=$required]"
+  }
 
   /** Every node of `plan`, subquery plans included. */
   private def walk(p: LogicalPlan)(f: LogicalPlan => Unit): Unit = {
@@ -71,8 +102,8 @@ object DiamondLint {
     case _ => false
   }
 
-  /** Maximal duplicate compute-bearing scan-bearing subtrees of `plan`
-    * with their occurrence counts.
+  /** Phase 1: maximal duplicate compute-bearing scan-bearing subtrees
+    * of `plan` with their occurrence counts.
     */
   def findDiamonds(plan: LogicalPlan): Seq[(LogicalPlan, Int)] = {
     val counts = scala.collection.mutable.LinkedHashMap
@@ -97,34 +128,68 @@ object DiamondLint {
     dup.collect { case (c, rep, n) if !shadowed.contains(c) => (rep, n) }
   }
 
-  /** Queries allowed to keep a duplicate subtree, with the audited
-    * reason. DiamondLintSpec fails on a STALE entry (waived query no
-    * longer flags), so the list can only shrink truthfully.
+  /** Phase 2 evidence: (ReusedExchange, cached-read) counts in the
+    * final adaptive physical plan of an EXECUTED DataFrame.
+    */
+  def reuseEvidence(df: DataFrame): (Int, Int) = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+    ("ReusedExchange".r.findAllIn(plan).size,
+      "InMemoryTableScan|TableCacheQueryStage".r.findAllIn(plan).size)
+  }
+
+  /** Queries allowed to keep an adjudicated duplicate subtree, with the
+    * audited reason. DiamondLintSpec fails on a STALE entry (a waived
+    * query that no longer flags), so the list can only shrink
+    * truthfully.
     */
   val waivers: Map[String, String] = Map.empty
+  // Round-13 adjudication of round 12's 36 raw structural findings:
+  // 35 were physical-reuse false positives (ReusedExchange or
+  // construction-time persists collapse the duplicates at runtime —
+  // including the suspected d_minhash_lsh/d_simhash sketch aggregations
+  // and all three s_margin_mining duplicates, whose exchanges reuse);
+  // the one genuine re-execution, t_heavy_hitters' token explode, was
+  // FIXED by persisting the stream (TextAnalysis.scala, gated by
+  // auditDiamond). Nothing needed a waiver.
 
-  /** One line per finding: (query, occurrences, subtree head). */
+  /** Lint one constructed DataFrame (phase 1 + phase 2). Exposed for
+    * DiamondLintSpec's seeded synthetic diamonds.
+    */
+  def lintFrame(name: String, df: DataFrame): Seq[Finding] = {
+    val diamonds = findDiamonds(df.queryExecution.optimizedPlan)
+    if (diamonds.isEmpty) Nil
+    else {
+      val required = diamonds.map(_._2 - 1).sum
+      val (reused, cached) = reuseEvidence(df)
+      if (reused + cached >= required) Nil
+      else diamonds.map { case (rep, n) =>
+        Finding(name, n, rep.nodeName + " " +
+          rep.simpleString(20).linesIterator.next().take(160),
+          reused, cached, required)
+      }
+    }
+  }
+
+  /** Sweep the registry (or `only`); adjudicated findings only. */
   def lint(spark: SparkSession, dir: String,
-      only: Option[Set[String]] = None): Seq[(String, Int, String)] = {
+      only: Option[Set[String]] = None): Seq[Finding] = {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     names.flatMap { name =>
       // clear BEFORE construction so (a) the previous query's caches
       // can't substitute into this plan and mask or fake cache-backing,
       // (b) this query's own lazy persists DO substitute — which is the
-      // cache-backing evidence the linter accepts
+      // cache-backing evidence phase 2 counts
       try spark.catalog.clearCache() catch { case _: Throwable => () }
-      try {
-        val plan = SparkEntry.queries(name)(spark, dir)
-          .queryExecution.optimizedPlan
-        findDiamonds(plan).map { case (rep, n) =>
-          (name, n, rep.nodeName + " " +
-            rep.simpleString(20).linesIterator.next().take(160))
-        }
-      } catch {
+      try lintFrame(name, SparkEntry.queries(name)(spark, dir))
+      catch {
         case e: Throwable =>
-          Seq((name, -1, s"LINT ERROR: ${e.getClass.getSimpleName}: " +
-            String.valueOf(e.getMessage).take(160)))
+          Seq(Finding(name, -1, s"LINT ERROR: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(160), 0, 0, 0))
       }
     }
   }
@@ -138,11 +203,10 @@ object DiamondLint {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val only = sys.env.get("SPARK_GRAFT_LINT_ONLY").map(_.split(",").toSet)
     val findings = lint(spark, dir, only)
-    val (waived, hard) = findings.partition(f => waivers.contains(f._1))
-    for ((q, n, head) <- waived)
-      println(s"DIAMOND WAIVED $q ($n×): $head\n  reason: ${waivers(q)}")
-    for ((q, n, head) <- hard)
-      println(s"DIAMOND $q ($n×): $head")
+    val (waived, hard) = findings.partition(f => waivers.contains(f.query))
+    for (f <- waived)
+      println(s"WAIVED ${f.render}\n  reason: ${waivers(f.query)}")
+    for (f <- hard) println(f.render)
     println(s"DIAMOND LINT: ${hard.size} unwaived, ${waived.size} waived, " +
       s"${SparkEntry.queries.size} queries")
     spark.stop()

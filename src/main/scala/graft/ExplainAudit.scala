@@ -377,6 +377,10 @@ object ExplainAudit {
     auditDiamond("d_jaccard_prefix", 4)
     auditDiamond("t_charngram_langid", 2)
     auditDiamond("t_tfidf_keywords", 2)
+    // round-13 closure found by the reworked DiamondLint phase-2 sweep:
+    // the exploded token stream feeds the freq-sketch aggregation AND
+    // the name-recovery distinct
+    auditDiamond("t_heavy_hitters", 2)
     // d_dup_clusters takes the driver union-find path at audit scale, so
     // its FINAL plan is a local relation (the diamond executes in the
     // pair-production jobs during construction) — gate the pair subquery

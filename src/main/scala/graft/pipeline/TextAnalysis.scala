@@ -336,10 +336,15 @@ object TextAnalysis {
     // summary without evicting, so estimates are exact counts and the
     // DuckDB oracle matches; eviction/merge error bounds are
     // spec-checked in FreqSketchSpec.
+    // Diamond: the exploded token stream feeds the sketch aggregation
+    // AND the name-recovery distinct — persisted lazily so the
+    // explode pass runs once (caller/harness owns release; gated by
+    // auditDiamond("t_heavy_hitters", 2) and DiamondLint).
     "t_heavy_hitters" -> { (s, d) =>
       val words = Tables.documents(s, d)
         .select(col("lang"), explode(toks(col("text"))).as("w"))
         .select(col("lang"), col("w"), xxhash64(col("w")).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cands = words.groupBy("lang")
         .agg(graft.functions.SketchAggregates
           .freq_sketch(col("h"), 64).as("sk"))

@@ -66,17 +66,27 @@ class PrefixJaccardSpec extends AnyFunSuite {
     }
   }
 
-  test("AQE reuses the ordered-arrays subplan across its three consumers") {
+  test("the ordered-arrays subplan executes once for its three consumers") {
     // prefixes(a), prefixes(b), and the two verification fetches all
     // hang off the same per-doc ordered-shingle aggregation; without
-    // exchange reuse the explode + df join would run three times —
-    // the constant factor that would erase the prefix win at scale
+    // reuse the explode + df join would run three times — the constant
+    // factor that would erase the prefix win at scale. Since round 12
+    // the operator PERSISTS the exploded + ordered frames
+    // (Dedup.prefixJaccardPairs), so reuse evidence is cache-backed
+    // reads (InMemoryTableScan / TableCacheQueryStage) rather than the
+    // pre-persist ReusedExchange shape — accept either, mirroring the
+    // auditDiamond("d_jaccard_prefix", 4) gate in ExplainAudit.
+    spark.catalog.clearCache()
     val q = Dedup.prefixJaccardPairs(Tables.documents(spark, sf), 0.8)
     q.collect()
     val plan = q.queryExecution.executedPlan.toString
     val reused = "ReusedExchange".r.findAllIn(plan).size
-    assert(reused >= 3, s"expected >=3 ReusedExchange, got $reused:\n" +
-      plan.linesIterator.take(5).mkString("\n"))
+    val cached = "InMemoryTableScan|TableCacheQueryStage".r
+      .findAllIn(plan).size
+    assert(reused + cached >= 3,
+      s"expected >=3 reuse reads (ReusedExchange=$reused cached=$cached):\n" +
+        plan.linesIterator.take(5).mkString("\n"))
+    spark.catalog.clearCache()
   }
 
   test("identical docs survive at t=1.0 (prefix length clamps to 1)") {
