@@ -139,7 +139,12 @@ object ScaleSmoke {
     synthesize(spark, src, out)
     println(f"SYNTH done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // COLD timing (the r11-pinned bench discipline): clear the cache
+    // before construction so a previous query's persists can't
+    // substitute into this plan, and this query's own lazy persists
+    // count inside its own wall time
     def time(q: String, dir: String): (Double, Long) = {
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
       val t = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       ((System.nanoTime() - t) / 1e9, n)
@@ -149,18 +154,36 @@ object ScaleSmoke {
         "w_session", "s_ann_ivf"))
       try time(q, src) catch { case _: Throwable => () }
     println(f"${"query"}%-24s ${"sf0.1"}%8s ${"sf1"}%10s ${"ratio"}%7s  rows1")
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double, Long)]
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     Queries.filter(q => only.forall(_.contains(q))).foreach { q =>
       try {
         val (tSmall, _) = time(q, src)
         val (tBig, nBig) = time(q, out)
         val ratio = tBig / math.max(tSmall, 0.001)
         println(f"SMOKE $q%-24s $tSmall%7.2fs $tBig%9.2fs $ratio%6.1fx  $nBig")
+        results.update(q, (tSmall, tBig, nBig))
       } catch {
         case e: Throwable =>
+          failures += q
           println(s"SMOKE $q FAILED: ${e.getClass.getSimpleName}: " +
             s"${String.valueOf(e.getMessage).take(120)}")
       }
     }
+    // machine artifact, same methodology keys as Bench (cold cache;
+    // single interleaved small/big pass per query — a 10×-ratio check,
+    // not a median timing)
+    val qJson = results.map { case (q, (s0, s1, n1)) =>
+      f""""$q":{"sf01":$s0%.3f,"sf1":$s1%.3f,"ratio":${s1 / math.max(s0, 0.001)}%.2f,"rows_sf1":$n1}"""
+    }.mkString(",")
+    println(s"""SCALE_JSON {"metric":"sf1_sweep","unit":"sec","cache":"cold",""" +
+      s""""sampling":"single-pass-paired","sf_small":"$src","sf_big":"$out",""" +
+      s""""excluded":${Excluded.toSeq.sorted.mkString("[\"", "\",\"", "\"]")},""" +
+      s""""failed":${failures.sorted.mkString("[", ",", "]")},""" +
+      s""""total_sf01":${results.values.map(_._1).sum},""" +
+      s""""total_sf1":${results.values.map(_._2).sum},""" +
+      s""""queries":{$qJson}}""")
     spark.stop()
   }
 }

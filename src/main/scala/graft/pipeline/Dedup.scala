@@ -102,7 +102,8 @@ object Dedup {
     * the explode from text.
     */
   private[pipeline] def jaccardPairsFrom(exploded: DataFrame,
-      rawSizes: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
+      rawSizes: DataFrame, threshold: Double, maxDf: Int,
+      retain: DataFrame => Unit = _ => ()): DataFrame = {
     // Under a cap, compute df FIRST with a count-only aggregation
     // (map-side combined longs) and drop hot-shingle ROWS before any
     // collect_list: filtering posting lists by their size after building
@@ -120,13 +121,23 @@ object Dedup {
     // shingle frame has ONE consumer, but the sizes frame still feeds
     // both join sides, so it persists in both branches (doc_id + long —
     // narrow at any corpus size).
+    //
+    // `retain` receives every frame persisted INSIDE this seam so a
+    // MULTI-TIER caller (dedupReport) can release them once its result
+    // is materialized — without it the seam-internal caches outlive the
+    // report (the round-12 advice leak). Registered single-query
+    // callers keep the default no-op: there the harness owns release
+    // (clearCache per query/sample — the registry-builder contract).
     val (keptRows, sizes) =
-      if (maxDf <= 0)
-        (exploded, rawSizes.withColumnRenamed("n0", "n").persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      else {
+      if (maxDf <= 0) {
+        val szs = rawSizes.withColumnRenamed("n0", "n").persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        retain(szs)
+        (exploded, szs)
+      } else {
         val ex = exploded.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        retain(ex)
         val hot = ex.groupBy("s").agg(count(lit(1)).as("dfc"))
           .filter(col("dfc") > maxDf).select("s")
         val drops = ex.join(hot, Seq("s"))
@@ -135,6 +146,7 @@ object Dedup {
           .select(col("doc_id"),
             (col("n0") - coalesce(col("dropped"), lit(0L))).as("n"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        retain(szs)
         (ex.join(hot, Seq("s"), "left_anti"), szs)
       }
     val inter = keptRows
@@ -182,17 +194,22 @@ object Dedup {
     * same composition seam as [[jaccardPairsFrom]].
     */
   private[pipeline] def containmentPairsFrom(exploded: DataFrame,
-      rawSizes: DataFrame, pct: Int, maxDf: Int,
-      minShingles: Int): DataFrame = {
+      rawSizes: DataFrame, pct: Int, maxDf: Int, minShingles: Int,
+      retain: DataFrame => Unit = _ => ()): DataFrame = {
     // same diamond discipline as [[jaccardPairsFrom]]: capped shingle
-    // frame ×3 consumers, sizes ×2 — lazily persisted, caller releases
+    // frame ×3 consumers, sizes ×2 — lazily persisted; `retain` hands
+    // the seam-internal persists to a multi-tier caller for release
+    // (single-query callers keep the no-op, harness owns release)
     val (keptRows, sizes) =
-      if (maxDf <= 0)
-        (exploded, rawSizes.withColumnRenamed("n0", "n").persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      else {
+      if (maxDf <= 0) {
+        val szs = rawSizes.withColumnRenamed("n0", "n").persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        retain(szs)
+        (exploded, szs)
+      } else {
         val ex = exploded.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        retain(ex)
         val hot = ex.groupBy("s").agg(count(lit(1)).as("dfc"))
           .filter(col("dfc") > maxDf).select("s")
         val drops = ex.join(hot, Seq("s"))
@@ -201,6 +218,7 @@ object Dedup {
           .select(col("doc_id"),
             (col("n0") - coalesce(col("dropped"), lit(0L))).as("n"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        retain(szs)
         (ex.join(hot, Seq("s"), "left_anti"), szs)
       }
     // enumerate each UNORDERED pair once (half the shuffle of emitting
@@ -733,7 +751,13 @@ object Dedup {
       explode(shingleHashes(col("text"))).as("s")).persist()
     val sz1 = s1.select(col("doc_id"),
       size(shingleHashes(col("text"))).cast("long").as("n0")).persist()
-    val pairs = jaccardPairsFrom(ex1, sz1, 0.8, maxDf = 20)
+    // the seams persist frames of their own (drop-adjusted sizes, the
+    // semi-joined shingle frame) — collect them for release below, or
+    // they outlive the report (the round-12 advice leak; harness
+    // clearCache masked it, a long-lived user session would not)
+    val seamCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val pairs = jaccardPairsFrom(ex1, sz1, 0.8, maxDf = 20,
+        retain = seamCaches += _)
       .select(col("da").as("ida"), col("db").as("idb"))
     val drop2 = dupClusters(pairs)
       .filter(col("doc_id") =!= col("cluster")).select("doc_id")
@@ -741,7 +765,8 @@ object Dedup {
     val s2ids = s2.select("doc_id")
     val drop3 = containmentPairsFrom(
         ex1.join(s2ids, Seq("doc_id"), "left_semi"),
-        sz1.join(s2ids, Seq("doc_id"), "left_semi"), 90, 20, 5)
+        sz1.join(s2ids, Seq("doc_id"), "left_semi"), 90, 20, 5,
+        retain = seamCaches += _)
       .select(col("contained").as("doc_id")).distinct()
     val s3 = s2.join(drop3, Seq("doc_id"), "left_anti")
     // stage counts in DEPENDENCY order: each action materializes the
@@ -753,6 +778,7 @@ object Dedup {
       .toDF("stage", "n_docs")
     base.unpersist(); s1.unpersist(); ex1.unpersist(); sz1.unpersist()
     s2.unpersist()
+    seamCaches.foreach(_.unpersist())
     out
   }
 

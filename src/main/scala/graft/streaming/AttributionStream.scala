@@ -132,12 +132,20 @@ object AttributionStream {
       val old = conv.filter(col("cus") < horizonUs)
       EventWindows.attributionFromMicros(old, touch, lookbackUs)
         .write.mode("overwrite").parquet(finalPart.toString)
+      // sentinel planted explicitly — the gate must not depend on the
+      // committer's marksuccessfuljobs config (CompactSwap.ensureSuccess)
+      CompactSwap.ensureSuccess(fs0, finalPart)
     }
     val keptConv = conv.filter(col("cus") >= horizonUs)
     val keptTouch = touch.filter(col("tus") > horizonUs - lookbackUs)
-    // rewrite the live tables as single compacted partitions
+    // rewrite the live tables as single compacted partitions; plant the
+    // _SUCCESS recoverSwap's tmp-complete arbitration keys on
     keptConv.write.mode("overwrite").parquet(s"$root/conv.tmp")
+    CompactSwap.ensureSuccess(fs0,
+      new org.apache.hadoop.fs.Path(s"$root/conv.tmp"))
     keptTouch.write.mode("overwrite").parquet(s"$root/touch.tmp")
+    CompactSwap.ensureSuccess(fs0,
+      new org.apache.hadoop.fs.Path(s"$root/touch.tmp"))
     conv.unpersist(); touch.unpersist()
     CompactSwap.installTmp(fs0, root, "conv")
     CompactSwap.installTmp(fs0, root, "touch")

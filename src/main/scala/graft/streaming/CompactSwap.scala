@@ -57,6 +57,23 @@ object CompactSwap {
     fs.rename(tmp, dst)
   }
 
+  /** Explicitly plant the `_SUCCESS` completeness sentinel in `dir`,
+    * in program order AFTER the write returned. The write-once gates
+    * ([[recoverSwap]]'s tmp-complete arbitration, the finalize gates in
+    * both vacuums) key on `_SUCCESS`; the default Hadoop committer only
+    * writes one when `mapreduce.fileoutputcommitter.marksuccessfuljobs`
+    * is true — disabled under common cloud committers, which would make
+    * every gate read "incomplete" forever and (for the finalize gates)
+    * recompute a finalized aggregate from live rows the compaction
+    * already dropped. So completeness is asserted here, never inferred
+    * from committer config (the same move as ExactlyOnceSink's own
+    * marker). Idempotent.
+    */
+  def ensureSuccess(fs: FileSystem, dir: Path): Unit = {
+    val s = new Path(dir, "_SUCCESS")
+    if (!fs.exists(s)) fs.create(s, true).close()
+  }
+
   /** Start-of-vacuum crash recovery — see the module scaladoc. */
   def recoverSwap(fs: FileSystem, root: String, name: String): Unit = {
     val tmp = new Path(s"$root/$name.tmp")

@@ -65,22 +65,33 @@ object ExactlyOnceSink {
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The marker's recorded batch id, or None when the marker is
-    * unreadable or unparsable. The marker is written via tmp+rename
-    * (atomic), so an empty/truncated `_commit` should be impossible —
-    * but a version whose marker can't be parsed must read as
-    * UNCOMMITTED, not brick the sink: counting it committed with a
-    * garbage fence would throw on every subsequent table()/applyBatch()
-    * call forever (the round-11 advice finding).
+  /** The marker's recorded batch id; None when the marker is ABSENT
+    * (the normal uncommitted case) or PARSE-corrupt (empty/truncated/
+    * non-numeric — impossible under the tmp+rename protocol but must
+    * read as uncommitted, not brick the sink: counting it committed
+    * with a garbage fence would throw on every subsequent
+    * table()/applyBatch() call forever — the round-11 advice finding).
+    *
+    * A genuine I/O failure RETHROWS: on a flaky/object-store FS a
+    * transient read error on a VALID `_commit` must not silently demote
+    * the committed version — the replayed batch would overwrite its
+    * data and applyBatch would delete its valid marker under the
+    * corrupt-by-construction assumption (the round-12 advice finding).
+    * Callers (one micro-batch tick) retry the whole batch instead.
     */
   private def markerBatchId(f: FileSystem, root: String,
-      n: Long): Option[Long] =
-    try {
-      val in = f.open(new Path(s"$root/v=$n/_commit"))
-      val s = try scala.io.Source.fromInputStream(in).mkString.trim
-        finally in.close()
-      Some(s.toLong)
-    } catch { case _: Exception => None }
+      n: Long): Option[Long] = {
+    val p = new Path(s"$root/v=$n/_commit")
+    if (!f.exists(p)) return None
+    val in =
+      try f.open(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val s =
+      try scala.io.Source.fromInputStream(in).mkString.trim
+      catch { case _: java.io.EOFException => return None }
+      finally in.close()
+    try Some(s.toLong) catch { case _: NumberFormatException => None }
+  }
 
   /** (version, appliedBatchId) of the newest COMMITTED version;
     * (0, −1) for an empty sink. Uncommitted dirs — including dirs whose

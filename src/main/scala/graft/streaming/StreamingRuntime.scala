@@ -91,6 +91,18 @@ trait MessageHandler extends Serializable {
 trait DeliverySink extends Serializable {
   /** Fold one micro-batch (pipeline schema incl. `__pass`); `batchId`
     * is the foreachBatch id (monotone per checkpoint lineage).
+    *
+    * CHECKPOINT-CARDINALITY CONTRACT: `partitionKey` plays the Kinesis
+    * SHARD, not a user/entity id. Sinks checkpoint once per distinct
+    * key per batch — [[QueueRuntime.HandlerDispatch]] collects one
+    * (key, lastSeq, n, dropped) summary row per key to the driver and
+    * loops `saveCheckpoint` over them, exactly the reference's
+    * per-shard checkpointing (`KinesisThreadJobs.cs:404-408`), which is
+    * O(shards) and bounded by stream topology (tens to low thousands).
+    * Keying by a high-cardinality id turns that driver loop into the
+    * bottleneck; HandlerDispatch guards it with a hard cap
+    * (`maxCheckpointKeys`, default 10 000) so the misconfiguration
+    * fails loudly on the first batch instead of degrading silently.
     */
   def applyBatch(batch: DataFrame, batchId: Long): Unit
 }
@@ -98,12 +110,17 @@ trait DeliverySink extends Serializable {
 /** Exactly-once K2 delivery: passing records fold into the versioned
   * latest-wins table at `root` — (k = partitionKey, v = messageText,
   * seq = numeric sequence). Sequence numbers must parse as longs (true
-  * of every fixture and of [[QueueRuntime.push]]'s ids; real Kinesis
-  * ~56-digit sequence numbers would order through a (length, lex)
-  * struct instead — documented, not needed for the demo corpus).
-  * Filtered records leave no trace here; the queue-visible checkpoint
-  * table is the sink itself (latest seq per key), so there is no
-  * separate commit that could disagree with the data.
+  * of every fixture and of [[QueueRuntime.push]]'s ids); an id that
+  * does NOT — non-numeric, or a real Kinesis ~56-digit number that
+  * overflows int64 — ABORTS the batch via raise_error instead of
+  * silently casting to null, where `max_by(v, null)` would pick an
+  * arbitrary "latest" value (the round-12 advice finding; the batch
+  * retry surfaces the config error). A deployment on real Kinesis ids
+  * widens the sink's seq to the (length, lexicographic) struct
+  * [[QueueRuntime.HandlerDispatch]] already orders by. Filtered
+  * records leave no trace here; the queue-visible checkpoint table is
+  * the sink itself (latest seq per key), so there is no separate
+  * commit that could disagree with the data.
   */
 final class ExactlyOnceDelivery(root: String) extends DeliverySink {
   override def applyBatch(batch: DataFrame, batchId: Long): Unit =
@@ -111,7 +128,14 @@ final class ExactlyOnceDelivery(root: String) extends DeliverySink {
       batch.filter(col("__pass")).select(
         col("partitionKey").as("k"),
         col("messageText").as("v"),
-        col("messageId").cast("long").as("seq")),
+        // try_cast, not cast: under ANSI (the Spark 4 default) a plain
+        // cast throws a generic CAST_INVALID_INPUT mid-task; with ANSI
+        // off it silently nulls. try_cast + raise_error gives the same
+        // loud, self-diagnosing abort in both modes.
+        coalesce(expr("try_cast(messageId as bigint)"), raise_error(concat(
+          lit("ExactlyOnceDelivery: sequence id not an int64 (real "),
+          lit("Kinesis ids need a (length, lex) seq column): "),
+          col("messageId")))).as("seq")),
       batchId, root)
 }
 
@@ -160,8 +184,13 @@ final class QueueRuntime(
 
   /** The reference's K2 dispatch as a [[DeliverySink]] (at-least-once):
     * per-shard ordered serial dispatch + checkpoint-after-batch.
+    * `maxCheckpointKeys` enforces the trait's checkpoint-cardinality
+    * contract (partitionKey ≈ shard): more distinct keys than this in
+    * one batch fails the batch loudly rather than letting the
+    * per-key driver checkpoint loop become the silent bottleneck.
     */
-  final class HandlerDispatch(handler: MessageHandler)
+  final class HandlerDispatch(handler: MessageHandler,
+      maxCheckpointKeys: Int = 10000)
       extends DeliverySink {
     override def applyBatch(batch: DataFrame, batchId: Long): Unit = {
       // Per-shard ordered, serial processing (ST7): group a batch by
@@ -195,6 +224,12 @@ final class QueueRuntime(
           }
           (key, last, n, dropped)
         }.collect()
+      require(results.length <= maxCheckpointKeys,
+        s"${results.length} distinct partitionKeys in one batch exceeds " +
+          s"maxCheckpointKeys=$maxCheckpointKeys — partitionKey plays the " +
+          "Kinesis SHARD (O(topology) keys), not a user/entity id; keying " +
+          "by a high-cardinality id makes the per-key driver checkpoint " +
+          "loop the bottleneck (DeliverySink contract)")
       // handler succeeded for the whole batch ⇒ advance the
       // queue-visible checkpoints (commit-after-process = at-least-once)
       results.foreach { case (key, last, n, dropped) =>

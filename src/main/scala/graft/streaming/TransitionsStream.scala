@@ -101,9 +101,13 @@ object TransitionsStream {
     // "never LOST to a crash" contract). Overwrite mode replaces a
     // partial dir; a complete finalize still short-circuits.
     if (!fs.exists(
-        new org.apache.hadoop.fs.Path(finalPart, "_SUCCESS")))
+        new org.apache.hadoop.fs.Path(finalPart, "_SUCCESS"))) {
       EventWindows.transitionsFromMicros(pre)
         .write.mode("overwrite").parquet(finalPart.toString)
+      // sentinel planted explicitly — the gate must not depend on the
+      // committer's marksuccessfuljobs config (CompactSwap.ensureSuccess)
+      CompactSwap.ensureSuccess(fs, finalPart)
+    }
     val boundary = pre
       .groupBy("user_id")
       .agg(max_by(struct(col("us"), col("event_id"), col("event_type")),
@@ -113,6 +117,9 @@ object TransitionsStream {
         col("x.event_type").as("event_type"))
     ev.filter(col("us") >= horizonUs).union(boundary)
       .write.mode("overwrite").parquet(s"$root/ev.tmp")
+    // recoverSwap judges tmp completeness by _SUCCESS too — plant it
+    CompactSwap.ensureSuccess(fs,
+      new org.apache.hadoop.fs.Path(s"$root/ev.tmp"))
     ev.unpersist()
     CompactSwap.installTmp(fs, root, "ev")
   }

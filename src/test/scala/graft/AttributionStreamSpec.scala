@@ -103,6 +103,41 @@ class AttributionStreamSpec extends AnyFunSuite {
     assert(rows(AttributionStream.creditView(spark, root)) == want)
   }
 
+  test("vacuum survives marksuccessfuljobs=false: sentinels planted " +
+      "explicitly for both the finalize gate and the swap arbitration") {
+    // same loss class as the TransitionsStream twin test: with the
+    // committer's _SUCCESS disabled, a horizon rerun would recompute
+    // the finalize from already-compacted live rows (credits lost) and
+    // recoverSwap would judge every complete tmp as partial
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val prior = hconf.get(key)
+    hconf.setBoolean(key, false)
+    try {
+      val day = 86400000L
+      val all = Seq(
+        ev(1, 1, 1 * day, "view"),
+        ev(2, 1, 2 * day, "purchase"),
+        ev(3, 1, 30 * day, "click"),
+        ev(4, 1, 31 * day, "purchase"))
+      val root = Files.createTempDirectory("attrnosucc").toString
+      AttributionStream.ingestBatch(toDf(all), 0L, root, Touch, Conv)
+      val want = batchAnswer(all)
+      val horizon = 20 * day * 1000L
+      AttributionStream.vacuum(spark, root, horizon)
+      assert(rows(AttributionStream.creditView(spark, root)) == want)
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/final/batch=$horizon/_SUCCESS")),
+        "sentinel not planted when the committer's own is disabled")
+      AttributionStream.vacuum(spark, root, horizon)
+      assert(rows(AttributionStream.creditView(spark, root)) == want,
+        "horizon rerun recomputed finalized credits from compacted rows")
+    } finally {
+      if (prior == null) hconf.unset(key) else hconf.set(key, prior)
+    }
+  }
+
   test("crash mid-finalize (partial dir, no _SUCCESS): rerun redoes the " +
       "finalize instead of treating the partial dir as committed") {
     val day = 86400000L

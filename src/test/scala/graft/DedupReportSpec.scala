@@ -27,4 +27,17 @@ class DedupReportSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows == again)
   }
+
+  test("releases every cache it creates, incl. the seam-internal ones") {
+    // the report persists its own stage frames AND the frames
+    // jaccardPairsFrom/containmentPairsFrom persist inside the seam
+    // (drop-adjusted sizes, the semi-joined shingle frame) — all must
+    // be gone once the result is materialized, or a long-lived user
+    // session accumulates executor memory per report (the harness's
+    // per-query clearCache masked the leak; this pins the fix)
+    spark.catalog.clearCache()
+    graft.pipeline.Dedup.dedupReport(Tables.documents(spark, sf)).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedupReport left persisted frames behind after materialization")
+  }
 }

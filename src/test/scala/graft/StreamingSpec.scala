@@ -163,6 +163,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.getCheckpoint("teststream", "q1", "s").contains("13"))
   }
 
+  test("checkpoint-cardinality guard: more distinct keys than " +
+      "maxCheckpointKeys fails the batch loudly") {
+    // partitionKey plays the SHARD (DeliverySink contract): the per-key
+    // driver checkpoint loop is O(distinct keys), so a high-cardinality
+    // keying must fail on the first batch, not degrade silently
+    TestSink.reset()
+    val rt = new QueueRuntime(spark, newQueue())
+    val batch = rt.pipelineWithVerdict(
+      spark.createDataFrame((1 to 5).map(i =>
+        rec(s"user-$i", i.toLong, s"""{"k":$i}"""))))
+    val dispatch = new rt.HandlerDispatch(new CollectingHandler,
+      maxCheckpointKeys = 3)
+    val e = intercept[IllegalArgumentException] {
+      dispatch.applyBatch(batch, 0L)
+    }
+    assert(e.getMessage.contains("partitionKey plays the Kinesis SHARD"))
+    // the guard fires AFTER handler processing (commit-after-process:
+    // the failed batch redelivers, same as any K2 failure) — reset the
+    // sink before proving the shard-like cardinality dispatches fine
+    TestSink.reset()
+    new rt.HandlerDispatch(new CollectingHandler, maxCheckpointKeys = 5)
+      .applyBatch(batch, 0L)
+    assert(TestSink.seen.size == 5)
+  }
+
+  test("exactly-once delivery aborts on a sequence id that does not " +
+      "fit int64 instead of corrupting latest-wins with nulls") {
+    val rt = new QueueRuntime(spark, newQueue())
+    val root = Files.createTempDirectory("eod-badseq").toString
+    // a realistic Kinesis ~56-digit sequence number: cast("long") would
+    // silently null it and max_by(v, null) would pick arbitrary values
+    val bad = KinesisRecord("{\"k\":1}".getBytes("UTF-8"), "key-1",
+      "49590338271490256608559692538361571095921575989136588898",
+      new Timestamp(1700000000000L), null)
+    val batch = rt.pipelineWithVerdict(spark.createDataFrame(Seq(bad)))
+    val e = intercept[Exception] {
+      new ExactlyOnceDelivery(root).applyBatch(batch, 0L)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else String.valueOf(t.getMessage) +: chain(t.getCause)
+    assert(chain(e).exists(_.contains("not an int64")),
+      s"expected a loud seq-id failure, got: ${chain(e).mkString(" | ")}")
+  }
+
   test("producer push + connection test round-trip") {
     val dir = Files.createTempDirectory("graft-push").toString
     val rt = new QueueRuntime(spark, newQueue())

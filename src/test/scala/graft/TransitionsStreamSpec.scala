@@ -156,6 +156,44 @@ class TransitionsStreamSpec extends AnyFunSuite {
     assert(rows(TransitionsStream.counts(spark, root)) == want)
   }
 
+  test("vacuum survives marksuccessfuljobs=false: the sentinel is " +
+      "planted explicitly, not inherited from the committer") {
+    // with the committer's _SUCCESS disabled (common with cloud
+    // committers) the old gate read every finalize as incomplete: a
+    // rerun at an already-compacted horizon recomputed the finalize
+    // from boundary-only live rows and overwrote the good data —
+    // CompactSwap.ensureSuccess plants the sentinel in program order
+    // so the gate is committer-independent
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val prior = hconf.get(key)
+    hconf.setBoolean(key, false)
+    try {
+      val hour = 3600000L
+      val all = Seq(
+        ev(1, 1, 1 * hour, "view"),
+        ev(2, 1, 2 * hour, "click"),     // (view→click) finalizes
+        ev(3, 1, 10 * hour, "purchase"))
+      val root = Files.createTempDirectory("transnosucc").toString
+      TransitionsStream.ingestBatch(toDf(all), 0L, root)
+      val want = rows(EventWindows.transitions(toDf(all)))
+      val horizon = 5 * hour * 1000L
+      TransitionsStream.vacuum(spark, root, horizon)
+      assert(rows(TransitionsStream.counts(spark, root)) == want)
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/final/batch=$horizon/_SUCCESS")),
+        "sentinel not planted when the committer's own is disabled")
+      // the loss scenario: rerun at the compacted horizon must
+      // short-circuit, not recompute from boundary-only rows
+      TransitionsStream.vacuum(spark, root, horizon)
+      assert(rows(TransitionsStream.counts(spark, root)) == want,
+        "rerun recomputed the finalize from a compacted live dir")
+    } finally {
+      if (prior == null) hconf.unset(key) else hconf.set(key, prior)
+    }
+  }
+
   test("streaming wiring: foreachBatch reaches the same frame") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val want = rows(EventWindows.transitions(events))
