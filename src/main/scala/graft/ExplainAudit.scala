@@ -273,6 +273,11 @@ object ExplainAudit {
     // char-trigram lang-ID: the trained profile table broadcasts back;
     // the corpus side never shuffles to be scored
     audit("t_charngram_langid", "BroadcastHashJoin", "TopKPerKey")
+    // train-once variant: the model folds into the scoring expression —
+    // the scoring plan carries NO join and NO hash exchange at any scale
+    // (the only exchange is the oracle-edge orderBy's range partitioning)
+    auditAtMost("t_charngram_langid_trained",
+      "Join|Exchange hashpartitioning", 0)
     // pooling: ONE (group, dim) exchange; the output is 5× smaller than
     // the input, which is the point of pooling before the ANN index
     auditAtMost("s_embed_pool", "Exchange hashpartitioning", 1)

@@ -246,6 +246,16 @@ object TextAnalysis {
   val EmailRe = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
   val PhoneRe = "\\+1-555-[0-9]{4}"
 
+  /** All char trigrams of `text` (overlapping, order preserved); docs
+    * shorter than 3 chars yield the empty array. Shared by the two
+    * charngram language-ID tiers so train and score agree exactly.
+    */
+  def charTrigrams(text: Column): Column =
+    when(length(text) >= 3,
+      transform(sequence(lit(1), length(text) - 2),
+        i => text.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
   val queries: Map[String, Q] = Map(
     "t_blocklist_gate" -> { (s, d) =>
       blocklistGate(Tables.spread(Tables.documents(s, d))) },
@@ -513,10 +523,7 @@ object TextAnalysis {
     "t_charngram_langid" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.spread(Tables.documents(s, d))
-      val grams = when(length(col("text")) >= 3,
-        transform(sequence(lit(1), length(col("text")) - 2),
-          i => col("text").substr(i, lit(3))))
-        .otherwise(array().cast("array<string>"))
+      val grams = charTrigrams(col("text"))
       // tri — the full char-trigram explode of the corpus — feeds BOTH
       // the profile aggregation and the scoring side: lazy
       // MEMORY_AND_DISK persist per the diamond rule, or the dominant
@@ -541,6 +548,50 @@ object TextAnalysis {
         .select(col("doc_id"), col("labeled"),
           coalesce(col("pred"), lit("und")).as("predicted"))
         .orderBy("doc_id")
+    },
+    // Train-once / score-many variant of t_charngram_langid — the
+    // broadcast-model discipline taken to its end state: training runs as
+    // ONE bounded action (the |langs|·20-row profile table to the driver —
+    // the MODEL, never the corpus), and scoring is a pure per-row
+    // codegen'd expression with the profiles folded in as array literals —
+    // `array_intersect` against each language's gram array, argmax via
+    // `array_max` over (n, rank) structs (rank = reverse lang index, so
+    // max picks n DESC then lang ASC — the same total order as the joined
+    // tier). The scoring side has ZERO joins and ZERO shuffles (only the
+    // oracle-edge orderBy): at 100 TB the corpus is scored at scan speed
+    // on every executor independently, the amortization
+    // t_charngram_langid pays a distinct + broadcast-join + per-doc
+    // aggregate for on EVERY scoring run. Same answer, same oracle SQL.
+    "t_charngram_langid_trained" -> { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+      val grams = charTrigrams(col("text"))
+      // TRAIN: per-language top-20 trigram profiles, one bounded action
+      val lc = docs.select(col("lang"), explode(grams).as("g"))
+        .groupBy("lang", "g").agg(count(lit(1)).as("n"))
+      val prof: Seq[(String, Seq[String])] =
+        graft.plans.TopKPerKey.topKPerKey(lc,
+            Seq("lang"), Seq(("n", true), ("g", false)), 20)
+          .select("lang", "g").collect()
+          .groupBy(_.getString(0))
+          .map { case (l, rs) => l -> rs.map(_.getString(1)).toSeq }
+          .toSeq.sortBy(_._1)
+      // SCORE: distinct-gram overlap with every profile, per row
+      val dg = array_distinct(grams)
+      val labeled = docs.select(col("doc_id"), col("lang").as("labeled"))
+      if (prof.isEmpty)
+        labeled.withColumn("predicted", lit("und")).orderBy("doc_id")
+      else {
+        val scoredStructs = prof.zipWithIndex.map { case ((l, gs), i) =>
+          struct(
+            size(array_intersect(dg, typedLit(gs))).as("n"),
+            lit(prof.size - i).as("rk"), lit(l).as("plang"))
+        }
+        val best = array_max(array(scoredStructs: _*))
+        docs.select(col("doc_id"), col("lang").as("labeled"),
+          when(best.getField("n") > 0, best.getField("plang"))
+            .otherwise(lit("und")).as("predicted"))
+          .orderBy("doc_id")
+      }
     },
     "t_lang_id" -> { (s, d) =>
       Tables.documents(s, d).select(
@@ -1051,6 +1102,34 @@ object TextAnalysis {
 
   private val oracleToks = "string_split(text, ' ')"
 
+  // shared by t_charngram_langid and its trained (broadcast-model)
+  // variant — the two tiers compute the identical answer by construction,
+  // so they share one oracle derivation
+  private val charngramLangidSql: String =
+    s"""WITH tri AS (
+       |  SELECT doc_id, lang, unnest(list_transform(
+       |    range(1, len(text) - 2 + 1), i -> substr(text, i, 3))) g
+       |  FROM documents WHERE len(text) >= 3),
+       |lc AS (SELECT lang, g, count(*) n FROM tri GROUP BY 1, 2),
+       |prof AS (
+       |  SELECT lang AS plang, g FROM (
+       |    SELECT lang, g, row_number() OVER (
+       |      PARTITION BY lang ORDER BY n DESC, g) rn FROM lc)
+       |  WHERE rn <= 20),
+       |docg AS (SELECT DISTINCT doc_id, g FROM tri),
+       |sc AS (
+       |  SELECT doc_id, plang, count(*) n
+       |  FROM docg JOIN prof USING (g) GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT doc_id, plang FROM (
+       |    SELECT doc_id, plang, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY n DESC, plang) rn FROM sc)
+       |  WHERE rn = 1)
+       |SELECT d.doc_id, d.lang AS labeled,
+       |  coalesce(p.plang, 'und') AS predicted
+       |FROM documents d LEFT JOIN pred p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the blocklist derivation, both match tiers, the cover-suppression
     // rule, and the per-category gate replayed verbatim — rank windows
@@ -1531,30 +1610,9 @@ object TextAnalysis {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // profile training and scoring are pure integer counts; the argmax
     // and the top-20 cut share the engine's (n DESC, key ASC) total order
-    "t_charngram_langid" ->
-      s"""WITH tri AS (
-         |  SELECT doc_id, lang, unnest(list_transform(
-         |    range(1, len(text) - 2 + 1), i -> substr(text, i, 3))) g
-         |  FROM documents WHERE len(text) >= 3),
-         |lc AS (SELECT lang, g, count(*) n FROM tri GROUP BY 1, 2),
-         |prof AS (
-         |  SELECT lang AS plang, g FROM (
-         |    SELECT lang, g, row_number() OVER (
-         |      PARTITION BY lang ORDER BY n DESC, g) rn FROM lc)
-         |  WHERE rn <= 20),
-         |docg AS (SELECT DISTINCT doc_id, g FROM tri),
-         |sc AS (
-         |  SELECT doc_id, plang, count(*) n
-         |  FROM docg JOIN prof USING (g) GROUP BY 1, 2),
-         |pred AS (
-         |  SELECT doc_id, plang FROM (
-         |    SELECT doc_id, plang, row_number() OVER (
-         |      PARTITION BY doc_id ORDER BY n DESC, plang) rn FROM sc)
-         |  WHERE rn = 1)
-         |SELECT d.doc_id, d.lang AS labeled,
-         |  coalesce(p.plang, 'und') AS predicted
-         |FROM documents d LEFT JOIN pred p ON p.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+    "t_charngram_langid" -> charngramLangidSql,
+    // identical answer by construction (train-once/score-many variant)
+    "t_charngram_langid_trained" -> charngramLangidSql,
     // integer DIV in both engines (Spark DIV ≡ DuckDB //): exact BIGINT
     // scores, deterministic (score DESC, word) total order per source
     "t_tfidf_keywords" ->

@@ -153,4 +153,38 @@ class NoveltyLangIdSpec extends AnyFunSuite {
     val l2 = SparkEntry.queries("t_charngram_langid")(spark, d).collect()
     assert(l1.toSeq == l2.toSeq)
   }
+
+  test("trained variant equals the joined tier row-for-row on the fixture") {
+    val d = "/root/testdata/sf0.001"
+    val joined = SparkEntry.queries("t_charngram_langid")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val trained = SparkEntry.queries("t_charngram_langid_trained")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(trained == joined)
+  }
+
+  test("trained variant edges: 'und' on gramless docs, tie breaks lang ASC") {
+    val got = run("t_charngram_langid_trained", Seq(
+      (1L, Seq.fill(8)("qqqq").mkString(" "), "qq"),
+      (2L, Seq.fill(8)("rrrr").mkString(" "), "rr"),
+      (3L, "ab", "qq"), // no trigram → no overlap → und
+      (4L, "qqqq qqqq qqqq", "rr"))) // equal overlap both ways → qq (ASC)
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted"))
+      .toMap
+    assert(got(1L) == "qq" && got(2L) == "rr")
+    assert(got(3L) == "und")
+    assert(got(4L) == "qq")
+  }
+
+  test("trained variant scores without a join or hash exchange") {
+    // the model folds into the per-row expression: the scoring plan must
+    // be scan → project → sort — no join, no hash repartitioning, at any
+    // corpus size (the point of train-once/score-many)
+    val df = SparkEntry.queries("t_charngram_langid_trained")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"scoring plan must not join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"scoring plan must not hash-shuffle:\n$plan")
+  }
 }
