@@ -99,6 +99,11 @@ object ExplainAudit {
     audit("ckpt_after_seq_restart", "BroadcastHashJoin")  // ckpt broadcast
     audit("s_ann_bruteforce", "BroadcastNestedLoopJoin")  // corpus unshuffled
     audit("t_rolling_fingerprint", "*(")                  // custom expr fused
+    // ROUGE-L: the custom LCS Expression stays inside whole-stage
+    // codegen and the whole query is per-row — zero hash exchanges at
+    // any corpus size (only the oracle-edge orderBy's range exchange)
+    audit("a_rouge_l", "*(")
+    auditAtMost("a_rouge_l", "Exchange hashpartitioning|Join", 0)
     audit("d_embedding_dup", "BroadcastNestedLoopJoin")
 
     // sketch aggregations keep map-side partial aggregation: the shuffle

@@ -113,6 +113,22 @@ object BleuEval {
           s.getField("i").cast("string"), lit(":bleu"))), 1, 1) =!= "0"),
       s => s.getField("t"))
 
+  /** `base` with 1-based positions dropped when the first md5 nibble of
+    * `pair_id:pos:tag` is '0' (~1/16) — the deterministic, engine-portable
+    * corruption both ROUGE sides use (different tags ⇒ different drop
+    * sets, so NEITHER side is a subsequence of the other and the LCS is a
+    * real alignment, not trivially `cand_len`).
+    */
+  private def droppedSide(pairId: Column, base: Column,
+      tag: String): Column =
+    when(size(base) >= 1, transform(
+      filter(zip_with(base, sequence(lit(1), size(base)),
+          (t, i) => struct(t.as("t"), i.as("i"))),
+        x => substring(md5(concat(pairId.cast("string"), lit(":"),
+          x.getField("i").cast("string"), lit(s":$tag"))), 1, 1) =!= "0"),
+      x => x.getField("t")))
+      .otherwise(array().cast("array<string>"))
+
   val queries: Map[String, Q] = Map(
     "a_bleu" -> { (s, d) =>
       val docs = Tables.spread(Tables.documents(s, d))
@@ -122,6 +138,40 @@ object BleuEval {
         corruptedCandidate(col("pair_id"), col("ref")).as("cand"),
         col("ref"))
       bleuStats(pairs).orderBy("pair_id", "n")
+    },
+    // ROUGE-L (Lin 2004) — the LCS half of generation eval, completing
+    // BLEU's n-gram-precision half: per pair, the token-level LCS length
+    // plus DIV-exact micro precision/recall/F. The LCS runs in the custom
+    // codegen'd [[graft.functions.LcsLength]] Expression (per-row two-row
+    // DP — no shuffle, no UDF boxing; scan throughput at any corpus
+    // size). Tokens cap at the first 40 per side so the DuckDB twin — a
+    // recursive-CTE replay of the SAME DP via the prefix-max row
+    // recurrence — stays tractable; the Spark side has no such need (the
+    // cap is the CONTRACT here, not a limitation: ROUGE-L in eval
+    // harnesses scores bounded generations, not whole documents).
+    // Sides drop ~1/16 of positions under DIFFERENT md5 tags, so neither
+    // side embeds in the other and the DP does real work.
+    "a_rouge_l" -> { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").as("pair_id"),
+          slice(toks(col("text")), 1, 40).as("base"))
+      docs.select(col("pair_id"),
+          droppedSide(col("pair_id"), col("base"), "rougeC").as("cand"),
+          droppedSide(col("pair_id"), col("base"), "rougeR").as("ref"))
+        .select(col("pair_id"),
+          size(col("cand")).cast("long").as("cand_len"),
+          size(col("ref")).cast("long").as("ref_len"),
+          graft.functions.LcsLength.lcs_length(col("cand"), col("ref"))
+            .cast("long").as("lcs"))
+        .withColumn("p_micro", when(col("cand_len") > 0,
+          expr("lcs * 1000000 DIV cand_len")).otherwise(0L))
+        .withColumn("r_micro", when(col("ref_len") > 0,
+          expr("lcs * 1000000 DIV ref_len")).otherwise(0L))
+        .withColumn("f_micro", when(col("p_micro") + col("r_micro") > 0,
+          expr("(2 * p_micro * r_micro) DIV (p_micro + r_micro)"))
+          .otherwise(0L))
+        .orderBy("pair_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -176,5 +226,63 @@ object BleuEval {
         |FROM base
         |LEFT JOIN tt ON tt.pair_id = base.pair_id AND tt.n = base.n
         |LEFT JOIN mt ON mt.pair_id = base.pair_id AND mt.n = base.n
-        |ORDER BY base.pair_id, base.n""".stripMargin)
+        |ORDER BY base.pair_id, base.n""".stripMargin,
+    // the SAME two-row LCS DP the custom Expression runs, replayed as a
+    // recursive CTE over candidate positions i, carrying the previous DP
+    // row as a BIGINT list. The row recurrence uses the prefix-max
+    // formulation new[j] = max(prev[j], max_{k<=j}(prev[k-1]+1 when
+    // c[i]=r[k])) — equivalent to the textbook three-way recurrence but
+    // free of the within-row sequential dependence a list_transform
+    // cannot express. `dprow[x]` holds dp[i][x-1] (1-based lists), so
+    // prev[j] = dprow[j+1] and prev[k-1] = dprow[k].
+    "a_rouge_l" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id AS pair_id,
+        |    list_slice(list_filter(string_split(text, ' '),
+        |      w -> len(w) > 0), 1, 40) AS base
+        |  FROM documents WHERE text IS NOT NULL),
+        |pair AS MATERIALIZED (
+        |  SELECT pair_id,
+        |    list_transform(
+        |      list_filter(range(1, len(base) + 1), i ->
+        |        substr(md5(CAST(pair_id AS VARCHAR) || ':' ||
+        |          CAST(i AS VARCHAR) || ':rougeC'), 1, 1) != '0'),
+        |      i -> base[i]) AS c,
+        |    list_transform(
+        |      list_filter(range(1, len(base) + 1), i ->
+        |        substr(md5(CAST(pair_id AS VARCHAR) || ':' ||
+        |          CAST(i AS VARCHAR) || ':rougeR'), 1, 1) != '0'),
+        |      i -> base[i]) AS r
+        |  FROM tk),
+        |dp AS (
+        |  SELECT pair_id, c, r, 0 AS i,
+        |    list_transform(range(0, len(r) + 1),
+        |      x -> CAST(0 AS BIGINT)) AS dprow
+        |  FROM pair
+        |  UNION ALL
+        |  SELECT pair_id, c, r, i + 1,
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(r) + 1), j ->
+        |        greatest(dprow[j + 1],
+        |          list_max(list_transform(range(1, j + 1), k ->
+        |            CASE WHEN r[k] = c[i + 1] THEN dprow[k] + 1
+        |                 ELSE CAST(0 AS BIGINT) END)))))
+        |  FROM dp WHERE i < len(c)),
+        |fin AS (
+        |  SELECT pair_id, CAST(len(c) AS BIGINT) AS cand_len,
+        |    CAST(len(r) AS BIGINT) AS ref_len,
+        |    dprow[len(r) + 1] AS lcs
+        |  FROM dp WHERE i = len(c)),
+        |pr AS (
+        |  SELECT pair_id, cand_len, ref_len, lcs,
+        |    CASE WHEN cand_len > 0 THEN lcs * 1000000 // cand_len
+        |         ELSE 0 END AS p_micro,
+        |    CASE WHEN ref_len > 0 THEN lcs * 1000000 // ref_len
+        |         ELSE 0 END AS r_micro
+        |  FROM fin)
+        |SELECT pair_id, cand_len, ref_len, lcs, p_micro, r_micro,
+        |  CASE WHEN p_micro + r_micro > 0
+        |       THEN (2 * p_micro * r_micro) // (p_micro + r_micro)
+        |       ELSE 0 END AS f_micro
+        |FROM pr ORDER BY pair_id""".stripMargin)
 }
