@@ -481,6 +481,15 @@ object ExplainAudit {
     // n explode once.
     audit("a_bleu", "partial_count")
     auditAtMost("a_bleu", "Generate explode", 4)
+    // chrF rides the same shape: gram counting behind map-side partial
+    // aggregation. Generate budget is ONE MORE than a_bleu's: ref grams
+    // feed two consumers here (the clip join AND ref_total — chrF is an
+    // F-score, BLEU precision-only), so uncached planOf sees cand ×2,
+    // ref ×2, base ×1 (one collapsed by exchange reuse). The executed
+    // plan cache-collapses all of it via the pairs persist (diamond gate)
+    audit("a_chrf", "partial_count")
+    auditAtMost("a_chrf", "Generate explode", 5)
+    auditDiamond("a_chrf", 3)
     // DPO dataset: the per-cell balance cap is the bounded heap, not a
     // global sort, and the match product stays a hash join on the
     // capped (user, day) groups

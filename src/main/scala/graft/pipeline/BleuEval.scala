@@ -102,6 +102,65 @@ object BleuEval {
           .otherwise(0L))
   }
 
+  /** chrF sufficient statistics (Popović 2015) — the char-n-gram third
+    * of the standard generation-eval trio (BLEU precision, ROUGE-L LCS,
+    * chrF character F). Per pair and n in 1..maxN: clipped char-n-gram
+    * matches, BOTH totals (chrF is an F-score, so recall's denominator
+    * ships too), and the DIV-exact micro precision/recall. The β²
+    * combination stays caller-side for the same reason BLEU's geometric
+    * mean does: corpus chrF aggregates the SUMS, and the float β-mix
+    * belongs past the exact-integer boundary. Input: (pair_id, cand,
+    * ref) as STRING sides (char grams, not token grams).
+    *
+    * Scale shape mirrors [[bleuStats]]: one explode per side covering
+    * every n, gram counting behind map-side partial aggregation, the
+    * clip join on the key the counts are already partitioned by,
+    * everything downstream (pairs × maxN)-sized.
+    */
+  def chrfStats(pairs0: DataFrame, maxN: Int = 6): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN=$maxN out of the sane band")
+    val ns = 1 to maxN
+    // same 3-way diamond as bleuStats (cand grams, ref grams, the base
+    // spine) — lazy persist, CALLER owns release once materialized
+    val pairs = pairs0.persist()
+    def gramCounts(side: String): DataFrame = {
+      val structs = ns.map { n =>
+        when(length(col(side)) >= n,
+          transform(sequence(lit(1), length(col(side)) - (n - 1)),
+            i => struct(lit(n).as("n"), col(side).substr(i, lit(n)).as("g"))))
+          .otherwise(array().cast("array<struct<n:int,g:string>>"))
+      }.reduce(concat(_, _))
+      pairs.select(col("pair_id"), explode(structs).as("x"))
+        .select(col("pair_id"), col("x.n").as("n"), col("x.g").as("g"))
+        .groupBy("pair_id", "n", "g")
+        .agg(count(lit(1)).as(s"c_$side"))
+    }
+    val cc = gramCounts("cand")
+    val rc = gramCounts("ref")
+    val matched = cc.join(rc, Seq("pair_id", "n", "g"))
+      .groupBy("pair_id", "n")
+      .agg(sum(least(col("c_cand"), col("c_ref"))).as("matches"))
+    val ct = cc.groupBy("pair_id", "n")
+      .agg(sum(col("c_cand")).as("cand_total"))
+    val rt = rc.groupBy("pair_id", "n")
+      .agg(sum(col("c_ref")).as("ref_total"))
+    val base = pairs.select(col("pair_id"),
+      explode(sequence(lit(1), lit(maxN))).as("n"))
+    base.join(ct, Seq("pair_id", "n"), "left")
+      .join(rt, Seq("pair_id", "n"), "left")
+      .join(matched, Seq("pair_id", "n"), "left")
+      .select(col("pair_id"), col("n").cast("long").as("n"),
+        coalesce(col("matches"), lit(0L)).as("matches"),
+        coalesce(col("cand_total"), lit(0L)).as("cand_total"),
+        coalesce(col("ref_total"), lit(0L)).as("ref_total"))
+      .withColumn("p_micro",
+        when(col("cand_total") > 0, expr("matches * 1000000 DIV cand_total"))
+          .otherwise(0L))
+      .withColumn("r_micro",
+        when(col("ref_total") > 0, expr("matches * 1000000 DIV ref_total"))
+          .otherwise(0L))
+  }
+
   /** The deterministic candidate side: each 1-based token position
     * survives unless the first md5 nibble of `doc_id:pos:bleu` is '0'.
     */
@@ -172,6 +231,24 @@ object BleuEval {
           expr("(2 * p_micro * r_micro) DIV (p_micro + r_micro)"))
           .otherwise(0L))
         .orderBy("pair_id")
+    },
+    // chrF: char-n-gram (n=1..6) clipped matches + both totals over
+    // space-stripped sides capped at 240 chars (the oracle-tractability
+    // cap doubling as the bounded-generation contract, like ROUGE's 40
+    // tokens). cand drops ~1/16 of TOKENS (tag 'chrf') before the char
+    // join — chrF's whole point is scoring through tokenization
+    // differences at the char level.
+    "a_chrf" -> { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").as("pair_id"), toks(col("text")).as("t"),
+          substring(translate(col("text"), " ", ""), 1, 240).as("ref"))
+      val pairs = docs.select(col("pair_id"),
+        substring(concat_ws("",
+          droppedSide(col("pair_id"), col("t"), "chrf")), 1, 240)
+          .as("cand"),
+        col("ref"))
+      chrfStats(pairs).orderBy("pair_id", "n")
     })
 
   val oracles: Map[String, String] = Map(
@@ -284,5 +361,57 @@ object BleuEval {
         |  CASE WHEN p_micro + r_micro > 0
         |       THEN (2 * p_micro * r_micro) // (p_micro + r_micro)
         |       ELSE 0 END AS f_micro
-        |FROM pr ORDER BY pair_id""".stripMargin)
+        |FROM pr ORDER BY pair_id""".stripMargin,
+    // the chrF derivation replayed: same token-drop candidate, same
+    // space-strip + 240-char cap, char grams via substr windows
+    "a_chrf" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS pair_id,
+        |    list_filter(string_split(text, ' '), w -> len(w) > 0) AS t,
+        |    substr(replace(text, ' ', ''), 1, 240) AS ref
+        |  FROM documents WHERE text IS NOT NULL),
+        |pair AS MATERIALIZED (
+        |  SELECT pair_id, ref,
+        |    substr(array_to_string(list_transform(
+        |      list_filter(range(1, len(t) + 1), i ->
+        |        substr(md5(CAST(pair_id AS VARCHAR) || ':' ||
+        |          CAST(i AS VARCHAR) || ':chrf'), 1, 1) != '0'),
+        |      i -> t[i]), ''), 1, 240) AS cand
+        |  FROM tk),
+        |ns AS (SELECT unnest(range(1, 7)) AS n),
+        |cg AS (
+        |  SELECT pair_id, n, substr(cand, CAST(i AS INTEGER), CAST(n AS INTEGER)) AS g,
+        |    CAST(count(*) AS BIGINT) AS cc
+        |  FROM pair, ns, unnest(range(1, len(cand) - n + 2)) u(i)
+        |  WHERE len(cand) >= n
+        |  GROUP BY 1, 2, 3),
+        |rg AS (
+        |  SELECT pair_id, n, substr(ref, CAST(i AS INTEGER), CAST(n AS INTEGER)) AS g,
+        |    CAST(count(*) AS BIGINT) AS rc
+        |  FROM pair, ns, unnest(range(1, len(ref) - n + 2)) u(i)
+        |  WHERE len(ref) >= n
+        |  GROUP BY 1, 2, 3),
+        |mt AS (
+        |  SELECT pair_id, n, CAST(sum(least(cc, rc)) AS BIGINT) AS matches
+        |  FROM cg JOIN rg USING (pair_id, n, g) GROUP BY 1, 2),
+        |ct AS (SELECT pair_id, n, CAST(sum(cc) AS BIGINT) AS cand_total
+        |  FROM cg GROUP BY 1, 2),
+        |rt AS (SELECT pair_id, n, CAST(sum(rc) AS BIGINT) AS ref_total
+        |  FROM rg GROUP BY 1, 2),
+        |base AS (SELECT pair_id, CAST(n AS BIGINT) AS n FROM pair, ns)
+        |SELECT base.pair_id, base.n,
+        |  coalesce(matches, 0) AS matches,
+        |  coalesce(cand_total, 0) AS cand_total,
+        |  coalesce(ref_total, 0) AS ref_total,
+        |  CASE WHEN coalesce(cand_total, 0) > 0
+        |       THEN coalesce(matches, 0) * 1000000 // cand_total
+        |       ELSE 0 END AS p_micro,
+        |  CASE WHEN coalesce(ref_total, 0) > 0
+        |       THEN coalesce(matches, 0) * 1000000 // ref_total
+        |       ELSE 0 END AS r_micro
+        |FROM base
+        |LEFT JOIN ct ON ct.pair_id = base.pair_id AND ct.n = base.n
+        |LEFT JOIN rt ON rt.pair_id = base.pair_id AND rt.n = base.n
+        |LEFT JOIN mt ON mt.pair_id = base.pair_id AND mt.n = base.n
+        |ORDER BY base.pair_id, base.n""".stripMargin)
 }

@@ -63,6 +63,55 @@ class BleuSpec extends AnyFunSuite {
     assert(s(1)._4 == 2L && s(1)._5 == 3L)
   }
 
+  private def chrf(cand: String, ref: String): Map[Int, (Long, Long,
+      Long, Long, Long)] =
+    BleuEval.chrfStats(Seq((1L, cand, ref)).toDF("pair_id", "cand", "ref"))
+      .collect().map { r =>
+        r.getAs[Long]("n").toInt ->
+          ((r.getAs[Long]("matches"), r.getAs[Long]("cand_total"),
+            r.getAs[Long]("ref_total"), r.getAs[Long]("p_micro"),
+            r.getAs[Long]("r_micro")))
+      }.toMap
+
+  test("chrF identity: equal sides give p = r = 1e6 for n <= len") {
+    val s = chrf("abcdef", "abcdef")
+    (1 to 6).foreach { n =>
+      assert(s(n)._2 == (6 - n + 1).toLong, s"n=$n")
+      assert(s(n)._4 == 1000000L && s(n)._5 == 1000000L, s"n=$n")
+    }
+  }
+
+  test("chrF clips by multiplicity and keeps both denominators") {
+    // cand 'aaa': bigram 'aa' ×2; ref 'aab': 'aa' ×1 → clipped 1
+    val s = chrf("aaa", "aab")
+    assert(s(2) == ((1L, 2L, 2L, 500000L, 500000L)))
+    // unigrams: cand a×3; ref a×2,b×1 → clipped 2; p=2/3, r=2/3
+    assert(s(1) == ((2L, 3L, 3L, 666666L, 666666L)))
+  }
+
+  test("chrF precision/recall diverge with unequal lengths") {
+    // cand 'ab' ⊂ ref 'abcd': p1 = 1, r1 = 2/4
+    val s = chrf("ab", "abcd")
+    assert(s(1) == ((2L, 2L, 4L, 1000000L, 500000L)))
+    assert(s(2)._1 == 1L && s(2)._2 == 1L && s(2)._3 == 3L)
+    // rows exist for n beyond the short side with zero totals
+    assert(s(5) == ((0L, 0L, 0L, 0L, 0L)))
+    assert(s(6)._3 == 0L)
+  }
+
+  test("a_chrf fixture: deterministic, complete, in-range") {
+    val rows = SparkEntry.queries("a_chrf")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 500 * 6)
+    rows.foreach { r =>
+      val (m, ct, rt) = (r.getAs[Long]("matches"),
+        r.getAs[Long]("cand_total"), r.getAs[Long]("ref_total"))
+      assert(m <= math.min(ct, rt), s"clip bound broken at ${r.get(0)}")
+      assert(r.getAs[Long]("p_micro") <= 1000000L)
+      assert(r.getAs[Long]("r_micro") <= 1000000L)
+    }
+  }
+
   test("corruptedCandidate is a deterministic subsequence") {
     val ref = (1 to 200).map(i => s"w$i")
     val df = Seq((42L, ref)).toDF("doc_id", "ref")
