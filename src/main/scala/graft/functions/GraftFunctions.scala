@@ -90,6 +90,12 @@ object GraftFunctions {
         }
         FreqSketch(exprs.head, m).toAggregateExpression()
       }),
+    (FunctionIdentifier("graft_lcs_length"),
+      new ExpressionInfo(classOf[LcsLength].getName, "graft_lcs_length"),
+      (exprs: Seq[Expression]) => {
+        val e = arity("graft_lcs_length", 2)(exprs)
+        LcsLength(e(0), e(1))
+      }),
     (FunctionIdentifier("graft_zvalue"),
       new ExpressionInfo("graft.sources.ZOrderLayout", "graft_zvalue"),
       (exprs: Seq[Expression]) => {

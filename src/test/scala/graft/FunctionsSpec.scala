@@ -37,6 +37,16 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT graft_hilbert_value(12345L, 54321L) AS h").head().getLong(0)
     assert(hSql == hCol)
     assert(hSql == graft.functions.HilbertValue.xy2d(12345L, 54321L, 16))
+    // LCS through SQL == the Column API / reference value
+    val lcsSql = spark.sql(
+      "SELECT graft_lcs_length(array('a','x','b','y','c'), " +
+        "array('a','b','c')) AS l").head().getInt(0)
+    assert(lcsSql == 3)
+    // P9 discipline: wrong arity names the function
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_lcs_length(array('a')) AS l").collect()
+    }
+    assert(err.getMessage.contains("graft_lcs_length"))
   }
 
   test("withExtensions sessions get the functions at build time") {
