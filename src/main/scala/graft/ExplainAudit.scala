@@ -382,6 +382,11 @@ object ExplainAudit {
     // queries (tri ×2, tf ×2)
     auditDiamond("d_ngram_jaccard_capped", 4)
     auditDiamond("d_containment_dup", 4)
+    // the LCS verify tier rides the capped pair lineage (same seam
+    // persists) and must never degrade to a pair product
+    auditDiamond("d_lcs_verify", 4)
+    auditAtMost("d_lcs_verify",
+      "CartesianProduct|BroadcastNestedLoopJoin", 0)
     auditDiamond("d_incremental_dedup", 4)
     auditDiamond("d_ngram_jaccard", 2)    // uncapped: sizes feed both joins
     auditDiamond("d_jaccard_prefix", 4)

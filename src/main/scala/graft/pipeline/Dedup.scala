@@ -850,6 +850,35 @@ object Dedup {
         .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("da", "db")
     },
+    // Order-aware verification of the production pair tier: each
+    // df-capped Jaccard pair additionally scored by token-LCS ratio over
+    // the docs' first-64-token prefixes (the custom codegen'd
+    // [[graft.functions.LcsLength]]). Jaccard is bag-of-shingles — a doc
+    // with SHUFFLED paragraphs of another scores nearly as high as a true
+    // near-dup; LCS collapses on reordering, so lcs_micro separates
+    // same-content-same-order (keep one) from same-content-reordered
+    // (often a legitimate re-edit worth keeping). The 64-token prefix is
+    // the oracle-tractability cap AND the production sampling discipline
+    // (alignment on a bounded prefix, not O(doc²) on full docs). Shape:
+    // the pair tier's own posting-list lineage + two prefix re-fetch
+    // joins + a per-row expression — nothing new shuffles at scale.
+    "d_lcs_verify" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = jaccardPairs(docs, 0.8, maxDf = 20).select("da", "db")
+      val pre = Tables.spread(docs).select(col("doc_id"),
+        slice(split(col("text"), " "), 1, 64).as("p"))
+      pairs
+        .join(pre.select(col("doc_id").as("da"), col("p").as("pa")), "da")
+        .join(pre.select(col("doc_id").as("db"), col("p").as("pb")), "db")
+        .select(col("da"), col("db"),
+          graft.functions.LcsLength.lcs_length(col("pa"), col("pb"))
+            .cast("long").as("lcs"),
+          size(col("pa")).cast("long").as("len_a"),
+          size(col("pb")).cast("long").as("len_b"))
+        .withColumn("lcs_micro",
+          expr("lcs * 1000000 DIV greatest(len_a, len_b)"))
+        .orderBy("da", "db")
+    },
     // Incremental dedup: docs with doc_id % 5 == 0 play the NEW batch,
     // the rest the already-resolved index; only pairs touching the batch
     // are produced (and index×index pairs are never even enumerated).
@@ -1156,6 +1185,59 @@ object Dedup {
         |JOIN sizes sb ON sb.doc_id = db
         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
         |ORDER BY da, db""".stripMargin,
+    // the capped pair derivation verbatim, then the SAME token-LCS DP the
+    // custom Expression runs, replayed per pair as a recursive CTE via
+    // the prefix-max row recurrence (the a_rouge_l oracle idiom) over
+    // 64-token prefixes
+    "d_lcs_verify" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) s
+        |  FROM toks WHERE len(t) >= 3),
+        |df AS (SELECT s, count(*) c FROM sh GROUP BY s),
+        |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING(s)
+        |        WHERE c <= 20),
+        |sizes AS (SELECT doc_id, count(*) n FROM shc GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id da, b.doc_id db, count(*) i
+        |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |prs AS (
+        |  SELECT da, db FROM inter
+        |  JOIN sizes sa ON sa.doc_id = da
+        |  JOIN sizes sb ON sb.doc_id = db
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |pre AS (SELECT doc_id,
+        |  list_slice(string_split(text, ' '), 1, 64) p FROM documents),
+        |pair AS MATERIALIZED (
+        |  SELECT da, db, a.p AS c, b.p AS r
+        |  FROM prs JOIN pre a ON a.doc_id = da
+        |  JOIN pre b ON b.doc_id = db),
+        |dp AS (
+        |  SELECT da, db, c, r, 0 AS i,
+        |    list_transform(range(0, len(r) + 1),
+        |      x -> CAST(0 AS BIGINT)) AS dprow
+        |  FROM pair
+        |  UNION ALL
+        |  SELECT da, db, c, r, i + 1,
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(r) + 1), j ->
+        |        greatest(dprow[j + 1],
+        |          list_max(list_transform(range(1, j + 1), k ->
+        |            CASE WHEN r[k] = c[i + 1] THEN dprow[k] + 1
+        |                 ELSE CAST(0 AS BIGINT) END)))))
+        |  FROM dp WHERE i < len(c)),
+        |fin AS (
+        |  SELECT da, db, dprow[len(r) + 1] AS lcs,
+        |    CAST(len(c) AS BIGINT) AS len_a,
+        |    CAST(len(r) AS BIGINT) AS len_b
+        |  FROM dp WHERE i = len(c))
+        |SELECT da, db, lcs, len_a, len_b,
+        |  lcs * 1000000 // greatest(len_a, len_b) AS lcs_micro
+        |FROM fin ORDER BY da, db""".stripMargin,
     "d_incremental_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') t FROM documents),

@@ -77,6 +77,35 @@ class LcsSpec extends AnyFunSuite {
     }
   }
 
+  test("d_lcs_verify separates same-order dups from shuffled-block dups") {
+    // Two planted pairs, both over the trigram-Jaccard 0.8 bar:
+    //  - (1, 2): identical text → lcs_micro = 1e6
+    //  - (3, 4): the SAME two 30-token blocks in swapped order — trigram
+    //    overlap stays high (only the junction trigrams differ) but the
+    //    token LCS collapses to one block
+    val blockX = (1 to 30).map(i => s"x$i").mkString(" ")
+    val blockY = (1 to 30).map(i => s"y$i").mkString(" ")
+    val filler = (1 to 40).map(i => s"f$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"$blockX $blockY"), (2L, s"$blockX $blockY"),
+      (3L, s"$blockX $blockY"), (4L, s"$blockY $blockX"),
+      (5L, filler))
+    val dir = java.nio.file.Files.createTempDirectory("lcsver").toString
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("d_lcs_verify")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        r.getAs[Long]("lcs_micro")).toMap
+    assert(got((1L, 2L)) == 1000000L)
+    // doc 3/4 prefixes are 60 tokens; the swapped pair keeps one 30-token
+    // block plus nothing contiguous across the junction → ratio ≈ 1/2
+    assert(got((3L, 4L)) <= 520000L && got((3L, 4L)) >= 480000L,
+      s"shuffled-block pair not separated: ${got((3L, 4L))}")
+    // same-order identical pair (3 with 1/2's text) also present & high
+    assert(got.keySet.contains((1L, 3L)) && got((1L, 3L)) == 1000000L)
+  }
+
   test("a_rouge_l fixture invariants: bounds, harmonic-mean order, determinism") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("a_rouge_l")(spark, d).collect()
