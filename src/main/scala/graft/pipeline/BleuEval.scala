@@ -45,7 +45,8 @@ object BleuEval {
     * Output: pair_id, n, cand_len, ref_len, len_ratio_micro, matches,
     * total, p_micro — all BIGINT, DIV-exact.
     */
-  def bleuStats(pairs0: DataFrame, maxN: Int = 4): DataFrame = {
+  def bleuStats(pairs0: DataFrame, maxN: Int = 4,
+      retain: DataFrame => Unit = _ => ()): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN=$maxN out of the sane band")
     val ns = 1 to maxN
     // the token-array frame feeds a 3-way diamond (cand counts, ref
@@ -60,8 +61,11 @@ object BleuEval {
     // Verify clearCache()s after every query, Bench before every
     // sample, specs via the shared-session teardown. A long-lived
     // embedder should spark.catalog.clearCache() (or unpersist this
-    // frame by plan) after consuming the result.
+    // frame by plan) after consuming the result — or pass `retain` to
+    // receive the handle (the jaccardPairsFrom seam discipline;
+    // GenEvalStream releases per micro-batch this way).
     val pairs = pairs0.persist()
+    retain(pairs)
     // ONE explode per side covering every n: each row's grams for all
     // n are concatenated as (n, gram) structs, so the side array is
     // evaluated once instead of once per union branch
@@ -117,12 +121,15 @@ object BleuEval {
     * clip join on the key the counts are already partitioned by,
     * everything downstream (pairs × maxN)-sized.
     */
-  def chrfStats(pairs0: DataFrame, maxN: Int = 6): DataFrame = {
+  def chrfStats(pairs0: DataFrame, maxN: Int = 6,
+      retain: DataFrame => Unit = _ => ()): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN=$maxN out of the sane band")
     val ns = 1 to maxN
     // same 3-way diamond as bleuStats (cand grams, ref grams, the base
     // spine) — lazy persist, CALLER owns release once materialized
+    // (`retain` hands out the handle, the bleuStats contract)
     val pairs = pairs0.persist()
+    retain(pairs)
     def gramCounts(side: String): DataFrame = {
       val structs = ns.map { n =>
         when(length(col(side)) >= n,
@@ -188,15 +195,32 @@ object BleuEval {
       x => x.getField("t")))
       .otherwise(array().cast("array<string>"))
 
-  val queries: Map[String, Q] = Map(
-    "a_bleu" -> { (s, d) =>
-      val docs = Tables.spread(Tables.documents(s, d))
-        .filter(col("text").isNotNull)
-        .select(col("doc_id").as("pair_id"), toks(col("text")).as("ref"))
-      val pairs = docs.select(col("pair_id"),
+  /** The registered a_bleu pair frame from a (doc_id, text) docs frame —
+    * ONE definition shared by the batch query and [[graft.streaming
+    * .GenEvalStream]], so stream ≡ batch is by construction.
+    */
+  def bleuPairsOf(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id").as("pair_id"), toks(col("text")).as("ref"))
+      .select(col("pair_id"),
         corruptedCandidate(col("pair_id"), col("ref")).as("cand"),
         col("ref"))
-      bleuStats(pairs).orderBy("pair_id", "n")
+
+  /** The registered a_chrf pair frame — same sharing contract. */
+  def chrfPairsOf(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id").as("pair_id"), toks(col("text")).as("t"),
+        substring(translate(col("text"), " ", ""), 1, 240).as("ref"))
+      .select(col("pair_id"),
+        substring(concat_ws("",
+          droppedSide(col("pair_id"), col("t"), "chrf")), 1, 240)
+          .as("cand"),
+        col("ref"))
+
+  val queries: Map[String, Q] = Map(
+    "a_bleu" -> { (s, d) =>
+      bleuStats(bleuPairsOf(Tables.spread(Tables.documents(s, d))))
+        .orderBy("pair_id", "n")
     },
     // ROUGE-L (Lin 2004) — the LCS half of generation eval, completing
     // BLEU's n-gram-precision half: per pair, the token-level LCS length
@@ -239,16 +263,8 @@ object BleuEval {
     // join — chrF's whole point is scoring through tokenization
     // differences at the char level.
     "a_chrf" -> { (s, d) =>
-      val docs = Tables.spread(Tables.documents(s, d))
-        .filter(col("text").isNotNull)
-        .select(col("doc_id").as("pair_id"), toks(col("text")).as("t"),
-          substring(translate(col("text"), " ", ""), 1, 240).as("ref"))
-      val pairs = docs.select(col("pair_id"),
-        substring(concat_ws("",
-          droppedSide(col("pair_id"), col("t"), "chrf")), 1, 240)
-          .as("cand"),
-        col("ref"))
-      chrfStats(pairs).orderBy("pair_id", "n")
+      chrfStats(chrfPairsOf(Tables.spread(Tables.documents(s, d))))
+        .orderBy("pair_id", "n")
     })
 
   val oracles: Map[String, String] = Map(
