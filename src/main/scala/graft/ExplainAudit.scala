@@ -104,6 +104,10 @@ object ExplainAudit {
     // any corpus size (only the oracle-edge orderBy's range exchange)
     audit("a_rouge_l", "*(")
     auditAtMost("a_rouge_l", "Exchange hashpartitioning|Join", 0)
+    // the FIM and T5-span training transforms are pure per-row array
+    // expressions — scan throughput, no join, no hash exchange
+    auditAtMost("p_fim_split", "Exchange hashpartitioning|Join", 0)
+    auditAtMost("p_span_corruption", "Exchange hashpartitioning|Join", 0)
     audit("d_embedding_dup", "BroadcastNestedLoopJoin")
 
     // sketch aggregations keep map-side partial aggregation: the shuffle

@@ -882,6 +882,102 @@ object TrainingSet {
     "p_pack_sequences" -> { (s, d) =>
       packSequences(Tables.documents(s, d), 2048)
         .orderBy("doc_id")
+    },
+    // Fill-in-middle transformation (Bavarian et al. 2022) — the code-
+    // model pretraining transform: each doc's token stream splits at two
+    // deterministic md5-drawn cuts into (prefix, middle, suffix) and
+    // re-serializes in PSM sentinel order, so the model learns infilling
+    // from the same corpus. Cuts guarantee a NON-EMPTY middle (prefix/
+    // suffix may be empty, as in the paper's uniform spans); docs under 3
+    // tokens pass through unsplit with fim_applied = 0. Pure per-row
+    // codegen'd arrays — zero exchanges at any corpus size; all split
+    // arithmetic integer, so the oracle re-derives the exact strings.
+    "p_fim_split" -> { (s, d) =>
+      val t = filter(split(col("text"), " "), w => length(w) > 0)
+      val n = size(t).cast("long")
+      def h(tag: String): Column =
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(s":$tag"))), 1, 4), 16, 10).cast("long")
+      val lo = when(n >= 3, least(h("fim1") % n, h("fim2") % n))
+        .otherwise(0L)
+      val hi = when(n >= 3, greatest(h("fim1") % n, h("fim2") % n) + 1L)
+        .otherwise(n)
+      def joined(c: Column): Column = concat_ws(" ", c)
+      Tables.spread(Tables.documents(s, d))
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), n.as("n_tokens"),
+          when(n >= 3, 1L).otherwise(0L).as("fim_applied"),
+          joined(slice(t, lit(1), lo.cast("int"))).as("fim_prefix"),
+          joined(slice(t, (lo + 1L).cast("int"), (hi - lo).cast("int")))
+            .as("fim_middle"),
+          joined(slice(t, (hi + 1L).cast("int"), (n - hi).cast("int")))
+            .as("fim_suffix"))
+        .withColumn("psm_text", concat(
+          lit("<fim_prefix>"), col("fim_prefix"),
+          lit("<fim_suffix>"), col("fim_suffix"),
+          lit("<fim_middle>"), col("fim_middle")))
+        .orderBy("doc_id")
+    },
+    // T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
+    // denoising-objective transform: masked spans replaced by ordered
+    // <extra_id_K> sentinels in the input, targets the sentinel-prefixed
+    // masked spans. The classic sampler is sequential; this is the
+    // DETERMINISTIC block-local replay: positions partition into 8-token
+    // blocks, each block masks (gate ~60%) one md5-drawn span of 1-3
+    // tokens fully inside itself — no span overlap by construction, no
+    // sequential dependence, ~15% expected token mask rate (0.6 · 2/8),
+    // and every draw replayable in any engine. Pure per-row array
+    // expressions (the transform/filter/flatten family) — zero exchanges;
+    // sentinel numbering is the block's rank among the doc's masked
+    // blocks via array_position on the precomputed masked-block list.
+    "p_span_corruption" -> { (s, d) =>
+      val t = filter(split(col("text"), " "), w => length(w) > 0)
+      val n = size(t)
+      val nb = ceil(n.cast("double") / 8.0).cast("int")
+      def hBlock(k: Column): Column =
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":"), k.cast("string"), lit(":t5"))), 1, 4), 16, 10)
+          .cast("long")
+      // h < 65536, so double-floor division is exact
+      def idiv(a: Column, b: Int): Column =
+        floor(a.cast("double") / b).cast("long")
+      def startOff(k: Column): Column = hBlock(k) % 6   // 0..5
+      def spanLen(k: Column): Column = idiv(hBlock(k), 6) % 3 + 1 // 1..3
+      def gated(k: Column): Column = idiv(hBlock(k), 18) % 10 < 6
+      // masked blocks: gated AND their span starts inside the doc
+      val mblocks = when(n >= 1, filter(sequence(lit(0), nb - 1),
+          k => gated(k) && (k * 8 + startOff(k) + 1 <= n)))
+        .otherwise(array().cast("array<int>"))
+      // input: per position — kept token, sentinel at a span's first
+      // position, null inside the rest of a masked span
+      val inputRaw = transform(sequence(lit(1), n), i => {
+        val k = ((i - 1).cast("long") / 8).cast("int")
+        val o = (i - 1) % 8
+        val inMasked = array_contains(mblocks, k) &&
+          o >= startOff(k) && o < startOff(k) + spanLen(k)
+        val sent = concat(lit("<extra_id_"),
+          (array_position(mblocks, k) - 1).cast("string"), lit(">"))
+        when(!inMasked, element_at(t, i))
+          .otherwise(when(o === startOff(k), sent)
+            .otherwise(lit(null).cast("string")))
+      })
+      val inputToks = filter(
+        when(n >= 1, inputRaw).otherwise(array().cast("array<string>")),
+        x => x.isNotNull)
+      // target: <extra_id_K> + the K-th masked block's span tokens
+      val targetToks = flatten(transform(mblocks, k =>
+        concat(
+          array(concat(lit("<extra_id_"),
+            (array_position(mblocks, k) - 1).cast("string"), lit(">"))),
+          slice(t, (k * 8 + startOff(k) + 1).cast("int"),
+            spanLen(k).cast("int")))))
+      Tables.spread(Tables.documents(s, d))
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), n.cast("long").as("n_tokens"),
+          size(mblocks).cast("long").as("n_spans"),
+          concat_ws(" ", inputToks).as("input_text"),
+          concat_ws(" ", targetToks).as("target_text"))
+        .orderBy("doc_id")
     })
 
   private val DecontaminateSql =
@@ -930,8 +1026,108 @@ object TrainingSet {
        |ORDER BY source""".stripMargin
   }
 
+  /** First-4-hex-chars of an md5 as an integer — DuckDB twin of the
+    * Spark-side `conv(substring(md5(x), 1, 4), 16, 10)` (the Agreement
+    * nibble idiom).
+    */
+  private def md5Head4(arg: String): String =
+    (1 to 4).map { i =>
+      val mul = math.pow(16, 4 - i).toLong
+      s"(strpos('0123456789abcdef', substr(md5($arg), $i, 1)) - 1) * $mul"
+    }.mkString("(", " + ", ")")
+
+  private val FimSql: String = {
+    val h1 = md5Head4("CAST(doc_id AS VARCHAR) || ':fim1'")
+    val h2 = md5Head4("CAST(doc_id AS VARCHAR) || ':fim2'")
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), w -> len(w) > 0) AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |cut AS (
+       |  SELECT doc_id, t, len(t) AS n,
+       |    CASE WHEN len(t) >= 3
+       |         THEN least($h1 % len(t), $h2 % len(t)) ELSE 0 END AS lo,
+       |    CASE WHEN len(t) >= 3
+       |         THEN greatest($h1 % len(t), $h2 % len(t)) + 1
+       |         ELSE len(t) END AS hi
+       |  FROM tk)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(CASE WHEN n >= 3 THEN 1 ELSE 0 END AS BIGINT) AS fim_applied,
+       |  coalesce(array_to_string(list_slice(t, 1, lo), ' '), '')
+       |    AS fim_prefix,
+       |  coalesce(array_to_string(list_slice(t, lo + 1, hi), ' '), '')
+       |    AS fim_middle,
+       |  coalesce(array_to_string(list_slice(t, hi + 1, n), ' '), '')
+       |    AS fim_suffix,
+       |  '<fim_prefix>'
+       |    || coalesce(array_to_string(list_slice(t, 1, lo), ' '), '')
+       |    || '<fim_suffix>'
+       |    || coalesce(array_to_string(list_slice(t, hi + 1, n), ' '), '')
+       |    || '<fim_middle>'
+       |    || coalesce(array_to_string(list_slice(t, lo + 1, hi), ' '), '')
+       |    AS psm_text
+       |FROM cut ORDER BY doc_id""".stripMargin
+  }
+
+  private val SpanCorruptionSql: String = {
+    val hb = md5Head4(
+      "CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR) || ':t5'")
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), w -> len(w) > 0) AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |base AS (SELECT doc_id, t, len(t) AS n FROM tk),
+       |blk AS (
+       |  SELECT doc_id, n, k, $hb % 6 AS so,
+       |    ($hb // 6) % 3 + 1 AS sl, ($hb // 18) % 10 AS g
+       |  FROM base, unnest(range(0, (n + 7) // 8)) u(k)
+       |  WHERE n >= 1),
+       |mb AS (
+       |  SELECT doc_id, k, so, sl,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS sid
+       |  FROM blk WHERE g < 6 AND k * 8 + so + 1 <= n),
+       |pos AS (
+       |  SELECT doc_id, i, t[CAST(i AS INTEGER)] AS tok,
+       |    (i - 1) // 8 AS k, (i - 1) % 8 AS o
+       |  FROM base, unnest(range(1, n + 1)) u(i)),
+       |inp AS (
+       |  SELECT p.doc_id,
+       |    string_agg(
+       |      CASE WHEN m.k IS NULL OR p.o < m.so OR p.o >= m.so + m.sl
+       |             THEN p.tok
+       |           WHEN p.o = m.so
+       |             THEN '<extra_id_' || CAST(m.sid AS VARCHAR) || '>'
+       |           ELSE NULL END, ' ' ORDER BY p.i) AS input_text
+       |  FROM pos p LEFT JOIN mb m ON m.doc_id = p.doc_id AND m.k = p.k
+       |  GROUP BY p.doc_id),
+       |tgt AS (
+       |  SELECT m.doc_id, count(*) AS n_spans,
+       |    string_agg(
+       |      array_to_string(list_prepend(
+       |        '<extra_id_' || CAST(m.sid AS VARCHAR) || '>',
+       |        list_slice(b.t, CAST(m.k * 8 + m.so + 1 AS INTEGER),
+       |          CAST(m.k * 8 + m.so + m.sl AS INTEGER))), ' '),
+       |      ' ' ORDER BY m.sid) AS target_text
+       |  FROM mb m JOIN base b ON b.doc_id = m.doc_id
+       |  GROUP BY m.doc_id)
+       |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(tgt.n_spans, 0) AS BIGINT) AS n_spans,
+       |  coalesce(inp.input_text, '') AS input_text,
+       |  coalesce(tgt.target_text, '') AS target_text
+       |FROM base b
+       |LEFT JOIN inp ON inp.doc_id = b.doc_id
+       |LEFT JOIN tgt ON tgt.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "a_mix_report" -> mixReportOracleSql,
+    // the FIM cut arithmetic replayed with the 4-nibble md5 heads —
+    // exact string equality end to end
+    "p_fim_split" -> FimSql,
+    // block-local T5 masking replayed: per-block draws, masked-block
+    // ranks, ordered string_agg reconstruction of input and target
+    "p_span_corruption" -> SpanCorruptionSql,
     // the packSequences windows replayed, then one per-lang aggregate;
     // every quantity is BIGINT arithmetic (// == the engine's DIV)
     "a_pack_efficiency" ->
