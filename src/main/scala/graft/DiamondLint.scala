@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Registry-wide DIAMOND LINTER — makes the diamond-reuse rule
@@ -34,17 +35,19 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   *    subsumes its duplicated children).
   *
   * 2. PHYSICAL ADJUDICATION (only for queries phase 1 flags): execute
-  *    the query at lint scale and count reuse evidence in the FINAL
-  *    adaptive physical plan — `ReusedExchange` occurrences (physical
-  *    exchange reuse collapses logical duplicates at runtime; invisible
-  *    at the logical level) plus `InMemoryTableScan`/
-  *    `TableCacheQueryStage` reads (persists registered during
-  *    construction). A query passes when evidence ≥ the extra
-  *    executions its logical duplicates imply (Σ(occurrences − 1)):
-  *    a subtree duplicated n times that is persisted shows ≥ n cached
-  *    reads, and one collapsed by exchange reuse shows n − 1
-  *    ReusedExchange nodes — both satisfy the bound; only genuinely
-  *    re-executed compute fails it.
+  *    the query at lint scale and re-run the duplicate detection on the
+  *    FINAL adaptive physical plan, attributed PER SUBTREE
+  *    ([[physicalDuplicates]]): a duplicate compute-bearing subtree
+  *    that still contains a file scan executed more than once — the
+  *    violation itself, not a proxy count. Legitimate reuse vanishes
+  *    structurally: a persisted diamond's branches read
+  *    InMemoryTableScan (no file scan inside), an exchange-reused
+  *    duplicate is a ReusedExchange LEAF (no subtree to duplicate), an
+  *    identity-shared AQE stage counts once. Per-subtree attribution
+  *    replaced the first cut's pooled `reused + cached ≥ Σ(n−1)`
+  *    check, whose surplus evidence from one persisted diamond could
+  *    mask another diamond's genuine re-execution (the round-13 review
+  *    finding; DiamondLintSpec seeds exactly that masking pair).
   *
   * Queries listed in [[waivers]] may keep an adjudicated finding with
   * the documented reason. Enforcement: `runMain graft.DiamondLint`
@@ -129,16 +132,112 @@ object DiamondLint {
   }
 
   /** Phase 2 evidence: (ReusedExchange, cached-read) counts in the
-    * final adaptive physical plan of an EXECUTED DataFrame.
+    * final adaptive physical plan of an EXECUTED DataFrame. Informational
+    * in [[Finding]] renders; the VERDICT comes from
+    * [[physicalDuplicates]], which attributes per subtree.
     */
   def reuseEvidence(df: DataFrame): (Int, Int) = {
-    df.collect()
     val plan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan.toString
       case p => p.toString
     }
     ("ReusedExchange".r.findAllIn(plan).size,
       "InMemoryTableScan|TableCacheQueryStage".r.findAllIn(plan).size)
+  }
+
+  private def isComputeP(p: execution.SparkPlan): Boolean = {
+    val n = p.getClass.getSimpleName
+    n.contains("Aggregate") || n == "GenerateExec" ||
+      n.contains("Join") || n.contains("CartesianProduct") ||
+      n.contains("Window")
+  }
+
+  private def isFileScanP(p: execution.SparkPlan): Boolean = {
+    val n = p.getClass.getSimpleName
+    n.startsWith("FileSourceScan") || n.startsWith("BatchScan") ||
+      n.startsWith("RowDataSourceScan")
+  }
+
+  /** Structural children for the physical walk: descend INTO query
+    * stages (their materialized plans are where the compute lives —
+    * QueryStageExec is a leaf to TreeNode), and stop at ReusedExchange
+    * (a reference to an exchange executed elsewhere, not a re-execution)
+    * and at InMemoryTableScan (a cache READ; the cached plan executed
+    * once at materialization).
+    */
+  private def childrenP(p: execution.SparkPlan): Seq[execution.SparkPlan] =
+    p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case r if r.getClass.getSimpleName.startsWith("ReusedExchange") => Nil
+      case _ => p.children
+    }
+
+  private def walkP(p: execution.SparkPlan,
+      seen: java.util.Set[execution.SparkPlan])(
+      f: execution.SparkPlan => Unit): Unit = {
+    // identity dedup: a subtree OBJECT shared by two parents (AQE stage
+    // reuse, shared cached plans) executes once — count it once
+    if (!seen.add(p)) return
+    f(p)
+    childrenP(p).foreach(walkP(_, seen)(f))
+    p.subqueries.foreach(walkP(_, seen)(f))
+  }
+
+  private def containsP(p: execution.SparkPlan)(
+      pred: execution.SparkPlan => Boolean): Boolean = {
+    if (pred(p)) return true
+    childrenP(p).exists(containsP(_)(pred))
+  }
+
+  /** Phase 2 verdict: maximal duplicate compute-bearing, file-scan-
+    * bearing subtrees of the EXECUTED physical plan — attributed PER
+    * SUBTREE, so reuse evidence on one diamond can never mask genuine
+    * re-execution of another (the pooled-count false negative).
+    * Legitimate reuse vanishes here by construction: a persisted
+    * diamond's branches read InMemoryTableScan (no file scan inside), an
+    * exchange-reused duplicate is a ReusedExchange leaf (no subtree),
+    * and an identity-shared stage counts once.
+    */
+  def physicalDuplicates(df: DataFrame)
+      : Seq[(execution.SparkPlan, Int)] = {
+    df.collect()
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[execution.SparkPlan, java.lang.Boolean]())
+    val counts = scala.collection.mutable.LinkedHashMap
+      .empty[execution.SparkPlan, (execution.SparkPlan, Int)]
+    walkP(root, seen) { p =>
+      // an occurrence only counts if ITS OWN physical subtree reaches a
+      // file scan: canonicalization sees through QueryStageExec and
+      // ReusedExchange (both canonicalize to the underlying exchange
+      // plan), so a consumer whose branch bottoms out in a reused
+      // exchange is canonically equal to the original — but it re-runs
+      // only the post-exchange work, which is reuse working as intended,
+      // not a re-executed scan+compute pass
+      if (containsP(p)(isFileScanP)) {
+        val c = p.canonicalized
+        counts.get(c) match {
+          case Some((rep, n)) => counts.update(c, (rep, n + 1))
+          case None => counts.update(c, (p, 1))
+        }
+      }
+    }
+    val dup = counts.collect {
+      case (c, (rep, n)) if n >= 2 && containsP(rep)(isComputeP) =>
+        (c, rep, n)
+    }.toSeq
+    val shadowed = scala.collection.mutable.Set
+      .empty[execution.SparkPlan]
+    for ((_, rep, _) <- dup)
+      walkP(rep, java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[execution.SparkPlan,
+          java.lang.Boolean]()))(q =>
+        if (q ne rep) shadowed += q.canonicalized)
+    dup.collect { case (c, rep, n) if !shadowed.contains(c) => (rep, n) }
   }
 
   /** Queries allowed to keep an adjudicated duplicate subtree, with the
@@ -163,10 +262,14 @@ object DiamondLint {
     val diamonds = findDiamonds(df.queryExecution.optimizedPlan)
     if (diamonds.isEmpty) Nil
     else {
+      // phase 1 is only the cheap TRIGGER; the verdict is the physical
+      // per-subtree attribution (a pooled reused+cached >= required
+      // count let one persisted diamond's surplus evidence mask another
+      // diamond's genuine re-execution — the round-13 review finding)
       val required = diamonds.map(_._2 - 1).sum
+      val physical = physicalDuplicates(df) // executes the frame
       val (reused, cached) = reuseEvidence(df)
-      if (reused + cached >= required) Nil
-      else diamonds.map { case (rep, n) =>
+      physical.map { case (rep, n) =>
         Finding(name, n, rep.nodeName + " " +
           rep.simpleString(20).linesIterator.next().take(160),
           reused, cached, required)

@@ -395,6 +395,11 @@ object ExplainAudit {
     auditDiamond("d_ngram_jaccard", 2)    // uncapped: sizes feed both joins
     auditDiamond("d_jaccard_prefix", 4)
     auditDiamond("t_charngram_langid", 2)
+    // the two round-13 DiamondLint per-subtree findings, fixed with
+    // lazy persists: phash banding (×2 cappedPairs consumers) and the
+    // length-outlier deviation frame (×2: MAD aggregate + flag pass)
+    auditDiamond("m_phash_pairs", 2)
+    auditDiamond("t_length_outliers", 2)
     auditDiamond("t_tfidf_keywords", 2)
     // round-13 closure found by the reworked DiamondLint phase-2 sweep:
     // the exploded token stream feeds the freq-sketch aggregation AND

@@ -180,7 +180,9 @@ object ScaleSmoke {
     println(s"""SCALE_JSON {"metric":"sf1_sweep","unit":"sec","cache":"cold",""" +
       s""""sampling":"single-pass-paired","sf_small":"$src","sf_big":"$out",""" +
       s""""excluded":${Excluded.toSeq.sorted.mkString("[\"", "\",\"", "\"]")},""" +
-      s""""failed":${failures.sorted.mkString("[", ",", "]")},""" +
+      s""""failed":${
+        if (failures.isEmpty) "[]"
+        else failures.sorted.mkString("[\"", "\",\"", "\"]")},""" +
       s""""total_sf01":${results.values.map(_._1).sum},""" +
       s""""total_sf1":${results.values.map(_._2).sum},""" +
       s""""queries":{$qJson}}""")

@@ -89,7 +89,7 @@ object StreamThroughput {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"TPUT $label%-14s $secs%7.2f s  ${payloadMb / secs}%8.1f MB/s" +
         f"  ${n / secs}%11.0f rec/s  delivered=${rt.deliveredCount}" +
-        f" filtered=${rt.filteredCount}")
+        f" filtered=${rt.filteredCount} handler_seen=${seen.get()}")
       secs
     }
 

@@ -75,12 +75,17 @@ object Multimodal {
         (col("width").cast("long") * lit(2097169L) +
           col("height").cast("long") * lit(8191L) +
           col("n_bytes")).as("ph"))
+    // the banded explode feeds BOTH cappedPairs consumers (bucket
+    // counts + pair enumeration) — lazy persist per the diamond rule or
+    // the Generate runs twice (round-13 DiamondLint per-subtree finding;
+    // harness owns release, auditDiamond-gated)
     val banded = ph.select(col("doc_id"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
           shiftrightunsigned(col("ph"), b * 16)
             .bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Fingerprints.cappedPairs(banded, Seq("band", "bkey"), "doc_id")
       .join(ph.select(col("doc_id").as("ida"), col("ph").as("pa")), "ida")
       .join(ph.select(col("doc_id").as("idb"), col("ph").as("pb")), "idb")

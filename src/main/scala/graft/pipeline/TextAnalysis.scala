@@ -828,8 +828,13 @@ object TextAnalysis {
         .select(col("source"), col("n_chars"))
       val med = docs.groupBy("source")
         .agg(expr("percentile(n_chars, 0.5)").as("med_chars"))
+      // dev — the corpus-sized deviation frame — feeds BOTH the MAD
+      // aggregate and the final flag pass: lazy persist per the diamond
+      // rule or the scan+join runs twice (round-13 DiamondLint
+      // per-subtree finding; harness owns release, auditDiamond-gated)
       val dev = docs.join(broadcast(med), "source")
         .withColumn("dv", abs(col("n_chars") - col("med_chars")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mad = dev.groupBy("source")
         .agg(expr("percentile(dv, 0.5)").as("mad_chars"))
       dev.join(broadcast(mad), "source")

@@ -58,10 +58,13 @@ object GenEvalStream {
           sum(col("total")).as("cand_total"))
         .select(lit("bleu").as("metric"), col("n"), col("matches"),
           col("cand_total"), lit(0L).as("ref_total"))
-      // lengths sum ONCE per pair: read them off the n=1 rows
+      // lengths sum ONCE per pair: read them off the n=1 rows. coalesce:
+      // an EMPTY micro-batch (a trigger with no new data) makes this
+      // grouping-less aggregate emit one all-NULL row, which would break
+      // the all-BIGINT exact-sums encoding downstream (review finding)
       val lens = b.filter(col("n") === 1)
-        .agg(sum(col("cand_len")).as("cand_total"),
-          sum(col("ref_len")).as("ref_total"))
+        .agg(coalesce(sum(col("cand_len")), lit(0L)).as("cand_total"),
+          coalesce(sum(col("ref_len")), lit(0L)).as("ref_total"))
         .select(lit("bleu_len").as("metric"), lit(0L).as("n"),
           lit(0L).as("matches"), col("cand_total"), col("ref_total"))
       val chrf = BleuEval.chrfStats(BleuEval.chrfPairsOf(docs),

@@ -69,6 +69,28 @@ class DiamondLintSpec extends AnyFunSuite {
       "exchange-reused diamond must pass physical adjudication")
   }
 
+  test("a persisted diamond cannot mask an unpersisted one (per-subtree attribution)") {
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf)
+    // diamond A: persisted explode x2 -> contributes 2 cached reads.
+    // Under the old pooled check those 2 covered the WHOLE query's
+    // required = (2-1)+(2-1) = 2 and diamond B shipped silently.
+    val a = docs.select(explode(split(col("text"), " ")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val aDup = a.filter(length(col("w")) > 2)
+        .union(a.filter(length(col("w")) <= 2))
+      // diamond B: a DIFFERENT unpersisted explode x2, genuinely re-run
+      val b = docs.select(explode(split(col("text"), "e")).as("w"))
+      val bDup = b.filter(length(col("w")) > 2)
+        .union(b.filter(length(col("w")) <= 2))
+      val findings = DiamondLint.lintFrame("masked", aDup.union(bDup))
+      assert(findings.nonEmpty,
+        "pooled-evidence masking: persisted diamond A's surplus cached " +
+          "reads hid unpersisted diamond B's re-execution")
+    } finally { a.unpersist(); spark.catalog.clearCache() }
+  }
+
   test("no stale waivers: every waived query still flags") {
     assert(DiamondLint.waivers.keySet.subsetOf(SparkEntry.queries.keySet),
       "waiver names a query that is not registered")
