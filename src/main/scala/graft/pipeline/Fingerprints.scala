@@ -27,6 +27,21 @@ object Fingerprints {
     */
   val DefaultBucketCap = 1000
 
+  /** [[embeddingDupLsh]] design point for [[Similarity.lshPlan]]: the
+    * fixture's true near-dups sit at cosine ≈ 0.47-0.51, target ~0.90
+    * expected recall — at the fixture sizes this yields the historical
+    * 4 bits × 12 tables.
+    */
+  val EmbDupCos = 0.47
+  val EmbDupRecall = 0.90
+
+  /** Vector-corpus row bound under which the exact-verify re-fetch
+    * joins broadcast the (id, vector) frame instead of shuffling the
+    * candidate-pair mass through two sort-merge joins: 500k × 64 dims
+    * × 8 B ≈ 256 MB, the usual executor broadcast ceiling.
+    */
+  val BroadcastFetchMaxRows = 500000L
+
   /** Candidate id-pairs from banded/bucketed rows, with a per-bucket skew
     * cap — the piece that keeps LSH linear when a bucket degenerates.
     *
@@ -42,12 +57,18 @@ object Fingerprints {
     * share ONLY an oversized bucket and are each far from its
     * representative — measured in PipelineSpec's skew fixture.
     *
-    * Output: (ida, idb) with ida < idb, distinct. The bucket-size
+    * Output: (ida, idb) with ida < idb — distinct when `dedup` (the
+    * default). A caller that VERIFIES candidates with a cheap exact
+    * predicate before using them passes `dedup = false` and dedups the
+    * (much smaller) survivor set instead: the pre-verify dropDuplicates
+    * is a full shuffle of the raw candidate mass, the dominant cost at
+    * 10× data, and a pair colliding in k tables merely verifies k times
+    * (k is small — random pairs collide in ~1 table). The bucket-size
     * aggregation shuffles on the same keys as the join itself, so AQE
     * reuses the exchange rather than adding a full extra pass.
     */
   def cappedPairs(banded: DataFrame, bucketCols: Seq[String], idCol: String,
-      cap: Int = -1): DataFrame = {
+      cap: Int = -1, dedup: Boolean = true): DataFrame = {
     // Config-exposed skew dial: explicit argument wins, then
     // `graft.lsh.bucketCap`, then [[DefaultBucketCap]] — the cap trades
     // recall (all-pairs inside a bucket) against the worst single-task
@@ -69,7 +90,8 @@ object Fingerprints {
     val bigPairs = big.join(reps, bucketCols)
       .filter(col(idCol) =!= col("rep"))
       .select(col("rep").as("ida"), col(idCol).as("idb")) // rep=min ⇒ ida<idb
-    smallPairs.union(bigPairs).dropDuplicates("ida", "idb")
+    val all = smallPairs.union(bigPairs)
+    if (dedup) all.dropDuplicates("ida", "idb") else all
   }
 
   /** (doc_id, simhash) for every document — over trigram SHINGLES, not
@@ -454,9 +476,23 @@ object Fingerprints {
   /** Embedding near-dup via hyperplane-LSH bucketing — the 100 TB path
     * replacing the O(n²) [[Dedup]] "d_embedding_dup": candidates from
     * (table, bucket) equi-joins, exact dot verify. Added to the map below.
+    *
+    * Signature width/table count come from [[Similarity.lshPlan]] at the
+    * 0.47-cosine / 0.90-recall design point (the fixture's near-dups sit
+    * at cosine ≈ 0.47-0.51): at the fixture sizes that is the historical
+    * 4 bits × 12 tables (~0.19 per-table collision, ~0.92 expected
+    * recall); at 10× vectors the width grows to 8 bits so buckets hold
+    * O(targetOccupancy) members instead of saturating the `cappedPairs`
+    * star tier. `widthOverride` lets SimilaritySpec pin recall at a
+    * FORCED width (with the uncapped [[Similarity.lshTables]] count) so
+    * adaptivity cannot silently trade recall. The sizing count reads
+    * parquet footer metadata, not data.
     */
-  def embeddingDupLsh(s: org.apache.spark.sql.SparkSession, d: String)
-      : DataFrame = {
+  def embeddingDupLsh(s: org.apache.spark.sql.SparkSession, d: String,
+      widthOverride: Option[(Int, Int)] = None): DataFrame = {
+    val n = Tables.embeddings(s, d).count()
+    val (bits, tables) = widthOverride.getOrElse(
+      Similarity.lshPlan(n, EmbDupCos, EmbDupRecall))
     // persisted: the normalized-vector frame feeds the signature
     // explode AND both verify re-fetch joins (input-table-sized; lazy
     // persist keeps lineage + evictability — see minhashPortablePairs;
@@ -465,33 +501,44 @@ object Fingerprints {
       .select(col("vec_id"),
         VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
       .persist()
-    // the fixture's near-dups sit at cosine ≈ 0.47-0.51 (θ/π ≈ 0.34), so
-    // signatures must be SHORT: 4 bits ⇒ ~0.19 per-table collision, 12
-    // tables ⇒ ~0.92 expected recall
-    val tables = 12
-    val sigs = e.select(col("vec_id"), col("v"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          Similarity.lshSignature(col("v"), t, 4, 64).as("sig"))): _*))
-        .as("ts"))
-      .select(col("vec_id"), col("v"),
-        col("ts.t").as("t"), col("ts.sig").as("sig"))
-    // candidates carry ID PAIRS ONLY through the bucket join + distinct
-    // (shuffling 64-double vectors per candidate cost 23 s at sf0.1);
-    // vectors are re-fetched with two cheap joins for the exact verify.
-    // cappedPairs guards against a degenerate (table, sig) bucket.
-    val candidates = cappedPairs(
-      sigs.select(col("vec_id"), col("t"), col("sig")),
-      Seq("t", "sig"), "vec_id")
+    // all per-table signatures in ONE native expression (HyperplaneSigs
+    // — the composed per-table column form fell out of codegen at
+    // adaptive widths: 11 s to sign 20k×16 rows at sf1), persisted as a
+    // bare (id, t, sig) frame because cappedPairs consumes its input
+    // from multiple branches (sizes + both join sides) — the diamond
+    // rule; 3 ints × n·tables rows, the cheapest frame in the query
+    val sigs = e.select(col("vec_id"),
+      posexplode(graft.functions.HyperplaneSigs.hyperplane_sigs(
+        col("v"), tables, bits, 64)).as(Seq("t", "sig")))
+      .persist()
+    // candidates carry ID PAIRS ONLY through the bucket join (shuffling
+    // 64-double vectors per candidate cost 23 s at sf0.1); vectors are
+    // re-fetched for the exact verify. cappedPairs guards against a
+    // degenerate (table, sig) bucket. dedup = false: the exact-dot
+    // verify runs BEFORE the pair dedup, so the full-candidate-mass
+    // dropDuplicates shuffle (the sf1 bottleneck) collapses to a
+    // dedup of the tiny survivor set — same output set, a pair
+    // colliding in k tables just verifies k times.
+    val candidates = cappedPairs(sigs, Seq("t", "sig"), "vec_id",
+      dedup = false)
       .select(col("ida").as("va"), col("idb").as("vb"))
+    // the verify re-fetch: broadcast while the vector corpus fits an
+    // executor (n·dims·8B — 10 MB at 20k×64; the id-pair mass is 100×
+    // the corpus here, so shuffling the SMALL side is backwards), plain
+    // shuffle join beyond that — the same size dial a cluster planner
+    // applies to any dimension-table fetch
+    def fetch(as: String): DataFrame = {
+      val sel = e.select(col("vec_id").as(as), col("v").as(s"x$as"))
+      if (n <= BroadcastFetchMaxRows) broadcast(sel) else sel
+    }
     candidates
-      .join(e.select(col("vec_id").as("va"), col("v").as("xa")), "va")
-      .join(e.select(col("vec_id").as("vb"), col("v").as("xb")), "vb")
-      .filter(graft.functions.ArrayDot.array_dot(col("xa"), col("xb"))
+      .join(fetch("va"), "va")
+      .join(fetch("vb"), "vb")
+      .filter(graft.functions.ArrayDot.array_dot(col("xva"), col("xvb"))
         > 0.47)
       .select(col("va"), col("vb"))
-      // the re-fetch joins fan out if vec_id is ever non-unique in the
-      // source; re-collapse to the at-most-one-row-per-pair guarantee
+      // collapses cross-table candidate duplicates (dedup = false
+      // above) and any fan-out from a non-unique vec_id in the source
       .dropDuplicates("va", "vb")
       .orderBy("va", "vb")
   }

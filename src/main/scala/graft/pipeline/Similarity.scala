@@ -21,11 +21,18 @@ import graft.Tables
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
+  /** s_ann_lsh design point (see [[lshPlan]]): the query batch wants
+    * neighbors down to cos ≈ 0.40 with ~0.75 expected recall — at the
+    * fixture sizes the rule yields the historical 8 tables × 4 bits.
+    */
+  val AnnCos = 0.40
+  val AnnRecall = 0.74
+
   /** Deterministic pseudo-random hyperplane component for (table, bit,
     * dim) — integer-hash → uniform in [-1, 1). Same value on every executor
     * with no RNG state (Date/Random are nondeterministic across retries).
     */
-  private def planeComponent(table: Int, bit: Int, dim: Int): Double = {
+  private[graft] def planeComponent(table: Int, bit: Int, dim: Int): Double = {
     var h = table * 1000003L + bit * 8191L + dim * 131L + 0x9E3779B97F4A7C15L
     h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
     h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
@@ -33,8 +40,62 @@ object Similarity {
     (h.toDouble / Long.MaxValue.toDouble)
   }
 
-  /** 8-bit signature per (vector, table): sign bits of dot(v, plane). Built
-    * from literal plane arrays — fully codegen'd, nothing random at runtime.
+  /** Uncapped table count for a target recall at a given signature width:
+    * per-table collision for a pair at the design cosine is p^bits with
+    * p = 1 − θ/π (random-hyperplane collision probability), and
+    * OR-amplification over T independent tables recalls
+    * 1 − (1 − p^bits)^T ≥ R  ⇔  T ≥ ln(1−R)/ln(1−p^bits).
+    */
+  def lshTables(bits: Int, cosThreshold: Double,
+      targetRecall: Double): Int = {
+    val p = 1.0 - math.acos(cosThreshold) / math.Pi
+    val pb = math.pow(p, bits)
+    math.max(1, math.ceil(math.log1p(-targetRecall) /
+      math.log1p(-pb)).toInt)
+  }
+
+  /** LSH sizing rule — SCALING.md's "2^bits ∝ n / target bucket
+    * occupancy" made code (round 13 carried it as prose only; the sf1
+    * sweep showed the consequence: a 4-bit width fixed for the fixture
+    * collapsed into the `cappedPairs` star tier at 10× vectors, 6.7×
+    * wall-clock and ~10% recall).
+    *
+    *   bits   = clamp(⌈log₂(n / targetOccupancy)⌉, minBits, maxBits)
+    *   tables = min(maxTables, [[lshTables]](bits, cos, R))
+    *
+    * Width follows the corpus so expected bucket occupancy (n / 2^bits
+    * for near-uniform sign bits) stays O(targetOccupancy) — the
+    * candidate-pair mass per table stays n·occ/2, linear in n, instead
+    * of n²/2^(bits+1) at fixed width. Tables then buy recall back
+    * (p^bits per table shrinks as bits grow); `maxTables` bounds the
+    * index cost — the classic LSH n^(1+ρ) tradeoff surfaces HERE, as a
+    * named cap whose effective recall is 1−(1−p^bits)^maxTables, not as
+    * a silent bucket saturation. SimilaritySpec pins recall at two
+    * widths with the uncapped table count so width adaptivity cannot
+    * silently trade recall; the capped registry tier's reality is
+    * measured by the recall audits (a_ann_recall, PipelineSpec).
+    *
+    * At the fixture sizes (n = 500 at sf0.001/sf0.01, n = 2000 at
+    * sf0.1) the rule reproduces the round-12 constants exactly —
+    * (4 bits, 12 tables) for the 0.47/0.90 dedup design point, (4, 8)
+    * for the 0.40/0.74 ANN point — so plans, oracles, and benches at
+    * those scales are unchanged; the 10× tier (n = 20000) moves to
+    * 8-bit signatures.
+    */
+  def lshPlan(n: Long, cosThreshold: Double, targetRecall: Double,
+      targetOccupancy: Long = 128, minBits: Int = 4, maxBits: Int = 16,
+      maxTables: Int = 16): (Int, Int) = {
+    val raw = math.ceil(math.log(math.max(1.0,
+      n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    val bits = math.min(maxBits, math.max(minBits, raw))
+    val tables = math.min(maxTables,
+      lshTables(bits, cosThreshold, targetRecall))
+    (bits, tables)
+  }
+
+  /** `bits`-wide signature per (vector, table): sign bits of dot(v,
+    * plane). Built from literal plane arrays — fully codegen'd, nothing
+    * random at runtime.
     */
   def lshSignature(v: Column, table: Int, bits: Int, dims: Int): Column = {
     val bitCols = (0 until bits).map { b =>
@@ -75,24 +136,28 @@ object Similarity {
           VectorOps.dot(col("qv"), col("v")).as("c"))
         .transform(topK(_, 10))
     },
-    // LSH-bucketed approximate top-10: 8 tables × 4-bit signatures
-    // (θ(cos≈0.4)/π ≈ 0.37 ⇒ per-table collision ≈ 0.63⁴ ≈ 0.16; 8-table
-    // OR-amplification ≈ 0.75 recall). Candidates = bucket-equality join,
-    // then exact cosine re-rank. Rows-only (seeded hyperplanes are
-    // implementation-defined); oracle coverage for the ANN family lives
-    // in the GREEN siblings s_ann_bruteforce/ivf/pq/ivfpq, and
-    // PipelineSpec + a_ann_recall pin this tier's recall.
+    // LSH-bucketed approximate top-10, sized by [[lshPlan]] at the
+    // 0.40-cosine / 0.74-recall design point (at the fixture's n=500:
+    // 8 tables × 4-bit signatures — θ(cos≈0.4)/π ≈ 0.37 ⇒ per-table
+    // collision ≈ 0.63⁴ ≈ 0.16; 8-table OR-amplification ≈ 0.75
+    // recall). Candidates = bucket-equality join, then exact cosine
+    // re-rank. Rows-only (seeded hyperplanes are implementation-
+    // defined); oracle coverage for the ANN family lives in the GREEN
+    // siblings s_ann_bruteforce/ivf/pq/ivfpq, and PipelineSpec +
+    // a_ann_recall pin this tier's recall. The sizing count is one
+    // column-pruned parquet count — footer metadata, not a data scan.
     "s_ann_lsh" -> { (s, d) =>
       val dims = 64
+      val n = Tables.embeddings(s, d).count()
+      val (bits, tables) = lshPlan(n, AnnCos, AnnRecall)
       val e = Tables.spread(Tables.embeddings(s, d))
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-      val tables = 8
-      val sigs = e.select(col("vec_id"), col("v"),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("t"),
-            lshSignature(col("v"), t, 4, dims).as("sig"))): _*)).as("ts"))
-        .select(col("vec_id"), col("v"),
-          col("ts.t").as("t"), col("ts.sig").as("sig"))
+      // all per-table signatures in ONE native expression + posexplode
+      // (pos IS the table index) — the composed per-table column form
+      // fell out of codegen at adaptive widths (see HyperplaneSigs)
+      val sigs = e.select(col("vec_id"),
+        posexplode(graft.functions.HyperplaneSigs.hyperplane_sigs(
+          col("v"), tables, bits, dims)).as(Seq("t", "sig")))
       val q = sigs.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"),
           col("t").as("qt"), col("sig").as("qsig"))
@@ -362,12 +427,17 @@ object Similarity {
       .orderBy("qid")
   }
 
-  /** DuckDB twin of [[annRecall]]: the 8×4 hyperplane family embedded as
+  /** DuckDB twin of [[annRecall]]: the hyperplane family embedded as
     * double literals (Double.toString round-trips exactly; DuckDB parses
-    * shortest-round-trip decimals back to the same IEEE double).
+    * shortest-round-trip decimals back to the same IEEE double). The
+    * width/table count is [[lshPlan]] evaluated at the oracle contract's
+    * corpus size — Verify runs at sf0.01 and the suite at sf0.001, both
+    * 500 embeddings — so the static SQL and the adaptive engine plan
+    * stay the same (4 bits, 8 tables) by construction.
     */
   private def annRecallOracle: String = {
-    val tables = 8; val bits = 4; val dims = 64
+    val (bits, tables) = lshPlan(500, AnnCos, AnnRecall)
+    val dims = 64
     def planeLit(t: Int, b: Int): String =
       (0 until dims).map(i => planeComponent(t, b, i).toString)
         .mkString("[", ", ", "]")
