@@ -138,6 +138,45 @@ final class FakeKinesisService extends KinesisApi {
   def closeShard(streamName: String, shardId: String): Unit =
     synchronized { shard(streamName, shardId).closed = true }
 
+  /** Reshard: split an open shard into two new children — the parent is
+    * sealed (readers drain its residue and see the close) and the
+    * children appear in subsequent DescribeStream responses, which is
+    * what the reference's `ShardPollInterval` rescan exists to pick up
+    * (`KinesisThreadJobs.cs:230-281`; close detect `:417-421`). AWS
+    * routes the parent's hash-key range to the children; the fake keeps
+    * routing scripted — the test writes to whichever child it means.
+    */
+  def splitShard(streamName: String, parent: String, child1: String,
+      child2: String): Unit = synchronized {
+    val m = streams.getOrElse(streamName,
+      throw new IllegalArgumentException(s"no such stream: $streamName"))
+    val p = shard(streamName, parent)
+    require(!p.closed, s"cannot split closed shard $parent")
+    require(!m.contains(child1) && !m.contains(child2),
+      s"child shard id already exists: $child1/$child2")
+    p.closed = true
+    m(child1) = new ShardState
+    m(child2) = new ShardState
+  }
+
+  /** Reshard: merge two open shards — both parents seal, one new child
+    * appears on the next DescribeStream (the split's inverse; same
+    * rescan-pickup contract).
+    */
+  def mergeShards(streamName: String, parent1: String, parent2: String,
+      child: String): Unit = synchronized {
+    val m = streams.getOrElse(streamName,
+      throw new IllegalArgumentException(s"no such stream: $streamName"))
+    val p1 = shard(streamName, parent1)
+    val p2 = shard(streamName, parent2)
+    require(!p1.closed && !p2.closed,
+      s"cannot merge closed shard $parent1/$parent2")
+    require(!m.contains(child), s"child shard id already exists: $child")
+    p1.closed = true
+    p2.closed = true
+    m(child) = new ShardState
+  }
+
   /** Expire every sequence < `belowSeq` (retention passing / stream reset).
     * A checkpoint pointing into the trimmed range becomes invalid, which is
     * exactly the ST3 trigger. */

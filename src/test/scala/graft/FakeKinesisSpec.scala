@@ -283,4 +283,87 @@ class FakeKinesisSpec extends AnyFunSuite {
     assert(transportStore.getCheckpoint("s", "q1", "shard-0").nonEmpty)
     assert(engineStore.getCheckpoint("s", "qe", "shard-0").nonEmpty)
   }
+
+  test("S3 resharding: a mid-run SPLIT is picked up by the next sweep — " +
+      "parent residue drains and closes before the children drain " +
+      "(the reference's rescan contract, KinesisThreadJobs.cs:230-281)") {
+    val svc = newService(Seq("shard-0"))
+    val first = put(svc, "shard-0", 3, key = "p")
+    val store = tickingStore()
+    val sink = new Collecting
+    // sweep 1: drain the open parent (pass ends un-closed, checkpointed)
+    ShardConsumer.runQueue(svc, store, pollQueue(), "q1", "t1", sink,
+      sleep = _ => (), maxSweeps = 1)
+    assert(sink.seen.map(_._2) == first)
+    // between sweeps: more parent records arrive, then the stream splits
+    val residue = put(svc, "shard-0", 2, key = "p")
+    svc.splitShard("s", "shard-0", "shard-0-a", "shard-0-b")
+    // a sealed parent accepts no more writes (AWS: ending sequence set)
+    intercept[IllegalArgumentException] {
+      svc.putRecord("s", "shard-0", "p", "late".getBytes("UTF-8"))
+    }
+    val ca = (1 to 2).map(i =>
+      svc.putRecord("s", "shard-0-a", "a", s"a$i".getBytes("UTF-8")))
+    val cb = (1 to 2).map(i =>
+      svc.putRecord("s", "shard-0-b", "b", s"b$i".getBytes("UTF-8")))
+    // sweep 2: the re-describe discovers the children; the parent's
+    // residue (written before the seal) drains FIRST and its close is
+    // detected, then each child drains from TrimHorizon
+    ShardConsumer.runQueue(svc, store, pollQueue(), "q1", "t1", sink,
+      sleep = _ => (), maxSweeps = 1)
+    assert(sink.seen.map(_._2) == first ++ residue ++ ca ++ cb)
+    // children got their own checkpoints and the parent's is its residue
+    assert(store.getCheckpoint("s", "q1", "shard-0").contains(residue.last))
+    assert(store.getCheckpoint("s", "q1", "shard-0-a").contains(ca.last))
+    assert(store.getCheckpoint("s", "q1", "shard-0-b").contains(cb.last))
+    // sweep 3: the closed parent is never re-polled, children resume
+    val more = (1 to 1).map(_ =>
+      svc.putRecord("s", "shard-0-a", "a", "a3".getBytes("UTF-8")))
+    ShardConsumer.runQueue(svc, store, pollQueue(), "q1", "t1", sink,
+      sleep = _ => (), maxSweeps = 1)
+    assert(sink.seen.map(_._2) == first ++ residue ++ ca ++ cb ++ more)
+  }
+
+  test("S3 resharding: a MERGE seals both parents and the merged child " +
+      "is discovered and drained on the next sweep") {
+    val svc = newService(Seq("shard-0", "shard-1"))
+    val s0 = put(svc, "shard-0", 2, key = "x")
+    val s1 = put(svc, "shard-1", 2, key = "y")
+    val store = tickingStore()
+    val sink = new Collecting
+    ShardConsumer.runQueue(svc, store, pollQueue(), "q1", "t1", sink,
+      sleep = _ => (), maxSweeps = 1)
+    assert(sink.seen.size == 4)
+    svc.mergeShards("s", "shard-0", "shard-1", "shard-m")
+    val cm = (1 to 3).map(i =>
+      svc.putRecord("s", "shard-m", "m", s"m$i".getBytes("UTF-8")))
+    // merging an already-sealed shard is rejected
+    intercept[IllegalArgumentException] {
+      svc.mergeShards("s", "shard-0", "shard-m", "shard-z")
+    }
+    ShardConsumer.runQueue(svc, store, pollQueue(), "q1", "t1", sink,
+      sleep = _ => (), maxSweeps = 1)
+    assert(sink.seen.map(_._2) == s0 ++ s1 ++ cm)
+    assert(store.getCheckpoint("s", "q1", "shard-m").contains(cm.last))
+  }
+
+  test("S3 resharding under EFO: the split children are discovered by " +
+      "the next sweep and drained through fresh subscriptions, parent " +
+      "close via null continuation") {
+    val svc = newService(Seq("shard-0"))
+    svc.registerStreamConsumer("s", "c")
+    val first = put(svc, "shard-0", 2, key = "p")
+    val store = tickingStore()
+    val sink = new Collecting
+    ShardConsumer.runQueue(svc, store, efoQueue(name = "c"), "q1", "t1",
+      sink, sleep = _ => (), maxSweeps = 1)
+    assert(sink.seen.map(_._2) == first)
+    svc.splitShard("s", "shard-0", "shard-0-a", "shard-0-b")
+    val ca = (1 to 2).map(i =>
+      svc.putRecord("s", "shard-0-a", "a", s"a$i".getBytes("UTF-8")))
+    ShardConsumer.runQueue(svc, store, efoQueue(name = "c"), "q1", "t1",
+      sink, sleep = _ => (), maxSweeps = 1)
+    assert(sink.seen.map(_._2) == first ++ ca)
+    assert(store.getCheckpoint("s", "q1", "shard-0-a").contains(ca.last))
+  }
 }
