@@ -206,6 +206,33 @@ object BleuEval {
         corruptedCandidate(col("pair_id"), col("ref")).as("cand"),
         col("ref"))
 
+  /** The registered a_rouge_l pair frame — same sharing contract as
+    * [[bleuPairsOf]]: ONE definition for the batch query and
+    * [[graft.streaming.GenEvalStream]], 40-token sides (the
+    * bounded-generation contract), different md5 drop tags per side so
+    * the LCS is a real alignment.
+    */
+  def rougePairsOf(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id").as("pair_id"),
+        slice(toks(col("text")), 1, 40).as("base"))
+      .select(col("pair_id"),
+        droppedSide(col("pair_id"), col("base"), "rougeC").as("cand"),
+        droppedSide(col("pair_id"), col("base"), "rougeR").as("ref"))
+
+  /** Per-pair ROUGE-L sufficient statistics — (pair_id, cand_len,
+    * ref_len, lcs), all BIGINT, the [[graft.functions.LcsLength]]
+    * codegen DP per row, no shuffle. Pair-LOCAL like the BLEU/chrF
+    * stats, so per-batch sums partition the corpus sums and the
+    * streaming twin is exact under any split.
+    */
+  def rougeRows(pairs: DataFrame): DataFrame =
+    pairs.select(col("pair_id"),
+      size(col("cand")).cast("long").as("cand_len"),
+      size(col("ref")).cast("long").as("ref_len"),
+      graft.functions.LcsLength.lcs_length(col("cand"), col("ref"))
+        .cast("long").as("lcs"))
+
   /** The registered a_chrf pair frame — same sharing contract. */
   def chrfPairsOf(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
@@ -235,18 +262,7 @@ object BleuEval {
     // Sides drop ~1/16 of positions under DIFFERENT md5 tags, so neither
     // side embeds in the other and the DP does real work.
     "a_rouge_l" -> { (s, d) =>
-      val docs = Tables.spread(Tables.documents(s, d))
-        .filter(col("text").isNotNull)
-        .select(col("doc_id").as("pair_id"),
-          slice(toks(col("text")), 1, 40).as("base"))
-      docs.select(col("pair_id"),
-          droppedSide(col("pair_id"), col("base"), "rougeC").as("cand"),
-          droppedSide(col("pair_id"), col("base"), "rougeR").as("ref"))
-        .select(col("pair_id"),
-          size(col("cand")).cast("long").as("cand_len"),
-          size(col("ref")).cast("long").as("ref_len"),
-          graft.functions.LcsLength.lcs_length(col("cand"), col("ref"))
-            .cast("long").as("lcs"))
+      rougeRows(rougePairsOf(Tables.spread(Tables.documents(s, d))))
         .withColumn("p_micro", when(col("cand_len") > 0,
           expr("lcs * 1000000 DIV cand_len")).otherwise(0L))
         .withColumn("r_micro", when(col("ref_len") > 0,

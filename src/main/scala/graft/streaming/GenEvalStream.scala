@@ -10,8 +10,9 @@ import graft.pipeline.BleuEval
 import graft.streaming.IncrementalDedupStream.readParts
 
 /** Streaming twin of the generation-eval sufficient statistics — corpus
-  * BLEU and chrF maintained as documents ARRIVE (the
-  * [[CalibrationStream]] discipline applied to `a_bleu`/`a_chrf`). This
+  * BLEU, chrF, and ROUGE-L maintained as documents ARRIVE (the
+  * [[CalibrationStream]] discipline applied to
+  * `a_bleu`/`a_chrf`/`a_rouge_l`; the trio completed round 14). This
   * is the payoff of the eval operators' exact-integer SUMS design:
   * corpus BLEU/chrF are pure functions of Σ matches / Σ totals /
   * Σ lengths, every pair is (doc, its own deterministic corruption) —
@@ -19,8 +20,9 @@ import graft.streaming.IncrementalDedupStream.readParts
   * sums PARTITION the corpus sums and stream ≡ batch is EXACT under any
   * split (GenEvalStreamSpec pins 3-way-split equality row-for-row).
   *
-  * State per batch: ≤ 11 rows (bleu n=1..4, chrf n=1..6, one bleu
-  * length row) in a `batch=<id>` overwrite partition — the family's
+  * State per batch: ≤ 12 rows (bleu n=1..4, chrf n=1..6, one bleu
+  * length row, one rouge LCS row) in a `batch=<id>` overwrite
+  * partition — the family's
   * idempotent replay discipline: a redelivered batch overwrites its own
   * partition rather than double-counting. The corpus view merges with
   * one (metric, n) aggregate over an O(batches)-row table; the float
@@ -32,7 +34,10 @@ import graft.streaming.IncrementalDedupStream.readParts
   * carry both denominators; the single metric='bleu_len' n=0 row
   * carries (0, Σ cand_len, Σ ref_len) — the brevity-penalty inputs,
   * summed ONCE per pair (not once per n). In the corpus view its
-  * p_micro is the corpus length ratio.
+  * p_micro is the corpus length ratio. The metric='rouge' n=0 row
+  * carries (Σ lcs, Σ cand_len, Σ ref_len): corpus micro
+  * precision/recall are ratio-of-sums, the float F-measure stays
+  * caller-side like BLEU's geometric mean.
   *
   * The stats builders' seam persists are released per micro-batch via
   * their `retain` handles — a long-lived stream holds ZERO executor
@@ -51,8 +56,13 @@ object GenEvalStream {
   def ingestBatch(docs: DataFrame, batchId: Long, root: String): Unit = {
     val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
+      // b feeds BOTH the per-n aggregation and the `lens` row inside one
+      // union'd write — the diamond shape the registry lints against —
+      // so it is persisted like any other seam and released with them
+      // (r13 ADVICE: best-effort exchange reuse is not ownership)
       val b = BleuEval.bleuStats(BleuEval.bleuPairsOf(docs),
-        retain = caches += _)
+        retain = caches += _).persist()
+      caches += b
       val bleu = b.groupBy(col("n"))
         .agg(sum(col("matches")).as("matches"),
           sum(col("total")).as("cand_total"))
@@ -75,7 +85,17 @@ object GenEvalStream {
           sum(col("ref_total")).as("ref_total"))
         .select(lit("chrf").as("metric"), col("n"), col("matches"),
           col("cand_total"), col("ref_total"))
-      bleu.unionByName(lens).unionByName(chrf)
+      // ROUGE-L completes the trio (round 14): the LCS sums are
+      // pair-local exactly like BLEU/chrF's, one all-BIGINT row —
+      // metric='rouge', n=0, (Σ lcs, Σ cand_len, Σ ref_len). Same
+      // empty-batch coalesce guard as `lens`.
+      val rouge = BleuEval.rougeRows(BleuEval.rougePairsOf(docs))
+        .agg(coalesce(sum(col("lcs")), lit(0L)).as("matches"),
+          coalesce(sum(col("cand_len")), lit(0L)).as("cand_total"),
+          coalesce(sum(col("ref_len")), lit(0L)).as("ref_total"))
+        .select(lit("rouge").as("metric"), lit(0L).as("n"),
+          col("matches"), col("cand_total"), col("ref_total"))
+      bleu.unionByName(lens).unionByName(chrf).unionByName(rouge)
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$root/stats/batch=$batchId")
     } finally caches.foreach(_.unpersist())
@@ -98,7 +118,7 @@ object GenEvalStream {
         .otherwise(when(col("cand_total") > 0,
           expr("matches * 1000000 DIV cand_total")).otherwise(0L)))
       .withColumn("r_micro",
-        when(col("metric") === "chrf" && col("ref_total") > 0,
+        when(col("metric").isin("chrf", "rouge") && col("ref_total") > 0,
           expr("matches * 1000000 DIV ref_total")).otherwise(0L))
       .orderBy("metric", "n")
 

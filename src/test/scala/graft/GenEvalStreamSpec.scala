@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.pipeline.BleuEval
 import graft.streaming.GenEvalStream
 
-/** The streaming corpus BLEU/chrF view must equal the batch operators'
+/** The streaming corpus BLEU/chrF/ROUGE-L view must equal the batch operators'
   * aggregation over the union of everything ingested under ANY split —
   * every pair is (doc, its own corruption), so per-batch sums partition
   * the corpus sums exactly — replay idempotently, and hold zero
@@ -52,7 +52,14 @@ class GenEvalStreamSpec extends AnyFunSuite {
         if (ct > 0) m * 1000000L / ct else 0L,
         if (rt > 0) m * 1000000L / rt else 0L))
     }
-    (bleu ++ lens ++ chrf).toMap
+    val rr = BleuEval.rougeRows(BleuEval.rougePairsOf(docs)).collect()
+    val (lcs, rcl, rrl) = (rr.map(_.getAs[Long]("lcs")).sum,
+      rr.map(_.getAs[Long]("cand_len")).sum,
+      rr.map(_.getAs[Long]("ref_len")).sum)
+    val rouge = Map(("rouge", 0L) -> ((lcs, rcl, rrl,
+      if (rcl > 0) lcs * 1000000L / rcl else 0L,
+      if (rrl > 0) lcs * 1000000L / rrl else 0L)))
+    (bleu ++ lens ++ chrf ++ rouge).toMap
   }
 
   test("3-way split of the fixture corpus equals the batch aggregation") {
@@ -67,7 +74,7 @@ class GenEvalStreamSpec extends AnyFunSuite {
       "ingestBatch leaked a stats-seam cache")
     val got = rows(GenEvalStream.corpus(spark, root))
     assert(got == want, s"stream $got\nbatch  $want")
-    assert(got.keySet.size == 4 + 1 + 6)
+    assert(got.keySet.size == 4 + 1 + 6 + 1)
     // at-least-once replay: batch 1 overwrites its own partition
     GenEvalStream.ingestBatch(docs.filter(col("doc_id") % 3 === 1), 1L, root)
     assert(rows(GenEvalStream.corpus(spark, root)) == want)
