@@ -138,7 +138,13 @@ object DiamondLint {
     */
   def reuseEvidence(df: DataFrame): (Int, Int) = {
     val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case a: AdaptiveSparkPlanExec =>
+        // guard, not call-order contract (r13 ADVICE): on a
+        // not-yet-executed frame the initial adaptive plan carries no
+        // ReusedExchange/TableCacheQueryStage nodes and the counts
+        // silently read zero — execute first if the plan isn't final
+        if (!a.isFinalPlan) df.collect()
+        a.executedPlan.toString
       case p => p.toString
     }
     ("ReusedExchange".r.findAllIn(plan).size,
@@ -187,7 +193,11 @@ object DiamondLint {
   private def containsP(p: execution.SparkPlan)(
       pred: execution.SparkPlan => Boolean): Boolean = {
     if (pred(p)) return true
-    childrenP(p).exists(containsP(_)(pred))
+    // subqueries too (walkP parity — r13 ADVICE): a duplicate subtree
+    // whose only file scan sits inside a DPP/scalar subquery must still
+    // satisfy the file-scan-bearing test
+    childrenP(p).exists(containsP(_)(pred)) ||
+      p.subqueries.exists(containsP(_)(pred))
   }
 
   /** Phase 2 verdict: maximal duplicate compute-bearing, file-scan-

@@ -82,6 +82,11 @@ object StreamThroughput {
         FilterVerbs.Equals, "admin"))))
 
     def timed(label: String)(run: QueueRuntime => Unit): Double = {
+      // per-run counter: without the reset the exactly_once line prints
+      // handler_seen still carrying run A's count (r13 ADVICE — the
+      // JSON line was unaffected, but a misleading console row is a
+      // misleading benchmark)
+      seen.set(0)
       val rt = new QueueRuntime(spark, queue,
         new CheckpointStore(), s"tput-$label")
       val t0 = System.nanoTime()
