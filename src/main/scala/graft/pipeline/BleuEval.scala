@@ -175,8 +175,7 @@ object BleuEval {
     transform(
       filter(zip_with(ref, sequence(lit(1), size(ref)),
           (t, i) => struct(t.as("t"), i.as("i"))),
-        s => substring(md5(concat(docId.cast("string"), lit(":"),
-          s.getField("i").cast("string"), lit(":bleu"))), 1, 1) =!= "0"),
+        s => DetDraw.keepGate(docId, s.getField("i"), lit("bleu"))),
       s => s.getField("t"))
 
   /** `base` with 1-based positions dropped when the first md5 nibble of
@@ -190,8 +189,7 @@ object BleuEval {
     when(size(base) >= 1, transform(
       filter(zip_with(base, sequence(lit(1), size(base)),
           (t, i) => struct(t.as("t"), i.as("i"))),
-        x => substring(md5(concat(pairId.cast("string"), lit(":"),
-          x.getField("i").cast("string"), lit(s":$tag"))), 1, 1) =!= "0"),
+        x => DetDraw.keepGate(pairId, x.getField("i"), lit(tag))),
       x => x.getField("t")))
       .otherwise(array().cast("array<string>"))
 

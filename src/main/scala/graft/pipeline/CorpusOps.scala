@@ -172,7 +172,7 @@ object CorpusOps {
     * `sortWithinPartitions(h)` — same layout, no global window).
     */
   def shardAssign(docs: DataFrame, seed: String): DataFrame = {
-    val h = md5(concat(col("doc_id").cast("string"), lit(":" + seed)))
+    val h = DetDraw.hash(col("doc_id"), lit(seed))
     docs.select(col("doc_id"), h.as("h"))
       .withColumn("shard",
         conv(substring(col("h"), 32, 1), 16, 10).cast("long"))
@@ -233,8 +233,7 @@ object CorpusOps {
             .cast("long")), 12, "0"))).as("thr"))
     docs.join(broadcast(rates), "lang")
       .filter(substring(
-        md5(concat(col("doc_id").cast("string"), lit(":" + seed))),
-        1, 12) < col("thr"))
+        DetDraw.hash(col("doc_id"), lit(seed)), 1, 12) < col("thr"))
       .select("doc_id", "lang")
   }
 
@@ -327,8 +326,7 @@ object CorpusOps {
     // pass and carried through, so each round's membership test on the
     // persisted frames is one integer compare, not a per-row digest
     def h5(r: Int): Column =
-      conv(substring(md5(concat(col("doc_id").cast("string"),
-        lit(s":$r:doremi"))), 1, 5), 16, 10).cast("long").as(s"h$r")
+      DetDraw.draw(5, col("doc_id"), lit(s"$r:doremi")).as(s"h$r")
     val hCols = (1 to rounds).map(r => col(s"h$r"))
     val withH = docs.select(col("doc_id") +: col("source") +:
       col("text") +: (1 to rounds).map(h5): _*)
@@ -429,7 +427,7 @@ object CorpusOps {
     val idx = sources.zipWithIndex.toMap
     val idxCol = sources.foldLeft(lit(-1L)) { (acc, s0) =>
       when(col("source") === s0, lit(idx(s0).toLong)).otherwise(acc) }
-    val h = md5(concat(col("doc_id").cast("string"), lit(":" + seed)))
+    val h = DetDraw.hash(col("doc_id"), lit(seed))
     docs.select(col("doc_id"), col("source"), h.as("h"))
       .withColumn("r", row_number().over(
         Window.partitionBy("source").orderBy("h", "doc_id")))

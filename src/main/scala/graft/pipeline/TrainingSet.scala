@@ -895,9 +895,7 @@ object TrainingSet {
     "p_fim_split" -> { (s, d) =>
       val t = filter(split(col("text"), " "), w => length(w) > 0)
       val n = size(t).cast("long")
-      def h(tag: String): Column =
-        conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit(s":$tag"))), 1, 4), 16, 10).cast("long")
+      def h(tag: String): Column = DetDraw.draw(4, col("doc_id"), lit(tag))
       val lo = when(n >= 3, least(h("fim1") % n, h("fim2") % n))
         .otherwise(0L)
       val hi = when(n >= 3, greatest(h("fim1") % n, h("fim2") % n) + 1L)
@@ -935,9 +933,7 @@ object TrainingSet {
       val n = size(t)
       val nb = ceil(n.cast("double") / 8.0).cast("int")
       def hBlock(k: Column): Column =
-        conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit(":"), k.cast("string"), lit(":t5"))), 1, 4), 16, 10)
-          .cast("long")
+        DetDraw.draw(4, col("doc_id"), k, lit("t5"))
       // h < 65536, so double-floor division is exact
       def idiv(a: Column, b: Int): Column =
         floor(a.cast("double") / b).cast("long")
@@ -1026,19 +1022,11 @@ object TrainingSet {
        |ORDER BY source""".stripMargin
   }
 
-  /** First-4-hex-chars of an md5 as an integer — DuckDB twin of the
-    * Spark-side `conv(substring(md5(x), 1, 4), 16, 10)` (the Agreement
-    * nibble idiom).
-    */
-  private def md5Head4(arg: String): String =
-    (1 to 4).map { i =>
-      val mul = math.pow(16, 4 - i).toLong
-      s"(strpos('0123456789abcdef', substr(md5($arg), $i, 1)) - 1) * $mul"
-    }.mkString("(", " + ", ")")
-
   private val FimSql: String = {
-    val h1 = md5Head4("CAST(doc_id AS VARCHAR) || ':fim1'")
-    val h2 = md5Head4("CAST(doc_id AS VARCHAR) || ':fim2'")
+    // the cut draws replay through the SAME fragment builder the
+    // column side's DetDraw.draw(4, ...) pairs with
+    val h1 = DetDraw.sqlDraw(4, "doc_id", "'fim1'")
+    val h2 = DetDraw.sqlDraw(4, "doc_id", "'fim2'")
     s"""WITH tk AS (
        |  SELECT doc_id,
        |    list_filter(string_split(text, ' '), w -> len(w) > 0) AS t
@@ -1070,8 +1058,7 @@ object TrainingSet {
   }
 
   private val SpanCorruptionSql: String = {
-    val hb = md5Head4(
-      "CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR) || ':t5'")
+    val hb = DetDraw.sqlDraw(4, "doc_id", "k", "'t5'")
     s"""WITH tk AS (
        |  SELECT doc_id,
        |    list_filter(string_split(text, ' '), w -> len(w) > 0) AS t
