@@ -71,6 +71,20 @@ object Bridge {
     e.buildPlannerStrategies(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
 
+  /** The function identifiers a `SparkSessionExtensions` would register
+    * on a new session — applied to a scratch registry via the public
+    * `registerFunctions` hook (the registry class itself is
+    * private[sql]). Lets a spec assert extension-path ≡ register()-path
+    * without the getOrCreate-shares-the-session trap.
+    */
+  def extensionFunctionIds(e: org.apache.spark.sql.SparkSessionExtensions)
+      : Seq[org.apache.spark.sql.catalyst.FunctionIdentifier] = {
+    val reg =
+      new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    e.registerFunctions(reg)
+    reg.listFunction()
+  }
+
   /** Register catalyst function builders on a live session's registry
     * (`sessionState` is private[sql] in Spark 4).
     */

@@ -78,4 +78,25 @@ class SyntaxSpec extends AnyFunSuite {
     assert(Bridge.extensionStrategies(e, spark)
       .contains(plans.TopKPerKeyStrategy))
   }
+
+  test("deployment recipe: the spark.sql.extensions path registers " +
+      "EXACTLY the function surface register() does, and the class " +
+      "satisfies the reflective contract a stock shell uses") {
+    import org.apache.spark.sql.graftshim.Bridge
+    // what `spark.sql.extensions=graft.functions.GraftExtensions` does:
+    // reflectively instantiate by name (zero-arg ctor, Function1 type —
+    // the exact contract SparkSession.applyExtensions requires)...
+    val inst = Class.forName("graft.functions.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    inst(e)
+    // ...and the function set it would install on the new session is
+    // the SAME set the imperative register() path installs
+    val viaExt = Bridge.extensionFunctionIds(e).map(_.funcName).toSet
+    assert(viaExt == functions.GraftFunctions.all.map(_._1.funcName).toSet)
+    functions.GraftFunctions.register(spark)
+    viaExt.foreach(n =>
+      assert(spark.catalog.functionExists(n), s"register() missing $n"))
+  }
 }
