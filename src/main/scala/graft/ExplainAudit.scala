@@ -486,6 +486,9 @@ object ExplainAudit {
     // retrieval eval: both the actual and the ideal ranking run through
     // the bounded heap — no per-query sort of the hit list
     audit("a_retrieval_ndcg", "TopKPerKey")
+    // MRR/P@10/R@10: the relevance join is query-term-bounded and
+    // broadcast; the only heavy leg is the shared BM25 bounded heap
+    audit("a_retrieval_mrr", "TopKPerKey", "BroadcastHashJoin")
     // BLEU stats: gram counting map-side-combines, and each side's
     // grams for ALL n come from ONE explode (the (n, gram)-struct
     // concat), never one per (side, n) — the union shape would show 8+

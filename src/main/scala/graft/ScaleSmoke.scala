@@ -124,6 +124,69 @@ object ScaleSmoke {
     new java.io.FileOutputStream(new java.io.File(fs, "_DONE")).close()
   }
 
+  /** 100× tier synthesis (sf10 from sf0.1) for the ratio-flagged
+    * DOCUMENT/EMBEDDING families — same contract as [[synthesize]]
+    * (within-copy structure preserved, cross-copy randomized, pair
+    * mass ×100 linear, not ×10000), but the 10×-tier randomizers have
+    * PERIODS that break past 10 copies and are generalized:
+    *   - documents: the word-salt gate moves from `xxhash64(w) % 10 ∈
+    *     {c..c+2}` to `xxhash64(w) % 100 ∈ [c, c+30) mod 100` — the
+    *     mod-10 gate repeats every 10 copies, so copies c and c+10
+    *     would transform IDENTICALLY and plant 45 exact-duplicate
+    *     cross-copy pairs per source doc;
+    *   - embeddings: a per-copy deterministic SIGN MASK (negate dim i
+    *     of copy c when xxhash64(c, i) is odd) replaces rotation — a
+    *     64-dim rotation repeats at copy 64, planting identical
+    *     vectors past it. A shared mask preserves within-copy cosine
+    *     EXACTLY (m_i² = 1 termwise); distinct masks decorrelate
+    *     cross-copy pairs like the rotation did.
+    * The event/TPC-H tables pass through UNSCALED: their linear axes
+    * (time-window density, fact-key joins) were swept at sf1 and the
+    * sf10 subset is the documents/embeddings ratio-flagged families by
+    * design — the artifact names the subset, nothing is silently
+    * capped.
+    */
+  def synthesize100(spark: SparkSession, src: String, out: String): Unit = {
+    val fs = new java.io.File(out)
+    if (new java.io.File(fs, "_DONE").exists()) return
+    fs.mkdirs()
+    val copies = 100
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until copies).map { c =>
+      val s = docs.withColumn("doc_id", col("doc_id") + lit(10000000L * c))
+      if (c == 0) s
+      else s.withColumn("text", concat_ws(" ",
+        transform(split(col("text"), " "), w => {
+          val g = pmod(xxhash64(w), lit(copies))
+          val in = // [c, c+30) mod 100, the wrapped window
+            if (c + 30 <= copies) g >= c && g < c + 30
+            else g >= c || g < (c + 30) % copies
+          when(in, concat(w, lit("_"), lit(c))).otherwise(w)
+        })))
+    }.reduce(_ union _)
+      .repartition(64)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until copies).map { c =>
+      val s = emb.withColumn("vec_id", col("vec_id") + lit(10000000L * c))
+      if (c == 0) s
+      else s.withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          when(pmod(xxhash64(lit(c), i), lit(2)) === 1, -x).otherwise(x)))
+    }.reduce(_ union _)
+      .repartition(64)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for (t <- Seq("events", "lineitem", "orders", "customer", "region",
+        "nation", "supplier", "part"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+    new java.io.FileOutputStream(new java.io.File(fs, "_DONE")).close()
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
@@ -131,12 +194,16 @@ object ScaleSmoke {
     // queries a round changed instead of the full hour-long sweep)
     val only: Option[Set[String]] =
       args.lift(2).map(_.split(",").toSet)
+    // optional 4th arg: copies (10 = the sf1 tier, 100 = the sf10
+    // document/embedding tier via synthesize100)
+    val copies = args.lift(3).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
-    synthesize(spark, src, out)
+    if (copies == 100) synthesize100(spark, src, out)
+    else synthesize(spark, src, out)
     println(f"SYNTH done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     // COLD timing (the r11-pinned bench discipline): clear the cache
@@ -177,7 +244,9 @@ object ScaleSmoke {
     val qJson = results.map { case (q, (s0, s1, n1)) =>
       f""""$q":{"sf01":$s0%.3f,"sf1":$s1%.3f,"ratio":${s1 / math.max(s0, 0.001)}%.2f,"rows_sf1":$n1}"""
     }.mkString(",")
-    println(s"""SCALE_JSON {"metric":"sf1_sweep","unit":"sec","cache":"cold",""" +
+    val metric = if (copies == 100) "sf10_sweep" else "sf1_sweep"
+    println(s"""SCALE_JSON {"metric":"$metric","copies":$copies,""" +
+      s""""unit":"sec","cache":"cold",""" +
       s""""sampling":"single-pass-paired","sf_small":"$src","sf_big":"$out",""" +
       s""""excluded":${Excluded.toSeq.sorted.mkString("[\"", "\",\"", "\"]")},""" +
       s""""failed":${

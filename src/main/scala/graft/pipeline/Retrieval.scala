@@ -134,6 +134,58 @@ object Retrieval {
         round4HalfUp(col("dcg") / col("idcg")).as("ndcg"))
   }
 
+  /** MRR@10 + precision/recall@10 of the BM25 ranking — the remaining
+    * standard retrieval-eval trio member next to [[ndcgAt10]] (nDCG
+    * grades the whole ranked list; MRR grades time-to-first-hit — the
+    * RAG metric — and P/R@10 grade the cutoff set). Binary relevance is
+    * the graded relevance's rel ≥ 2 (≥2 distinct query terms present:
+    * rel ≥ 1 would mark any single-term doc relevant and saturate
+    * precision on a shared-vocabulary corpus).
+    *
+    * Exact-integer contract throughout: first_rel_rank is a BIGINT
+    * rank, rr_micro = 10⁶ DIV rank, prec10_micro = hits·10⁶ DIV 10,
+    * recall10_micro = hits·10⁶ DIV |relevant| — so unlike the
+    * grid-rounded nDCG sums the whole result hash-matches with no
+    * float boundary. Same scale shape as nDCG: everything after the
+    * |terms|-bounded BM25 leg touches 10·|queries| rows.
+    */
+  def mrrAt10(docs: DataFrame,
+      queries: Seq[(Int, Seq[String])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (id, ws) => ws.distinct.map((id, _)) }
+      .toDF("query_id", "w")
+    val relevant = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .join(broadcast(qt), "w")
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("nterms"))
+      .filter(col("nterms") >= 2)
+      .select(col("query_id"), col("doc_id"), lit(1L).as("relv"))
+    val ranked = bm25TopK(docs, queries, 10)
+      .withColumn("r", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))))
+    val perQ = ranked.join(relevant, Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(min(when(col("relv") === 1L, col("r"))).as("fr"),
+        sum(when(col("relv") === 1L, 1L).otherwise(0L)).as("hits"))
+    val nRel = relevant.groupBy("query_id")
+      .agg(count(lit(1)).as("n_rel"))
+    queries.map(_._1).toDF("query_id")
+      .join(perQ, Seq("query_id"), "left")
+      .join(nRel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("fr"), lit(0L)).cast("long").as("first_rel_rank"),
+        when(col("fr").isNotNull, expr("1000000 DIV fr")).otherwise(0L)
+          .as("rr_micro"),
+        (coalesce(col("hits"), lit(0L)) * 100000L).as("prec10_micro"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0L,
+          expr("coalesce(hits, 0) * 1000000 DIV n_rel")).otherwise(0L)
+          .as("recall10_micro"))
+      .orderBy("query_id")
+  }
+
   /** Fixture queries built from the synthetic corpus's vocabulary. */
   val FixtureQueries: Seq[(Int, Seq[String])] = Seq(
     1 -> Seq("table", "scan", "merge"),
@@ -316,6 +368,9 @@ object Retrieval {
       ndcgAt10(Tables.spread(Tables.documents(s, d)), FixtureQueries)
         .orderBy("query_id")
     },
+    "a_retrieval_mrr" -> { (s, d) =>
+      mrrAt10(Tables.spread(Tables.documents(s, d)), FixtureQueries)
+    },
     // rank fusion of the two lexical rankers' top-10 lists — the fused
     // score is an exact BIGINT, so the whole query hash-matches even
     // though both legs score with floats
@@ -489,6 +544,38 @@ object Retrieval {
         |FROM dcg JOIN idcg USING (query_id)
         |ORDER BY query_id""".stripMargin),
     "s_mmr_diversify" -> mmrOracle,
+    // binary relevance = graded rel >= 2; all-integer outputs so the
+    // whole row set hash-matches with no float boundary
+    "a_retrieval_mrr" -> (bm25Ctes +
+      """,
+        |rel AS (
+        |  SELECT query_id, doc_id, least(count(*), 3) rel
+        |  FROM (SELECT doc_id,
+        |          unnest(list_distinct(string_split(text, ' '))) w
+        |        FROM documents)
+        |  JOIN q USING (w) GROUP BY 1, 2),
+        |rl AS (SELECT query_id, doc_id FROM rel WHERE rel >= 2),
+        |hits AS (
+        |  SELECT rk.query_id,
+        |    min(CASE WHEN rl.doc_id IS NOT NULL THEN rk.rn END) fr,
+        |    count(rl.doc_id) h
+        |  FROM rk LEFT JOIN rl
+        |    ON rl.query_id = rk.query_id AND rl.doc_id = rk.doc_id
+        |  WHERE rk.rn <= 10 GROUP BY 1),
+        |nr AS (SELECT query_id, count(*) n_rel FROM rl GROUP BY 1),
+        |qs AS (SELECT DISTINCT query_id FROM q)
+        |SELECT qs.query_id,
+        |  CAST(coalesce(fr, 0) AS BIGINT) AS first_rel_rank,
+        |  CAST(CASE WHEN fr IS NOT NULL THEN 1000000 // fr
+        |       ELSE 0 END AS BIGINT) AS rr_micro,
+        |  CAST(coalesce(h, 0) * 100000 AS BIGINT) AS prec10_micro,
+        |  CAST(CASE WHEN coalesce(n_rel, 0) > 0
+        |       THEN coalesce(h, 0) * 1000000 // n_rel
+        |       ELSE 0 END AS BIGINT) AS recall10_micro
+        |FROM qs
+        |LEFT JOIN hits USING (query_id)
+        |LEFT JOIN nr USING (query_id)
+        |ORDER BY query_id""".stripMargin),
     "s_bm25" -> (bm25Ctes +
       """
         |SELECT query_id, doc_id, score

@@ -155,4 +155,38 @@ class RetrievalSpec extends AnyFunSuite {
       assert(ndcg > 0.0 && ndcg <= 1.0, s"nDCG out of range: $r")
     }
   }
+
+  test("MRR/P@10/R@10: hand fixture pins first-hit rank, cutoff " +
+      "precision, and recall; fixture rows stay in range") {
+    // q1: doc 1 (rel 3) and doc 2 (rel 2) are relevant (rel >= 2); the
+    // coverage order ranks them 1 and 2 → rr = 1e6, hits = 2 of 2.
+    // q2's single term can never reach rel >= 2 → zero row.
+    val docs = Seq(
+      (1L, "table scan merge"),
+      (2L, "table scan zz1"),
+      (3L, "table zz2 zz3"),
+      (4L, "aa1 aa2 aa3")).toDF("doc_id", "text")
+    val got = Retrieval.mrrAt10(docs,
+      Seq(1 -> Seq("table", "scan", "merge"), 2 -> Seq("table")))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1) == ((1L, 1000000L, 200000L, 1000000L)), s"q1: ${got(1)}")
+    assert(got(2) == ((0L, 0L, 0L, 0L)), s"q2: ${got(2)}")
+    // real fixture: every query answered, all metrics in [0, 1e6],
+    // and rr is exactly 1e6 DIV first_rel_rank when a hit exists
+    val rows = SparkEntry.queries("a_retrieval_mrr")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.length == Retrieval.FixtureQueries.length)
+    for (r <- rows) {
+      val (fr, rr, p, rec) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(fr >= 0 && rr >= 0 && rr <= 1000000L)
+      assert(p >= 0 && p <= 1000000L && rec >= 0 && rec <= 1000000L)
+      if (fr > 0) assert(rr == 1000000L / fr, s"rr law: $r")
+      else assert(rr == 0L)
+    }
+    // the fixture corpus shares vocabulary — at least one query should
+    // actually find a relevant doc, or the metric is vacuous here
+    assert(rows.exists(_.getLong(2) > 0L), "all-zero MRR on the fixture")
+  }
 }
