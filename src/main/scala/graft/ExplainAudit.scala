@@ -489,6 +489,15 @@ object ExplainAudit {
     // MRR/P@10/R@10: the relevance join is query-term-bounded and
     // broadcast; the only heavy leg is the shared BM25 bounded heap
     audit("a_retrieval_mrr", "TopKPerKey", "BroadcastHashJoin")
+    // pass@k / distinct-n: pure per-row expressions — the sample loop
+    // is an `aggregate` HOF and bigrams a `transform`, so NO Generate
+    // and the only exchange is the oracle-edge orderBy
+    auditAtMost("a_pass_at_k", "Generate", 0)
+    // the two exchanges: Tables.spread's core-spreading repartition
+    // plus the oracle-edge orderBy — nothing computational
+    auditAtMost("a_pass_at_k", "Exchange", 2)
+    auditAtMost("a_distinct_n", "Generate", 0)
+    auditAtMost("a_distinct_n", "Exchange", 2)
     // BLEU stats: gram counting map-side-combines, and each side's
     // grams for ALL n come from ONE explode (the (n, gram)-struct
     // concat), never one per (side, n) — the union shape would show 8+

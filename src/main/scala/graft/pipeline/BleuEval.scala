@@ -279,9 +279,122 @@ object BleuEval {
     "a_chrf" -> { (s, d) =>
       chrfStats(chrfPairsOf(Tables.spread(Tables.documents(s, d))))
         .orderBy("pair_id", "n")
+    },
+    // pass@k (Chen et al. 2021, HumanEval §2.1) — THE code-eval
+    // estimator: for a problem with n samples of which c pass,
+    // pass@k = 1 − C(n−c, k)/C(n, k), the unbiased probability that at
+    // least one of k drawn samples passes. n = 10 samples per problem
+    // (doc), each sample's verdict a [[DetDraw]] draw gated by a
+    // per-problem rate (draws 30-80%), so c varies realistically.
+    // EXACT integers end to end: the binomial ratio is the telescoped
+    // product Π_{i<k}(n−c−i)/Π_{i<k}(n−i) — numerator terms clamped at
+    // 0 (k > n−c ⇒ some term 0 ⇒ certainty), denominators literal
+    // constants, ONE micro DIV per k. Per-row expressions only (the
+    // sample loop is an `aggregate` over sequence(1,10), no explode) —
+    // scan throughput at any corpus size.
+    "a_pass_at_k" -> { (s, d) =>
+      val n = 10
+      val thr = (DetDraw.draw(4, col("doc_id"), lit("passrate")) % 500L) +
+        lit(300L)
+      val c = aggregate(sequence(lit(1), lit(n)), lit(0L), (acc, j) =>
+        acc + when(
+          DetDraw.draw(4, col("doc_id"), j, lit("pass")) % 1000L < thr,
+          1L).otherwise(0L))
+      def passK(k: Int): Column = {
+        val den = (0 until k).map(i => (n - i).toLong).product
+        val num = (0 until k)
+          .map(i => s"greatest($n - c - $i, 0)").mkString(" * ")
+        expr(s"1000000 - ($num) * 1000000 DIV $den")
+      }
+      Tables.spread(Tables.documents(s, d))
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), lit(n.toLong).as("n_samples"), c.as("c"))
+        .select(col("doc_id"), col("n_samples"), col("c"),
+          passK(1).as("pass1_micro"), passK(5).as("pass5_micro"),
+          passK(10).as("pass10_micro"))
+        .orderBy("doc_id")
+    },
+    // distinct-n (Li et al. 2016) — the standard generation-DIVERSITY
+    // metric BLEU/ROUGE can't see (a high-overlap generator can still
+    // be degenerate): per doc, unique/total ratios for unigrams and
+    // bigrams on the micro grid. Bigram keys join tokens with a space —
+    // collision-free because tokens are split ON spaces. Pure per-row
+    // array expressions, zero shuffles beyond the oracle-edge orderBy.
+    "a_distinct_n" -> { (s, d) =>
+      val t = toks(col("text"))
+      val bi = when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1), i =>
+          concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      Tables.spread(Tables.documents(s, d))
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(t).cast("long").as("n_tokens"),
+          size(array_distinct(t)).cast("long").as("uniq1"),
+          size(bi).cast("long").as("n_bi"),
+          size(array_distinct(bi)).cast("long").as("uniq2"))
+        .select(col("doc_id"), col("n_tokens"), col("uniq1"),
+          when(col("n_tokens") > 0, expr("uniq1 * 1000000 DIV n_tokens"))
+            .otherwise(0L).as("distinct1_micro"),
+          col("uniq2"),
+          when(col("n_bi") > 0, expr("uniq2 * 1000000 DIV n_bi"))
+            .otherwise(0L).as("distinct2_micro"))
+        .orderBy("doc_id")
     })
 
+  /** DuckDB twin of a_pass_at_k: the same DetDraw gates (shared
+    * fragment builder) and the same clamped telescoped binomial
+    * products — all-integer, so the rows hash-match exactly.
+    */
+  private def passAtKOracle: String = {
+    val thr = s"300 + ${DetDraw.sqlDraw(4, "doc_id", "'passrate'")} % 500"
+    val gate =
+      s"${DetDraw.sqlDraw(4, "doc_id", "j", "'pass'")} % 1000 < thr"
+    def passK(k: Int): String = {
+      val den = (0 until k).map(i => (10 - i).toLong).product
+      val num = (0 until k).map(i => s"greatest(10 - c - $i, 0)")
+        .mkString(" * ")
+      s"CAST(1000000 - ($num) * 1000000 // $den AS BIGINT)"
+    }
+    s"""WITH base AS (
+       |  SELECT doc_id, $thr AS thr
+       |  FROM documents WHERE text IS NOT NULL),
+       |cs AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(range(1, 11), j -> $gate)) AS BIGINT) AS c
+       |  FROM base)
+       |SELECT doc_id, CAST(10 AS BIGINT) AS n_samples, c,
+       |  ${passK(1)} AS pass1_micro,
+       |  ${passK(5)} AS pass5_micro,
+       |  ${passK(10)} AS pass10_micro
+       |FROM cs ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "a_pass_at_k" -> passAtKOracle,
+    "a_distinct_n" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> len(w) > 0) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(t)) AS BIGINT) AS uniq1,
+        |    CASE WHEN len(t) >= 2
+        |         THEN list_transform(range(1, len(t)),
+        |                i -> t[i] || ' ' || t[i + 1])
+        |         ELSE []::VARCHAR[] END AS bi
+        |  FROM tk)
+        |SELECT doc_id, n_tokens, uniq1,
+        |  CAST(CASE WHEN n_tokens > 0 THEN uniq1 * 1000000 // n_tokens
+        |       ELSE 0 END AS BIGINT) AS distinct1_micro,
+        |  CAST(len(list_distinct(bi)) AS BIGINT) AS uniq2,
+        |  CAST(CASE WHEN len(bi) > 0
+        |       THEN CAST(len(list_distinct(bi)) AS BIGINT) * 1000000
+        |         // len(bi)
+        |       ELSE 0 END AS BIGINT) AS distinct2_micro
+        |FROM b ORDER BY doc_id""".stripMargin,
     "a_bleu" ->
       """WITH tk AS (
         |  SELECT doc_id AS pair_id,

@@ -127,4 +127,58 @@ class BleuSpec extends AnyFunSuite {
     // ~1/16 dropped — loose band
     assert(c1.length < 200 && c1.length > 150)
   }
+
+  test("pass@k: engine rows equal the exact binomial estimator for " +
+      "every observed c; edges and monotonicity hold") {
+    def choose(n: Int, k: Int): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      else (BigInt(n - k + 1) to BigInt(n)).product /
+        (BigInt(1) to BigInt(k)).product
+    def ref(c: Int, k: Int): Long =
+      (BigInt(1000000) -
+        choose(10 - c, k) * 1000000 / choose(10, k)).toLong
+    val rows = SparkEntry.queries("a_pass_at_k")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val cs = rows.map(_.getAs[Long]("c").toInt).toSet
+    // the per-problem rate draw must actually spread c around
+    assert(cs.size >= 4, s"degenerate c distribution: $cs")
+    for (r <- rows) {
+      val c = r.getAs[Long]("c").toInt
+      assert(c >= 0 && c <= 10)
+      val (p1, p5, p10) = (r.getAs[Long]("pass1_micro"),
+        r.getAs[Long]("pass5_micro"), r.getAs[Long]("pass10_micro"))
+      // exact agreement with the C(n-c,k)/C(n,k) form: the telescoped
+      // clamped product is the same rational, so the floors agree
+      assert(p1 == ref(c, 1) && p5 == ref(c, 5) && p10 == ref(c, 10),
+        s"c=$c: ($p1,$p5,$p10) vs (${ref(c, 1)},${ref(c, 5)},${ref(c, 10)})")
+      // more draws can only help; any pass makes pass@10 certain
+      assert(p1 <= p5 && p5 <= p10)
+      if (c > 0) assert(p10 == 1000000L) else assert(p10 == 0L)
+    }
+  }
+
+  test("distinct-n: hand fixture pins the unique/total ratios; " +
+      "degenerate repetition collapses distinct-2") {
+    val docs = Seq(
+      (1L, "a b c d"),        // all unique: d1 = 1, d2 = 1
+      (2L, "a a a a"),        // one type: d1 = 1/4; bigrams all 'a a'
+      (3L, "a b a b"),        // d1 = 2/4; bigrams ab/ba/ab -> 2/3
+      (4L, "solo"),           // no bigram window
+      (5L, ""))               // empty after tokenization
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.BleuEval.queries("a_distinct_n")
+    // drive the same operator body over the hand corpus via a temp dir
+    val dir = java.nio.file.Files.createTempDirectory("dn").toString
+    docs.withColumn("source", lit("s")).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = got(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows(1L) == ((4L, 4L, 1000000L, 3L, 1000000L)))
+    assert(rows(2L) == ((4L, 1L, 250000L, 1L, 333333L)))
+    assert(rows(3L) == ((4L, 2L, 500000L, 2L, 666666L)))
+    assert(rows(4L) == ((1L, 1L, 1000000L, 0L, 0L)))
+    assert(rows(5L) == ((0L, 0L, 0L, 0L, 0L)))
+  }
 }
