@@ -60,12 +60,6 @@ object SparkEntry {
       "SimHash bands over xxhash64 bits are seed-dependent; " +
         "reference-equality + recall specs pin it, the portable " +
         "md5-bit twin is oracle-green"),
-    "d_embedding_dup_lsh" -> ("d_embedding_dup",
-      "random-hyperplane LSH buckets are seed-dependent; the spec pins " +
-        "its pairs ⊆ the exact tier's, which is oracle-green"),
-    "s_ann_lsh" -> ("s_ann_bruteforce",
-      "hyperplane-bucketed ANN shortlists are seed-dependent; recall " +
-        "vs the oracle-green brute-force top-k is spec-pinned"),
     "s_mahalanobis" -> ("s_mahalanobis_diag",
       "the full-covariance inverse is iterative float linear algebra " +
         "(engine-divergent at ulp level); the diagonal variant walks " +

@@ -543,14 +543,64 @@ object Fingerprints {
       .orderBy("va", "vb")
   }
 
-  // d_embedding_dup_lsh is rows-only (hyperplane signatures are seeded
-  // projections — implementation-defined); oracle coverage for embedding
-  // dedup lives in the GREEN exact siblings d_embedding_dup /
-  // d_embedding_dup_clusters, and PipelineSpec pins this tier's recall
-  // against them.
   val allQueries: Map[String, Q] = queries + ("d_embedding_dup_lsh" ->
     ((s: org.apache.spark.sql.SparkSession, d: String) =>
       embeddingDupLsh(s, d)))
+
+  /** DuckDB twin of the FULL embedding-LSH dedup tier — graduated from
+    * rows-only in round 14. Why this is replayable: the hyperplanes
+    * are deterministic plan literals (a_ann_recall's twin replays the
+    * family), the normalize CTE is the s_ann_ivf oracle's — whose
+    * green argmax over dots of normalized vectors proves the
+    * normalized arrays and their left-to-right dots are BIT-identical
+    * across engines — and the [[cappedPairs]] step is the
+    * deterministic SQL the d_simhash_portable twin already replays
+    * (bucket counts, all-pairs ≤ cap, min-id star above). Width/tables
+    * are [[Similarity.lshPlan]] at the oracle contract's 500-vector
+    * corpus (4 bits × 12 tables), like the s_ann_lsh twin.
+    */
+  private def embDupLshOracle: String = {
+    val (bits, tables) =
+      Similarity.lshPlan(500, EmbDupCos, EmbDupRecall)
+    val dims = 64
+    val sigSelects = (0 until tables).map { t =>
+      val bitTerms = (0 until bits).map { b =>
+        s"${1 << b}*(CASE WHEN list_dot_product(v, " +
+          s"${Similarity.planeSqlLit(t, b, dims)}) > 0 THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      s"  SELECT vec_id, $t AS t, $bitTerms AS sig FROM e"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> x /
+       |      sqrt(list_dot_product(embedding::DOUBLE[],
+       |                            embedding::DOUBLE[]))) AS v
+       |  FROM embeddings),
+       |sigs AS (
+       |$sigSelects),
+       |bsz AS (SELECT t, sig, count(*) AS bn FROM sigs GROUP BY 1, 2),
+       |bsm AS (SELECT vec_id, t, sig FROM sigs JOIN bsz USING (t, sig)
+       |  WHERE bn <= $DefaultBucketCap),
+       |bbg AS (SELECT vec_id, t, sig FROM sigs JOIN bsz USING (t, sig)
+       |  WHERE bn > $DefaultBucketCap),
+       |reps AS (SELECT t, sig, min(vec_id) AS rep FROM bbg
+       |  GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT DISTINCT va, vb FROM (
+       |    SELECT a.vec_id AS va, b.vec_id AS vb
+       |    FROM bsm a JOIN bsm b
+       |      ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |    UNION ALL
+       |    SELECT r.rep AS va, g.vec_id AS vb
+       |    FROM bbg g JOIN reps r ON g.t = r.t AND g.sig = r.sig
+       |    WHERE g.vec_id <> r.rep))
+       |SELECT DISTINCT va, vb
+       |FROM cands
+       |JOIN e x ON x.vec_id = va
+       |JOIN e y ON y.vec_id = vb
+       |WHERE list_dot_product(x.v, y.v) > 0.47
+       |ORDER BY va, vb""".stripMargin
+  }
 
   // The LSH/SimHash operators are approximate — deliberately no SQL oracle
   // (driver records rows-only checks); accuracy is asserted against exact
@@ -638,6 +688,7 @@ object Fingerprints {
        |ORDER BY da, db""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d_embedding_dup_lsh" -> embDupLshOracle,
     "d_simhash_portable" ->
       s"""WITH $simhashFpCtes,
          |${simhashCappedCandCtes(DefaultBucketCap)}

@@ -141,10 +141,10 @@ object Similarity {
     // 8 tables × 4-bit signatures — θ(cos≈0.4)/π ≈ 0.37 ⇒ per-table
     // collision ≈ 0.63⁴ ≈ 0.16; 8-table OR-amplification ≈ 0.75
     // recall). Candidates = bucket-equality join, then exact cosine
-    // re-rank. Rows-only (seeded hyperplanes are implementation-
-    // defined); oracle coverage for the ANN family lives in the GREEN
-    // siblings s_ann_bruteforce/ivf/pq/ivfpq, and PipelineSpec +
-    // a_ann_recall pin this tier's recall. The sizing count is one
+    // re-rank. FULL oracle since round 14 ([[annLshOracle]] — the
+    // hyperplanes are deterministic plan literals a_ann_recall's twin
+    // has replayed green since round 5); recall vs brute force stays
+    // spec-pinned in PipelineSpec. The sizing count is one
     // column-pruned parquet count — footer metadata, not a data scan.
     "s_ann_lsh" -> { (s, d) =>
       val dims = 64
@@ -427,28 +427,35 @@ object Similarity {
       .orderBy("qid")
   }
 
-  /** DuckDB twin of [[annRecall]]: the hyperplane family embedded as
-    * double literals (Double.toString round-trips exactly; DuckDB parses
-    * shortest-round-trip decimals back to the same IEEE double). The
-    * width/table count is [[lshPlan]] evaluated at the oracle contract's
-    * corpus size — Verify runs at sf0.01 and the suite at sf0.001, both
-    * 500 embeddings — so the static SQL and the adaptive engine plan
-    * stay the same (4 bits, 8 tables) by construction.
+  /** The hyperplane family as SQL double-array literals
+    * (Double.toString round-trips exactly; DuckDB parses
+    * shortest-round-trip decimals back to the same IEEE double).
     */
-  private def annRecallOracle: String = {
+  private[pipeline] def planeSqlLit(t: Int, b: Int, dims: Int): String =
+    (0 until dims).map(i => planeComponent(t, b, i).toString)
+      .mkString("[", ", ", "]")
+
+  /** Shared DuckDB CTE block of the s_ann_lsh pipeline — signatures →
+    * bucket join → exact cosine re-rank, emitting `e(vec_id, v)` and
+    * `lshrk(qid, nid, rk)`. ONE definition behind both the s_ann_lsh
+    * oracle and [[annRecallOracle]] so the audit can never disagree
+    * with the tier it measures. The width/table count is [[lshPlan]]
+    * evaluated at the oracle contract's corpus size — Verify runs at
+    * sf0.01 and the suite at sf0.001, both 500 embeddings — so the
+    * static SQL and the adaptive engine plan stay the same (4 bits, 8
+    * tables) by construction.
+    */
+  private def annLshCtes: String = {
     val (bits, tables) = lshPlan(500, AnnCos, AnnRecall)
     val dims = 64
-    def planeLit(t: Int, b: Int): String =
-      (0 until dims).map(i => planeComponent(t, b, i).toString)
-        .mkString("[", ", ", "]")
     val sigSelects = (0 until tables).map { t =>
       val bitTerms = (0 until bits).map { b =>
-        s"${1 << b}*(CASE WHEN list_dot_product(v, ${planeLit(t, b)})" +
-          " > 0 THEN 1 ELSE 0 END)"
+        s"${1 << b}*(CASE WHEN list_dot_product(v, " +
+          s"${planeSqlLit(t, b, dims)}) > 0 THEN 1 ELSE 0 END)"
       }.mkString(" + ")
       s"  SELECT vec_id, $t AS t, $bitTerms AS sig FROM e"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |sigs AS (
        |$sigSelects),
@@ -457,16 +464,35 @@ object Similarity {
        |  FROM sigs q JOIN sigs c
        |    ON q.t = c.t AND q.sig = c.sig AND c.vec_id <> q.vec_id
        |  WHERE q.vec_id < 5),
+       |lshrk AS (
+       |  SELECT cand.qid, cand.nid, row_number() OVER (
+       |      PARTITION BY cand.qid
+       |      ORDER BY list_cosine_similarity(eq.v, ec.v) DESC, cand.nid
+       |    ) AS rk
+       |  FROM cand
+       |  JOIN e eq ON eq.vec_id = cand.qid
+       |  JOIN e ec ON ec.vec_id = cand.nid)""".stripMargin
+  }
+
+  /** DuckDB twin of the full s_ann_lsh tier (graduated from rows-only
+    * in round 14: the hyperplanes were always deterministic plan
+    * literals — a_ann_recall's oracle has replayed them green since
+    * round 5 — so the tier itself carries the same (qid, nid, rank)
+    * contract as the IVF/PQ siblings).
+    */
+  private def annLshOracle: String =
+    s"""WITH $annLshCtes
+       |SELECT qid, nid, CAST(rk AS INTEGER) AS rank
+       |FROM lshrk WHERE rk <= 10
+       |ORDER BY qid, rank""".stripMargin
+
+  /** DuckDB twin of [[annRecall]] — the shared [[annLshCtes]] block
+    * plus the brute-force leg and the overlap counts.
+    */
+  private def annRecallOracle: String = {
+    s"""WITH $annLshCtes,
        |lsh AS (
-       |  SELECT qid, nid FROM (
-       |    SELECT cand.qid, cand.nid, row_number() OVER (
-       |        PARTITION BY cand.qid
-       |        ORDER BY list_cosine_similarity(eq.v, ec.v) DESC, cand.nid
-       |      ) AS rk
-       |    FROM cand
-       |    JOIN e eq ON eq.vec_id = cand.qid
-       |    JOIN e ec ON ec.vec_id = cand.nid)
-       |  WHERE rk <= 10),
+       |  SELECT qid, nid FROM lshrk WHERE rk <= 10),
        |bf AS (
        |  SELECT qid, nid FROM (
        |    SELECT a.vec_id AS qid, b.vec_id AS nid, row_number() OVER (
@@ -856,6 +882,7 @@ object Similarity {
 
   lazy val oracles: Map[String, String] = Map(
     "a_ann_recall" -> annRecallOracle,
+    "s_ann_lsh" -> annLshOracle,
     "s_ann_ivf" -> annIvfOracle,
     "s_ann_pq" -> annPqOracle,
     "s_ann_ivfpq" -> annIvfPqOracle,
@@ -946,6 +973,4 @@ object Similarity {
         |  WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id)
         |WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin)
-    // s_ann_lsh: approximate — no SQL oracle; recall asserted in
-    // PipelineSpec against s_ann_bruteforce.
 }
