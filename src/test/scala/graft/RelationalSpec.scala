@@ -37,8 +37,13 @@ class RelationalSpec extends AnyFunSuite {
     // 1e-6-quantized covariance (contraction makes the recursive-CTE
     // twin engine-stable), and PQ's oracle is the ivfpq twin minus the
     // probe step.
-    val rowsOnly = Set("d_minhash_lsh", "d_simhash", "s_ann_lsh",
-      "d_embedding_dup_lsh",
+    // s_ann_lsh / d_embedding_dup_lsh left this list in round 14: the
+    // hyperplane family was always deterministic plan literals
+    // (a_ann_recall's twin replayed it since round 5), so both tiers
+    // graduated to full oracles — signatures + bucket join (+ the
+    // cappedPairs star replay for the dedup tier) + exact re-rank/
+    // verify, hash-green at all three sf.
+    val rowsOnly = Set("d_minhash_lsh", "d_simhash",
       "r_approx_distinct", "p_quality_gate_approx", "t_cms_freq",
       // The trainer tail left this list in round 10: t_bpe_merges /
       // t_bpe_encode replay training one merge per unrolled round
