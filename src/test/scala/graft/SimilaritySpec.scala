@@ -63,6 +63,51 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("HyperplaneSigs: codegen output is bit-identical to the " +
+      "composed lshSignature columns; interpreted eval agrees; " +
+      "null/length contract holds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      1L -> Seq.tabulate(64)(i => math.sin(i + 1.0)),
+      2L -> Seq.fill(64)(0.0), // every dot 0 → no bit set → sig 0
+      3L -> Seq.tabulate(64)(i => if (i % 2 == 0) 1.0 else -1.0),
+      4L -> Seq.tabulate(64)(i => 1e-12 * (32.0 - i)))
+    val df = vecs.toDF("id", "v")
+    val tables = 5; val bits = 7
+    val nat = df.orderBy("id").select(
+        graft.functions.HyperplaneSigs.hyperplane_sigs(
+          col("v"), tables, bits, 64))
+      .collect().map(_.getSeq[Int](0).toSeq).toSeq
+    val composed = df.orderBy("id").select(
+        array((0 until tables).map(t =>
+          graft.pipeline.Similarity.lshSignature(col("v"), t, bits, 64))
+          : _*))
+      .collect().map(_.getSeq[Int](0).toSeq).toSeq
+    assert(nat == composed)
+    assert(nat(1) == Seq.fill(tables)(0)) // the zero vector
+    // interpreted path: eval() on a Literal child walks nullSafeEval,
+    // not the generated code — must agree with the DataFrame route
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    for (((_, v), i) <- vecs.zipWithIndex) {
+      val lit = Literal.create(v, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+      val got = graft.functions.HyperplaneSigs(lit, tables, bits, 64)
+        .eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
+      assert(got == nat(i), s"interpreted != codegen for vector $i")
+    }
+    // contract: null input → null; wrong length → null (corrupt input)
+    assert(graft.functions.HyperplaneSigs(
+      Literal.create(null, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)), tables, bits, 64)
+      .eval(null) == null)
+    assert(Seq(Seq(1.0, 2.0)).toDF("v").select(
+        graft.functions.HyperplaneSigs.hyperplane_sigs(
+          col("v"), tables, bits, 64))
+      .head().isNullAt(0))
+  }
+
   test("lshTables compensation: per the collision model, wider " +
       "signatures need more tables for the same recall") {
     val t4 = Similarity.lshTables(4, Fingerprints.EmbDupCos,
