@@ -142,8 +142,13 @@ object DiamondLint {
         // guard, not call-order contract (r13 ADVICE): on a
         // not-yet-executed frame the initial adaptive plan carries no
         // ReusedExchange/TableCacheQueryStage nodes and the counts
-        // silently read zero — execute first if the plan isn't final
-        if (!a.isFinalPlan) df.collect()
+        // silently read zero — execute first if the plan isn't final.
+        // Execute WITHOUT driver materialization (r14 ADVICE): toRdd
+        // runs the same physical plan (finalizing AQE) and foreach
+        // discards rows on the executors, where collect() would pull
+        // the full result onto the driver — on a large frame the lint
+        // itself could OOM even though only the plan string is needed.
+        if (!a.isFinalPlan) df.queryExecution.toRdd.foreach(_ => ())
         a.executedPlan.toString
       case p => p.toString
     }

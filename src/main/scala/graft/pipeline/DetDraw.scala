@@ -28,12 +28,17 @@ import org.apache.spark.sql.functions._
   * VALUE is the contract, and the oracle hash compare enforces it.
   */
 object DetDraw {
-  /** ':'-joined draw key. Parts must be non-null (concat_ws skips
-    * nulls where concat nulls out — callers draw on ids/indexes/tags,
-    * never nullable payloads).
+  /** ':'-joined draw key — NULL-PROPAGATING: any null part nulls the
+    * whole key, so the md5/draw/gate downstream null out and the row
+    * drops from samplers exactly like the SQL twins (whose `||` chain
+    * null-propagates natively). concat_ws alone would silently SKIP a
+    * null part and draw from a truncated key — a corrupt input (null
+    * doc_id) would then sample on the surviving parts instead of
+    * falling out (r14 ADVICE).
     */
   def key(parts: Column*): Column =
-    concat_ws(":", parts.map(_.cast("string")): _*)
+    when(parts.map(_.isNotNull).reduce(_ && _),
+      concat_ws(":", parts.map(_.cast("string")): _*))
 
   /** Full md5 hex of the key — the hash-split family's order/threshold
     * value.
