@@ -394,6 +394,17 @@ object ExplainAudit {
     auditDiamond("d_incremental_dedup", 4)
     auditDiamond("d_ngram_jaccard", 2)    // uncapped: sizes feed both joins
     auditDiamond("d_jaccard_prefix", 4)
+    // round-15 multi-probe tier: the (id, t, sig, home) probe frame is
+    // a diamond (bucket sizes + both join sides) and the normalized
+    // vectors feed the signature pass + both verify re-fetches — every
+    // consumer must read from cache, and the probe fan-out must never
+    // degrade to a pair product
+    auditDiamond("d_embedding_dup_mp", 4)
+    auditAtMost("d_embedding_dup_mp", "CartesianProduct", 0)
+    // the dedup-recall audit rides two persisted pair sets (a count and
+    // the overlap join each) — the exact tier's documented
+    // BroadcastNestedLoopJoin is the measurement, not a leak
+    auditDiamond("a_emb_dup_recall", 4)
     auditDiamond("t_charngram_langid", 2)
     // the two round-13 DiamondLint per-subtree findings, fixed with
     // lazy persists: phash banding (×2 cappedPairs consumers) and the

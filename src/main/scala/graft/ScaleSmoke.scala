@@ -39,8 +39,11 @@ object ScaleSmoke {
   // tiers lossless at checkable scale, not to run at 100 TB
   // (d_embedding_dup_clusters consumes d_embedding_dup's brute-force
   // pair set, so it is in the same class).
+  // (a_emb_dup_recall rides d_embedding_dup's brute-force pair set —
+  // it is run ONE-OFF at sf1 for the round recall artifact, where the
+  // quadratic exact tier is still feasible, but stays out of sweeps)
   val Excluded = Set("d_ngram_jaccard", "d_embedding_dup",
-    "d_embedding_dup_clusters", "s_ann_bruteforce")
+    "d_embedding_dup_clusters", "s_ann_bruteforce", "a_emb_dup_recall")
 
   // Every registered query except the documented-quadratic set, DERIVED
   // from the registry so a new operator is smoke-covered the round it

@@ -67,8 +67,23 @@ object Fingerprints {
     * aggregation shuffles on the same keys as the join itself, so AQE
     * reuses the exchange rather than adding a full extra pass.
     */
+  /** Optional `homeCol` (multi-probe LSH): when set, the frame carries
+    * both HOME rows (a vector's true bucket) and PROBE rows (low-margin
+    * bit-flip buckets it additionally visits), and a small-bucket pair
+    * requires at least one side to be home — probe×probe pairs would be
+    * candidates neither side actually indexes under, inflating the
+    * candidate mass ~(1+L)²/(1+2L)× for no modeled recall. The star
+    * tier ignores the flag: its (min-id representative, member) pairs
+    * are linear in the bucket either way, and for the degenerate
+    * near-identical buckets it exists for, connectivity matters more
+    * than probe provenance. Bucket sizes count ALL rows (home + probe) —
+    * probe fan-out is real join fan-out, so it must be what the cap
+    * measures. All deterministic, replayed in the d_embedding_dup_mp
+    * oracle.
+    */
   def cappedPairs(banded: DataFrame, bucketCols: Seq[String], idCol: String,
-      cap: Int = -1, dedup: Boolean = true): DataFrame = {
+      cap: Int = -1, dedup: Boolean = true,
+      homeCol: Option[String] = None): DataFrame = {
     // Config-exposed skew dial: explicit argument wins, then
     // `graft.lsh.bucketCap`, then [[DefaultBucketCap]] — the cap trades
     // recall (all-pairs inside a bucket) against the worst single-task
@@ -81,8 +96,12 @@ object Fingerprints {
     val sizes = banded.groupBy(keys: _*).agg(count(lit(1)).as("bn"))
     val withN = banded.join(sizes, bucketCols)
     val small = withN.filter(col("bn") <= effCap).drop("bn")
-    val joinCond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
+    val joinCond0 = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+    val joinCond = homeCol match {
+      case Some(h) => joinCond0 && (col(s"a.$h") || col(s"b.$h"))
+      case None => joinCond0
+    }
     val smallPairs = small.as("a").join(small.as("b"), joinCond)
       .select(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"))
     val big = withN.filter(col("bn") > effCap)
@@ -489,10 +508,18 @@ object Fingerprints {
     * parquet footer metadata, not data.
     */
   def embeddingDupLsh(s: org.apache.spark.sql.SparkSession, d: String,
-      widthOverride: Option[(Int, Int)] = None): DataFrame = {
+      widthOverride: Option[(Int, Int)] = None,
+      probeOverride: Option[Int] = None): DataFrame = {
     val n = Tables.embeddings(s, d).count()
-    val (bits, tables) = widthOverride.getOrElse(
-      Similarity.lshPlan(n, EmbDupCos, EmbDupRecall))
+    val auto = Similarity.lshParams(n, EmbDupCos, EmbDupRecall)
+    val (bits, tables) = widthOverride.getOrElse((auto.bits, auto.tables))
+    // a forced width defaults to probe-0 (the width-recall specs pin
+    // table compensation in isolation); the adaptive path takes the
+    // plan's probe depth — 0 at every fixture size, >0 once maxTables
+    // caps the uncapped count (sf1's 4, sf10's 8)
+    val probes = probeOverride.getOrElse(
+      if (widthOverride.isDefined) 0 else auto.probes)
+    val step = probes + 1
     // persisted: the normalized-vector frame feeds the signature
     // explode AND both verify re-fetch joins (input-table-sized; lazy
     // persist keeps lineage + evictability — see minhashPortablePairs;
@@ -501,26 +528,35 @@ object Fingerprints {
       .select(col("vec_id"),
         VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
       .persist()
-    // all per-table signatures in ONE native expression (HyperplaneSigs
-    // — the composed per-table column form fell out of codegen at
-    // adaptive widths: 11 s to sign 20k×16 rows at sf1), persisted as a
-    // bare (id, t, sig) frame because cappedPairs consumes its input
-    // from multiple branches (sizes + both join sides) — the diamond
-    // rule; 3 ints × n·tables rows, the cheapest frame in the query
+    // all per-table signatures — home + multi-probe bit-flip variants —
+    // in ONE native expression (HyperplaneProbeSigs; the composed
+    // per-table column form fell out of codegen at adaptive widths:
+    // 11 s to sign 20k×16 rows at sf1), persisted as a bare (id, t,
+    // sig, home) frame because cappedPairs consumes its input from
+    // multiple branches (sizes + both join sides) — the diamond rule;
+    // 3 ints + a bool × n·tables·(1+probes) rows, the cheapest frame
+    // in the query. Layout: pos DIV (1+probes) is the table, pos ≡ 0
+    // (mod 1+probes) marks the home row; probes = 0 reduces to the
+    // round-14 (id, t, sig) frame exactly.
     val sigs = e.select(col("vec_id"),
-      posexplode(graft.functions.HyperplaneSigs.hyperplane_sigs(
-        col("v"), tables, bits, 64)).as(Seq("t", "sig")))
+      posexplode(graft.functions.HyperplaneSigs.hyperplane_probe_sigs(
+        col("v"), tables, bits, 64, probes)).as(Seq("pos", "sig")))
+      .select(col("vec_id"),
+        expr(s"pos DIV $step").cast("int").as("t"),
+        col("sig"),
+        (pmod(col("pos"), lit(step)) === 0).as("home"))
       .persist()
     // candidates carry ID PAIRS ONLY through the bucket join (shuffling
     // 64-double vectors per candidate cost 23 s at sf0.1); vectors are
     // re-fetched for the exact verify. cappedPairs guards against a
-    // degenerate (table, sig) bucket. dedup = false: the exact-dot
+    // degenerate (table, sig) bucket; its homeCol rule keeps probe rows
+    // from pairing with each other. dedup = false: the exact-dot
     // verify runs BEFORE the pair dedup, so the full-candidate-mass
     // dropDuplicates shuffle (the sf1 bottleneck) collapses to a
     // dedup of the tiny survivor set — same output set, a pair
     // colliding in k tables just verifies k times.
     val candidates = cappedPairs(sigs, Seq("t", "sig"), "vec_id",
-      dedup = false)
+      dedup = false, homeCol = Some("home"))
       .select(col("ida").as("va"), col("idb").as("vb"))
     // the verify re-fetch: broadcast while the vector corpus fits an
     // executor (n·dims·8B — 10 MB at 20k×64; the id-pair mass is 100×
@@ -543,9 +579,52 @@ object Fingerprints {
       .orderBy("va", "vb")
   }
 
-  val allQueries: Map[String, Q] = queries + ("d_embedding_dup_lsh" ->
-    ((s: org.apache.spark.sql.SparkSession, d: String) =>
-      embeddingDupLsh(s, d)))
+  /** d_embedding_dup_mp's FORCED plan: a deliberately narrow
+    * (6 bits × 4 tables) shape whose home-only recall is ~28% by the
+    * collision model, probed at depth 2 — the multi-probe machinery
+    * (probe rows, the home-or-home pair rule, the probe replay in
+    * DuckDB) exercised AND oracle-checked at fixture scale, where the
+    * adaptive production plan's probe depth is 0 by construction
+    * (probes only engage once maxTables caps the uncapped count,
+    * n ≳ 100k at the dedup design point).
+    */
+  val MpBits = 6
+  val MpTables = 4
+  val MpProbes = 2
+
+  val allQueries: Map[String, Q] = queries ++ Map[String, Q](
+    "d_embedding_dup_lsh" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        embeddingDupLsh(s, d)),
+    "d_embedding_dup_mp" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        embeddingDupLsh(s, d, widthOverride = Some((MpBits, MpTables)),
+          probeOverride = Some(MpProbes))),
+    "a_emb_dup_recall" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        embDupRecall(s, d)))
+
+  /** Embedding-dedup recall AUDIT (the a_ann_recall move for the dedup
+    * tier): exact-tier pair count, production-LSH pair count, and their
+    * overlap as ONE oracle-checkable row — the r14 verdict asked for
+    * recall "measured in the artifacts (pairs found vs exact tier, not
+    * prose)". Rides the quadratic exact tier, so it inherits that
+    * tier's ScaleSmoke exclusion (run one-off at sf1 for the round
+    * artifact; at sf10 the exact tier is infeasible by design and the
+    * probe ablation stands in).
+    */
+  def embDupRecall(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    // both pair sets feed a count AND the overlap join — diamonds;
+    // caller/harness releases (the registered-query persist convention)
+    val exact = Dedup.queries("d_embedding_dup")(s, d)
+      .select("va", "vb").persist()
+    val lsh = embeddingDupLsh(s, d).select("va", "vb").persist()
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(exact.join(lsh, Seq("va", "vb"))
+        .agg(count(lit(1)).as("n_common")))
+  }
 
   /** DuckDB twin of the FULL embedding-LSH dedup tier — graduated from
     * rows-only in round 14. Why this is replayable: the hyperplanes
@@ -559,7 +638,29 @@ object Fingerprints {
     * are [[Similarity.lshPlan]] at the oracle contract's 500-vector
     * corpus (4 bits × 12 tables), like the s_ann_lsh twin.
     */
-  private def embDupLshOracle: String = {
+  /** The SQL corpus-size guard (r14 ADVICE): this file's static LSH
+    * oracles replay [[Similarity.lshPlan]] evaluated at the 500-vector
+    * oracle contract, which coincides with the live engine plan for
+    * every n ≤ 2048 (the 4-bit, probe-0 regime — width clamps to
+    * minBits and the uncapped table count fits maxTables). Pointing
+    * Verify at a bigger corpus would silently replay the WRONG plan
+    * and surface as a baffling hash mismatch; this guard turns that
+    * into an explicit, named failure instead (CASE short-circuits, so
+    * error() only fires outside the regime).
+    */
+  private val RegimeGuard: String =
+    "CASE WHEN (SELECT count(*) FROM embeddings) <= 2048 THEN TRUE " +
+      "ELSE error('lshPlan regime mismatch: static oracle SQL assumes " +
+      "n <= 2048 (4-bit, probe-0 plan); regenerate for this corpus') END"
+
+  /** Shared CTE block of the embedding-LSH dedup twins: normalize →
+    * signatures → capped candidate pairs → exact-dot verify, emitting
+    * `e(vec_id, v)` and `vpairs(va, vb)`. ONE definition behind the
+    * d_embedding_dup_lsh oracle and [[embDupRecallOracle]] so the audit
+    * can never disagree with the tier it measures (the annLshCtes
+    * pattern).
+    */
+  private def embDupLshCtes: String = {
     val (bits, tables) =
       Similarity.lshPlan(500, EmbDupCos, EmbDupRecall)
     val dims = 64
@@ -570,7 +671,7 @@ object Fingerprints {
       }.mkString(" + ")
       s"  SELECT vec_id, $t AS t, $bitTerms AS sig FROM e"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id,
        |    list_transform(embedding::DOUBLE[], x -> x /
        |      sqrt(list_dot_product(embedding::DOUBLE[],
@@ -590,6 +691,96 @@ object Fingerprints {
        |    SELECT a.vec_id AS va, b.vec_id AS vb
        |    FROM bsm a JOIN bsm b
        |      ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |    UNION ALL
+       |    SELECT r.rep AS va, g.vec_id AS vb
+       |    FROM bbg g JOIN reps r ON g.t = r.t AND g.sig = r.sig
+       |    WHERE g.vec_id <> r.rep)
+       |  WHERE $RegimeGuard),
+       |vpairs AS (
+       |  SELECT DISTINCT va, vb
+       |  FROM cands
+       |  JOIN e x ON x.vec_id = va
+       |  JOIN e y ON y.vec_id = vb
+       |  WHERE list_dot_product(x.v, y.v) > 0.47)""".stripMargin
+  }
+
+  private def embDupLshOracle: String =
+    s"""WITH $embDupLshCtes
+       |SELECT va, vb FROM vpairs
+       |ORDER BY va, vb""".stripMargin
+
+  /** DuckDB twin of [[embDupRecall]]: the exact quadratic pair set, the
+    * shared [[embDupLshCtes]] production-tier pairs, and the overlap —
+    * three scalar counts on one row.
+    */
+  private def embDupRecallOracle: String =
+    s"""WITH $embDupLshCtes,
+       |ex AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM embeddings a, embeddings b
+       |  WHERE a.vec_id < b.vec_id
+       |    AND list_cosine_similarity(a.embedding, b.embedding) > 0.47)
+       |SELECT
+       |  (SELECT count(*) FROM ex) AS n_exact,
+       |  (SELECT count(*) FROM vpairs) AS n_lsh,
+       |  (SELECT count(*) FROM ex JOIN vpairs USING (va, vb))
+       |    AS n_common""".stripMargin
+
+  /** DuckDB twin of the multi-probe tier (d_embedding_dup_mp): the
+    * probe expansion replayed the way the star tier already is — per
+    * (vector, table), the per-bit dots rank by (|dot|, bit), the
+    * [[MpProbes]] lowest flip one bit each into probe bucket keys, and
+    * the capped pair step requires at least one HOME side
+    * ([[cappedPairs]]' homeCol rule). Width/tables/probes are the
+    * FORCED [[MpBits]]×[[MpTables]]×[[MpProbes]] plan, so no corpus
+    * regime guard is needed — the plan is n-independent by
+    * construction.
+    */
+  private def embDupMpOracle: String = {
+    val dims = 64
+    val dotSelects = (0 until MpTables).flatMap { t =>
+      (0 until MpBits).map { b =>
+        s"  SELECT vec_id, $t AS t, $b AS b, list_dot_product(v, " +
+          s"${Similarity.planeSqlLit(t, b, dims)}) AS d FROM e"
+      }
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> x /
+       |      sqrt(list_dot_product(embedding::DOUBLE[],
+       |                            embedding::DOUBLE[]))) AS v
+       |  FROM embeddings),
+       |dots AS (
+       |$dotSelects),
+       |hsigs AS (
+       |  SELECT vec_id, t,
+       |    CAST(SUM(CASE WHEN d > 0 THEN (1 << b) ELSE 0 END) AS BIGINT)
+       |      AS sig
+       |  FROM dots GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT vec_id, t, b, row_number() OVER (
+       |      PARTITION BY vec_id, t ORDER BY abs(d), b) AS rk
+       |  FROM dots),
+       |frame AS (
+       |  SELECT vec_id, t, sig, TRUE AS home FROM hsigs
+       |  UNION ALL
+       |  SELECT s.vec_id, s.t,
+       |    xor(s.sig, CAST(1 << p.b AS BIGINT)) AS sig, FALSE AS home
+       |  FROM hsigs s JOIN pr p ON p.vec_id = s.vec_id AND p.t = s.t
+       |  WHERE p.rk <= $MpProbes),
+       |bsz AS (SELECT t, sig, count(*) AS bn FROM frame GROUP BY 1, 2),
+       |bsm AS (SELECT vec_id, t, sig, home FROM frame
+       |  JOIN bsz USING (t, sig) WHERE bn <= $DefaultBucketCap),
+       |bbg AS (SELECT vec_id, t, sig FROM frame
+       |  JOIN bsz USING (t, sig) WHERE bn > $DefaultBucketCap),
+       |reps AS (SELECT t, sig, min(vec_id) AS rep FROM bbg
+       |  GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT DISTINCT va, vb FROM (
+       |    SELECT a.vec_id AS va, b.vec_id AS vb
+       |    FROM bsm a JOIN bsm b
+       |      ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |        AND (a.home OR b.home)
        |    UNION ALL
        |    SELECT r.rep AS va, g.vec_id AS vb
        |    FROM bbg g JOIN reps r ON g.t = r.t AND g.sig = r.sig
@@ -689,6 +880,8 @@ object Fingerprints {
 
   val oracles: Map[String, String] = Map(
     "d_embedding_dup_lsh" -> embDupLshOracle,
+    "d_embedding_dup_mp" -> embDupMpOracle,
+    "a_emb_dup_recall" -> embDupRecallOracle,
     "d_simhash_portable" ->
       s"""WITH $simhashFpCtes,
          |${simhashCappedCandCtes(DefaultBucketCap)}

@@ -85,12 +85,55 @@ object Similarity {
   def lshPlan(n: Long, cosThreshold: Double, targetRecall: Double,
       targetOccupancy: Long = 128, minBits: Int = 4, maxBits: Int = 16,
       maxTables: Int = 16): (Int, Int) = {
+    val p = lshParams(n, cosThreshold, targetRecall, targetOccupancy,
+      minBits, maxBits, maxTables)
+    (p.bits, p.tables)
+  }
+
+  /** The full sizing triple: signature width, table count, and
+    * multi-probe depth.
+    */
+  final case class LshParams(bits: Int, tables: Int, probes: Int)
+
+  /** [[lshPlan]] extended with MULTI-PROBE depth — the r14 verdict's
+    * top item. When [[lshTables]]' uncapped count exceeds `maxTables`,
+    * the recall deficit used to be paid silently (effective recall
+    * 1−(1−p^bits)^maxTables — ~2% at the dedup design point once
+    * maxBits engages, n ≳ 8M vectors). Now the deficit is bought back
+    * with probes: each vector/query also visits the buckets reachable
+    * by flipping its `probes` lowest-|margin| sign bits
+    * ([[graft.functions.HyperplaneProbeSigs]]) — the bits most likely
+    * to disagree for a true near pair — so one stored table answers
+    * like ≈(1+probes) tables (an upper bound: a probe bucket only
+    * recovers pairs whose single disagreeing bit is among the flipped
+    * ones; SimilaritySpec pins the measured recall ordering at two
+    * widths × two probe depths, and the sf1/sf10 artifacts measure
+    * pairs-found against the exact tier).
+    *
+    *   probes = clamp(⌈T_uncapped / maxTables⌉ − 1, 0, min(maxProbes,
+    *            bits−1))
+    *
+    * Zero whenever the table budget covers the recall target — in
+    * particular at EVERY fixture size (n ≤ 2048 ⇒ 4-bit plans, 8-12
+    * tables ≤ 16), so fixture plans, oracles, and benches are unchanged
+    * by construction; the 10× tier (n = 20k, 67 uncapped tables) gets
+    * 4 probes, the 100× tier (n = 200k, ~240 uncapped) saturates
+    * `maxProbes`. Probe rows multiply the PROBING side's frame by
+    * (1+probes) but the stored index stays one row per (vector,
+    * table) — the classic multi-probe trade of query fan-out for index
+    * storage.
+    */
+  def lshParams(n: Long, cosThreshold: Double, targetRecall: Double,
+      targetOccupancy: Long = 128, minBits: Int = 4, maxBits: Int = 16,
+      maxTables: Int = 16, maxProbes: Int = 8): LshParams = {
     val raw = math.ceil(math.log(math.max(1.0,
       n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
     val bits = math.min(maxBits, math.max(minBits, raw))
-    val tables = math.min(maxTables,
-      lshTables(bits, cosThreshold, targetRecall))
-    (bits, tables)
+    val need = lshTables(bits, cosThreshold, targetRecall)
+    val tables = math.min(maxTables, need)
+    val probes = math.min(math.min(maxProbes, bits - 1), math.max(0,
+      math.ceil(need.toDouble / maxTables).toInt - 1))
+    LshParams(bits, tables, probes)
   }
 
   /** `bits`-wide signature per (vector, table): sign bits of dot(v,
@@ -149,16 +192,27 @@ object Similarity {
     "s_ann_lsh" -> { (s, d) =>
       val dims = 64
       val n = Tables.embeddings(s, d).count()
-      val (bits, tables) = lshPlan(n, AnnCos, AnnRecall)
+      val pl = lshParams(n, AnnCos, AnnRecall)
+      val (bits, tables, probes) = (pl.bits, pl.tables, pl.probes)
+      val step = probes + 1
       val e = Tables.spread(Tables.embeddings(s, d))
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-      // all per-table signatures in ONE native expression + posexplode
-      // (pos IS the table index) — the composed per-table column form
-      // fell out of codegen at adaptive widths (see HyperplaneSigs)
-      val sigs = e.select(col("vec_id"),
-        posexplode(graft.functions.HyperplaneSigs.hyperplane_sigs(
-          col("v"), tables, bits, dims)).as(Seq("t", "sig")))
-      val q = sigs.filter(col("vec_id") < 5)
+      // all per-table signatures — home + multi-probe variants — in ONE
+      // native expression + posexplode (pos DIV (1+probes) is the table
+      // index, pos ≡ 0 mod (1+probes) the home row); the composed
+      // per-table column form fell out of codegen at adaptive widths
+      // (see HyperplaneSigs). The CORPUS side indexes home rows only —
+      // multi-probe trades query-side fan-out for index storage, the
+      // standard shape — while the QUERY side probes its `probes`
+      // lowest-margin bit-flip buckets too. probes = 0 at every fixture
+      // size, so plans/oracles there are byte-identical to round 14.
+      val all = e.select(col("vec_id"),
+        posexplode(graft.functions.HyperplaneSigs.hyperplane_probe_sigs(
+          col("v"), tables, bits, dims, probes)).as(Seq("pos", "sig")))
+        .select(col("vec_id"), expr(s"pos DIV $step").cast("int").as("t"),
+          col("sig"), (pmod(col("pos"), lit(step)) === 0).as("home"))
+      val sigs = all.filter(col("home")).drop("home")
+      val q = all.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"),
           col("t").as("qt"), col("sig").as("qsig"))
       // id-pairs-only through the bucket join + dedup (array payloads
@@ -443,7 +497,9 @@ object Similarity {
     * evaluated at the oracle contract's corpus size — Verify runs at
     * sf0.01 and the suite at sf0.001, both 500 embeddings — so the
     * static SQL and the adaptive engine plan stay the same (4 bits, 8
-    * tables) by construction.
+    * tables, 0 probes) by construction; a CASE/error() regime guard in
+    * the cand CTE (r14 ADVICE) turns any out-of-regime corpus into an
+    * explicit failure instead of a baffling hash mismatch.
     */
   private def annLshCtes: String = {
     val (bits, tables) = lshPlan(500, AnnCos, AnnRecall)
@@ -463,7 +519,11 @@ object Similarity {
        |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
        |  FROM sigs q JOIN sigs c
        |    ON q.t = c.t AND q.sig = c.sig AND c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < 5),
+       |  WHERE q.vec_id < 5
+       |    AND CASE WHEN (SELECT count(*) FROM embeddings) <= 2048
+       |      THEN TRUE ELSE error('lshPlan regime mismatch: static ' ||
+       |      'oracle SQL assumes n <= 2048 (4-bit, probe-0 plan); ' ||
+       |      'regenerate for this corpus') END),
        |lshrk AS (
        |  SELECT cand.qid, cand.nid, row_number() OVER (
        |      PARTITION BY cand.qid

@@ -108,6 +108,151 @@ class SimilaritySpec extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  test("lshParams probe depth: zero across the whole fixture/oracle " +
+      "regime, engages exactly when maxTables caps the uncapped count") {
+    // fixture + oracle contract sizes: no probes, so static SQL and
+    // benches are unchanged by construction
+    for (n <- Seq(500L, 2000L, 2048L)) {
+      assert(Similarity.lshParams(n, Fingerprints.EmbDupCos,
+        Fingerprints.EmbDupRecall).probes === 0, s"n=$n")
+      assert(Similarity.lshParams(n, Similarity.AnnCos,
+        Similarity.AnnRecall).probes === 0, s"n=$n")
+    }
+    // the 10× tier: 8 bits need 67 uncapped tables -> ceil(67/16)-1 = 4
+    assert(Similarity.lshParams(20000, Fingerprints.EmbDupCos,
+      Fingerprints.EmbDupRecall) ===
+      Similarity.LshParams(8, 16, 4))
+    // the 100× tier saturates maxProbes
+    assert(Similarity.lshParams(200000, Fingerprints.EmbDupCos,
+      Fingerprints.EmbDupRecall).probes === 8)
+    // probes stay flippable: always < bits, even at tiny widths
+    for (n <- Seq(1L, 100000L, Long.MaxValue)) {
+      val p = Similarity.lshParams(n, Fingerprints.EmbDupCos,
+        Fingerprints.EmbDupRecall)
+      assert(p.probes >= 0 && p.probes < p.bits, s"n=$n: $p")
+    }
+  }
+
+  test("multi-probe buys recall back at a capped table budget — " +
+      "pinned at two widths × two probe depths; precision stays 1.0") {
+    // sf0.01 (6 exact pairs): the 4-table budget starves the home
+    // buckets at these forced widths (measured 1/6 at 6 bits, 0/6 at
+    // 8), which is exactly the deficit regime lshParams' probe rule
+    // targets — probing must STRICTLY recover pairs at both widths
+    // (measured: 6 bits 1/6 -> 5/6, 8 bits 0/6 -> 2/6)
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("d_embedding_dup")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    for (bits <- Seq(6, 8)) {
+      val found = for (probes <- Seq(0, 2)) yield {
+        val got = Fingerprints.embeddingDupLsh(spark, sf01,
+            widthOverride = Some((bits, 4)),
+            probeOverride = Some(probes)).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        spark.catalog.clearCache()
+        // candidates are exact-dot re-verified, so probing can only ADD
+        // true pairs, never a false one
+        assert((got -- exact).isEmpty,
+          s"bits=$bits probes=$probes produced a non-exact pair")
+        exact.count(got.contains)
+      }
+      assert(found(1) > found(0),
+        s"bits=$bits: probe-2 recall ${found(1)} !> probe-0 ${found(0)}")
+      info(s"bits=$bits tables=4: recall ${found(0)}/${exact.size} -> " +
+        s"${found(1)}/${exact.size}")
+    }
+  }
+
+  test("HyperplaneProbeSigs: probes=0 is bit-identical to " +
+      "HyperplaneSigs; probe elements flip exactly the lowest-|dot| " +
+      "bits; interpreted eval agrees with codegen; null contract holds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      1L -> Seq.tabulate(64)(i => math.sin(i + 1.0)),
+      2L -> Seq.tabulate(64)(i => if (i % 2 == 0) 1.0 else -1.0),
+      3L -> Seq.tabulate(64)(i => 1e-9 * (32.0 - i)))
+    val df = vecs.toDF("id", "v")
+    val tables = 3; val bits = 6; val probes = 2
+    // probes = 0 degenerates to the home-only expression
+    val p0 = df.orderBy("id").select(
+        graft.functions.HyperplaneSigs.hyperplane_probe_sigs(
+          col("v"), tables, bits, 64, 0))
+      .collect().map(_.getSeq[Int](0).toSeq).toSeq
+    val home = df.orderBy("id").select(
+        graft.functions.HyperplaneSigs.hyperplane_sigs(
+          col("v"), tables, bits, 64))
+      .collect().map(_.getSeq[Int](0).toSeq).toSeq
+    assert(p0 == home)
+    // probe layout + semantics, checked against a from-first-principles
+    // recomputation of the plane dots
+    val out = df.orderBy("id").select(
+        graft.functions.HyperplaneSigs.hyperplane_probe_sigs(
+          col("v"), tables, bits, 64, probes))
+      .collect().map(_.getSeq[Int](0).toSeq).toSeq
+    for (((_, v), r) <- vecs.zip(out)) {
+      assert(r.size == tables * (1 + probes))
+      for (t <- 0 until tables) {
+        val d = (0 until bits).map(b => (0 until 64).map(i =>
+          v(i) * Similarity.planeComponent(t, b, i)).sum)
+        val sig = (0 until bits).map(b =>
+          if (d(b) > 0) 1 << b else 0).sum
+        assert(r(t * (1 + probes)) == sig)
+        val order = (0 until bits).sortBy(b => (math.abs(d(b)), b))
+        for (p <- 0 until probes)
+          assert(r(t * (1 + probes) + 1 + p) == (sig ^ (1 << order(p))),
+            s"table $t probe $p")
+      }
+    }
+    // interpreted path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    for (((_, v), i) <- vecs.zipWithIndex) {
+      val lit0 = Literal.create(v, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+      val got = graft.functions.HyperplaneProbeSigs(
+          lit0, tables, bits, 64, probes)
+        .eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
+      assert(got == out(i), s"interpreted != codegen for vector $i")
+    }
+    // null / corrupt-length contract mirrors HyperplaneSigs
+    assert(graft.functions.HyperplaneProbeSigs(
+      Literal.create(null, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)), tables, bits, 64, probes)
+      .eval(null) == null)
+    assert(Seq(Seq(1.0, 2.0)).toDF("v").select(
+        graft.functions.HyperplaneSigs.hyperplane_probe_sigs(
+          col("v"), tables, bits, 64, probes))
+      .head().isNullAt(0))
+    // shape guard: probes must stay flippable
+    intercept[IllegalArgumentException] {
+      graft.functions.HyperplaneProbeSigs(
+        Literal.create(Seq(1.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)), 1, 4, 1, 4)
+    }
+  }
+
+  test("cappedPairs homeCol: probe×probe pairs are excluded in small " +
+      "buckets; the star tier connects the whole bucket regardless") {
+    import spark.implicits._
+    val frame = Seq(
+      (1L, 0, 7, true),   // home in bucket (0,7)
+      (2L, 0, 7, false),  // probe row visiting (0,7)
+      (3L, 0, 7, false),  // probe row visiting (0,7)
+      (4L, 0, 9, true), (5L, 0, 9, true) // plain home bucket
+    ).toDF("vec_id", "t", "sig", "home")
+    def pairs(cap: Int) = Fingerprints.cappedPairs(frame, Seq("t", "sig"),
+        "vec_id", cap = cap, homeCol = Some("home"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // small-bucket rule: (2,3) is probe×probe — neither side indexes
+    // that bucket, so it is not a candidate; home×probe and home×home are
+    assert(pairs(1000) == Set((1L, 2L), (1L, 3L), (4L, 5L)))
+    // star tier (cap below the bucket size): min-id representative
+    // pairs with every member, probe provenance ignored
+    assert(pairs(2) == Set((1L, 2L), (1L, 3L), (4L, 5L)))
+  }
+
   test("lshTables compensation: per the collision model, wider " +
       "signatures need more tables for the same recall") {
     val t4 = Similarity.lshTables(4, Fingerprints.EmbDupCos,
