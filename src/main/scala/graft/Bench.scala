@@ -76,6 +76,27 @@ object Bench {
       try { SparkEntry.queries(q)(spark, sfDir).count() }
       catch { case _: Throwable => () }
 
+    // Fixed-work, corpus-independent CPU calibration probe (r14
+    // verdict: the driver bench total moved 1.18× on queries whose code
+    // did not change, and only the session artifact could exonerate the
+    // round — host drift must be nameable mechanically, inside the
+    // artifact). 2^31 generated longs × a 4-deep xxhash64 chain into
+    // one max() — pure whole-stage codegen, no IO, no shuffle beyond
+    // the 32-partition final agg, ~2.2 s on the reference host. Rounds
+    // compare `calibration_sec` first: a total that moved with the
+    // probe is the host; a total that moved against a flat probe is
+    // the code. Sampled once per interleaved pass (median of 3, same
+    // discipline as the queries); one uncounted warm-up pays its JIT.
+    def calibration(): Double = {
+      import org.apache.spark.sql.functions.{col, max, xxhash64}
+      val t0 = System.nanoTime()
+      spark.range(0L, 1L << 31, 1L, 32)
+        .select(xxhash64(xxhash64(xxhash64(xxhash64(col("id"))))).as("h"))
+        .agg(max("h")).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    try calibration() catch { case _: Throwable => () }
+
     // optional comma-separated subset for fast local iteration; the round
     // driver leaves it unset and benches everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -107,8 +128,12 @@ object Bench {
     // sweep apart, so one contention burst can't own them all
     val acc = scala.collection.mutable.LinkedHashMap[String,
       Vector[(Boolean, Double)]](entries.map(_._1 -> Vector.empty): _*)
-    for (_ <- 1 to 3; (name, fn) <- entries)
-      acc(name) = acc(name) :+ sample(fn)
+    var calSamples = Vector.empty[Double]
+    for (_ <- 1 to 3) {
+      for ((name, fn) <- entries) acc(name) = acc(name) :+ sample(fn)
+      calSamples = calSamples :+
+        (try calibration() catch { case _: Throwable => -1.0 })
+    }
     // Contention insurance, also as its own pass: if even the median of
     // 3 is slow, buy one more sample (lower-middle of 4) — bounded
     // extra work, only for already-slow queries.
@@ -180,11 +205,20 @@ object Bench {
     // methodology from round 11 on
     val cacheMode =
       if (sys.env.contains("SPARK_GRAFT_BENCH_NOCLEAR")) "warm" else "cold"
+    // the calibration block: median + raw samples + a work descriptor
+    // pinning what the probe IS, so a future probe change can never be
+    // silently compared against this one
+    val calGood = calSamples.filter(_ >= 0)
+    val calMed = if (calGood.nonEmpty) median(calGood) else -1.0
+    val calBlock =
+      f""""calibration_sec":$calMed%.3f,"calibration_samples":[${
+        calSamples.map(s => f"$s%.3f").mkString(",")}],""" +
+        """"calibration_work":"range(2^31) 4x-xxhash64 max, 32 parts""""
     val method = s""""cache":"$cacheMode","sampling":"interleaved""""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""plan_hash":$plans,"sample_counts":$counts,""" +
-        s""""samples_raw":$raw,"failed":$failed,""" +
+        s""""samples_raw":$raw,"failed":$failed,$calBlock,""" +
         s""""samples":3,"samples_max":4,"agg":"median",$method,""" +
         s""""plans_digest":"$plansDigest","sf":"${esc(sfDir)}"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
@@ -204,7 +238,8 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$top,""" +
         f""""failed":$failed,"n_queries":${results.size},"samples":3,"samples_max":4,""" +
-        f""""agg":"median",$method%s,"plans_digest":"$plansDigest",""" +
+        f""""agg":"median",$method%s,"calibration_sec":$calMed%.3f,""" +
+        f""""plans_digest":"$plansDigest",""" +
         f""""queries_full":"${esc(out)}","sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
