@@ -1,0 +1,188 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+import graft.pipeline.{Fingerprints, VectorOps}
+
+/** Streaming EMBEDDING near-dup ingest — the vector twin of
+  * [[IncrementalDedupStream]] (r14 verdict #3): each micro-batch signs
+  * only its own vectors with [[graft.functions.HyperplaneProbeSigs]],
+  * bucket-joins batch signatures (home + probe rows) against the
+  * PERSISTED home-signature index, exact-cosine-verifies the candidate
+  * pairs against the persisted vector table, flags batch vectors that
+  * near-duplicate the index (or a smaller-id vector of their own
+  * batch), and appends the survivors' signatures/vectors to the index.
+  *
+  * Multi-probe is ONE-SIDED, the standard query-vs-index shape: the
+  * index stores home rows only (one row per surviving vector per
+  * table), the incoming batch probes its `probes` lowest-margin
+  * bit-flip buckets too — query-side fan-out bought for zero index
+  * storage, exactly [[graft.pipeline.Similarity.lshParams]]' trade.
+  * Batch-internal candidates reuse [[Fingerprints.cappedPairs]] with
+  * its homeCol rule (either side home), identical to the batch tier.
+  *
+  * The LSH shape (bits, tables, probes) is FROZEN at stream start: an
+  * index signed at one width cannot join signatures of another. A
+  * deployment sizes it from the EXPECTED corpus (lshParams at the
+  * target n, not the first batch's n) and re-signs the index — one
+  * linear pass over the persisted vector table — if the corpus
+  * outgrows the plan.
+  *
+  * Steady-state cost per micro-batch: signing is O(batch · tables ·
+  * (1+probes)); the candidate join reads the columnar signature index
+  * (three ints per row) pruned to buckets the batch actually visits
+  * (broadcast semi-probe, the IncrementalDedupStream iRel move); the
+  * verify re-fetches only candidate vectors by id. Oversized index
+  * buckets (> `cap` rows among batch-relevant buckets) fall back to a
+  * (batch row, min-id index member) star — the cappedPairs discipline,
+  * so one degenerate bucket can never go quadratic.
+  *
+  * Exactly-once effect under at-least-once `foreachBatch`: every write
+  * lands in a `batch=<id>` partition with OVERWRITE semantics and all
+  * index reads exclude the batch being (re)written — a replayed
+  * micro-batch recomputes the same deterministic decision against the
+  * same prior state and overwrites itself (the
+  * IncrementalDedupStream/GenEvalStream contract).
+  */
+object EmbeddingDedupStream {
+  private val SigSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("t", LongType),
+    StructField("sig", LongType)))
+  private val VecSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("v", org.apache.spark.sql.types.ArrayType(DoubleType))))
+
+  /** Index partitions AS OF batch `before` — strictly `batch < before`,
+    * not merely "excluding self" (the gram stream's read). The
+    * difference matters HERE because one-sided probing makes the
+    * candidate relation ASYMMETRIC: cand(a→b) tests a's probe fan
+    * against b's home rows. Under an exclude-self read, a batch
+    * replayed AFTER later batches committed would see index entries its
+    * original run never saw, and an asymmetric pair (cand(a→b) true,
+    * cand(b→a) false) would flip a's verdict — measured in the spec's
+    * replay case before this read was pinned as-of. The gram stream's
+    * symmetric shared-gram relation self-stabilizes (a survivor's
+    * later near-dups were themselves flagged on arrival, so they are
+    * never in the index to flag the survivor back); sign-bit probing
+    * affords no such luck. In-order processing is unchanged: during
+    * batch B the index holds exactly batches < B either way.
+    */
+  private def readParts(spark: SparkSession, root: String, before: Long,
+      schema: StructType): DataFrame = {
+    val ps = IncrementalDedupStream.parts(spark, root, -1L)
+      .filter(_.split("batch=").last.toLong < before)
+    if (ps.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.parquet(ps: _*)
+      .select(schema.fieldNames.toSeq.map(col): _*)
+  }
+
+  /** One micro-batch. Public so the batch tier (and the spec) can drive
+    * the identical body without a stream. `batch` carries (vec_id,
+    * embedding) in the fixture's float-array layout.
+    */
+  def ingestBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      flaggedPath: String, bits: Int, tables: Int, probes: Int,
+      threshold: Double = Fingerprints.EmbDupCos,
+      cap: Int = Fingerprints.DefaultBucketCap): Unit = {
+    val spark = batch.sparkSession
+    val step = probes + 1
+    val b = batch.select(col("vec_id"),
+      VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
+      .persist()
+    // home + probe rows for the batch (the probing side); consumed by
+    // the cross join, the intra-batch cappedPairs (sizes + both sides),
+    // and the bucket-prune probe — the diamond rule
+    val bSigs = b.select(col("vec_id"),
+      posexplode(graft.functions.HyperplaneSigs.hyperplane_probe_sigs(
+        col("v"), tables, bits, 64, probes)).as(Seq("pos", "sig")))
+      .select(col("vec_id"), expr(s"pos DIV $step").as("t"),
+        col("sig").cast("long").as("sig"),
+        (pmod(col("pos"), lit(step)) === 0).as("home"))
+      .persist()
+
+    // index signature rows in buckets the batch visits — everything the
+    // candidate join and the bucket cap need; batch bucket sets are
+    // small, so the membership probe broadcasts
+    val iSigs = readParts(spark, s"$indexPath/sigs", batchId, SigSchema)
+    val iRel = iSigs
+      .join(broadcast(bSigs.select("t", "sig").distinct()), Seq("t", "sig"))
+      .persist()
+
+    // per-bucket index occupancy → the star fallback for hot buckets:
+    // small buckets do batch×index all-pairs; a bucket with more than
+    // `cap` index members contributes only its min-id representative
+    // (connectivity preserved for the near-identical pile-ups that
+    // cause oversized buckets — the cappedPairs star, one-sided)
+    val bn = iRel.groupBy("t", "sig").agg(count(lit(1)).as("bn"),
+      min(col("vec_id")).as("rep"))
+    val iSmall = iRel.join(bn.filter(col("bn") <= cap)
+      .select("t", "sig"), Seq("t", "sig"))
+    val iStar = bn.filter(col("bn") > cap)
+      .select(col("t"), col("sig"), col("rep").as("vec_id"))
+    val crossCand = bSigs.select(col("vec_id").as("bd"), col("t"),
+        col("sig"))
+      .join(iSmall.select(col("vec_id").as("idoc"), col("t"), col("sig"))
+        .union(iStar.select(col("vec_id").as("idoc"), col("t"),
+          col("sig"))), Seq("t", "sig"))
+      .select("bd", "idoc").distinct()
+
+    // exact-cosine verify: batch vectors broadcast (micro-batch-sized),
+    // index vectors re-fetched by id from the persisted vector table
+    val iVecs = readParts(spark, s"$indexPath/vecs", batchId, VecSchema)
+    val crossDrops = crossCand
+      .join(broadcast(b.select(col("vec_id").as("bd"), col("v").as("bv"))),
+        "bd")
+      .join(iVecs.select(col("vec_id").as("idoc"), col("v").as("iv")),
+        "idoc")
+      .filter(graft.functions.ArrayDot.array_dot(col("bv"), col("iv"))
+        > threshold)
+      .select(col("bd").as("vec_id"))
+
+    // batch-internal candidates: the batch tier's exact machinery
+    // (home-or-home pair rule, star above the cap), larger id drops
+    val intraDrops = Fingerprints.cappedPairs(bSigs, Seq("t", "sig"),
+        "vec_id", cap = cap, dedup = false, homeCol = Some("home"))
+      .join(broadcast(b.select(col("vec_id").as("ida"),
+        col("v").as("va"))), "ida")
+      .join(broadcast(b.select(col("vec_id").as("idb"),
+        col("v").as("vb"))), "idb")
+      .filter(graft.functions.ArrayDot.array_dot(col("va"), col("vb"))
+        > threshold)
+      .select(col("idb").as("vec_id"))
+
+    val drops = crossDrops.union(intraDrops).distinct().persist()
+    drops.write.mode("overwrite")
+      .parquet(s"$flaggedPath/batch=$batchId")
+    val survivors = b.join(drops, Seq("vec_id"), "left_anti").persist()
+    // the persisted index: HOME signatures only (one row per survivor
+    // per table — probes are recomputed by each future batch on ITS
+    // side) + the normalized vectors the verify re-fetches
+    bSigs.filter(col("home"))
+      .join(broadcast(drops), Seq("vec_id"), "left_anti")
+      .select("vec_id", "t", "sig")
+      .write.mode("overwrite").parquet(s"$indexPath/sigs/batch=$batchId")
+    survivors.write.mode("overwrite")
+      .parquet(s"$indexPath/vecs/batch=$batchId")
+
+    Seq(survivors, drops, iRel, bSigs, b).foreach(_.unpersist())
+  }
+
+  /** Start the ingest on a streaming (vec_id, embedding) frame with a
+    * FROZEN LSH shape (see the scaladoc's re-sign note).
+    */
+  def start(vecs: DataFrame, indexPath: String, flaggedPath: String,
+      bits: Int, tables: Int, probes: Int, checkpoint: String,
+      threshold: Double = Fingerprints.EmbDupCos): StreamingQuery = {
+    val body: (DataFrame, Long) => Unit = (b, id) =>
+      ingestBatch(b, id, indexPath, flaggedPath, bits, tables, probes,
+        threshold)
+    vecs.writeStream
+      .foreachBatch(body)
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+}
