@@ -123,21 +123,34 @@ object EmbeddingDedupStream {
       .select("t", "sig"), Seq("t", "sig"))
     val iStar = bn.filter(col("bn") > cap)
       .select(col("t"), col("sig"), col("rep").as("vec_id"))
+    // RAW candidate id-pairs — deliberately NOT deduped here: a pair
+    // colliding in k buckets just verifies k times (k small — random
+    // pairs collide in ~1), while a pre-verify distinct would shuffle
+    // the full candidate mass, the dominant cost once the index grows
+    // (the cappedPairs dedup=false lesson; measured 16 s → 188 s per
+    // batch at 50k vectors before this and the broadcast fix below)
     val crossCand = bSigs.select(col("vec_id").as("bd"), col("t"),
         col("sig"))
       .join(iSmall.select(col("vec_id").as("idoc"), col("t"), col("sig"))
         .union(iStar.select(col("vec_id").as("idoc"), col("t"),
           col("sig"))), Seq("t", "sig"))
-      .select("bd", "idoc").distinct()
+      .select("bd", "idoc")
 
-    // exact-cosine verify: batch vectors broadcast (micro-batch-sized),
-    // index vectors re-fetched by id from the persisted vector table
+    // exact-cosine verify: batch vectors broadcast (micro-batch-sized);
+    // index vectors EXPLICITLY broadcast while the table fits an
+    // executor (the embeddingDupLsh fetch dial) — Spark's 10 MB
+    // auto-threshold silently demoted this join to sort-merge at ~25k
+    // indexed vectors, shuffling the candidate mass WITH 64-double
+    // payloads; the count is parquet footer metadata, not a scan
     val iVecs = readParts(spark, s"$indexPath/vecs", batchId, VecSchema)
+    val iVecSel = iVecs.select(col("vec_id").as("idoc"), col("v").as("iv"))
+    val iVecSide =
+      if (iVecs.count() <= Fingerprints.BroadcastFetchMaxRows)
+        broadcast(iVecSel) else iVecSel
     val crossDrops = crossCand
       .join(broadcast(b.select(col("vec_id").as("bd"), col("v").as("bv"))),
         "bd")
-      .join(iVecs.select(col("vec_id").as("idoc"), col("v").as("iv")),
-        "idoc")
+      .join(iVecSide, "idoc")
       .filter(graft.functions.ArrayDot.array_dot(col("bv"), col("iv"))
         > threshold)
       .select(col("bd").as("vec_id"))
