@@ -241,6 +241,20 @@ object ScaleSmoke {
             s"${String.valueOf(e.getMessage).take(120)}")
       }
     }
+    // audit-row capture (r14 verdict #4): the recall/drift audits'
+    // VALUES belong in the artifact, not prose — for every a_* query
+    // this sweep timed, embed the BIG tier's result rows (bounded to
+    // 50) in the JSON so claims like "recall at 100×" are machine-
+    // checkable against the artifact itself
+    val auditRows = results.keys.filter(_.startsWith("a_")).map { q =>
+      val rows =
+        try {
+          try spark.catalog.clearCache() catch { case _: Throwable => () }
+          SparkEntry.queries(q)(spark, out).limit(50).collect()
+            .map(_.toSeq.mkString("[", ",", "]")).mkString(";")
+        } catch { case e: Throwable => s"error:${e.getClass.getSimpleName}" }
+      s""""$q":"${rows.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+    }.mkString(",")
     // machine artifact, same methodology keys as Bench (cold cache;
     // single interleaved small/big pass per query — a 10×-ratio check,
     // not a median timing)
@@ -257,6 +271,7 @@ object ScaleSmoke {
         else failures.sorted.mkString("[\"", "\",\"", "\"]")},""" +
       s""""total_sf01":${results.values.map(_._1).sum},""" +
       s""""total_sf1":${results.values.map(_._2).sum},""" +
+      s""""audit_rows":{$auditRows},""" +
       s""""queries":{$qJson}}""")
     spark.stop()
   }
