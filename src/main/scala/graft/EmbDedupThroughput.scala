@@ -28,6 +28,9 @@ object EmbDedupThroughput {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(200000L)
     val nBatches = args.lift(1).map(_.toInt).getOrElse(4)
+    // optional 3rd arg: sketch-screen margin in sigmas (e.g. "2.5");
+    // absent = the unscreened r15 shape
+    val screen = args.lift(2).map(_.toDouble)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -65,7 +68,8 @@ object EmbDedupThroughput {
       EmbeddingDedupStream.ingestBatch(
         src.filter(pmod(col("vec_id"), lit(nBatches)) === b),
         batchId = b, s"$root/index", s"$root/flagged",
-        plan.bits, plan.tables, plan.probes, threshold = 0.75)
+        plan.bits, plan.tables, plan.probes, threshold = 0.75,
+        screenSigmas = screen)
       per += (System.nanoTime() - tb) / 1e9
       println(f"BATCH $b ${per.last}%.2f s")
     }
@@ -76,6 +80,7 @@ object EmbDedupThroughput {
       s""""vectors":$n,"batches":$nBatches,""" +
       s""""bits":${plan.bits},"tables":${plan.tables},""" +
       s""""probes":${plan.probes},""" +
+      s""""screen_sigmas":${screen.map(_.toString).getOrElse("null")},""" +
       f""""secs":$secs%.2f,"vec_s":${n / secs}%.0f,""" +
       f""""mb_s":${payloadMb / secs}%.2f,""" +
       s""""batch_secs":[${per.map(s => f"$s%.2f").mkString(",")}],""" +

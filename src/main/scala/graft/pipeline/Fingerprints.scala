@@ -509,7 +509,8 @@ object Fingerprints {
     */
   def embeddingDupLsh(s: org.apache.spark.sql.SparkSession, d: String,
       widthOverride: Option[(Int, Int)] = None,
-      probeOverride: Option[Int] = None): DataFrame = {
+      probeOverride: Option[Int] = None,
+      screenSigmas: Option[Double] = None): DataFrame = {
     val n = Tables.embeddings(s, d).count()
     val auto = Similarity.lshParams(n, EmbDupCos, EmbDupRecall)
     val (bits, tables) = widthOverride.getOrElse((auto.bits, auto.tables))
@@ -567,7 +568,33 @@ object Fingerprints {
       val sel = e.select(col("vec_id").as(as), col("v").as(s"x$as"))
       if (n <= BroadcastFetchMaxRows) broadcast(sel) else sel
     }
-    candidates
+    // the sketch screen (optional): candidates first fetch the packed
+    // HOME signature arrays (tables × 4 B vs dims × 8 B per side) and
+    // pairs whose stored-bit Hamming distance exceeds the calibrated
+    // budget never reach the vector fetch — see
+    // [[Similarity.screenMaxHamming]] for the calculus and
+    // [[graft.functions.SigHamming]] for the native distance. Screen
+    // bits are the home signatures regardless of probe depth (probing
+    // widens the CANDIDATE set; the stored estimator is unchanged).
+    val screened = screenSigmas match {
+      case None => candidates
+      case Some(sig) =>
+        val maxHam = Similarity.screenMaxHamming(EmbDupCos, tables, bits,
+          sig)
+        def fetchSig(as: String): DataFrame = {
+          val sel = e.select(col("vec_id").as(as),
+            graft.functions.HyperplaneSigs.hyperplane_sigs(col("v"),
+              tables, bits, 64).as(s"hs$as"))
+          if (n <= BroadcastFetchMaxRows) broadcast(sel) else sel
+        }
+        candidates
+          .join(fetchSig("va"), "va")
+          .join(fetchSig("vb"), "vb")
+          .filter(graft.functions.SigHamming.sig_hamming(col("hsva"),
+            col("hsvb")) <= maxHam)
+          .select(col("va"), col("vb"))
+    }
+    screened
       .join(fetch("va"), "va")
       .join(fetch("vb"), "vb")
       .filter(graft.functions.ArrayDot.array_dot(col("xva"), col("xvb"))
@@ -592,6 +619,14 @@ object Fingerprints {
   val MpTables = 4
   val MpProbes = 2
 
+  /** d_embedding_dup_screened's screen margin: 2.5σ above the
+    * design-point mean Hamming distance ([[Similarity.screenMaxHamming]]
+    * — ≈0.6% boundary recall tax for a candidate-mass cut that grows
+    * with signature width; ~17× at the sf10 plan, deliberately weak at
+    * the 48-bit fixture plan where the verify is cheap anyway).
+    */
+  val ScreenSigmas = 2.5
+
   val allQueries: Map[String, Q] = queries ++ Map[String, Q](
     "d_embedding_dup_lsh" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
@@ -600,6 +635,9 @@ object Fingerprints {
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         embeddingDupLsh(s, d, widthOverride = Some((MpBits, MpTables)),
           probeOverride = Some(MpProbes))),
+    "d_embedding_dup_screened" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        embeddingDupLsh(s, d, screenSigmas = Some(ScreenSigmas))),
     "a_emb_dup_recall" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         embDupRecall(s, d)))
@@ -708,6 +746,34 @@ object Fingerprints {
     s"""WITH $embDupLshCtes
        |SELECT va, vb FROM vpairs
        |ORDER BY va, vb""".stripMargin
+
+  /** DuckDB twin of the sketch-screened tier: the shared
+    * [[embDupLshCtes]] candidates, the screen replayed as the per-table
+    * `bit_count(xor(...))` sum against the SAME
+    * [[Similarity.screenMaxHamming]] integer the engine computes, then
+    * the exact-dot verify. Signatures are integers both engines derive
+    * from the same plane literals (the green d_embedding_dup_lsh twin
+    * proves bit identity), so the screen is hash-exact.
+    */
+  private def embDupScreenedOracle: String = {
+    val (bits, tables) = Similarity.lshPlan(500, EmbDupCos, EmbDupRecall)
+    val maxHam = Similarity.screenMaxHamming(EmbDupCos, tables, bits,
+      ScreenSigmas)
+    s"""WITH $embDupLshCtes,
+       |scr AS (
+       |  SELECT va, vb FROM cands c
+       |  JOIN sigs sa ON sa.vec_id = c.va
+       |  JOIN sigs sb ON sb.vec_id = c.vb AND sb.t = sa.t
+       |  GROUP BY va, vb
+       |  HAVING SUM(bit_count(xor(CAST(sa.sig AS BIGINT),
+       |    CAST(sb.sig AS BIGINT)))) <= $maxHam)
+       |SELECT DISTINCT va, vb
+       |FROM scr
+       |JOIN e x ON x.vec_id = va
+       |JOIN e y ON y.vec_id = vb
+       |WHERE list_dot_product(x.v, y.v) > 0.47
+       |ORDER BY va, vb""".stripMargin
+  }
 
   /** DuckDB twin of [[embDupRecall]]: the exact quadratic pair set, the
     * shared [[embDupLshCtes]] production-tier pairs, and the overlap —
@@ -881,6 +947,7 @@ object Fingerprints {
   val oracles: Map[String, String] = Map(
     "d_embedding_dup_lsh" -> embDupLshOracle,
     "d_embedding_dup_mp" -> embDupMpOracle,
+    "d_embedding_dup_screened" -> embDupScreenedOracle,
     "a_emb_dup_recall" -> embDupRecallOracle,
     "d_simhash_portable" ->
       s"""WITH $simhashFpCtes,

@@ -136,6 +136,41 @@ object Similarity {
     LshParams(bits, tables, probes)
   }
 
+  /** Screen budget for the sketch-screened verify cascade
+    * ([[graft.functions.SigHamming]]): the largest signature Hamming
+    * distance (over all `tables × bits` stored sign bits) a candidate
+    * pair may show and still proceed to the exact-dot verify.
+    *
+    * Calculus (Charikar's estimator): a pair at exactly the design
+    * cosine disagrees on each bit independently with probability
+    * q = θ/π, so its Hamming distance over B = tables·bits total bits
+    * is ~Binomial(B, q) — mean B·q, sd √(B·q(1−q)). The budget admits
+    * `sigmas` standard deviations above the mean:
+    *
+    *   maxHamming = ⌈B·q + sigmas·√(B·q(1−q))⌉
+    *
+    * so a TRUE pair at the threshold is screened out with probability
+    * ≈ Φ(−sigmas) (≈0.6% at 2.5σ; pairs above the threshold are
+    * exponentially safer), while a RANDOM pair (q = ½) must land
+    * (B/2 − maxHamming)/√(B/4) sds below ITS mean to survive — at the
+    * sf10 plan (11 bits × 16 tables, B = 176) that is a ~17× cut of
+    * the exact-verify candidate mass for a ~0.6% boundary recall tax.
+    * At tiny fixture widths (B = 48) the screen is deliberately weak
+    * (random pairs sit within a σ of the budget) — it is a SCALE
+    * feature: its power grows with exactly the signature mass large
+    * corpora already store.
+    *
+    * Deterministic integer from plan constants — the DuckDB twins bake
+    * the same value and replay the screen as per-table
+    * `bit_count(xor(...))` sums, so a screened tier stays hash-exact.
+    */
+  def screenMaxHamming(cosThreshold: Double, tables: Int, bits: Int,
+      sigmas: Double = 2.5): Int = {
+    val q = math.acos(cosThreshold) / math.Pi
+    val b = tables.toDouble * bits
+    math.ceil(b * q + sigmas * math.sqrt(b * q * (1.0 - q))).toInt
+  }
+
   /** `bits`-wide signature per (vector, table): sign bits of dot(v,
     * plane). Built from literal plane arrays — fully codegen'd, nothing
     * random at runtime.

@@ -53,7 +53,12 @@ object EmbeddingDedupStream {
     StructField("sig", LongType)))
   private val VecSchema = StructType(Seq(
     StructField("vec_id", LongType),
-    StructField("v", org.apache.spark.sql.types.ArrayType(DoubleType))))
+    StructField("v", org.apache.spark.sql.types.ArrayType(DoubleType)),
+    // packed home-signature array (tables × int) — 64 B next to the
+    // 512 B vector; stored so the sketch screen can reject a candidate
+    // without ever fetching the vector
+    StructField("hsig", org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType))))
 
   /** Index partitions AS OF batch `before` — strictly `batch < before`,
     * not merely "excluding self" (the gram stream's read). The
@@ -87,12 +92,24 @@ object EmbeddingDedupStream {
   def ingestBatch(batch: DataFrame, batchId: Long, indexPath: String,
       flaggedPath: String, bits: Int, tables: Int, probes: Int,
       threshold: Double = Fingerprints.EmbDupCos,
-      cap: Int = Fingerprints.DefaultBucketCap): Unit = {
+      cap: Int = Fingerprints.DefaultBucketCap,
+      screenSigmas: Option[Double] = None): Unit = {
     val spark = batch.sparkSession
     val step = probes + 1
+    // the packed home signatures ride the batch frame (and the vecs
+    // index partitions) so the optional sketch screen can reject a
+    // candidate on 2×64 B of stored bits instead of 2×512 B of vector
+    // — [[Similarity.screenMaxHamming]]'s calculus; recomputing them
+    // next to HyperplaneProbeSigs costs one more tables×bits dot pass
+    // per vector, noise next to the candidate mass they remove
     val b = batch.select(col("vec_id"),
       VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
+      .withColumn("hsig", graft.functions.HyperplaneSigs
+        .hyperplane_sigs(col("v"), tables, bits, 64))
       .persist()
+    val maxHam = screenSigmas.map(sg =>
+      graft.pipeline.Similarity.screenMaxHamming(threshold, tables, bits,
+        sg))
     // home + probe rows for the batch (the probing side); consumed by
     // the cross join, the intra-batch cappedPairs (sizes + both sides),
     // and the bucket-prune probe — the diamond rule
@@ -143,11 +160,33 @@ object EmbeddingDedupStream {
     // indexed vectors, shuffling the candidate mass WITH 64-double
     // payloads; the count is parquet footer metadata, not a scan
     val iVecs = readParts(spark, s"$indexPath/vecs", batchId, VecSchema)
+    val iN = iVecs.count()
     val iVecSel = iVecs.select(col("vec_id").as("idoc"), col("v").as("iv"))
     val iVecSide =
-      if (iVecs.count() <= Fingerprints.BroadcastFetchMaxRows)
+      if (iN <= Fingerprints.BroadcastFetchMaxRows)
         broadcast(iVecSel) else iVecSel
-    val crossDrops = crossCand
+    // the sketch screen (optional): candidate pairs fetch the 64 B
+    // packed home signatures first and only screen survivors reach the
+    // 512 B vector fetch + exact dot — at the sf10 plan the screen
+    // removes ~17× of the random candidate mass for a ≈Φ(−σ) boundary
+    // recall tax (Similarity.screenMaxHamming's calculus)
+    val screenedCross = maxHam match {
+      case None => crossCand
+      case Some(mh) =>
+        val iSigSel = iVecs.select(col("vec_id").as("idoc"),
+          col("hsig").as("ihs"))
+        val iSigSide =
+          if (iN <= Fingerprints.BroadcastFetchMaxRows)
+            broadcast(iSigSel) else iSigSel
+        crossCand
+          .join(broadcast(b.select(col("vec_id").as("bd"),
+            col("hsig").as("bhs"))), "bd")
+          .join(iSigSide, "idoc")
+          .filter(graft.functions.SigHamming.sig_hamming(col("bhs"),
+            col("ihs")) <= mh)
+          .select("bd", "idoc")
+    }
+    val crossDrops = screenedCross
       .join(broadcast(b.select(col("vec_id").as("bd"), col("v").as("bv"))),
         "bd")
       .join(iVecSide, "idoc")
@@ -156,9 +195,23 @@ object EmbeddingDedupStream {
       .select(col("bd").as("vec_id"))
 
     // batch-internal candidates: the batch tier's exact machinery
-    // (home-or-home pair rule, star above the cap), larger id drops
-    val intraDrops = Fingerprints.cappedPairs(bSigs, Seq("t", "sig"),
-        "vec_id", cap = cap, dedup = false, homeCol = Some("home"))
+    // (home-or-home pair rule, star above the cap), larger id drops;
+    // same optional screen ahead of the vector fetches
+    val intraCand = Fingerprints.cappedPairs(bSigs, Seq("t", "sig"),
+      "vec_id", cap = cap, dedup = false, homeCol = Some("home"))
+    val screenedIntra = maxHam match {
+      case None => intraCand
+      case Some(mh) =>
+        intraCand
+          .join(broadcast(b.select(col("vec_id").as("ida"),
+            col("hsig").as("hsa"))), "ida")
+          .join(broadcast(b.select(col("vec_id").as("idb"),
+            col("hsig").as("hsb"))), "idb")
+          .filter(graft.functions.SigHamming.sig_hamming(col("hsa"),
+            col("hsb")) <= mh)
+          .select("ida", "idb")
+    }
+    val intraDrops = screenedIntra
       .join(broadcast(b.select(col("vec_id").as("ida"),
         col("v").as("va"))), "ida")
       .join(broadcast(b.select(col("vec_id").as("idb"),
@@ -189,10 +242,11 @@ object EmbeddingDedupStream {
     */
   def start(vecs: DataFrame, indexPath: String, flaggedPath: String,
       bits: Int, tables: Int, probes: Int, checkpoint: String,
-      threshold: Double = Fingerprints.EmbDupCos): StreamingQuery = {
+      threshold: Double = Fingerprints.EmbDupCos,
+      screenSigmas: Option[Double] = None): StreamingQuery = {
     val body: (DataFrame, Long) => Unit = (b, id) =>
       ingestBatch(b, id, indexPath, flaggedPath, bits, tables, probes,
-        threshold)
+        threshold, screenSigmas = screenSigmas)
     vecs.writeStream
       .foreachBatch(body)
       .option("checkpointLocation", checkpoint)

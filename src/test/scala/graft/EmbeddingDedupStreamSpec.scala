@@ -146,4 +146,39 @@ class EmbeddingDedupStreamSpec extends AnyFunSuite {
     assert(flagged == pairs.map(_._2).toSet)
     assert(flagged.nonEmpty)
   }
+
+  test("sketch-screened ingest: flags are a subset of the unscreened " +
+      "run on identical input, and a planted exact duplicate (Hamming " +
+      "0) is always flagged through the screen") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val minId = emb.agg(min("vec_id")).head().getLong(0)
+    // batch 1 = an exact copy of the smallest-id vector under a new id:
+    // cross-batch index collision with signature Hamming 0 — the screen
+    // must be transparent to it at ANY margin
+    val planted = emb.filter(col("vec_id") === minId)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+    def run(screen: Option[Double]): Set[Long] = {
+      val root = Files.createTempDirectory("embscr").toString
+      EmbeddingDedupStream.ingestBatch(emb, batchId = 0,
+        s"$root/index", s"$root/flagged", bits, tables, probes,
+        threshold, screenSigmas = screen)
+      EmbeddingDedupStream.ingestBatch(planted, batchId = 1,
+        s"$root/index", s"$root/flagged", bits, tables, probes,
+        threshold, screenSigmas = screen)
+      spark.read.parquet(s"$root/flagged")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    val unscreened = run(None)
+    val screened = run(Some(2.5))
+    // the subset law is PER BATCH AGAINST EQUAL PRIOR STATE (screening
+    // an earlier batch can grow the index a later batch is checked
+    // against); batch 1 being the single planted row keeps the whole
+    // run inside the law: batch 0 sees an empty index in both runs,
+    // batch 1's only possible flag is the planted duplicate
+    assert(screened.subsetOf(unscreened),
+      s"screened ${screened.size} ⊄ unscreened ${unscreened.size}")
+    assert(screened.contains(minId + 10000000L),
+      "planted exact duplicate did not survive the screen")
+    assert(unscreened.contains(minId + 10000000L))
+  }
 }

@@ -262,4 +262,84 @@ class SimilaritySpec extends AnyFunSuite {
     assert(t4 === 12) // the historical constant falls out of the model
     assert(t8 > t4)
   }
+
+  test("SigHamming: codegen, interpreted, and the zip_with reference " +
+      "agree; null/length contract holds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pairs = Seq(
+      (Seq(0, 0, 0), Seq(0, 0, 0)),            // identical → 0
+      (Seq(0xF, 0, 0), Seq(0, 0, 0)),          // 4 bits in one element
+      (Seq(0x7FF, 0x3AC, 0x001), Seq(0x400, 0x3AC, 0x000)),
+      (Seq(-1, -1), Seq(0, 0)))                // full 32-bit words → 64
+    val df = pairs.toDF("a", "b")
+    val nat = df.select(graft.functions.SigHamming.sig_hamming(
+      col("a"), col("b"))).collect().map(_.getInt(0)).toSeq
+    // Spark's bit_count promotes to BIGINT (-1 counts 64 bits); mask the
+    // reference to the 32-bit word SigHamming counts — signatures are
+    // non-negative by the bits ≤ 30 contract, so the two only differ on
+    // out-of-contract negative words, where per-word popcount is the
+    // honest semantics for packed 32-bit signatures
+    val ref = df.select(aggregate(zip_with(col("a"), col("b"),
+        (x, y) => bit_count(x.bitwiseXOR(y).cast("bigint")
+          .bitwiseAND(lit(0xFFFFFFFFL))).cast("int")),
+      lit(0), (acc, x) => acc + x)).collect().map(_.getInt(0)).toSeq
+    assert(nat == ref)
+    assert(nat == Seq(0, 4,
+      pairs(2)._1.zip(pairs(2)._2)
+        .map { case (x, y) => Integer.bitCount(x ^ y) }.sum, 64))
+    // interpreted path (eval on Literal children) agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val intTpe = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType)
+    for (((a, b), i) <- pairs.zipWithIndex) {
+      val got = graft.functions.SigHamming(
+        Literal.create(a, intTpe), Literal.create(b, intTpe)).eval(null)
+      assert(got == nat(i), s"interpreted != codegen for pair $i")
+    }
+    // null contract: null side → null; LENGTH mismatch → null (corrupt
+    // signatures must surface, not deflate the distance)
+    assert(graft.functions.SigHamming(
+      Literal.create(null, intTpe), Literal.create(Seq(1), intTpe))
+      .eval(null) == null)
+    assert(Seq((Seq(1, 2, 3), Seq(1, 2))).toDF("a", "b")
+      .select(graft.functions.SigHamming.sig_hamming(col("a"), col("b")))
+      .head().isNullAt(0))
+  }
+
+  test("screenMaxHamming reproduces the design-point budgets and is " +
+      "monotone in the margin") {
+    // sf10 plan (11 bits × 16 tables, B = 176): budget 77 — the ~17×
+    // random-mass cut the scaladoc quotes
+    assert(Similarity.screenMaxHamming(Fingerprints.EmbDupCos, 16, 11,
+      2.5) === 77)
+    // fixture plan (4 bits × 12 tables, B = 48): budget 25
+    assert(Similarity.screenMaxHamming(Fingerprints.EmbDupCos, 12, 4,
+      2.5) === 25)
+    // a wider margin never tightens the budget; budget grows with B
+    val b1 = Similarity.screenMaxHamming(Fingerprints.EmbDupCos, 16, 11, 2.0)
+    val b2 = Similarity.screenMaxHamming(Fingerprints.EmbDupCos, 16, 11, 3.0)
+    assert(b1 <= b2)
+    assert(Similarity.screenMaxHamming(Fingerprints.EmbDupCos, 16, 11,
+      2.5) > Similarity.screenMaxHamming(Fingerprints.EmbDupCos, 12, 4,
+      2.5))
+  }
+
+  test("sketch-screened tier is a subset of the unscreened tier; an " +
+      "identical pair always survives the screen") {
+    // sf0.001 (500 vectors): the adaptive plan is (4, 12, probes 0);
+    // the screen rides the same candidates, so screened ⊆ unscreened
+    // by construction — pinned here against regressions in the wiring
+    val un = Fingerprints.embeddingDupLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scr = Fingerprints.embeddingDupLsh(spark, sf,
+        screenSigmas = Some(Fingerprints.ScreenSigmas))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scr.subsetOf(un), s"screened ${scr.size} ⊄ unscreened ${un.size}")
+    info(s"screened kept ${scr.size}/${un.size} fixture pairs")
+    // an identical pair has Hamming 0 ≤ any budget — the planted-dup
+    // guarantee the stream's screened ingest leans on
+    assert(Similarity.screenMaxHamming(Fingerprints.EmbDupCos, 12, 4,
+      Fingerprints.ScreenSigmas) >= 0)
+  }
 }
