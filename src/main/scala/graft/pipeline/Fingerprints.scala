@@ -627,6 +627,15 @@ object Fingerprints {
     */
   val ScreenSigmas = 2.5
 
+  /** a_screen_drift's FORCED austerity margin: 2.5σ BELOW the
+    * design-point mean, so the screen visibly drops true pairs at
+    * fixture scale and the audit is non-vacuous — the
+    * a_simhash_cap_drift move (that audit forces cap = 2 for the same
+    * reason). The production margin's drift at the sf10 plan is
+    * measured in `EMB_RECALL_r15.json` (155 of 361,454 pairs at 2.5σ).
+    */
+  val ScreenDriftSigmas = -2.5
+
   val allQueries: Map[String, Q] = queries ++ Map[String, Q](
     "d_embedding_dup_lsh" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
@@ -640,7 +649,10 @@ object Fingerprints {
         embeddingDupLsh(s, d, screenSigmas = Some(ScreenSigmas))),
     "a_emb_dup_recall" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
-        embDupRecall(s, d)))
+        embDupRecall(s, d)),
+    "a_screen_drift" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        screenDrift(s, d)))
 
   /** Embedding-dedup recall AUDIT (the a_ann_recall move for the dedup
     * tier): exact-tier pair count, production-LSH pair count, and their
@@ -662,6 +674,45 @@ object Fingerprints {
       .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
       .crossJoin(exact.join(lsh, Seq("va", "vb"))
         .agg(count(lit(1)).as("n_common")))
+  }
+
+  /** Screen drift AUDIT (a_screen_drift): what the sketch screen loses,
+    * as oracle-checkable rows — the [[Agreement.pairDrift]] convention
+    * ((ids, metric, side)) applied to the screened embedding tier at
+    * the FORCED [[ScreenDriftSigmas]] austerity margin, since the
+    * production margin drops nothing at the 48-bit fixture plan
+    * (measured: screened ≡ unscreened) and a vacuous audit pins
+    * nothing. Each lost pair carries its exact cosine, so the rows
+    * SHOW the loss is boundary-similarity mass, not random. "gained"
+    * rows are impossible by construction (the screen only filters the
+    * same candidate set) — the audit emitting one would expose a
+    * wiring bug, which is why the direction is kept.
+    *
+    * Deliberately rides the tier's lineage twice (the
+    * a_capped_pair_drift discipline: the audit cost IS the product).
+    */
+  def screenDrift(s: SparkSession, d: String): DataFrame = {
+    val un = embeddingDupLsh(s, d).persist()
+    val scr = embeddingDupLsh(s, d,
+      screenSigmas = Some(ScreenDriftSigmas)).persist()
+    val n = Tables.embeddings(s, d).count()
+    val e = Tables.spread(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        VectorOps.normalized(VectorOps.asDouble(col("embedding"))).as("v"))
+      .persist()
+    def fetch(as: String): DataFrame = {
+      val sel = e.select(col("vec_id").as(as), col("v").as(s"x$as"))
+      if (n <= BroadcastFetchMaxRows) broadcast(sel) else sel
+    }
+    def minus(a: DataFrame, b: DataFrame, tag: String): DataFrame =
+      a.join(b, Seq("va", "vb"), "left_anti")
+        .join(fetch("va"), "va")
+        .join(fetch("vb"), "vb")
+        .select(col("va"), col("vb"),
+          round(graft.functions.ArrayDot.array_dot(col("xva"),
+            col("xvb")), 4).as("cos_sim"), lit(tag).as("side"))
+    minus(un, scr, "lost").union(minus(scr, un, "gained"))
+      .orderBy("va", "vb", "side")
   }
 
   /** DuckDB twin of the FULL embedding-LSH dedup tier — graduated from
@@ -944,8 +995,45 @@ object Fingerprints {
        |WHERE bit_count(xor(x.fp, y.fp)) <= 3
        |ORDER BY da, db""".stripMargin
 
+  /** DuckDB twin of [[screenDrift]]: the shared [[embDupLshCtes]]
+    * unscreened pairs, the screened twin at the FORCED
+    * [[ScreenDriftSigmas]] budget, EXCEPT in both directions, each
+    * drift row re-joined to the normalize CTE for its exact cosine.
+    */
+  private def screenDriftOracle: String = {
+    val (bits, tables) = Similarity.lshPlan(500, EmbDupCos, EmbDupRecall)
+    val maxHam = Similarity.screenMaxHamming(EmbDupCos, tables, bits,
+      ScreenDriftSigmas)
+    s"""WITH $embDupLshCtes,
+       |scrc AS (
+       |  SELECT va, vb FROM cands c
+       |  JOIN sigs sa ON sa.vec_id = c.va
+       |  JOIN sigs sb ON sb.vec_id = c.vb AND sb.t = sa.t
+       |  GROUP BY va, vb
+       |  HAVING SUM(bit_count(xor(CAST(sa.sig AS BIGINT),
+       |    CAST(sb.sig AS BIGINT)))) <= $maxHam),
+       |spairs AS (
+       |  SELECT DISTINCT va, vb FROM scrc
+       |  JOIN e x ON x.vec_id = va
+       |  JOIN e y ON y.vec_id = vb
+       |  WHERE list_dot_product(x.v, y.v) > 0.47),
+       |drift AS (
+       |  SELECT va, vb, 'lost' AS side FROM
+       |    (SELECT va, vb FROM vpairs EXCEPT SELECT va, vb FROM spairs)
+       |  UNION ALL
+       |  SELECT va, vb, 'gained' AS side FROM
+       |    (SELECT va, vb FROM spairs EXCEPT SELECT va, vb FROM vpairs))
+       |SELECT va, vb,
+       |  round(list_dot_product(x.v, y.v), 4) AS cos_sim, side
+       |FROM drift
+       |JOIN e x ON x.vec_id = va
+       |JOIN e y ON y.vec_id = vb
+       |ORDER BY va, vb, side""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "d_embedding_dup_lsh" -> embDupLshOracle,
+    "a_screen_drift" -> screenDriftOracle,
     "d_embedding_dup_mp" -> embDupMpOracle,
     "d_embedding_dup_screened" -> embDupScreenedOracle,
     "a_emb_dup_recall" -> embDupRecallOracle,

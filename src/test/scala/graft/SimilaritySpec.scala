@@ -342,4 +342,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.screenMaxHamming(Fingerprints.EmbDupCos, 12, 4,
       Fingerprints.ScreenSigmas) >= 0)
   }
+
+  test("a_screen_drift: non-vacuous at the forced austerity margin, " +
+      "lost-only, and exactly the recomputed set difference") {
+    spark.catalog.clearCache()
+    val drift = Fingerprints.screenDrift(spark, sf).collect()
+    spark.catalog.clearCache()
+    val un = Fingerprints.embeddingDupLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val scr = Fingerprints.embeddingDupLsh(spark, sf,
+        screenSigmas = Some(Fingerprints.ScreenDriftSigmas))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    // the audit must show real loss at the forced margin (a vacuous
+    // drift audit pins nothing) and never a "gained" row — the screen
+    // only FILTERS the same candidate set
+    assert(drift.nonEmpty, "austerity-margin drift is vacuous")
+    assert(drift.forall(_.getString(3) == "lost"),
+      s"impossible 'gained' rows: ${drift.toSeq}")
+    assert(drift.map(r => (r.getLong(0), r.getLong(1))).toSet == un -- scr)
+    // every lost pair is a true >0.47 pair (it came from the verified
+    // unscreened set), visible in its carried cosine
+    assert(drift.forall(_.getDouble(2) > 0.47))
+  }
 }
