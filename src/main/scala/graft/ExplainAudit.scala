@@ -109,6 +109,13 @@ object ExplainAudit {
     auditAtMost("p_fim_split", "Exchange hashpartitioning|Join", 0)
     auditAtMost("p_span_corruption", "Exchange hashpartitioning|Join", 0)
     audit("d_embedding_dup", "BroadcastNestedLoopJoin")
+    // the sketch-screened cascade: both stages present, fused (the
+    // screen rides its sig-fetch join as the join CONDITION), and no
+    // vector dot below the screen in the tree print — i.e. every
+    // arraydot sits DOWNSTREAM of the sighamming screen in dataflow,
+    // so a screened-out candidate never touches vector payloads
+    audit("d_embedding_dup_screened", "sighamming", "arraydot")
+    auditNoneBelow("d_embedding_dup_screened", "sighamming", "arraydot")
 
     // sketch aggregations keep map-side partial aggregation: the shuffle
     // carries one buffer per (partition, doc), never the shingle rows
