@@ -30,7 +30,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * Null contract (the [[ArrayDot]] rules): null if either side is null,
   * if any element is null, or if the lengths differ — signatures of
   * different table counts are corrupt input, and truncating would
-  * deflate the distance instead of surfacing it.
+  * deflate the distance instead of surfacing it. Because every call
+  * site uses the distance as a FILTER (where a null predicate silently
+  * evaluates to false), screens must go through [[SigHamming.screen_pass]],
+  * which coalesces a null distance to PASS: a missing or corrupt
+  * signature falls through to the exact verify (costing one vector
+  * fetch) instead of silently dropping the candidate (invisible recall
+  * loss) — the r15 ADVICE contract, and the migration path for index
+  * partitions written before signatures were stored.
   */
 case class SigHamming(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -95,4 +102,18 @@ object SigHamming {
     import org.apache.spark.sql.graftshim.Bridge
     Bridge.column(SigHamming(Bridge.expression(a), Bridge.expression(b)))
   }
+
+  /** The SCREEN predicate every verify cascade must use (never a bare
+    * `sig_hamming(..) <= budget` filter): true when the pair's stored
+    * signature distance fits the budget, AND true when the distance is
+    * NULL (side/element null or width mismatch — an unsigned legacy
+    * index row or corrupt signature), so such pairs fall through to the
+    * exact verify instead of being silently screened out. The screen is
+    * an OPTIMIZATION; nulls must degrade to the unscreened path's cost,
+    * not to recall loss.
+    */
+  def screen_pass(a: Column, b: Column, maxHamming: Int): Column =
+    org.apache.spark.sql.functions.coalesce(
+      sig_hamming(a, b) <= maxHamming,
+      org.apache.spark.sql.functions.lit(true))
 }

@@ -75,14 +75,33 @@ object EmbeddingDedupStream {
     * affords no such luck. In-order processing is unchanged: during
     * batch B the index holds exactly batches < B either way.
     */
+  /** Schema migration (r15 ADVICE): `vecs` partitions written BEFORE
+    * the packed home-signature column existed carry no `hsig`. Reading
+    * them must neither fail (unresolved column) nor let the screen
+    * silently drop their candidates (an old row's null hsig under a
+    * bare `<=` filter evaluates false). So: `mergeSchema` unions the
+    * partition schemas (old rows read hsig as null even next to new
+    * partitions), any field STILL absent (an all-old index) backfills
+    * as a typed null, and every screen goes through
+    * [[graft.functions.SigHamming.screen_pass]], which passes a null
+    * distance through to the exact verify. Upgrading therefore costs
+    * old rows the unscreened verify price, never recall; re-signing
+    * the index (one linear pass) remains the way to buy the screen
+    * back for them.
+    */
   private def readParts(spark: SparkSession, root: String, before: Long,
       schema: StructType): DataFrame = {
     val ps = IncrementalDedupStream.parts(spark, root, -1L)
       .filter(_.split("batch=").last.toLong < before)
     if (ps.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.parquet(ps: _*)
-      .select(schema.fieldNames.toSeq.map(col): _*)
+    else {
+      val df = spark.read.option("mergeSchema", "true").parquet(ps: _*)
+      val present = df.columns.toSet
+      df.select(schema.fields.toSeq.map(f =>
+        if (present.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+    }
   }
 
   /** One micro-batch. Public so the batch tier (and the spec) can drive
@@ -182,8 +201,12 @@ object EmbeddingDedupStream {
           .join(broadcast(b.select(col("vec_id").as("bd"),
             col("hsig").as("bhs"))), "bd")
           .join(iSigSide, "idoc")
-          .filter(graft.functions.SigHamming.sig_hamming(col("bhs"),
-            col("ihs")) <= mh)
+          // screen_pass, never a bare <= filter: a null distance (an
+          // index row from before hsig was stored, or a corrupt
+          // signature) must fall through to the exact verify, not be
+          // silently screened out — see [[SigHamming.screen_pass]]
+          .filter(graft.functions.SigHamming.screen_pass(col("bhs"),
+            col("ihs"), mh))
           .select("bd", "idoc")
     }
     val crossDrops = screenedCross
@@ -207,8 +230,8 @@ object EmbeddingDedupStream {
             col("hsig").as("hsa"))), "ida")
           .join(broadcast(b.select(col("vec_id").as("idb"),
             col("hsig").as("hsb"))), "idb")
-          .filter(graft.functions.SigHamming.sig_hamming(col("hsa"),
-            col("hsb")) <= mh)
+          .filter(graft.functions.SigHamming.screen_pass(col("hsa"),
+            col("hsb"), mh))
           .select("ida", "idb")
     }
     val intraDrops = screenedIntra
