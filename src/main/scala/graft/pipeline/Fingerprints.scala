@@ -581,17 +581,26 @@ object Fingerprints {
       case Some(sig) =>
         val maxHam = Similarity.screenMaxHamming(EmbDupCos, tables, bits,
           sig)
+        // the packed-signature frame is computed ONCE and persisted
+        // (the diamond rule): both join sides read the cache instead of
+        // each re-running the full tables×bits×dims dot pass over e —
+        // and past the broadcast dial one shared frame also shuffles
+        // once per side instead of being recomputed per side (r15
+        // ADVICE). Lazy persist: lineage kept, no build-time job.
+        val hs = e.select(col("vec_id"),
+          graft.functions.HyperplaneSigs.hyperplane_sigs(col("v"),
+            tables, bits, 64).as("hs")).persist()
         def fetchSig(as: String): DataFrame = {
-          val sel = e.select(col("vec_id").as(as),
-            graft.functions.HyperplaneSigs.hyperplane_sigs(col("v"),
-              tables, bits, 64).as(s"hs$as"))
+          val sel = hs.select(col("vec_id").as(as), col("hs").as(s"hs$as"))
           if (n <= BroadcastFetchMaxRows) broadcast(sel) else sel
         }
         candidates
           .join(fetchSig("va"), "va")
           .join(fetchSig("vb"), "vb")
-          .filter(graft.functions.SigHamming.sig_hamming(col("hsva"),
-            col("hsvb")) <= maxHam)
+          // screen_pass (null distance ⇒ fall through to the exact
+          // verify), never a bare <= filter — SigHamming's contract
+          .filter(graft.functions.SigHamming.screen_pass(col("hsva"),
+            col("hsvb"), maxHam))
           .select(col("va"), col("vb"))
     }
     screened
