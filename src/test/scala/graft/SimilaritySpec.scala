@@ -363,7 +363,10 @@ class SimilaritySpec extends AnyFunSuite {
       s"impossible 'gained' rows: ${drift.toSeq}")
     assert(drift.map(r => (r.getLong(0), r.getLong(1))).toSet == un -- scr)
     // every lost pair is a true >0.47 pair (it came from the verified
-    // unscreened set), visible in its carried cosine
-    assert(drift.forall(_.getDouble(2) > 0.47))
+    // unscreened set), visible in its carried cosine — asserted on >=
+    // because the carried column is ROUNDED to 4 decimals for the
+    // oracle hash: a true pair at e.g. 0.47004 rounds to 0.4700 and a
+    // strict > would spuriously fail on a value the verify accepted
+    assert(drift.forall(_.getDouble(2) >= 0.47))
   }
 }
