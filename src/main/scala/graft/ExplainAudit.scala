@@ -117,6 +117,79 @@ object ExplainAudit {
     audit("d_embedding_dup_screened", "sighamming", "arraydot")
     auditNoneBelow("d_embedding_dup_screened", "sighamming", "arraydot")
 
+    // past-dial candidate-bounded fetch (r16): with the broadcast dial
+    // forced to 0, every verify payload fetch must be semi-pruned by
+    // the broadcast touched-id set BEFORE the payload join — no join
+    // below the verify carries the full vector table. Batch tier,
+    // screened: 4 prunes (vector + signature fetch × both pair sides).
+    locally {
+      spark.conf.set("graft.broadcastFetchMaxRows", "0")
+      try {
+        // the builder persists its diamonds at CONSTRUCTION time, so
+        // clear the cache first and inspect the executed plan directly
+        // (the auditDiamond pattern) — planOf's post-construction clear
+        // would drop those persists and optimize a different tree
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        val df = graft.pipeline.Fingerprints.embeddingDupLsh(
+          spark, d,
+          screenSigmas = Some(graft.pipeline.Fingerprints.ScreenSigmas))
+        df.collect()
+        val plan = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+          case p => p.toString
+        }
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        val n = "LeftSemi".r.findAllIn(plan).size
+        if (n >= 4)
+          println(s"AUDIT embeddingDupLsh(past-dial): OK ($n semi prunes)")
+        else { failed += 1
+          println(s"AUDIT embeddingDupLsh(past-dial): $n LeftSemi, " +
+            "expected >= 4 — a payload fetch joined the full table") }
+      } finally spark.conf.unset("graft.broadcastFetchMaxRows")
+    }
+    // streaming ingest, same gate: build a real two-batch index, then
+    // pin the THIRD batch's drops plan under the forced dial — the
+    // cross-verify vector fetch and the screen's signature fetch must
+    // both be semi-pruned (2 prunes; intra-batch fetches broadcast the
+    // micro-batch and never touch the index)
+    locally {
+      import graft.streaming.EmbeddingDedupStream
+      val root = java.nio.file.Files
+        .createTempDirectory("audit_embdial").toString
+      val emb = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      for (b <- 0 until 2)
+        EmbeddingDedupStream.ingestBatch(
+          emb.filter(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.lit(3)) === b),
+          batchId = b, s"$root/index", s"$root/flagged", 6, 4, 2,
+          threshold = 0.47, screenSigmas = Some(2.5))
+      spark.conf.set("graft.broadcastFetchMaxRows", "0")
+      try {
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        val p = EmbeddingDedupStream.batchPlan(
+          emb.filter(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.lit(3)) === 2),
+          batchId = 2, s"$root/index", 6, 4, 2, 0.47,
+          graft.pipeline.Fingerprints.DefaultBucketCap, Some(2.5))
+        p.drops.collect()
+        val plan = p.drops.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+          case q => q.toString
+        }
+        p.release()
+        val n = "LeftSemi".r.findAllIn(plan).size
+        // the survivors' left_anti is absent here (drops plan only);
+        // both index fetches must show as semi prunes
+        if (n >= 2)
+          println(s"AUDIT embDedupStream(past-dial): OK ($n semi prunes)")
+        else { failed += 1
+          println(s"AUDIT embDedupStream(past-dial): $n LeftSemi, " +
+            "expected >= 2 — an index fetch joined the full table") }
+      } finally spark.conf.unset("graft.broadcastFetchMaxRows")
+    }
+
     // sketch aggregations keep map-side partial aggregation: the shuffle
     // carries one buffer per (partition, doc), never the shingle rows
     audit("d_simhash", "partial_simhashsketch")

@@ -39,8 +39,30 @@ object Fingerprints {
     * joins broadcast the (id, vector) frame instead of shuffling the
     * candidate-pair mass through two sort-merge joins: 500k × 64 dims
     * × 8 B ≈ 256 MB, the usual executor broadcast ceiling.
+    *
+    * PAST the dial the fetch is CANDIDATE-BOUNDED (r15 verdict #1),
+    * never a join against the full payload table: the distinct ids any
+    * candidate pair can touch are semi-joined (as a broadcast of bare
+    * longs) against the vector table BEFORE the payload join, so the
+    * payload mass that shuffles is bounded by the candidate-touched
+    * set — for a streaming micro-batch, by the batch's bucket
+    * visits — not by the index size. The id KEY set itself broadcasts
+    * (8 B/row — 1.2M ids ≈ 10 MB); a corpus where even the touched-id
+    * set outgrows an executor is the regime where the bucketed layout
+    * ([[graft.sources.Bucketing]], vecs bucketed by vec_id) replaces
+    * the in-memory prune — storage co-location, the same answer every
+    * dimension-fetch takes at that scale.
     */
   val BroadcastFetchMaxRows = 500000L
+
+  /** The dial, conf-overridable (`graft.broadcastFetchMaxRows`) so the
+    * past-dial candidate-bounded path is exercisable — and its plan
+    * shape auditable — at fixture scale (ExplainAudit forces 0; specs
+    * assert past-dial output ≡ broadcast-path output).
+    */
+  def broadcastFetchMaxRows(s: SparkSession): Long =
+    s.conf.getOption("graft.broadcastFetchMaxRows").map(_.toLong)
+      .getOrElse(BroadcastFetchMaxRows)
 
   /** Candidate id-pairs from banded/bucketed rows, with a per-bucket skew
     * cap — the piece that keeps LSH linear when a bucket degenerates.
@@ -561,12 +583,27 @@ object Fingerprints {
       .select(col("ida").as("va"), col("idb").as("vb"))
     // the verify re-fetch: broadcast while the vector corpus fits an
     // executor (n·dims·8B — 10 MB at 20k×64; the id-pair mass is 100×
-    // the corpus here, so shuffling the SMALL side is backwards), plain
-    // shuffle join beyond that — the same size dial a cluster planner
-    // applies to any dimension-table fetch
+    // the corpus here, so shuffling the SMALL side is backwards).
+    // PAST the dial the fetch is candidate-bounded (see
+    // [[BroadcastFetchMaxRows]]): only ids that can appear in a
+    // candidate pair — members of (t, sig) buckets holding ≥ 2 rows —
+    // are semi-pruned into the payload join, so the payload shuffle is
+    // bounded by the candidate-touched set, never the full corpus. The
+    // touched-id set derives from the PERSISTED sigs frame (two
+    // id-only aggregations over cache), not from the candidate pair
+    // mass, so the pair join never runs twice.
+    val dial = broadcastFetchMaxRows(s)
+    lazy val touched = {
+      val busy = sigs.groupBy("t", "sig").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") >= 2).select("t", "sig")
+      sigs.join(busy, Seq("t", "sig")).select("vec_id").distinct()
+    }
     def fetch(as: String): DataFrame = {
       val sel = e.select(col("vec_id").as(as), col("v").as(s"x$as"))
-      if (n <= BroadcastFetchMaxRows) broadcast(sel) else sel
+      if (n <= dial) broadcast(sel)
+      else sel.join(
+        broadcast(touched.select(col("vec_id").as(as))), Seq(as),
+        "left_semi")
     }
     // the sketch screen (optional): candidates first fetch the packed
     // HOME signature arrays (tables × 4 B vs dims × 8 B per side) and
@@ -592,7 +629,10 @@ object Fingerprints {
             tables, bits, 64).as("hs")).persist()
         def fetchSig(as: String): DataFrame = {
           val sel = hs.select(col("vec_id").as(as), col("hs").as(s"hs$as"))
-          if (n <= BroadcastFetchMaxRows) broadcast(sel) else sel
+          if (n <= dial) broadcast(sel)
+          else sel.join(
+            broadcast(touched.select(col("vec_id").as(as))), Seq(as),
+            "left_semi")
         }
         candidates
           .join(fetchSig("va"), "va")

@@ -104,6 +104,16 @@ object EmbeddingDedupStream {
     }
   }
 
+  /** The lazy frames of one micro-batch, exposed (private[graft]) so
+    * ExplainAudit can pin the DROPS plan's physical shape — in
+    * particular the past-dial candidate-bounded fetch — without
+    * executing the writes. `release()` undoes the builder's persists.
+    */
+  private[graft] final case class BatchPlan(b: DataFrame, bSigs: DataFrame,
+      iRel: DataFrame, drops: DataFrame) {
+    def release(): Unit = Seq(iRel, bSigs, b).foreach(_.unpersist())
+  }
+
   /** One micro-batch. Public so the batch tier (and the spec) can drive
     * the identical body without a stream. `batch` carries (vec_id,
     * embedding) in the fixture's float-array layout.
@@ -113,6 +123,31 @@ object EmbeddingDedupStream {
       threshold: Double = Fingerprints.EmbDupCos,
       cap: Int = Fingerprints.DefaultBucketCap,
       screenSigmas: Option[Double] = None): Unit = {
+    val plan = batchPlan(batch, batchId, indexPath, bits, tables, probes,
+      threshold, cap, screenSigmas)
+    val spark = batch.sparkSession
+    val drops = plan.drops.persist()
+    drops.write.mode("overwrite")
+      .parquet(s"$flaggedPath/batch=$batchId")
+    val survivors = plan.b.join(drops, Seq("vec_id"), "left_anti")
+      .persist()
+    // the persisted index: HOME signatures only (one row per survivor
+    // per table — probes are recomputed by each future batch on ITS
+    // side) + the normalized vectors the verify re-fetches
+    plan.bSigs.filter(col("home"))
+      .join(broadcast(drops), Seq("vec_id"), "left_anti")
+      .select("vec_id", "t", "sig")
+      .write.mode("overwrite").parquet(s"$indexPath/sigs/batch=$batchId")
+    survivors.write.mode("overwrite")
+      .parquet(s"$indexPath/vecs/batch=$batchId")
+    Seq(survivors, drops).foreach(_.unpersist())
+    plan.release()
+  }
+
+  private[graft] def batchPlan(batch: DataFrame, batchId: Long,
+      indexPath: String, bits: Int, tables: Int, probes: Int,
+      threshold: Double, cap: Int,
+      screenSigmas: Option[Double]): BatchPlan = {
     val spark = batch.sparkSession
     val step = probes + 1
     // the packed home signatures ride the batch frame (and the vecs
@@ -177,13 +212,27 @@ object EmbeddingDedupStream {
     // executor (the embeddingDupLsh fetch dial) — Spark's 10 MB
     // auto-threshold silently demoted this join to sort-merge at ~25k
     // indexed vectors, shuffling the candidate mass WITH 64-double
-    // payloads; the count is parquet footer metadata, not a scan
+    // payloads; the count is parquet footer metadata, not a scan.
+    // PAST the dial the fetch is CANDIDATE-BOUNDED (r15 verdict #1),
+    // never a join against the full index table: every idoc a
+    // candidate pair can carry is an index row in a batch-visited
+    // bucket — exactly the PERSISTED iRel frame (star representatives
+    // are bucket members too) — so the touched-id set is one id-only
+    // distinct over cache, broadcast as bare longs, and semi-pruned
+    // into the payload scan before any join. The payload mass that
+    // shuffles is bounded by the batch's bucket visits, not the index
+    // size — the r15 measured cliff (full-table sort-merge at 16→188 s)
+    // one decade later, closed instead of deferred.
     val iVecs = readParts(spark, s"$indexPath/vecs", batchId, VecSchema)
     val iN = iVecs.count()
-    val iVecSel = iVecs.select(col("vec_id").as("idoc"), col("v").as("iv"))
-    val iVecSide =
-      if (iN <= Fingerprints.BroadcastFetchMaxRows)
-        broadcast(iVecSel) else iVecSel
+    val dial = Fingerprints.broadcastFetchMaxRows(spark)
+    lazy val touched =
+      broadcast(iRel.select(col("vec_id").as("idoc")).distinct())
+    def fetchIndex(sel: DataFrame): DataFrame =
+      if (iN <= dial) broadcast(sel)
+      else sel.join(touched, Seq("idoc"), "left_semi")
+    val iVecSide = fetchIndex(
+      iVecs.select(col("vec_id").as("idoc"), col("v").as("iv")))
     // the sketch screen (optional): candidate pairs fetch the 64 B
     // packed home signatures first and only screen survivors reach the
     // 512 B vector fetch + exact dot — at the sf10 plan the screen
@@ -192,11 +241,11 @@ object EmbeddingDedupStream {
     val screenedCross = maxHam match {
       case None => crossCand
       case Some(mh) =>
-        val iSigSel = iVecs.select(col("vec_id").as("idoc"),
-          col("hsig").as("ihs"))
-        val iSigSide =
-          if (iN <= Fingerprints.BroadcastFetchMaxRows)
-            broadcast(iSigSel) else iSigSel
+        // same candidate-bounded dial as the vector fetch — the 64 B
+        // signature fetch must not reintroduce the full-index join the
+        // screen exists to avoid
+        val iSigSide = fetchIndex(iVecs.select(col("vec_id").as("idoc"),
+          col("hsig").as("ihs")))
         crossCand
           .join(broadcast(b.select(col("vec_id").as("bd"),
             col("hsig").as("bhs"))), "bd")
@@ -243,22 +292,38 @@ object EmbeddingDedupStream {
         > threshold)
       .select(col("idb").as("vec_id"))
 
-    val drops = crossDrops.union(intraDrops).distinct().persist()
-    drops.write.mode("overwrite")
-      .parquet(s"$flaggedPath/batch=$batchId")
-    val survivors = b.join(drops, Seq("vec_id"), "left_anti").persist()
-    // the persisted index: HOME signatures only (one row per survivor
-    // per table — probes are recomputed by each future batch on ITS
-    // side) + the normalized vectors the verify re-fetches
-    bSigs.filter(col("home"))
-      .join(broadcast(drops), Seq("vec_id"), "left_anti")
-      .select("vec_id", "t", "sig")
-      .write.mode("overwrite").parquet(s"$indexPath/sigs/batch=$batchId")
-    survivors.write.mode("overwrite")
-      .parquet(s"$indexPath/vecs/batch=$batchId")
-
-    Seq(survivors, drops, iRel, bSigs, b).foreach(_.unpersist())
+    BatchPlan(b, bSigs, iRel,
+      crossDrops.union(intraDrops).distinct())
   }
+
+  /** Compact the index: fold every `sigs`/`vecs` partition STRICTLY
+    * below the newest into one merged partition per dir
+    * ([[CompactSwap.foldCompact]]'s crash-recoverable `.SWAP`
+    * protocol). Without this the index grows one partition per
+    * micro-batch forever and every batch's [[readParts]] lists (and
+    * opens footers for) all of them — the r15 verdict #5 listing cost.
+    *
+    * As-of (`batch < id`) reads survive compaction by construction:
+    * the merged partition carries the MAX folded batch id and the
+    * newest partition is never touched, so a replay of the newest
+    * batch id B reads `batch < B` and sees exactly the fold of
+    * batches 0..B−1 — identical content to the pre-compaction read.
+    * Batch ids below the fold stop being individually replayable,
+    * which matches foreachBatch's contract exactly: only the newest
+    * uncommitted batch ever replays. The merged read backfills a
+    * missing `hsig` like [[readParts]] (legacy-index migration), so
+    * compacting an old index normalizes its schema.
+    */
+  def compact(spark: SparkSession, indexPath: String): Unit =
+    for ((name, schema) <- Seq("sigs" -> SigSchema, "vecs" -> VecSchema))
+      CompactSwap.foldCompact(spark, s"$indexPath/$name") { parts =>
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(parts: _*)
+        val present = df.columns.toSet
+        df.select(schema.fields.toSeq.map(f =>
+          if (present.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      }
 
   /** Start the ingest on a streaming (vec_id, embedding) frame with a
     * FROZEN LSH shape (see the scaladoc's re-sign note).

@@ -369,4 +369,23 @@ class SimilaritySpec extends AnyFunSuite {
     // strict > would spuriously fail on a value the verify accepted
     assert(drift.forall(_.getDouble(2) >= 0.47))
   }
+
+  test("batch tier past the broadcast dial: forcing " +
+      "graft.broadcastFetchMaxRows=0 (candidate-bounded semi-pruned " +
+      "fetch) reproduces the broadcast-path pairs, screened and " +
+      "unscreened") {
+    def pairs(dial: Boolean, screen: Option[Double]): Set[(Long, Long)] = {
+      spark.catalog.clearCache()
+      if (dial) spark.conf.set("graft.broadcastFetchMaxRows", "0")
+      try Fingerprints.embeddingDupLsh(spark, sf, screenSigmas = screen)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("graft.broadcastFetchMaxRows")
+    }
+    for (screen <- Seq(None, Some(Fingerprints.ScreenSigmas))) {
+      val bc = pairs(dial = false, screen)
+      val semi = pairs(dial = true, screen)
+      assert(semi == bc, s"dial divergence (screen=$screen)")
+      assert(bc.nonEmpty, "vacuous dial equivalence")
+    }
+  }
 }
