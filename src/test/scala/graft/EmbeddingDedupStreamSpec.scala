@@ -181,4 +181,81 @@ class EmbeddingDedupStreamSpec extends AnyFunSuite {
       "planted exact duplicate did not survive the screen")
     assert(unscreened.contains(minId + 10000000L))
   }
+
+  test("compaction preserves as-of reads: ingest → compact → replay " +
+      "the newest batch → identical flags; later batches match an " +
+      "uncompacted twin; partition count collapses") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    def batchOf(i: Int) = emb.filter(pmod(col("vec_id"), lit(5)) === i)
+    def flagsOf(root: String, b: Long): Set[Long] =
+      spark.read.parquet(s"$root/flagged/batch=$b")
+        .collect().map(_.getLong(0)).toSet
+    def parts(root: String, name: String): Int =
+      new java.io.File(s"$root/index/$name")
+        .listFiles().count(_.getName.startsWith("batch="))
+    def ingest(root: String, i: Int): Unit =
+      EmbeddingDedupStream.ingestBatch(batchOf(i), batchId = i,
+        s"$root/index", s"$root/flagged", bits, tables, probes,
+        threshold, screenSigmas = Some(2.5))
+    val plain = Files.createTempDirectory("embnocomp").toString
+    val comp = Files.createTempDirectory("embcomp").toString
+    for (i <- 0 until 4) { ingest(plain, i); ingest(comp, i) }
+    val before = flagsOf(comp, 3)
+    assert(parts(comp, "sigs") == 4 && parts(comp, "vecs") == 4)
+    EmbeddingDedupStream.compact(spark, s"$comp/index")
+    // batches 0..2 folded into batch=2; batch=3 (the newest — the only
+    // replayable id under foreachBatch) untouched
+    assert(parts(comp, "sigs") == 2 && parts(comp, "vecs") == 2,
+      "fold did not collapse the old partitions")
+    // replay of the newest batch: as-of (batch < 3) now reads the
+    // merged partition — same content, same deterministic decision
+    ingest(comp, 3)
+    assert(flagsOf(comp, 3) == before,
+      "replay after compaction changed the newest batch's flags")
+    // a later batch over the compacted index matches the uncompacted
+    // twin exactly
+    ingest(plain, 4); ingest(comp, 4)
+    assert(flagsOf(comp, 4) == flagsOf(plain, 4),
+      "post-compaction batch diverged from the uncompacted twin")
+    // idempotent: nothing left below the newest worth folding changes
+    // semantics — a second compact folds {2,3} leaving {3,4} reads
+    // intact for a hypothetical batch 5
+    EmbeddingDedupStream.compact(spark, s"$comp/index")
+    val p5 = EmbeddingDedupStream.batchPlan(batchOf(0), batchId = 5,
+      s"$comp/index", bits, tables, probes, threshold,
+      graft.pipeline.Fingerprints.DefaultBucketCap, None)
+    assert(p5.drops.count() >= 0)
+    p5.release()
+  }
+
+  test("past-dial candidate-bounded fetch: forcing the broadcast dial " +
+      "to 0 (every batch takes the semi-pruned index fetch) flags the " +
+      "identical set, screened and unscreened") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    def run(dial: Option[Long], screen: Option[Double]): Set[Long] = {
+      dial match {
+        case Some(d) =>
+          spark.conf.set("graft.broadcastFetchMaxRows", d.toString)
+        case None => spark.conf.unset("graft.broadcastFetchMaxRows")
+      }
+      try {
+        val root = Files.createTempDirectory("embdial").toString
+        for (b <- 0 until 2)
+          EmbeddingDedupStream.ingestBatch(
+            emb.filter(pmod(col("vec_id"), lit(2)) === b), batchId = b,
+            s"$root/index", s"$root/flagged", bits, tables, probes,
+            threshold, screenSigmas = screen)
+        spark.read.parquet(s"$root/flagged")
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      } finally spark.conf.unset("graft.broadcastFetchMaxRows")
+    }
+    for (screen <- Seq(None, Some(2.5))) {
+      val viaBroadcast = run(None, screen)
+      val viaSemi = run(Some(0L), screen)
+      assert(viaSemi == viaBroadcast,
+        s"past-dial fetch diverged (screen=$screen): " +
+          s"semi=$viaSemi broadcast=$viaBroadcast")
+      assert(viaBroadcast.nonEmpty, "vacuous dial equivalence")
+    }
+  }
 }
