@@ -370,6 +370,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(drift.forall(_.getDouble(2) >= 0.47))
   }
 
+  test("ANN flip-mask probing: masks enumerate the exact Hamming " +
+      "radius, the modeled depth matches hand-computed values, and " +
+      "complete-radius probing never loses recall vs home-only") {
+    // mask enumeration: Σ C(bits, j), all within radius, 0 included
+    val m2 = Similarity.flipMasks(11, 2)
+    assert(m2.size == 1 + 11 + 55)
+    assert(m2.forall(m => Integer.bitCount(m) <= 2))
+    assert(m2.contains(0) && m2.distinct.size == m2.size)
+    // modeled depth: the sf10 plan needs radius 2 for 0.90; the
+    // fixture plan's 8 tables already clear 0.74 at radius 0
+    assert(Similarity.annQueryFlipDepth(11, 16, Similarity.AnnCos,
+      Similarity.AnnProbeRecall) == 2)
+    assert(Similarity.annQueryFlipDepth(4, 8, Similarity.AnnCos,
+      Similarity.AnnRecall) == 0)
+    // recall monotonicity at fixture scale: candidates at depth ≥ 1
+    // are a superset (mask 0), and exact re-rank makes true-top-10
+    // overlap monotone in the candidate set
+    import graft.pipeline.VectorOps
+    import org.apache.spark.sql.functions.col
+    def overlap(ann: org.apache.spark.sql.DataFrame): Long = {
+      val bf = Similarity.queries("s_ann_bruteforce")(spark, sf)
+        .select("qid", "nid")
+      bf.join(ann.select("qid", "nid"), Seq("qid", "nid")).count()
+    }
+    val e = Tables.spread(Tables.embeddings(spark, sf))
+      .select(col("vec_id"),
+        VectorOps.asDouble(col("embedding")).as("v"))
+    val home = overlap(Similarity.annLshFlipMask(e, 4, 8, 64, 0))
+    val r1 = overlap(Similarity.annLshFlipMask(e, 4, 8, 64, 1))
+    assert(home > 0, "vacuous recall fixture")
+    assert(r1 >= home, s"radius-1 recall $r1 < home-only $home")
+    // depth 0 of the flip-mask builder ≡ the registered fixture tier's
+    // candidates (same home-bucket join, same re-rank)
+    val reg = Similarity.queries("s_ann_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fm0 = Similarity.annLshFlipMask(e, 4, 8, 64, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fm0 == reg, "flip-mask depth 0 diverged from the fixture tier")
+  }
+
   test("batch tier past the broadcast dial: forcing " +
       "graft.broadcastFetchMaxRows=0 (candidate-bounded semi-pruned " +
       "fetch) reproduces the broadcast-path pairs, screened and " +
