@@ -598,12 +598,17 @@ object Fingerprints {
         .filter(col("bn") >= 2).select("t", "sig")
       sigs.join(busy, Seq("t", "sig")).select("vec_id").distinct()
     }
+    // past-dial fetch sides are HINTED shuffle_hash: a sort-merge join
+    // would SORT the candidate stream (and, on the second fetch, its
+    // attached first-side payloads) — the disk-filling spill the 1.2M
+    // streaming tier measured; a shuffled hash join builds from the
+    // candidate-bounded fetch side and streams the candidates sort-free
     def fetch(as: String): DataFrame = {
       val sel = e.select(col("vec_id").as(as), col("v").as(s"x$as"))
       if (n <= dial) broadcast(sel)
       else sel.join(
         broadcast(touched.select(col("vec_id").as(as))), Seq(as),
-        "left_semi")
+        "left_semi").hint("shuffle_hash")
     }
     // the sketch screen (optional): candidates first fetch the packed
     // HOME signature arrays (tables × 4 B vs dims × 8 B per side) and
@@ -632,7 +637,7 @@ object Fingerprints {
           if (n <= dial) broadcast(sel)
           else sel.join(
             broadcast(touched.select(col("vec_id").as(as))), Seq(as),
-            "left_semi")
+            "left_semi").hint("shuffle_hash")
         }
         candidates
           .join(fetchSig("va"), "va")

@@ -228,9 +228,18 @@ object EmbeddingDedupStream {
     val dial = Fingerprints.broadcastFetchMaxRows(spark)
     lazy val touched =
       broadcast(iRel.select(col("vec_id").as("idoc")).distinct())
+    // past the dial the pruned fetch side is HINTED shuffle_hash: a
+    // sort-merge join would SORT the billion-row candidate stream
+    // (measured: batch 3 of the 1.2M tier filled the disk with sort
+    // spill); a shuffled hash join builds its table from the
+    // candidate-bounded fetch side (~10 MB/partition) and STREAMS the
+    // candidates — no sort anywhere. The candidate side also shuffles
+    // exactly once: both index joins key on idoc, so the screen join's
+    // output partitioning is reused by the vector join.
     def fetchIndex(sel: DataFrame): DataFrame =
       if (iN <= dial) broadcast(sel)
       else sel.join(touched, Seq("idoc"), "left_semi")
+        .hint("shuffle_hash")
     val iVecSide = fetchIndex(
       iVecs.select(col("vec_id").as("idoc"), col("v").as("iv")))
     // the sketch screen (optional): candidate pairs fetch the 64 B
@@ -246,10 +255,16 @@ object EmbeddingDedupStream {
         // screen exists to avoid
         val iSigSide = fetchIndex(iVecs.select(col("vec_id").as("idoc"),
           col("hsig").as("ihs")))
+        // JOIN ORDER IS LOAD-BEARING: the idoc join consumes the
+        // candidate stream while its rows are SKINNY (two longs) —
+        // attaching the batch-side payload first would drag it through
+        // the idoc exchange on every candidate row (the 1.2M-tier
+        // disk-filling spill); broadcast batch payloads attach after,
+        // in-stream
         crossCand
+          .join(iSigSide, "idoc")
           .join(broadcast(b.select(col("vec_id").as("bd"),
             col("hsig").as("bhs"))), "bd")
-          .join(iSigSide, "idoc")
           // screen_pass, never a bare <= filter: a null distance (an
           // index row from before hsig was stored, or a corrupt
           // signature) must fall through to the exact verify, not be
@@ -258,10 +273,12 @@ object EmbeddingDedupStream {
             col("ihs"), mh))
           .select("bd", "idoc")
     }
+    // same order discipline: index vectors join the skinny (screened)
+    // candidate stream first, batch vectors ride the broadcast after
     val crossDrops = screenedCross
+      .join(iVecSide, "idoc")
       .join(broadcast(b.select(col("vec_id").as("bd"), col("v").as("bv"))),
         "bd")
-      .join(iVecSide, "idoc")
       .filter(graft.functions.ArrayDot.array_dot(col("bv"), col("iv"))
         > threshold)
       .select(col("bd").as("vec_id"))
