@@ -51,11 +51,13 @@ object SparkEntry {
     * Verify dumps it as `no_oracle.json` next to `oracle_sql.json` so
     * the driver-side comparator sees the same contract.
     */
+  // d_minhash_lsh left this map in round 16: the sketch's base hash
+  // moved to the md5-60-bit BIGINT (the d_simhash_portable-proven
+  // base) and its buffer mixer to the Carter–Wegman affine family mod
+  // 2^61−1 — plain modular arithmetic DuckDB replays in HUGEINT — so
+  // the tier keeps its single-pass-aggregate identity AND carries a
+  // full signature → band → cappedPairs → estimate oracle.
   def noOracle: Map[String, (String, String)] = Map(
-    "d_minhash_lsh" -> ("d_minhash_portable",
-      "banded MinHash-LSH candidates depend on the JVM hash seeds; " +
-        "recall vs the exact tier is spec-pinned (FingerprintsSpec), " +
-        "the engine-portable MinHash twin is oracle-green"),
     "d_simhash" -> ("d_simhash_portable",
       "SimHash bands over xxhash64 bits are seed-dependent; " +
         "reference-equality + recall specs pin it, the portable " +

@@ -24,14 +24,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * across retries and AQE re-execution.
   */
 
-/** MinHash signature: per seed i of k, min over inputs of a seeded
-  * avalanche mix of the shingle hash. Buffer = Array[Long](k).
-  * Bit-identical to the previous Aggregator's mixer, so signatures,
-  * band keys, and the recall specs are unchanged.
+/** MinHash signature: per hash function j of k, min over inputs of the
+  * Carter–Wegman affine map `(a_j·h + b_j) mod (2^61 − 1)` over the
+  * (floor-modded) input hash. Buffer = Array[Long](k).
+  *
+  * The affine-mod-Mersenne family replaced the earlier avalanche mixer
+  * in round 16 for ENGINE PORTABILITY (graduating d_minhash_lsh to a
+  * full oracle): the map is plain modular integer arithmetic any SQL
+  * engine replays exactly (DuckDB: `(h::HUGEINT * a + b) %
+  * 2305843009213693951`), and it is the textbook universal hash family
+  * minwise theory is actually stated for — strictly better-grounded
+  * independence than an ad-hoc bit mixer. The JVM side reduces the
+  * 122-bit product with `Math.multiplyHigh` and the Mersenne fold
+  * (2^61 ≡ 1), so the hot loop stays multiply-add with no BigInteger.
+  * Coefficients are deterministic literals ([[MinHashSketch.coeffA]]/
+  * [[MinHashSketch.coeffB]]) interpolated into the oracle SQL.
   */
 case class MinHashSketch(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
+  import MinHashSketch.{P61, mulMod61, A, B}
 
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = false
@@ -43,11 +55,16 @@ case class MinHashSketch(child: Expression, k: Int,
       s"minhash_sketch expects bigint, got ${t.sql}")
   }
 
-  @inline private def mix(h0: Long, seed: Int): Long = {
-    var h = h0 ^ (seed.toLong * 0x9E3779B97F4A7C15L)
-    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
-    h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
-    h ^ (h >>> 33)
+  @inline private def mix(h0: Long, j: Int): Long = {
+    // floorMod admits ANY long input (other callers feed raw xxhash64,
+    // which can be negative); the portable md5-60-bit base is already
+    // in [0, p), where floorMod is the identity — the oracle replays
+    // that case with plain `%`
+    val h = java.lang.Math.floorMod(h0, P61)
+    val a = if (j < A.length) A(j) else MinHashSketch.coeffA(j)
+    val bc = if (j < B.length) B(j) else MinHashSketch.coeffB(j)
+    val t = mulMod61(h, a) + bc
+    if (t >= P61) t - P61 else t
   }
 
   override def createAggregationBuffer(): Array[Long] =
@@ -298,6 +315,46 @@ case class FreqSketch(child: Expression, m: Int,
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): FreqSketch = copy(child = c.head)
+}
+
+/** The affine family's constants and the Mersenne-61 modular multiply
+  * — public so the DuckDB oracle builder interpolates the IDENTICAL
+  * coefficient literals ([[graft.pipeline.Fingerprints]]' minhash-LSH
+  * twin).
+  */
+object MinHashSketch {
+  /** 2^61 − 1 (Mersenne prime) — the hash field modulus. */
+  val P61: Long = (1L << 61) - 1
+
+  /** Deterministic 61-bit generator (splitmix-style avalanche of the
+    * seed) — build-time only; the hot loop reads the cached arrays.
+    */
+  private def gen(seed: Long): Long = {
+    var h = seed * 0x9E3779B97F4A7C15L + 0x632BE59BD9B4E019L
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
+    h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+    h ^= h >>> 33
+    h & P61
+  }
+  /** Multiplier of hash function j — in [1, p−1]. */
+  def coeffA(j: Int): Long = gen(2L * j) % (P61 - 1) + 1
+  /** Offset of hash function j — in [0, p−1]. */
+  def coeffB(j: Int): Long = gen(2L * j + 1) % P61
+  private[graft] val A: Array[Long] = Array.tabulate(64)(coeffA)
+  private[graft] val B: Array[Long] = Array.tabulate(64)(coeffB)
+
+  /** (x·y) mod (2^61−1) for x, y ∈ [0, p): `multiplyHigh` splits the
+    * 122-bit product into hi·2^64 + lo; with 2^61 ≡ 1 (mod p) that
+    * folds to 8·hi + (lo >>> 61) + (lo & p), one more fold, one
+    * conditional subtract.
+    */
+  @inline def mulMod61(x: Long, y: Long): Long = {
+    val hi = java.lang.Math.multiplyHigh(x, y)
+    val lo = x * y
+    var r = (hi << 3) + (lo >>> 61) + (lo & P61)
+    r = (r & P61) + (r >>> 61)
+    if (r >= P61) r - P61 else r
+  }
 }
 
 object SketchAggregates {

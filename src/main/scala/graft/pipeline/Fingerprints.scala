@@ -154,17 +154,28 @@ object Fingerprints {
       .agg(graft.functions.SketchAggregates.simhash_sketch(col("h"))
         .as("simhash"))
 
-  /** (doc_id, sig: array<long>) MinHash signatures — single pass: one base
-    * xxhash64 per shingle, k per-seed variants derived by an avalanche mix
-    * INSIDE the aggregation buffer (no k-way row explosion; an
-    * explode(seeds) formulation materialized 19 M rows at sf0.1). Native
-    * [[graft.functions.MinHashSketch]] aggregate, same plan shape as
-    * [[simhashes]].
+  /** (doc_id, sig: array<long>) MinHash signatures — single pass: one
+    * base hash per (doc, distinct shingle), k per-function variants
+    * derived INSIDE the aggregation buffer (no k-way row explosion; an
+    * explode(seeds) formulation materialized 19 M rows at sf0.1).
+    * Native [[graft.functions.MinHashSketch]] aggregate, same plan
+    * shape as [[simhashes]].
+    *
+    * ENGINE-PORTABLE since round 16 (graduating d_minhash_lsh to a
+    * full oracle — r15 verdict #6): the base hash is the md5-60-bit
+    * BIGINT the green d_simhash_portable twin already replays, and the
+    * buffer's k variants are the Carter–Wegman affine family
+    * `(a_j·h + b_j) mod (2^61−1)` — modular arithmetic DuckDB computes
+    * exactly in HUGEINT. What did NOT change is the tier's identity
+    * vs d_minhash_portable: ONE aggregation pass with a mutable
+    * k-slot buffer and map-side partials — no per-function row
+    * explosion, no distinct-shingle join, no 16-md5s-per-shingle.
     */
   def minhashSignatures(docs: DataFrame): DataFrame =
     graft.Tables.spread(docs)
       .select(col("doc_id"),
-        explode(Dedup.shingleHashes(col("text"))).as("h"))
+        explode(transform(Dedup.shingles(col("text")), s =>
+          conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("h"))
       .groupBy("doc_id")
       .agg(graft.functions.SketchAggregates
         .minhash_sketch(col("h"), MinHashFunctions).as("sig"))
@@ -180,11 +191,14 @@ object Fingerprints {
     */
   def minhashCandidates(signatures: DataFrame, threshold: Double,
       cap: Int = -1): DataFrame = {
+    // the band KEY is the raw signature slice (array<long> equality —
+    // joins and shuffles hash arrays natively), not a hash of it: one
+    // less seed-dependent step, and the oracle replays the slice as
+    // `list(m ORDER BY j)` verbatim
     val banded = signatures.select(col("doc_id"),
       explode(array((0 until Bands).map(b =>
         struct(lit(b).as("band"),
-          xxhash64(concat_ws(",",
-            slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)))
+          slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)
             .as("bkey"))): _*)).as("bb"))
       .select(col("doc_id"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
@@ -470,11 +484,12 @@ object Fingerprints {
       minhashPortablePairs(Tables.documents(s, d), 0.8)
         .orderBy("da", "db")
     },
-    // MinHash-LSH near-dup candidates (est. Jaccard ≥ 0.5). Approximate —
-    // rows-only driver check; recall vs exact Jaccard in PipelineSpec.
-    // Oracle coverage for this family lives in the GREEN sibling
-    // d_minhash_portable (same banding, portable hashes); this tier
-    // stays registered for its xxhash64 throughput.
+    // MinHash-LSH near-dup candidates (est. Jaccard ≥ 0.5). FULL
+    // oracle since round 16 ([[minhashLshOracle]]): the portable base
+    // hash + affine variant family replay integer-exactly in DuckDB,
+    // while the tier keeps its identity — ONE buffer-aggregate pass,
+    // no per-function row explosion (d_minhash_portable's contrast).
+    // Recall vs exact Jaccard stays spec-pinned in PipelineSpec.
     "d_minhash_lsh" -> { (s, d) =>
       minhashCandidates(minhashSignatures(Tables.documents(s, d)), 0.5)
         .select(col("da"), col("db"),
@@ -977,12 +992,21 @@ object Fingerprints {
     * from CAST-to-BIGINT power-of-two literals (an INTEGER chain would
     * overflow at bit 31), bands shift/mask the fingerprint.
     */
-  private def simhashFpCtes: String = {
-    val nibSum = (1 to 15).map { i =>
+  /** The md5-60-bit BIGINT base hash as DuckDB SQL over column `arg` —
+    * the integer-exact twin of Spark's
+    * `conv(substring(md5(·), 1, 15), 16, 10)` (15 nibbles reassembled
+    * by integer arithmetic; proven green in the d_simhash_portable
+    * twin since round 13, reused verbatim by the minhash-LSH twin).
+    */
+  private def md5Nib60Sql(arg: String): String =
+    (1 to 15).map { i =>
       val mul = 1L << (4 * (15 - i))
-      s"(strpos('0123456789abcdef', substr(md5(s), $i, 1)) - 1) * " +
+      s"(strpos('0123456789abcdef', substr(md5($arg), $i, 1)) - 1) * " +
         s"CAST($mul AS BIGINT)"
     }.mkString("\n    + ")
+
+  private def simhashFpCtes: String = {
+    val nibSum = md5Nib60Sql("s")
     val counters = (0 until 60).map(b =>
       s"SUM(((h >> $b) & 1) * 2 - 1) AS c$b").mkString(",\n    ")
     val reassemble = (0 until 60).map(b =>
@@ -1085,7 +1109,80 @@ object Fingerprints {
        |ORDER BY va, vb, side""".stripMargin
   }
 
+  /** DuckDB twin of the FAST MinHash-LSH tier — graduated from
+    * rows-only in round 16 (the last approximate-dedup no_oracle row
+    * with a writable twin). Every step is integer-exact across
+    * engines: the base hash is [[md5Nib60Sql]]'s proven 60-bit md5
+    * BIGINT, the k per-function variants are the affine family
+    * `(a_j·h + b_j) mod (2^61−1)` with the IDENTICAL coefficient
+    * literals the engine's [[graft.functions.MinHashSketch]] caches
+    * (HUGEINT does the 121-bit product exactly), band keys are the
+    * raw signature slices (`list(m ORDER BY j)` ≡ the engine's
+    * `slice`), the [[cappedPairs]] step replays as in every LSH twin,
+    * and est_jaccard = eq/32 is an exact dyadic rational in both
+    * engines.
+    */
+  private def minhashLshOracle: String = {
+    val coeffRows = (0 until MinHashFunctions).map(j =>
+      s"($j, ${graft.functions.MinHashSketch.coeffA(j)}, " +
+        s"${graft.functions.MinHashSketch.coeffB(j)})")
+      .mkString(",\n    ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(t) - 2, 1) + 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |ds AS (SELECT DISTINCT s FROM sh),
+       |hv AS (
+       |  SELECT s, ${md5Nib60Sql("s")} AS h
+       |  FROM ds),
+       |coeffs(j, a, b) AS (VALUES
+       |    $coeffRows),
+       |sigs AS (
+       |  SELECT sh.doc_id, c.j,
+       |    min(CAST(((hv.h::HUGEINT * c.a + c.b) % 2305843009213693951)
+       |      AS BIGINT)) AS m
+       |  FROM sh JOIN hv USING (s) CROSS JOIN coeffs c
+       |  GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, j // $RowsPerBand AS band,
+       |    list(m ORDER BY j) AS bkey
+       |  FROM sigs GROUP BY doc_id, band),
+       |bsz AS (SELECT band, bkey, count(*) AS bn FROM bands
+       |  GROUP BY 1, 2),
+       |bsm AS (SELECT doc_id, band, bkey FROM bands
+       |  JOIN bsz USING (band, bkey) WHERE bn <= $DefaultBucketCap),
+       |bbg AS (SELECT doc_id, band, bkey FROM bands
+       |  JOIN bsz USING (band, bkey) WHERE bn > $DefaultBucketCap),
+       |reps AS (SELECT band, bkey, min(doc_id) AS rep FROM bbg
+       |  GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT DISTINCT da, db FROM (
+       |    SELECT a.doc_id AS da, b.doc_id AS db
+       |    FROM bsm a JOIN bsm b
+       |      ON a.band = b.band AND a.bkey = b.bkey
+       |        AND a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT r.rep AS da, g.doc_id AS db
+       |    FROM bbg g JOIN reps r
+       |      ON g.band = r.band AND g.bkey = r.bkey
+       |    WHERE g.doc_id <> r.rep)),
+       |est AS (
+       |  SELECT c.da, c.db, count(*) AS eq
+       |  FROM cands c
+       |  JOIN sigs x ON x.doc_id = c.da
+       |  JOIN sigs y ON y.doc_id = c.db AND y.j = x.j AND y.m = x.m
+       |  GROUP BY 1, 2)
+       |SELECT da, db,
+       |  round(eq / $MinHashFunctions.0, 4) AS est_jaccard
+       |FROM est WHERE eq / $MinHashFunctions.0 >= 0.5
+       |ORDER BY da, db""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d_minhash_lsh" -> minhashLshOracle,
     "d_embedding_dup_lsh" -> embDupLshOracle,
     "a_screen_drift" -> screenDriftOracle,
     "d_embedding_dup_mp" -> embDupMpOracle,

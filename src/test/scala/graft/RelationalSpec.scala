@@ -43,7 +43,9 @@ class RelationalSpec extends AnyFunSuite {
     // graduated to full oracles — signatures + bucket join (+ the
     // cappedPairs star replay for the dedup tier) + exact re-rank/
     // verify, hash-green at all three sf.
-    val rowsOnly = Set("d_minhash_lsh", "d_simhash",
+    // d_minhash_lsh left in round 16: md5-60-bit base + Carter–Wegman
+    // affine variants made the sketch engine-portable.
+    val rowsOnly = Set("d_simhash",
       "r_approx_distinct", "p_quality_gate_approx", "t_cms_freq",
       // The trainer tail left this list in round 10: t_bpe_merges /
       // t_bpe_encode replay training one merge per unrolled round
