@@ -268,11 +268,14 @@ object Fingerprints {
       .distinct()
   }
 
-  /** ENGINE-PORTABLE MinHash-LSH near-dup pairs — the oracle-backed
-    * member of the MinHash family (the fast [[minhashSignatures]] tier
-    * keeps its xxhash64-seeded signatures and recall spec; THIS tier
-    * trades hash throughput for cross-engine determinism, the same
-    * split as t_cms_freq / t_cms_portable): 16 hash functions are
+  /** ENGINE-PORTABLE MinHash-LSH near-dup pairs — the EXACT-VERIFIED
+    * member of the MinHash family. Since round 16 BOTH tiers are
+    * oracle-backed (the fast [[minhashSignatures]] tier graduated via
+    * the affine-mod-Mersenne family); the split that remains is
+    * shape + contract: the fast tier is one buffer-aggregate pass
+    * emitting ESTIMATES, this tier explodes 16 hash rows per distinct
+    * shingle and VERIFIES every candidate against exact Jaccard, so
+    * its emitted pairs are true ≥-threshold pairs: 16 hash functions are
     * 12-hex-char md5 prefixes under integer seeds, kept AS STRINGS so
     * "min" is lexicographic on lowercase hex — identical in any engine
     * with no hex→int conversion anywhere; signatures band 4×4; band
