@@ -53,11 +53,16 @@ object Bench {
     // default matches the build machine (local[32]); SPARK_GRAFT_CPUS
     // still overrides — measured 69s vs 102s for the sf0.1 suite
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // experiment hook (diagnostics only, round driver leaves it unset):
+    // SPARK_GRAFT_BENCH_CONF="k=v;k=v" extra session confs for A/B runs
+    sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach(_.split(";").foreach {
+      kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Uncounted warm-up: touch each table + one query per MACHINERY class

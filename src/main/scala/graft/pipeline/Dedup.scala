@@ -138,8 +138,14 @@ object Dedup {
         val ex = exploded.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         retain(ex)
+        // hot is persisted too (r16): it feeds the drop-count join AND
+        // the anti-join, and AQE does not reuse the duplicate df
+        // aggregation across consumers (ReuseCheck) — each consumer
+        // re-shuffled the full shingle cache. Rows = over-cap shingles
+        // only: tiny by construction at any corpus size.
         val hot = ex.groupBy("s").agg(count(lit(1)).as("dfc"))
-          .filter(col("dfc") > maxDf).select("s")
+          .filter(col("dfc") > maxDf).select("s").persist()
+        retain(hot)
         val drops = ex.join(hot, Seq("s"))
           .groupBy("doc_id").agg(count(lit(1)).as("dropped"))
         val szs = rawSizes.join(drops, Seq("doc_id"), "left")
@@ -210,8 +216,12 @@ object Dedup {
         val ex = exploded.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         retain(ex)
+        // hot persisted — same two-consumer rationale as
+        // [[jaccardPairsFrom]] (AQE does not reuse the duplicate df
+        // aggregation); over-cap shingles only, tiny at any scale
         val hot = ex.groupBy("s").agg(count(lit(1)).as("dfc"))
-          .filter(col("dfc") > maxDf).select("s")
+          .filter(col("dfc") > maxDf).select("s").persist()
+        retain(hot)
         val drops = ex.join(hot, Seq("s"))
           .groupBy("doc_id").agg(count(lit(1)).as("dropped"))
         val szs = rawSizes.join(drops, Seq("doc_id"), "left")
@@ -360,8 +370,9 @@ object Dedup {
       else {
         val ex = exploded.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // hot persisted — the jaccardPairsFrom two-consumer rationale
         val hot = ex.groupBy("s").agg(count(lit(1)).as("dfc"))
-          .filter(col("dfc") > maxDf).select("s")
+          .filter(col("dfc") > maxDf).select("s").persist()
         val drops = ex.join(hot, Seq("s"))
           .groupBy("doc_id").agg(count(lit(1)).as("dropped"))
         val szs = rawSizes.join(drops, Seq("doc_id"), "left")

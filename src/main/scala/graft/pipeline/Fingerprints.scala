@@ -105,7 +105,8 @@ object Fingerprints {
     */
   def cappedPairs(banded: DataFrame, bucketCols: Seq[String], idCol: String,
       cap: Int = -1, dedup: Boolean = true,
-      homeCol: Option[String] = None): DataFrame = {
+      homeCol: Option[String] = None,
+      retain: DataFrame => Unit = _ => ()): DataFrame = {
     // Config-exposed skew dial: explicit argument wins, then
     // `graft.lsh.bucketCap`, then [[DefaultBucketCap]] — the cap trades
     // recall (all-pairs inside a bucket) against the worst single-task
@@ -116,7 +117,21 @@ object Fingerprints {
         .map(_.toInt).getOrElse(DefaultBucketCap)
     val keys = bucketCols.map(col)
     val sizes = banded.groupBy(keys: _*).agg(count(lit(1)).as("bn"))
-    val withN = banded.join(sizes, bucketCols)
+    // PERSISTED seam (r16): the size-annotated frame feeds FOUR
+    // consumers (both sides of the small-bucket self-join, the star
+    // tier's rows, and its reps aggregation). The original comment here
+    // assumed AQE would reuse the sizes exchange across consumers;
+    // runtime profiling (ReuseCheck, r16) showed Spark 4.1 under AQE
+    // does NOT reuse structurally-identical stages across self-join
+    // sides, so each consumer re-evaluated `banded` and re-aggregated
+    // the bucket sizes. Rows are id + bucket keys + one long — narrow
+    // at any corpus size; lazy persist keeps lineage and evictability.
+    // `retain` hands the cache to a caller that manages release
+    // (EmbeddingDedupStream's per-micro-batch lifecycle); registered
+    // single-query callers keep the no-op (harness owns release).
+    val withN = banded.join(sizes, bucketCols).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retain(withN)
     val small = withN.filter(col("bn") <= effCap).drop("bn")
     val joinCond0 = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
@@ -191,11 +206,17 @@ object Fingerprints {
     */
   def minhashCandidates(signatures: DataFrame, threshold: Double,
       cap: Int = -1): DataFrame = {
+    // persisted (r16): the signature frame feeds the banding AND both
+    // estimate re-fetch joins, and AQE does not collapse the duplicate
+    // subtrees (ReuseCheck) — without the cache the full corpus
+    // md5+sketch aggregation pass ran once per consumer. One 128-byte
+    // array per doc; lazy, harness/caller owns release.
+    val sigsP = signatures.persist()
     // the band KEY is the raw signature slice (array<long> equality —
     // joins and shuffles hash arrays natively), not a hash of it: one
     // less seed-dependent step, and the oracle replays the slice as
     // `list(m ORDER BY j)` verbatim
-    val banded = signatures.select(col("doc_id"),
+    val banded = sigsP.select(col("doc_id"),
       explode(array((0 until Bands).map(b =>
         struct(lit(b).as("band"),
           slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)
@@ -203,9 +224,9 @@ object Fingerprints {
       .select(col("doc_id"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     cappedPairs(banded, Seq("band", "bkey"), "doc_id", cap)
-      .join(signatures.select(col("doc_id").as("da"), col("sig").as("siga")),
+      .join(sigsP.select(col("doc_id").as("da"), col("sig").as("siga")),
         col("ida") === col("da"))
-      .join(signatures.select(col("doc_id").as("db"), col("sig").as("sigb")),
+      .join(sigsP.select(col("doc_id").as("db"), col("sig").as("sigb")),
         col("idb") === col("db"))
       .select(col("da"), col("db"),
         (aggregate(zip_with(col("siga"), col("sigb"),
@@ -317,10 +338,17 @@ object Fingerprints {
       .select(col("s"), col("x.j").as("j"), col("x.h").as("h"))
     val sigs = sh.join(hs, "s")
       .groupBy("doc_id", "j").agg(min(col("h")).as("m"))
+    // the band frame feeds BOTH sides of the candidate self-join, and
+    // runtime profiling (r16) showed the whole shingle→16-md5→min-agg
+    // signature pipeline executing twice — AQE's stage reuse did not
+    // collapse the two structurally-identical subtrees. Persist per the
+    // diamond rule: 4 narrow rows/doc (band key + 4 hex12 strings),
+    // bounded at any corpus size; lazy, caller/harness owns release.
     val bands = sigs.withColumn("band", expr("j DIV 4"))
       .groupBy("doc_id", "band")
       .agg(sort_array(collect_list(struct(col("j"), col("m"))))
         .as("sig"))
+      .persist()
     val cands = bands
       .select(col("doc_id").as("da"), col("band"), col("sig"))
       .join(bands.select(col("doc_id").as("db"), col("band"),

@@ -110,8 +110,10 @@ object EmbeddingDedupStream {
     * executing the writes. `release()` undoes the builder's persists.
     */
   private[graft] final case class BatchPlan(b: DataFrame, bSigs: DataFrame,
-      iRel: DataFrame, drops: DataFrame) {
-    def release(): Unit = Seq(iRel, bSigs, b).foreach(_.unpersist())
+      iRel: DataFrame, drops: DataFrame,
+      seams: Seq[DataFrame] = Nil) {
+    def release(): Unit =
+      (seams ++ Seq(iRel, bSigs, b)).foreach(_.unpersist())
   }
 
   /** One micro-batch. Public so the batch tier (and the spec) can drive
@@ -286,8 +288,13 @@ object EmbeddingDedupStream {
     // batch-internal candidates: the batch tier's exact machinery
     // (home-or-home pair rule, star above the cap), larger id drops;
     // same optional screen ahead of the vector fetches
+    // the cappedPairs seam cache is batch-scoped: collect it so
+    // BatchPlan.release() drops it at the end of the micro-batch
+    // (a leaked per-batch persist would accumulate forever here)
+    val seams = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val intraCand = Fingerprints.cappedPairs(bSigs, Seq("t", "sig"),
-      "vec_id", cap = cap, dedup = false, homeCol = Some("home"))
+      "vec_id", cap = cap, dedup = false, homeCol = Some("home"),
+      retain = seams += _)
     val screenedIntra = maxHam match {
       case None => intraCand
       case Some(mh) =>
@@ -310,7 +317,7 @@ object EmbeddingDedupStream {
       .select(col("idb").as("vec_id"))
 
     BatchPlan(b, bSigs, iRel,
-      crossDrops.union(intraDrops).distinct())
+      crossDrops.union(intraDrops).distinct(), seams.toSeq)
   }
 
   /** Compact the index: fold every `sigs`/`vecs` partition STRICTLY
