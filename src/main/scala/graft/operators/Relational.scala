@@ -383,7 +383,13 @@ object Relational {
     // column, so profiling n columns never costs n scans. All-null and
     // null-mixed columns are synthesized to pin the null accounting.
     "r_profile" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
+      // spread the scan (r16): the profile's map side is Expand ×
+      // (|distinct cols| + 1) + per-column partial aggregates — CPU-
+      // dense work that otherwise runs on the input's split count (the
+      // fixture parquet is one row group = ONE task; measured 2.3 s
+      // wall on 5.2 s of single-task CPU). No-op once the input has
+      // splits (the spread guard), i.e. always at real scale.
+      val li = Tables.spread(Tables.lineitem(s, d))
         .withColumn("qty_or_null",
           when(col("l_orderkey") % 3 === 0, col("l_quantity")))
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount",

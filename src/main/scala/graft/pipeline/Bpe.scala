@@ -20,9 +20,13 @@ import graft.Tables
   * shuffle), a 1-row argmax to the driver (deterministic tie-break:
   * count desc, then pair lexicographic), and a per-row fold that
   * rewrites each word's symbol array greedily left-to-right —
-  * non-overlapping, the classic BPE application order. The vocabulary
-  * is re-persisted per round and the lineage truncated, the same
-  * iterative-DataFrame discipline as [[Dedup.dupClusters]].
+  * non-overlapping, the classic BPE application order. The base symbol
+  * state is persisted ONCE and each round's vocabulary view composes
+  * the accepted merges as a fold-chain expression over it (the
+  * [[encode]] shape) — r16 replaced the earlier per-round eager
+  * localCheckpoint, whose materialization job per round dominated the
+  * trainer's wall at fixture scale; the fold's |vocab|·|merges| CPU is
+  * the fixed cost class encode already pays.
   *
   * Oracle-backed since round 10 (the doremi unrolled-CTE discipline):
   * the DuckDB twin replays the training loop one merge per round —
@@ -83,14 +87,23 @@ object Bpe {
     */
   def learnMerges(vocab0: DataFrame, nMerges: Int): Seq[(Int, String,
       String, Long)] = {
-    var vocab = vocab0
+    // ONE persisted base state; each round folds the accepted merges so
+    // far as a composed expression over it (the [[encode]] shape) —
+    // r16: the per-round eager localCheckpoint materialization cost a
+    // full vocabulary job + AQE stages per round for a frame that the
+    // next round's pair count can fold through in-stream; the re-applied
+    // fold is the fixed |vocab|·|merges| CPU class encode already pays.
+    val base = vocab0
       .select(col("freq"), split(col("w"), "").as("sym"))
       .persist()
-    vocab.count()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     while (merges.size < nMerges) {
       val batchCap = math.min(nMerges - merges.size, 16)
+      val symNow = merges.foldLeft(col("sym")) {
+        case (c, (_, a, b, _)) => applyMerge(c, a, b)
+      }
+      val vocab = base.select(col("freq"), symNow.as("sym"))
       val pairs = vocab.select(col("freq"), explode(zip_with(
           slice(col("sym"), lit(1), size(col("sym")) - 1),
           slice(col("sym"), lit(2), size(col("sym")) - 1),
@@ -105,7 +118,7 @@ object Bpe {
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(batchCap + 1).collect()
       if (top.isEmpty) {
-        vocab.unpersist(); return merges.toSeq
+        base.unpersist(); return merges.toSeq
       }
       // maximal mutually-disjoint prefix; S carries {a, b, a+b} per
       // accepted pair so later candidates reject both shared symbols
@@ -129,18 +142,11 @@ object Bpe {
       accepted.foreach { case (a, b, c) =>
         merges += ((merges.size + 1, a, b, c))
       }
-      // one fold per accepted merge, composed in rank order — exactly
-      // the sequential application — then ONE checkpoint per round
-      val folded = accepted.foldLeft(col("sym")) {
-        case (sym, (a, b, _)) => applyMerge(sym, a, b)
-      }
-      val next = vocab
-        .select(col("freq"), folded.as("sym"))
-        .localCheckpoint(true) // truncate the per-round fold lineage
-      vocab.unpersist()
-      vocab = next
+      // the accepted merges enter `merges`, so the NEXT round's symNow
+      // fold applies them in rank order — exactly the sequential
+      // application, composed instead of checkpointed
     }
-    vocab.unpersist()
+    base.unpersist()
     merges.toSeq
   }
 

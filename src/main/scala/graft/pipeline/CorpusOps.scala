@@ -355,8 +355,11 @@ object CorpusOps {
       val rateCol = domains.foldLeft(lit(0L)) { (acc0, dm) =>
         when(col("source") === dm, lit(rate(dm))).otherwise(acc0) }
       val inSample = col(s"h$r") * lit(1000000L) < rateCol * lit(1048576L)
+      // uni persisted per round (r16): it feeds the vocabulary-size
+      // count AND the CE join, and AQE does not reuse the duplicate
+      // aggregation (ReuseCheck) — sampled-vocab-sized, released below
       val uni = tok.filter(inSample)
-        .groupBy("w1").agg(count(lit(1)).as("c1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1")).persist()
       val big = bi.filter(inSample)
         .groupBy("b").agg(count(lit(1)).as("c2"))
       val vdf = uni.agg(count(lit(1)).as("vsz"))
@@ -376,6 +379,7 @@ object CorpusOps {
         .agg(sum(col("ce4")).as("s"), count(lit(1)).as("n"))
         .collect().map(x => x.getString(0) ->
           (x.getLong(1), x.getLong(2))).toMap
+      uni.unpersist()
       // domain mean CE on the 1e-6 grid, baseline = cross-domain mean —
       // all floor-divisions over non-negative integers (Scala / = SQL //)
       val dceU = domains.map { d =>

@@ -90,8 +90,13 @@ object Dedup {
     val spreadDocs = graft.Tables.spread(docs) // small-file parallelism
     val exploded = spreadDocs
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("s"))
-    val rawSizes = spreadDocs.select(col("doc_id"),
-      size(shingleHashes(col("text"))).cast("long").as("n0"))
+    // sizes from the exploded frame (count ≡ size: shingleHashes is
+    // array_distinct'd; zero-shingle docs drop out, but sizes only meet
+    // pairs through inner joins on paired ids) — under a cap the seam
+    // persists `exploded`, so this reads the cache instead of paying
+    // the split+hash CPU a second time (r16)
+    val rawSizes = exploded.groupBy("doc_id")
+      .agg(count(lit(1)).as("n0"))
     jaccardPairsFrom(exploded, rawSizes, threshold, maxDf)
   }
 
@@ -191,8 +196,9 @@ object Dedup {
     val spreadDocs = graft.Tables.spread(docs)
     val exploded = spreadDocs
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("s"))
-    val rawSizes = spreadDocs.select(col("doc_id"),
-      size(shingleHashes(col("text"))).cast("long").as("n0"))
+    // sizes from the exploded frame — see [[jaccardPairs]] (r16)
+    val rawSizes = exploded.groupBy("doc_id")
+      .agg(count(lit(1)).as("n0"))
     containmentPairsFrom(exploded, rawSizes, pct, maxDf, minShingles)
   }
 
@@ -357,8 +363,9 @@ object Dedup {
     val exploded = tagged
       .select(col("doc_id"), col("is_new"),
         explode(shingleHashes(col("text"))).as("s"))
-    val rawSizes = tagged.select(col("doc_id"),
-      size(shingleHashes(col("text"))).cast("long").as("n0"))
+    // sizes from the exploded frame — see [[jaccardPairs]] (r16)
+    val rawSizes = exploded.groupBy("doc_id")
+      .agg(count(lit(1)).as("n0"))
     // df FIRST, hot rows dropped BEFORE collect_list — same memory-bound
     // rationale as jaccardPairs: a hot shingle's posting list must never
     // materialize in an aggregation buffer just to be discarded. Same
@@ -754,14 +761,27 @@ object Dedup {
             transform(sequence(lit(1), lit(40)), k =>
               concat(lit("w"), col("doc_id"), lit("x"), k))))
             .as("text")))
+      // the 3-branch union stacks 3× the spread width in mostly-empty
+      // partitions (two branches hold ≤50 docs each); coalesce back to
+      // the raw width — narrow (no shuffle), and every downstream job
+      // over the cache schedules ⅓ the tasks (r16: ~30 jobs read this
+      // cache). At scale raw's own width dominates and nothing shrinks.
+      .coalesce(math.max(raw.rdd.getNumPartitions,
+        spark.sparkContext.defaultParallelism))
       .persist()
     val keep1 = base.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val s1 = base.join(keep1, Seq("doc_id"), "left_semi").persist()
     val ex1 = s1.select(col("doc_id"),
       explode(shingleHashes(col("text"))).as("s")).persist()
-    val sz1 = s1.select(col("doc_id"),
-      size(shingleHashes(col("text"))).cast("long").as("n0")).persist()
+    // per-doc shingle counts from the exploded CACHE, not a second
+    // size(shingleHashes(text)) pass over s1 — the explode already paid
+    // the split+hash CPU once (r16; the two agree because shingleHashes
+    // is array_distinct'd, and zero-shingle docs — absent here, present
+    // as 0 before — only ever meet the pair frames through INNER joins
+    // on paired ids, which zero-shingle docs cannot be)
+    val sz1 = ex1.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n0")).persist()
     // the seams persist frames of their own (drop-adjusted sizes, the
     // semi-joined shingle frame) — collect them for release below, or
     // they outlive the report (the round-12 advice leak; harness

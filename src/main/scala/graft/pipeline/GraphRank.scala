@@ -61,12 +61,47 @@ object GraphRank {
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 10,
       d: Double = 0.85): DataFrame = {
+    val spark = nodes.sparkSession
     val nNodes = nodes.count()
     val base = (1.0 - d) / nNodes
     val outW = edges.groupBy("src").agg(sum(col("w")).as("ow"))
     val contribEdges = edges.join(outW, Seq("src"))
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("frac"))
-      .localCheckpoint(true)
+      .persist()
+    // Size-gated driver fast path — the [[Dedup.dupClusters]] rule
+    // applied to power iteration (r16): each synchronous round costs a
+    // join + aggregate + checkpoint job over a NODE-sized frame, so a
+    // source graph (nodes and edges bounded by |sources|², thousands at
+    // any corpus size) pays 10 rounds of pure job overhead for driver-
+    // trivial arithmetic. Graphs above the gate (or non-string node
+    // ids) take the distributed path unchanged; GraphRankSpec pins both
+    // paths to the same in-memory reference. The gate count doubles as
+    // the distributed path's materialization of the reused edge frame.
+    val maxEdges = spark.conf.getOption("graft.graph.driverMaxEdges")
+      .map(_.toLong).getOrElse(1L << 20)
+    val strIds = (nodes.schema.fields.head.dataType ==
+      org.apache.spark.sql.types.StringType) &&
+      edges.schema("src").dataType ==
+        org.apache.spark.sql.types.StringType &&
+      edges.schema("dst").dataType ==
+        org.apache.spark.sql.types.StringType
+    val eCnt = contribEdges.count()
+    if (strIds && eCnt <= maxEdges && nNodes <= maxEdges) {
+      import spark.implicits._
+      val es = contribEdges
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      contribEdges.unpersist()
+      val ns = nodes.collect().map(_.getString(0))
+      var r = ns.map(_ -> 1.0 / nNodes).toMap
+      for (_ <- 1 to iters) {
+        val in = scala.collection.mutable.Map.empty[String, Double]
+        es.foreach { case (s, t, frac) =>
+          in(t) = in.getOrElse(t, 0.0) + r(s) * frac
+        }
+        r = ns.map(x => x -> (base + d * in.getOrElse(x, 0.0))).toMap
+      }
+      return ns.toSeq.map(x => (x, r(x))).toDF("node", "rank")
+    }
     var ranks = nodes.select(col("node"),
       lit(1.0 / nNodes).as("rank")).localCheckpoint(true)
     for (_ <- 1 to iters) {
@@ -82,6 +117,7 @@ object GraphRank {
           (lit(base) + lit(d) * coalesce(col("ic"), lit(0.0))).as("rank"))
         .localCheckpoint(true)
     }
+    contribEdges.unpersist()
     ranks
   }
 

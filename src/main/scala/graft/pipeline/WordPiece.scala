@@ -87,10 +87,18 @@ object WordPiece {
     */
   def learnMerges(vocab0: DataFrame,
       nMerges: Int): Seq[(Int, String, String, Long, Long)] = {
-    var vocab = vocab0
+    // ONE persisted base state; each round's vocabulary view folds the
+    // accepted merges so far as a COMPOSED EXPRESSION over it (exactly
+    // the [[encode]] shape) instead of re-materializing the vocabulary
+    // per round with an eager localCheckpoint. r16 profiling: the
+    // checkpoint job + its AQE stages made each round ~11 Spark jobs
+    // for a vocabulary-sized frame; the fold-chain view needs ~half —
+    // the re-applied fold per round is CPU over distinct words, the
+    // same fixed |vocab|·|merges| cost class encode already pays.
+    val base = vocab0
       .select(col("freq"), initialSymbols(col("w")).as("sym"))
       .persist()
-    val mass = vocab.select(
+    val mass = base.select(
       coalesce(sum(col("freq") * size(col("sym"))), lit(0L))
         .cast("long").as("m"))
       .collect()(0).getLong(0)
@@ -101,6 +109,11 @@ object WordPiece {
       .empty[(Int, String, String, Long, Long)]
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {
+      val symNow = merges.foldLeft(col("sym")) {
+        case (c, (_, a, b, _, _)) =>
+          applyMergeAs(c, a, b, a + b.stripPrefix("##"))
+      }
+      val vocab = base.select(col("freq"), symNow.as("sym"))
       // ONE vocabulary pass feeds both statistics: every position i is
       // emitted exactly once as (sym_i, sym_{i+1} | NULL-at-the-end), so
       // the (a, b) count frame holds the pair counts (b non-null) AND
@@ -134,20 +147,11 @@ object WordPiece {
       if (top.isEmpty) exhausted = true
       else {
         val r = top(0)
-        val (a, b) = (r.getString(0), r.getString(1))
-        val cnt = r.getLong(2)
-        val score = r.getLong(3)
-        val merged = a + b.stripPrefix("##")
-        merges += ((merges.size + 1, a, b, cnt, score))
-        val next = vocab
-          .select(col("freq"),
-            applyMergeAs(col("sym"), a, b, merged).as("sym"))
-          .localCheckpoint(true)
-        vocab.unpersist()
-        vocab = next
+        merges += ((merges.size + 1, r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3)))
       }
     }
-    vocab.unpersist()
+    base.unpersist()
     merges.toSeq
   }
 
