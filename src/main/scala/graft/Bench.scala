@@ -56,6 +56,18 @@ object Bench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing keeps parallelismFirst (its default): target
+      // post-shuffle partition size = max(totalBytes/parallelism,
+      // minPartitionSize). The 1 MB default floor serializes CPU-DENSE
+      // small-byte stages — this workload's md5-per-distinct-shingle
+      // joins pack ~3 s of CPU into 1 MB of compact rows, and the floor
+      // coalesced them to 3 tasks on 32 cores (measured: d_minhash_
+      // portable 3.5 -> 2.4 s at 128k, r16). 128k only changes behavior
+      // when a shuffle's TOTAL bytes < parallelism x 128k; at
+      // production scale the bytes/parallelism term dominates and the
+      // floor never binds. Env-overridable for A/B.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "128k"))
       .config("spark.ui.enabled", "false")
     // experiment hook (diagnostics only, round driver leaves it unset):
     // SPARK_GRAFT_BENCH_CONF="k=v;k=v" extra session confs for A/B runs

@@ -17,6 +17,9 @@ object JobProfile {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // mirror Bench's session so profiles reflect bench conditions
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "128k"))
       .config("spark.ui.enabled", "false")
     // experiment knob: SPARK_GRAFT_PROF_CONF="k=v;k=v" extra confs
     sys.env.get("SPARK_GRAFT_PROF_CONF").foreach(_.split(";").foreach { kv =>
