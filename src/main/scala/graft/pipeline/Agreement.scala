@@ -172,8 +172,19 @@ object Agreement {
     // available for offline audits but is deliberately not registered.
     "a_capped_pair_drift" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      pairDrift(Dedup.prefixJaccardPairs(docs, 0.8),
-          Dedup.jaccardPairs(docs, 0.8, maxDf = 2))
+      // ONE shingle explode feeds BOTH tiers through their From-seams
+      // (r16): the exact prefix tier and the capped tier each shingled
+      // the corpus independently — a full split+hash pass per tier plus
+      // two separate caches of the identical frame. Sizes derive from
+      // the shared cache (the jaccardPairs count≡size argument).
+      val exploded = Tables.spread(docs)
+        .select(col("doc_id"),
+          explode(Dedup.shingleHashes(col("text"))).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rawSizes = exploded.groupBy("doc_id")
+        .agg(count(lit(1)).as("n0"))
+      pairDrift(Dedup.prefixJaccardPairsFrom(exploded, 0.8),
+          Dedup.jaccardPairsFrom(exploded, rawSizes, 0.8, maxDf = 2))
         .orderBy("da", "db", "side")
     },
     // Cross-source contamination matrix: for every source pair, how many

@@ -335,6 +335,13 @@ object CorpusOps {
     // sample's bigrams from the sampled docs — a doc's bigrams are a
     // function of the doc alone)
     val t = toks(col("text"))
+    // both frames are persisted PRE-PARTITIONED on their per-round
+    // aggregation/join key (r16): InMemoryTableScan preserves the
+    // cached child's hash partitioning, so each round's `big`/`uni`
+    // aggregation AND the CE join's bigram side read the cache with NO
+    // exchange — the round loop re-shuffled the corpus-sized bigram
+    // frame on `b` every round (3 rounds × 2 consumers). One shuffle at
+    // materialization, amortized over all rounds.
     val bi = withH.select(col("doc_id") +: col("source") +:
         explode(zip_with(slice(t, lit(1), size(t) - 1),
           slice(t, lit(2), size(t) - 1),
@@ -342,9 +349,12 @@ object CorpusOps {
           .as("z") +: hCols: _*)
       .select(col("doc_id") +: col("source") +: col("z.w1").as("w1") +:
         col("z.b").as("b") +: hCols: _*)
+      .repartition(col("b"))
       .persist()
     val tok = withH.select(col("doc_id") +: col("source") +:
-      explode(t).as("w1") +: hCols: _*).persist()
+      explode(t).as("w1") +: hCols: _*)
+      .repartition(col("w1"))
+      .persist()
     // uniform start, rounded UP so the first round's rate saturates at
     // 1.0 exactly (full-sample first round, as in the paper's init)
     var w = domains.map(_ -> (1000000L + ndom - 1L) / ndom).toMap

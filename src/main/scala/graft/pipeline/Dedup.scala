@@ -298,10 +298,6 @@ object Dedup {
     * final Jaccard filter decides membership.
     */
   def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold=$threshold: prefix length n - ceil(t*n) + 1 needs " +
-        "0 < t <= 1 (t = 0 degenerates to all-pairs)")
-    def safeCeil(x: Column): Column = ceil(x - lit(1e-9))
     val spreadDocs = graft.Tables.spread(docs)
     // diamond persists: the shingle frame feeds the df count AND the
     // ordering join; the ordered per-doc arrays feed the prefix explode
@@ -311,6 +307,20 @@ object Dedup {
     val exploded = spreadDocs
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prefixJaccardPairsFrom(exploded, threshold)
+  }
+
+  /** [[prefixJaccardPairs]] over a PRE-COMPUTED (and caller-persisted)
+    * (doc_id, s) shingle frame — the [[jaccardPairsFrom]] seam, so an
+    * audit running the prefix-exact tier NEXT TO the capped tier
+    * (a_capped_pair_drift) shingles the corpus once, not per tier (r16).
+    */
+  private[pipeline] def prefixJaccardPairsFrom(exploded: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold: prefix length n - ceil(t*n) + 1 needs " +
+        "0 < t <= 1 (t = 0 degenerates to all-pairs)")
+    def safeCeil(x: Column): Column = ceil(x - lit(1e-9))
     val dfc = exploded.groupBy("s").agg(count(lit(1)).as("dfc"))
     // per-doc shingles sorted by the global (df, hash) order; struct
     // sort is lexicographic by field position, and the hash tiebreak
@@ -322,10 +332,14 @@ object Dedup {
         transform(col("p"), x => x.getField("s")).as("os"),
         size(col("p")).cast("long").as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prefixes persisted (r16): both self-join sides consume it, and
+    // AQE does not reuse the duplicate explode-over-cache subtrees
+    // (ReuseCheck); rows ≈ (1−t)·shingle mass, narrow (two longs + id)
     val prefixes = ordered.select(col("doc_id"), col("n"),
       explode(slice(col("os"), lit(1),
         (col("n") - safeCeil(lit(threshold) * col("n")) + 1)
           .cast("int"))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = prefixes.as("a").join(prefixes.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")) >=

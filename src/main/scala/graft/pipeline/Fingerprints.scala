@@ -473,7 +473,11 @@ object Fingerprints {
     // same 16-byte/doc persist as simhashPortablePairs — here the
     // diamond is even wider (two candidate tiers + verify; 4.7 → 2.1 s)
     val f = simhashPortableFingerprints(docs).persist()
-    val banded = simhashBands(f)
+    // banded persisted too (r16): FOUR consumers (uncapped self-join
+    // ×2, cappedPairs' size agg + join) each re-ran the band explode
+    // over the fingerprint cache — AQE does not collapse the duplicate
+    // subtrees (ReuseCheck); 4 narrow rows/doc
+    val banded = simhashBands(f).persist()
     val uncapped = banded.select(col("doc_id").as("da"),
         col("band"), col("bkey"))
       .join(banded.select(col("doc_id").as("db"), col("band"),

@@ -129,8 +129,11 @@ object WordPiece {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
         .persist()
+      // uni persisted (r16): BOTH score-join broadcasts build from it,
+      // and AQE does not reuse the duplicate aggregation (ReuseCheck);
+      // symbol-alphabet-sized, released with pc below
       val uni = pc.groupBy("a").agg(sum(col("cnt")).as("c"))
-        .select(col("a").as("s"), col("c"))
+        .select(col("a").as("s"), col("c")).persist()
       // the unigram table is symbol-alphabet-sized (a few thousand rows
       // at any corpus size) — broadcast both sides of the score join so
       // the argmax plan is one shuffle (the pair count), not three
@@ -143,6 +146,7 @@ object WordPiece {
           expr(s"cnt * $Grid DIV (ca * cb)").as("score"))
         .orderBy(col("score").desc, col("cnt").desc, col("a"), col("b"))
         .limit(1).collect()
+      uni.unpersist()
       pc.unpersist()
       if (top.isEmpty) exhausted = true
       else {
