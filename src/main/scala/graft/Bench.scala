@@ -68,6 +68,17 @@ object Bench {
       // floor never binds. Env-overridable for A/B.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "128k"))
+      // Size the whole-stage-codegen CLASS cache to the workload, like
+      // ReservedCodeCacheSize in build.sbt sizes the JIT cache: the
+      // default is an LRU of 100 compiled classes, and this registry's
+      // 258 queries × several codegen units evict EVERYTHING between
+      // bench passes, so every sample of every query re-runs janino on
+      // all its units. Measured on a 20-query subset (two back-to-back
+      // full runs): 74.7 s → 52.4 s. Static conf — must be set before
+      // the session exists. ~8k entries ≈ a few hundred MB of class
+      // metadata, covered by the 16g driver heap.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .config("spark.ui.enabled", "false")
     // experiment hook (diagnostics only, round driver leaves it unset):
     // SPARK_GRAFT_BENCH_CONF="k=v;k=v" extra session confs for A/B runs

@@ -20,6 +20,8 @@ object JobProfile {
       // mirror Bench's session so profiles reflect bench conditions
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "128k"))
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .config("spark.ui.enabled", "false")
     // experiment knob: SPARK_GRAFT_PROF_CONF="k=v;k=v" extra confs
     sys.env.get("SPARK_GRAFT_PROF_CONF").foreach(_.split(";").foreach { kv =>
