@@ -42,6 +42,113 @@ import graft.Tables
 object Bpe {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Binary string order for driver-side tie-breaks: unsigned UTF-8
+    * byte comparison — the order Spark's UTF8String comparisons (and
+    * DuckDB varchar ORDER BY) use. `String.compareTo` is UTF-16
+    * code-unit order, which diverges on supplementary characters; the
+    * driver fast paths must rank pair/piece literals exactly as the
+    * distributed argmax would.
+    */
+  private[pipeline] object Utf8Order extends Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
+
+  /** Driver fast-path gate shared by the three tokenizer trainers: a
+    * vocabulary at or under this many distinct words is collected once
+    * and the merge/EM loop runs locally (the [[GraphRank.pageRank]] /
+    * [[Dedup.dupClusters]] size-gate rule applied to trainer loops —
+    * every statistic the loops compute is vocabulary-sized by design,
+    * so each driver round was paying multiple whole Spark jobs of pure
+    * scheduling/planning overhead for alphabet-bounded arithmetic).
+    * 2²⁰ rows ≈ tens of MB of (word, freq) — the broadcast size class.
+    * Above the gate the distributed rounds run unchanged.
+    */
+  private[pipeline] def driverMaxVocab(spark: SparkSession): Int =
+    math.min(spark.conf.getOption("graft.tokenizer.driverMaxVocab")
+      .map(_.toLong).getOrElse(1L << 20), (Int.MaxValue - 2).toLong).toInt
+
+  /** Collect `vocab0` (w, freq) when it is at or under `gate` rows;
+    * None when it exceeds the gate (one truncated collect wasted — the
+    * fallback is the rare case, and at real scale the gate conf is an
+    * explicit dial). Null words are dropped: the distributed pair
+    * counts ignore them (null symbol arrays explode to nothing).
+    */
+  private[pipeline] def collectVocab(vocab0: DataFrame,
+      gate: Int): Option[Array[(String, Long)]] = {
+    import org.apache.spark.sql.functions.col
+    val rows = vocab0
+      .select(col("w").cast("string"), col("freq").cast("long"))
+      .limit(gate + 1).collect()
+    if (rows.length > gate) None
+    else Some(rows.iterator.filter(!_.isNullAt(0))
+      .map(r => (r.getString(0), r.getLong(1))).toArray)
+  }
+
+  /** The sequential trainer on the collected vocabulary — the same
+    * greedy algorithm as the distributed rounds (BpeSpec's independent
+    * reference, promoted): per rank one frequency-weighted adjacent
+    * pair count, argmax (count desc, then pair in binary UTF-8 order —
+    * the distributed tie-break), then the greedy non-overlapping merge
+    * application. Identical output by the [[learnMerges]] batching
+    * proof run at batch size 1.
+    */
+  private def learnMergesLocal(vocab: Array[(String, Long)],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var syms: Map[Vector[String], Long] = vocab.iterator
+      .map { case (w, f) => (w.split("").toVector, f) }
+      .toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var rank = 1
+    while (rank <= nMerges) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      for ((s, f) <- syms) {
+        var i = 0
+        while (i + 1 < s.length) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) return out.toSeq
+      var bA: String = null; var bB: String = null; var bC = 0L
+      for (((a, b), c) <- counts) {
+        val better = bA == null || c > bC || (c == bC && {
+          val ca = Utf8Order.compare(a, bA)
+          ca < 0 || (ca == 0 && Utf8Order.compare(b, bB) < 0)
+        })
+        if (better) { bA = a; bB = b; bC = c }
+      }
+      out += ((rank, bA, bB, bC))
+      val (a, b) = (bA, bB)
+      def apply1(s: Vector[String]): Vector[String] = {
+        val r = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+            r += (a + b); i += 2
+          } else { r += s(i); i += 1 }
+        }
+        r.result()
+      }
+      syms = syms.toSeq.groupMapReduce { case (s, _) => apply1(s) }(_._2)(_ + _)
+      rank += 1
+    }
+    out.toSeq
+  }
+
   /** Greedy left-to-right single-merge application: adjacent (a, b)
     * becomes the concatenated symbol; a merged symbol is never re-used
     * as the LEFT side within the same scan (non-overlapping), matching
@@ -87,6 +194,18 @@ object Bpe {
     */
   def learnMerges(vocab0: DataFrame, nMerges: Int): Seq[(Int, String,
       String, Long)] = {
+    // Size-gated driver fast path (r17): the whole merge loop is
+    // vocabulary-sized arithmetic, so under the gate ONE collect
+    // replaces ~a Spark job per batch round (pair count + argmax each
+    // round, plus the persisted base materialization). Sequential
+    // application is output-identical to the batched rounds by the
+    // batching proof below (the batch is constructed to reproduce the
+    // one-at-a-time table); BpeSpec pins both paths to the same
+    // reference. Above the gate the distributed rounds run unchanged.
+    collectVocab(vocab0, driverMaxVocab(vocab0.sparkSession)) match {
+      case Some(v) => return learnMergesLocal(v, nMerges)
+      case None => ()
+    }
     // ONE persisted base state; each round folds the accepted merges so
     // far as a composed expression over it (the [[encode]] shape) —
     // r16: the per-round eager localCheckpoint materialization cost a

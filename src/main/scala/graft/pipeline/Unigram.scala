@@ -98,6 +98,60 @@ object Unigram {
     stack.toSeq // top of stack = first piece: already in word order
   }
 
+  /** The sequential trainer on the collected capped vocabulary (driver
+    * fast path): the same seed statistics (substring mass computed on
+    * code-point boundaries, exactly like Spark's substr/length), the
+    * same (count desc, piece asc in binary UTF-8 order) candidate
+    * ranking, and the SAME [[viterbi]]/[[scoreMicro]] functions the
+    * distributed E-step maps over its rows — the arithmetic is shared,
+    * only the scheduling differs. The M-step mirrors the distributed
+    * path's driver code verbatim (including its UTF-16 `p.length == 1`
+    * char test — char pieces are single code points on this corpus
+    * either way, and exactness to the existing path is the contract).
+    */
+  private def trainLocal(words: Array[(String, Long)], vocabSize: Int,
+      rounds: Int, maxPieceLen: Int): Seq[(String, Long)] = {
+    val occ = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, f) <- words) {
+      // code-point alphabet, matching Spark's substr(st+1, ln) walk
+      val cps = w.codePoints().toArray
+      var st = 0
+      while (st < cps.length) {
+        val maxLn = math.min(maxPieceLen, cps.length - st)
+        var ln = 1
+        while (ln <= maxLn) {
+          val p = new String(cps, st, ln)
+          occ.update(p, occ.getOrElse(p, 0L) + f)
+          ln += 1
+        }
+        st += 1
+      }
+    }
+    def cpLen(p: String): Int = p.codePointCount(0, p.length)
+    val chars = occ.iterator.filter(e => cpLen(e._1) == 1).toArray
+      .sortBy(_._1)(Bpe.Utf8Order)
+    val multi = occ.iterator.filter(e => cpLen(e._1) > 1).toArray
+      .sortBy { case (p, c) => (c, p) }(
+        Ordering.Tuple2(Ordering.Long.reverse, Bpe.Utf8Order))
+      .take(math.max(0, vocabSize - chars.length))
+    var table: Seq[(String, Long)] = (chars ++ multi).toSeq
+    for (_ <- 1 to rounds) {
+      val total = math.max(1L, table.map(_._2).sum)
+      val score = table.collect { case (p, c) if c > 0 =>
+        p -> scoreMicro(c, total) }.toMap
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, f) <- words; p <- viterbi(w, score, maxPieceLen))
+        counts.update(p, counts.getOrElse(p, 0L) + f)
+      table = table.flatMap { case (p, _) =>
+        counts.get(p) match {
+          case Some(c) => Some(p -> c)
+          case None => if (p.length == 1) Some(p -> 0L) else None
+        }
+      }
+    }
+    table
+  }
+
   /** Train the piece table: seed from frequency-weighted substring
     * occurrences (all single chars + the top multi-char candidates by
     * (count desc, piece asc) up to `vocabSize`), then `rounds` hard-EM
@@ -110,6 +164,21 @@ object Unigram {
       : Seq[(String, Long)] = {
     val spark = vocab.sparkSession
     import spark.implicits._
+    // Size-gated driver fast path (r17, the [[Bpe.learnMerges]] rule):
+    // under the gate ONE collect of the length-capped vocabulary feeds
+    // the identical seed + hard-EM loop locally — the distributed path
+    // paid the words persist/count, two seed collects and one E-step
+    // job per round for vocabulary-bounded arithmetic. UnigramSpec
+    // pins both paths to the same sequential reference; above the gate
+    // the distributed rounds run unchanged.
+    Bpe.collectVocab(
+      vocab.select(col("w"), col("freq"))
+        .filter(length(col("w")).between(1, maxWordLen)),
+      Bpe.driverMaxVocab(spark)) match {
+      case Some(ws) =>
+        return trainLocal(ws, vocabSize, rounds, maxPieceLen)
+      case None => ()
+    }
     val words = vocab.select(col("w"), col("freq"))
       .filter(length(col("w")).between(1, maxWordLen))
       .as[(String, Long)].persist()

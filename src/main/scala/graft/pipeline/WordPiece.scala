@@ -80,6 +80,89 @@ object WordPiece {
       when(i === 1, c).otherwise(concat(lit("##"), c)))
   }
 
+  /** The sequential trainer on the collected vocabulary (the driver
+    * fast path's loop — WordPieceSpec's independent reference,
+    * promoted): one merge per round, exactly the distributed
+    * round's statistics. Unigram counts are "every occurrence is
+    * someone's left exactly once" (the same single-pass accounting as
+    * the distributed pc frame: the last position's pair is (sym, null)
+    * and feeds only the unigram side); score is the identical
+    * cnt·10⁹ DIV (cₐ·c_b) integer grid (all operands positive, so
+    * Long `/` truncation ≡ Spark's DIV); tie-break score desc, count
+    * desc, then pair in binary UTF-8 order.
+    */
+  private def learnMergesLocal(vocab: Array[(String, Long)],
+      nMerges: Int): Seq[(Int, String, String, Long, Long)] = {
+    def init(w: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val n = Character.charCount(cp)
+        b += (if (i == 0) w.substring(0, n)
+        else "##" + w.substring(i, i + n))
+        i += n
+      }
+      b.result()
+    }
+    var syms: Map[Vector[String], Long] = vocab.iterator
+      .map { case (w, f) => (init(w), f) }
+      .toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+    val mass = syms.iterator.map { case (s, f) => f * s.length }.sum
+    require(mass <= 2000000000L,
+      s"$mass weighted symbols: cnt·10⁹ and cₐ·c_b must stay under " +
+        "2⁶³ — train on a deterministic sample or coarsen the grid")
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long)]
+    var exhausted = false
+    while (out.size < nMerges && !exhausted) {
+      val pairCnt = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      val uniCnt = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((s, f) <- syms) {
+        var i = 0
+        while (i < s.length) {
+          uniCnt.update(s(i), uniCnt.getOrElse(s(i), 0L) + f)
+          if (i + 1 < s.length) {
+            val k = (s(i), s(i + 1))
+            pairCnt.update(k, pairCnt.getOrElse(k, 0L) + f)
+          }
+          i += 1
+        }
+      }
+      if (pairCnt.isEmpty) exhausted = true
+      else {
+        var bA: String = null; var bB: String = null
+        var bC = 0L; var bS = 0L
+        for (((a, b), c) <- pairCnt) {
+          val s = c * Grid / (uniCnt(a) * uniCnt(b))
+          val better = bA == null || s > bS || (s == bS && (c > bC ||
+            (c == bC && {
+              val ca = Bpe.Utf8Order.compare(a, bA)
+              ca < 0 || (ca == 0 && Bpe.Utf8Order.compare(b, bB) < 0)
+            })))
+          if (better) { bA = a; bB = b; bC = c; bS = s }
+        }
+        out += ((out.size + 1, bA, bB, bC, bS))
+        val (a, b) = (bA, bB)
+        val merged = a + b.stripPrefix("##")
+        def apply1(s: Vector[String]): Vector[String] = {
+          val r = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+              r += merged; i += 2
+            } else { r += s(i); i += 1 }
+          }
+          r.result()
+        }
+        syms = syms.toSeq
+          .groupMapReduce { case (s, _) => apply1(s) }(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
   /** Learn `nMerges` WordPiece merges from (word, freq) vocabulary rows.
     * Returns (rank, left, right, pair_count, score_nano) in learned
     * order — score_nano is the 1e-9-grid likelihood score the argmax
@@ -87,6 +170,18 @@ object WordPiece {
     */
   def learnMerges(vocab0: DataFrame,
       nMerges: Int): Seq[(Int, String, String, Long, Long)] = {
+    // Size-gated driver fast path (r17, the [[Bpe.learnMerges]] rule):
+    // WordPiece is one merge per round by necessity (see the class
+    // doc), so the distributed loop paid ~4 jobs per round (pair-count
+    // materialization, unigram materialization, two broadcast builds +
+    // the argmax collect) for alphabet-bounded arithmetic. Under the
+    // gate, ONE collect of the vocabulary feeds the identical
+    // sequential loop; WordPieceSpec pins both paths to the same
+    // reference. Above the gate the distributed rounds run unchanged.
+    Bpe.collectVocab(vocab0, Bpe.driverMaxVocab(vocab0.sparkSession)) match {
+      case Some(v) => return learnMergesLocal(v, nMerges)
+      case None => ()
+    }
     // ONE persisted base state; each round's vocabulary view folds the
     // accepted merges so far as a COMPOSED EXPRESSION over it (exactly
     // the [[encode]] shape) instead of re-materializing the vocabulary

@@ -144,4 +144,21 @@ class BpeSpec extends AnyFunSuite {
     val want = referenceMerges(vocab, 10)
     assert(got == want, s"\ngot  $got\nwant $want")
   }
+
+  test("driver fast path equals the distributed rounds (gate forced)") {
+    // r17: learnMerges collects the vocabulary and trains locally when
+    // it fits the graft.tokenizer.driverMaxVocab gate; forcing the gate
+    // to 0 exercises the distributed rounds on the same input
+    val vocab = Seq(
+      ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L),
+      ("lowest", 1L), ("wide", 4L))
+    val df = vocab.toDF("w", "freq")
+    val local = Bpe.learnMerges(df, 8)
+    spark.conf.set("graft.tokenizer.driverMaxVocab", "0")
+    try {
+      val dist = Bpe.learnMerges(df, 8)
+      assert(local == dist, s"\nlocal $local\ndist  $dist")
+    } finally spark.conf.unset("graft.tokenizer.driverMaxVocab")
+  }
+
 }

@@ -109,4 +109,20 @@ class UnigramSpec extends AnyFunSuite {
     val b = Unigram.encode(docs, table).orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("driver fast path equals the distributed rounds (gate forced)") {
+    // r17: the trainer collects the capped vocabulary and runs the
+    // seed + hard-EM loop locally under the gate; gate 0 re-runs the
+    // distributed path on the same corpus and must match exactly
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocab = graft.pipeline.Bpe.vocabulary(docs)
+    val local = Unigram.train(vocab, 128, 2, 6, 20)
+    spark.conf.set("graft.tokenizer.driverMaxVocab", "0")
+    try {
+      val dist = Unigram.train(vocab, 128, 2, 6, 20)
+      assert(local == dist,
+        s"local ${local.size} rows vs dist ${dist.size}")
+    } finally spark.conf.unset("graft.tokenizer.driverMaxVocab")
+  }
+
 }

@@ -173,4 +173,19 @@ class WordPieceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("weighted symbols"))
   }
+
+  test("driver fast path equals the distributed rounds (gate forced)") {
+    // r17: same both-paths pin as BpeSpec — ties included (hello/help
+    // share prefixes; aaa exercises overlap parity)
+    val vocab = Seq(("hello", 5L), ("help", 3L), ("hollow", 2L),
+      ("lolly", 4L), ("pole", 1L), ("aaa", 4L), ("zq", 3L))
+    val df = vocab.toDF("w", "freq")
+    val local = WordPiece.learnMerges(df, 8)
+    spark.conf.set("graft.tokenizer.driverMaxVocab", "0")
+    try {
+      val dist = WordPiece.learnMerges(df, 8)
+      assert(local == dist, s"\nlocal $local\ndist  $dist")
+    } finally spark.conf.unset("graft.tokenizer.driverMaxVocab")
+  }
+
 }
