@@ -7,8 +7,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * predicate pushdown for free.
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Schema-inference cache, keyed by path (r17). `spark.read.parquet`
+    * re-infers the schema on EVERY call — a footer-reading Spark job,
+    * measured ~80 ms per read at any fixture size vs ~15 ms with an
+    * explicit schema — and a registry sweep constructs hundreds of
+    * frames per pass, each paying it again. A catalog-backed table
+    * carries its schema in the metastore; this map is the same
+    * metadata for path-based reads, held for the life of the JVM
+    * (fixture files never change mid-run; METADATA only — every query
+    * still computes its rows from the parquet). The one conf-sensitive
+    * loader, [[events]], sets `nanosAsLong` before its first load, so
+    * the cached schema is the one that conf produces.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   /** `events` with `ts` normalized to a microsecond TimestampType,
     * whatever vintage the fixture is. Two vintages exist:
