@@ -750,6 +750,28 @@ object Dedup {
   def dedupReport(docs0: DataFrame): DataFrame = {
     val spark = docs0.sparkSession
     import spark.implicits._
+    // AQE off for the cascade's own actions (r17, conf-gated): the
+    // report runs ~60 sequential jobs whose inputs are seam-persisted
+    // frames with sizes known at plan time, joins explicitly broadcast/
+    // size-gated, and skew bounded STRUCTURALLY by the df caps (the
+    // posting-list tiers exist precisely so no hot bucket forms) — AQE
+    // re-plans every exchange without ever changing a decision here,
+    // and its per-stage materialization latency is ~16% of the wall
+    // (ConfAb interleaved A/B: 6.01 -> 5.05 s). Scoped to this builder
+    // only (every action runs inside it; the returned frame is local),
+    // restored in finally; graft.cascade.aqe=true re-enables.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val aqeOff = !spark.conf.getOption("graft.cascade.aqe")
+      .map(_.toBoolean).getOrElse(false)
+    if (aqeOff) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try dedupReportBody(docs0)
+    finally if (aqeOff)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  private def dedupReportBody(docs0: DataFrame): DataFrame = {
+    val spark = docs0.sparkSession
+    import spark.implicits._
     val raw = Tables.spread(docs0).select("doc_id", "text")
     // planted enrichment (the d_exact_dup / d_containment_dup injection
     // discipline — the raw fixture has no exact copies or embedded
