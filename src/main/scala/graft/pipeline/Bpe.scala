@@ -219,9 +219,8 @@ object Bpe {
       .empty[(Int, String, String, Long)]
     while (merges.size < nMerges) {
       val batchCap = math.min(nMerges - merges.size, 16)
-      val symNow = merges.foldLeft(col("sym")) {
-        case (c, (_, a, b, _)) => applyMerge(c, a, b)
-      }
+      val symNow = graft.functions.SubwordFold.subword_fold(col("sym"),
+        merges.toSeq.map { case (_, a, b, _) => (a, b, a + b) })
       val vocab = base.select(col("freq"), symNow.as("sym"))
       val pairs = vocab.select(col("freq"), explode(zip_with(
           slice(col("sym"), lit(1), size(col("sym")) - 1),
@@ -292,9 +291,15 @@ object Bpe {
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    val sym = merges.sortBy(_._1).foldLeft(split(col("w"), "")) {
-      case (c, (_, a, b, _)) => applyMerge(c, a, b)
-    }
+    // r17 (guide §4): the merge table applies as ONE native codegen
+    // expression instead of a |merges|-deep fold of interpreted
+    // ArrayAggregate HOFs — identical greedy non-overlapping semantics
+    // (SubwordFoldSpec pins the two against each other on the fixture
+    // vocabulary), one imperative pass per merge, zero per-element
+    // array reallocation.
+    val sym = graft.functions.SubwordFold.subword_fold(
+      split(col("w"), ""),
+      merges.sortBy(_._1).map { case (_, a, b, _) => (a, b, a + b) })
     val encodedVocab = words.select("w").distinct()
       .select(col("w"), size(sym).cast("long").as("n_sub"))
     words.join(encodedVocab, "w")

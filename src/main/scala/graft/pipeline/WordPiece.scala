@@ -204,10 +204,9 @@ object WordPiece {
       .empty[(Int, String, String, Long, Long)]
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {
-      val symNow = merges.foldLeft(col("sym")) {
-        case (c, (_, a, b, _, _)) =>
-          applyMergeAs(c, a, b, a + b.stripPrefix("##"))
-      }
+      val symNow = graft.functions.SubwordFold.subword_fold(col("sym"),
+        merges.toSeq.map { case (_, a, b, _, _) =>
+          (a, b, a + b.stripPrefix("##")) })
       val vocab = base.select(col("freq"), symNow.as("sym"))
       // ONE vocabulary pass feeds both statistics: every position i is
       // emitted exactly once as (sym_i, sym_{i+1} | NULL-at-the-end), so
@@ -266,11 +265,13 @@ object WordPiece {
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    val sym = merges.sortBy(_._1)
-      .foldLeft(initialSymbols(col("w"))) {
-        case (c, (_, a, b, _, _)) =>
-          applyMergeAs(c, a, b, a + b.stripPrefix("##"))
-      }
+    // r17 (guide §4): native one-expression merge application — see
+    // [[Bpe.encode]]; the `##`-stripped merged name is precomputed per
+    // rank exactly as applyMergeAs spelled it.
+    val sym = graft.functions.SubwordFold.subword_fold(
+      initialSymbols(col("w")),
+      merges.sortBy(_._1).map { case (_, a, b, _, _) =>
+        (a, b, a + b.stripPrefix("##")) })
     val encodedVocab = words.select("w").distinct()
       .select(col("w"), size(sym).cast("long").as("n_sub"))
     words.join(encodedVocab, "w")
