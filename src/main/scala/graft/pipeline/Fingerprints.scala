@@ -399,9 +399,16 @@ object Fingerprints {
     */
   def simhashPortableFingerprints(docs: DataFrame): DataFrame = {
     val bits = 60
+    // sh persisted (r17): TWO consumers — the distinct-shingle md5
+    // derivation and the signature join's probe side — and AQE does not
+    // reuse the duplicate scan+explode subtrees (ReuseCheck); profiled
+    // as two ~9-taskSec shingle passes per tier at sf0.1. Same lazy
+    // MEMORY_AND_DISK discipline as [[minhashPortablePairs]]'s shingle
+    // stream; caller/harness owns release.
     val sh = graft.Tables.spread(docs)
       .select(col("doc_id"),
         explode(graft.pipeline.Dedup.shingles(col("text"))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hs = sh.select("s").distinct()
       .select(col("s"),
         conv(substring(md5(col("s")), 1, 15), 16, 10)

@@ -736,8 +736,14 @@ object TrainingSet {
         .select(col("doc_id"),
           (lit(25) * (col("s") - col("dst")) <= col("s") &&
             lit(25) * col("mx") <= lit(2) * col("s")).as("v_repetition"))
+      // sh persisted (r17): it feeds the df aggregation AND the probe
+      // side of the df join, and AQE does not reuse the duplicate
+      // explode across consumers (ReuseCheck) — profiled as two ~equal
+      // ~11-taskSec shingle passes. The jaccardPairsFrom diamond rule;
+      // harness owns release (clearCache per query/sample).
       val sh = docs.select(col("doc_id"),
         explode(Dedup.shingles(col("text"))).as("ngram"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfr = sh.groupBy("ngram").agg(count(lit(1)).as("c"))
       val info = sh.join(dfr, "ngram").groupBy("doc_id")
         .agg(sum("c").as("dsum"), count(lit(1)).as("nd"))
