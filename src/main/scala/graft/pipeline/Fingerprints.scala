@@ -330,24 +330,41 @@ object Fingerprints {
       .select(col("doc_id"),
         explode(graft.pipeline.Dedup.shingles(col("text"))).as("s"))
       .persist()
+    // 16 hash functions as 16 WIDE columns, not 16 exploded rows (r17,
+    // guide §2.3): the previous shape joined the shingle stream against
+    // a 16-rows-per-shingle hash frame and shuffled |occurrences|·16
+    // (j, h) rows into a (doc_id, j) min aggregation — profiled as the
+    // query's hottest pair of jobs (~26 executor task-seconds, 24 MB
+    // shuffled at sf0.1). With one row per distinct shingle carrying
+    // h0..h15, the signature is 16 map-side-combined min() columns over
+    // the same join — identical minima (same values, same lexicographic
+    // min), 16× fewer aggregation rows, and the per-doc shuffle is one
+    // 16-column row.
     val hs = sh.select("s").distinct()
-      .select(col("s"), explode(array((0 until 16).map(j =>
-        struct(lit(j).as("j"),
-          substring(md5(concat(lit(s"$j:"), col("s"))), 1, 12)
-            .as("h"))): _*)).as("x"))
-      .select(col("s"), col("x.j").as("j"), col("x.h").as("h"))
+      .select(col("s") +: (0 until 16).map(j =>
+        substring(md5(concat(lit(s"$j:"), col("s"))), 1, 12)
+          .as(s"h$j")): _*)
+    val mins = (0 until 16).map(j => min(col(s"h$j")).as(s"m$j"))
     val sigs = sh.join(hs, "s")
-      .groupBy("doc_id", "j").agg(min(col("h")).as("m"))
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
     // the band frame feeds BOTH sides of the candidate self-join, and
     // runtime profiling (r16) showed the whole shingle→16-md5→min-agg
     // signature pipeline executing twice — AQE's stage reuse did not
     // collapse the two structurally-identical subtrees. Persist per the
     // diamond rule: 4 narrow rows/doc (band key + 4 hex12 strings),
     // bounded at any corpus size; lazy, caller/harness owns release.
-    val bands = sigs.withColumn("band", expr("j DIV 4"))
-      .groupBy("doc_id", "band")
-      .agg(sort_array(collect_list(struct(col("j"), col("m"))))
-        .as("sig"))
+    // Band vectors are built in ascending-j order — exactly what the
+    // previous sort_array(collect_list(struct(j, m))) produced, so the
+    // band-equality join sees identical keys.
+    val bands = sigs.select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b.toLong).as("band"),
+            array((0 until 4).map(k =>
+              struct(lit(4 * b + k).as("j"),
+                col(s"m${4 * b + k}").as("m"))): _*).as("sig"))): _*))
+          .as("x"))
+      .select(col("doc_id"), col("x.band").as("band"),
+        col("x.sig").as("sig"))
       .persist()
     val cands = bands
       .select(col("doc_id").as("da"), col("band"), col("sig"))
