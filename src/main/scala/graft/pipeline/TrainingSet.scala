@@ -404,9 +404,15 @@ object TrainingSet {
       .select(col("doc_id"), col("tgt"),
         bucketOf(concat(element_at(col("t"), col("i")), lit(" "),
           element_at(col("t"), col("i") + 1))).as("b"))
+    // feats persisted (r17): FOUR consumers (raw, tgtC, totals, and the
+    // scoring join) each re-ran the explode + per-occurrence md5 union
+    // pipeline — AQE does not reuse the duplicate subtrees (ReuseCheck).
+    // Narrow (doc, tgt, bucket, count) rows; lazy MEMORY_AND_DISK,
+    // harness owns release.
     val feats = uni.union(bi)
       .groupBy(col("doc_id"), col("tgt"), col("b"))
       .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val raw = feats.groupBy("b").agg(sum(col("c")).as("r"))
     val tgtC = feats.filter(col("tgt"))
       .groupBy("b").agg(sum(col("c")).as("tc"))
@@ -837,7 +843,13 @@ object TrainingSet {
       // ANY corpus scale (the sketch sizes to the suite, not the corpus)
       val isBench = pmod(col("doc_id"), lit(7)) === 0 &&
         col("doc_id") < 10000000L
+      // bench persisted (r17): it feeds the bloom build's treeAggregate
+      // AND the exact-confirm broadcast join (the diamond rule; AQE does
+      // not reuse the duplicate distinct, ReuseCheck). Distinct 64-bit
+      // grams of the benchmark slice only — broadcast-sized by the same
+      // argument as the sketch; harness owns release.
       val bench = grams(docs.filter(isBench)).select("g").distinct()
+        .persist()
       // distributed build (treeAggregate under stat.bloomFilter); the
       // sketch itself is broadcast-sized by construction
       val bf = bench.stat.bloomFilter("g", 1000000L, 0.01)
