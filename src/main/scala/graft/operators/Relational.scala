@@ -715,7 +715,15 @@ object Relational {
         .withColumn("salt", pmod(col("l_linenumber"), lit(salts)))
       val ord = Tables.orders(s, d)
         .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
-      li.join(ord,
+      // merge hint (r17, guide §3): without it AQE broadcasts the 8×-
+      // replicated build side and the DRIVER single-threadedly builds a
+      // |orders|·salts-row HashedRelation (~1.4 s of the query's 1.5 s
+      // wall at sf0.1) — and a broadcast join has no reducers to spread,
+      // so the plan no longer demonstrated the operator at all. The hint
+      // pins the salted SHUFFLE join the technique is: hashpartitioning
+      // on (key, salt) fans the hot key across salts reducers. Same
+      // rows either way.
+      li.hint("merge").join(ord,
           col("l_orderkey") === col("o_orderkey") &&
             li("salt") === ord("salt"))
         .groupBy(col("o_orderpriority"))
