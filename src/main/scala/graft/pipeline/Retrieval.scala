@@ -108,11 +108,16 @@ object Retrieval {
     import spark.implicits._
     val qt = queries.flatMap { case (id, ws) => ws.distinct.map((id, _)) }
       .toDF("query_id", "w")
+    // rel persisted (r17): the DCG join and the ideal-top-10 heap both
+    // consume it, and AQE does not reuse the duplicate distinct-gram
+    // pass (ReuseCheck). |queries|·|docs-with-terms| rows, tiny; lazy,
+    // harness-released.
     val rel = docs.select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
       .join(broadcast(qt), "w")
       .groupBy("query_id", "doc_id")
       .agg(least(count(lit(1)), lit(3L)).as("rel"))
+      .persist()
     def gain(relCol: org.apache.spark.sql.Column,
         rCol: org.apache.spark.sql.Column) =
       (pow(lit(2.0), relCol.cast("double")) - 1.0) / log2(rCol + 1.0)
@@ -163,6 +168,9 @@ object Retrieval {
       .agg(count(lit(1)).as("nterms"))
       .filter(col("nterms") >= 2)
       .select(col("query_id"), col("doc_id"), lit(1L).as("relv"))
+      // persisted (r17): feeds the rank join AND the per-query relevant
+      // count — same diamond rationale as [[ndcgAt10]]'s rel frame
+      .persist()
     val ranked = bm25TopK(docs, queries, 10)
       .withColumn("r", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("score").desc, col("doc_id"))))
