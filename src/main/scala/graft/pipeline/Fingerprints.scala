@@ -416,16 +416,17 @@ object Fingerprints {
     */
   def simhashPortableFingerprints(docs: DataFrame): DataFrame = {
     val bits = 60
-    // sh persisted (r17): TWO consumers — the distinct-shingle md5
-    // derivation and the signature join's probe side — and AQE does not
-    // reuse the duplicate scan+explode subtrees (ReuseCheck); profiled
-    // as two ~9-taskSec shingle passes per tier at sf0.1. Same lazy
-    // MEMORY_AND_DISK discipline as [[minhashPortablePairs]]'s shingle
-    // stream; caller/harness owns release.
+    // sh deliberately NOT persisted (r17): the duplicate scan+explode
+    // across its two consumers costs ~8 executor task-seconds at sf0.1,
+    // but caching the widest frame here (doc_id + shingle strings)
+    // serializes a third cache build under the f/banded persists and
+    // measured WORSE on wall in paired A-B-A bench runs (6.4 vs 6.8-7.5
+    // normalized for the d_simhash_portable + a_simhash_cap_drift
+    // pair) — the diamond rule pays only when the duplicated subtree is
+    // CPU-dense relative to the cached bytes.
     val sh = graft.Tables.spread(docs)
       .select(col("doc_id"),
         explode(graft.pipeline.Dedup.shingles(col("text"))).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hs = sh.select("s").distinct()
       .select(col("s"),
         conv(substring(md5(col("s")), 1, 15), 16, 10)
